@@ -1,0 +1,397 @@
+"""Driver-checkable query registry.
+
+Every operator claimed in ``SURVEY.md §2`` gets a named entry here:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) a DuckDB oracle SQL string producing the same rows.
+``__spark_entry__.py`` re-exports ``queries()`` / ``oracle_sql()`` from
+this module.
+
+Cross-engine determinism rules used throughout (the driver hash-compares
+values after sorting columns by name):
+
+* Every computed column is explicitly aliased, identically in both
+  engines.
+* Floating-point SUM/AVG accumulate via DECIMAL casts so results are
+  bit-identical regardless of partial-aggregation order, then cast back
+  to DOUBLE.
+* Per-row double math (cosine scores) is identical IEEE arithmetic in
+  both engines; we round displayed scores to 6 decimals as belt and
+  braces.
+* LIMIT queries pin a deterministic ORDER BY (id column) — an unordered
+  LIMIT is nondeterministic in any distributed engine.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.functions.vector import l2_norm, vector_literal
+from vector_db_handler_spark.operators import knn as knn_ops
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+# ---------------------------------------------------------------------------
+
+#: Deterministic 64-dim query vector (matches the embeddings fixture dim).
+#: Values are small exact-decimal rationals so literals parse to identical
+#: doubles in Spark, DuckDB, and Python.
+QUERY_VEC: list[float] = [((i * 37 + 11) % 101 - 50) / 50.0 for i in range(64)]
+QUERY_VEC_NORM: float = math.sqrt(sum(v * v for v in QUERY_VEC))
+
+
+def _sql_vec(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
+
+
+#: DuckDB expression fragments for cosine scoring, kept textually parallel
+#: to ``functions/vector.py`` (dot in DOUBLE, query norm inlined).
+_Q_SQL = f"CAST({_sql_vec(QUERY_VEC)} AS DOUBLE[])"
+_DOT_Q = f"list_dot_product(CAST(embedding AS DOUBLE[]), {_Q_SQL})"
+_ROW_NORM = "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+_SCORE = f"({_DOT_Q} / ({_ROW_NORM} * {QUERY_VEC_NORM!r}))"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# registry -------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# H13: exact cosine top-k (flagship)  — reference document_ingestor.py:332-364
+# ---------------------------------------------------------------------------
+
+_KNN_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT vec_id, label, {_SCORE} AS score
+  FROM embeddings
+)
+SELECT vec_id, label, ROUND(score, 6) AS score
+FROM scored
+WHERE score >= 0.0
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_topk", _KNN_TOPK_SQL)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    top = knn_ops.knn(emb, QUERY_VEC, k=10, score_threshold=0.0, tie_break_col="vec_id")
+    return top.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+# H14: filtered KNN (doc_ids IN …) — reference :366-408 -----------------------
+
+_KNN_FILTER_LABELS = [1, 3, 5]
+
+_KNN_FILTERED_SQL = f"""
+WITH scored AS (
+  SELECT vec_id, label, {_SCORE} AS score
+  FROM embeddings
+  WHERE label IN (1, 3, 5)
+)
+SELECT vec_id, label, ROUND(score, 6) AS score
+FROM scored
+WHERE score >= 0.0
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_filtered", _KNN_FILTERED_SQL)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    top = knn_ops.knn_on_docs(
+        emb, QUERY_VEC, doc_ids=_KNN_FILTER_LABELS, k=10,
+        score_threshold=0.0, doc_id_col="label", tie_break_col="vec_id",
+    )
+    return top.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+# H14 edge: EMPTY doc_ids ⇒ match-all (reference :526-529) --------------------
+
+_KNN_EMPTY_SQL = f"""
+WITH scored AS (
+  SELECT vec_id, label, {_SCORE} AS score
+  FROM embeddings
+)
+SELECT vec_id, label, ROUND(score, 6) AS score
+FROM scored
+WHERE score >= 0.0
+ORDER BY score DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+@register("knn_filtered_empty_ids", _KNN_EMPTY_SQL)
+def knn_filtered_empty_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    top = knn_ops.knn_on_docs(
+        emb, QUERY_VEC, doc_ids=[], k=5,
+        score_threshold=0.0, doc_id_col="label", tie_break_col="vec_id",
+    )
+    return top.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+# H13 edge: score_threshold drops rows even below k (reference :339) ----------
+
+_KNN_THRESHOLD = 0.25
+
+_KNN_THRESHOLD_SQL = f"""
+WITH scored AS (
+  SELECT vec_id, label, {_SCORE} AS score
+  FROM embeddings
+)
+SELECT vec_id, label, ROUND(score, 6) AS score
+FROM scored
+WHERE score >= {_KNN_THRESHOLD!r}
+ORDER BY score DESC, vec_id ASC
+LIMIT 100
+"""
+
+
+@register("knn_score_threshold", _KNN_THRESHOLD_SQL)
+def knn_score_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    top = knn_ops.knn(emb, QUERY_VEC, k=100, score_threshold=_KNN_THRESHOLD, tie_break_col="vec_id")
+    return top.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# H15-H18: scrolls — reference :410-557
+# ---------------------------------------------------------------------------
+
+_SCROLL_COLLECTION_SQL = """
+SELECT vec_id, label FROM embeddings ORDER BY vec_id ASC LIMIT 20
+"""
+
+
+@register("scroll_collection", _SCROLL_COLLECTION_SQL)
+def scroll_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_ops.scroll(emb, limit=20, order_col="vec_id").select("vec_id", "label")
+
+
+_SCROLL_DOC_SQL = """
+SELECT vec_id, label FROM embeddings WHERE label = 7 ORDER BY vec_id ASC LIMIT 20
+"""
+
+
+@register("scroll_doc", _SCROLL_DOC_SQL)
+def scroll_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        knn_ops.scroll(emb, limit=20, pre_filter=F.col("label") == 7, order_col="vec_id")
+        .select("vec_id", "label")
+    )
+
+
+_SCROLL_DOCS_SQL = """
+SELECT vec_id, label FROM embeddings WHERE label IN (2, 4) ORDER BY vec_id ASC LIMIT 25
+"""
+
+
+@register("scroll_docs", _SCROLL_DOCS_SQL)
+def scroll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        knn_ops.scroll_docs(emb, doc_ids=[2, 4], limit=25, doc_id_col="label", order_col="vec_id")
+        .select("vec_id", "label")
+    )
+
+
+_SCROLL_DOCS_EMPTY_SQL = """
+SELECT vec_id, label FROM embeddings ORDER BY vec_id ASC LIMIT 25
+"""
+
+
+@register("scroll_docs_empty", _SCROLL_DOCS_EMPTY_SQL)
+def scroll_docs_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Empty doc_ids ⇒ match-all (reference document_ingestor.py:526-529).
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        knn_ops.scroll_docs(emb, doc_ids=[], limit=25, doc_id_col="label", order_col="vec_id")
+        .select("vec_id", "label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H5-H9: filter/id deletes as pure transforms — reference :146-258
+# ---------------------------------------------------------------------------
+
+_DELETE_DOC_SQL = """
+SELECT vec_id, label FROM embeddings WHERE NOT (label = 3)
+"""
+
+
+@register("delete_doc", _DELETE_DOC_SQL)
+def delete_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DELETE WHERE DocId == d (reference :146-167) expressed as the
+    # surviving-rows transform so the oracle can replay it.
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.filter(~(F.col("label") == 3)).select("vec_id", "label")
+
+
+_DELETE_IDS = [0, 1, 2, 10, 11, 12, 100, 101]
+
+_DELETE_BY_ID_LIST_SQL = f"""
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN ({", ".join(str(i) for i in _DELETE_IDS)})
+"""
+
+
+@register("delete_by_id_list", _DELETE_BY_ID_LIST_SQL)
+def delete_by_id_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DELETE WHERE point_id IN (…) (reference :239-258). At scale this is
+    # a broadcast LEFT ANTI join against the ids relation, not a giant
+    # NOT IN literal — Catalyst broadcasts the 8-row side.
+    emb = load(spark, sf_dir, "embeddings")
+    ids = spark.createDataFrame([(i,) for i in _DELETE_IDS], "vec_id bigint")
+    return emb.join(F.broadcast(ids), "vec_id", "left_anti").select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# H12: first-match-only vector update — reference :290-330
+# ---------------------------------------------------------------------------
+
+_UPDATE_NEW_NORM = round(QUERY_VEC_NORM, 6)
+
+_UPDATE_VECTOR_SQL = f"""
+WITH target AS (
+  SELECT min(vec_id) AS tid FROM embeddings WHERE label = 3
+)
+SELECT e.vec_id, e.label,
+       ROUND(CASE WHEN e.vec_id = (SELECT tid FROM target)
+                  THEN {QUERY_VEC_NORM!r}
+                  ELSE {_ROW_NORM.replace('embedding', 'e.embedding')}
+             END, 6) AS emb_norm
+FROM embeddings e
+"""
+
+
+@register("update_vector_first_match", _UPDATE_VECTOR_SQL)
+def update_vector_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE: replace the vector of the FIRST (DocId, ChunkId) match only,
+    keeping id + payload; silent no-op when no match (reference :313-330).
+
+    Implemented distribution-friendly: the single target id is resolved
+    with a MIN aggregate (no global sort), then a conditional column
+    replace — no shuffle of the fact table.  Output projects each row's
+    embedding norm so the oracle can verify exactly one row changed.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    target = (
+        emb.filter(F.col("label") == 3)
+        .select(F.min("vec_id").alias("tid"))
+    )
+    updated = emb.join(F.broadcast(target), emb.vec_id == F.col("tid"), "left").withColumn(
+        "embedding_new",
+        F.when(F.col("tid").isNotNull(), vector_literal(QUERY_VEC)).otherwise(
+            F.col("embedding").cast("array<double>")
+        ),
+    )
+    return updated.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm(F.col("embedding_new")), 6).alias("emb_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# H19: catalog listing — reference :559-568 (name mangling at :68)
+# ---------------------------------------------------------------------------
+
+_LIST_COLLECTIONS_SQL = """
+SELECT DISTINCT concat('user_', replace(source, '-', '_')) AS collection_name
+FROM documents
+"""
+
+
+@register("list_collections", _LIST_COLLECTIONS_SQL)
+def list_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tenant catalog with the reference's user_<id>, '-'→'_' mangling
+    # (document_ingestor.py:55-68); `source` plays the tenant role in
+    # the documents fixture.
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("user_"), F.regexp_replace("source", "-", "_")).alias("collection_name")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Relational surface: TPC-H Q1 (pricing summary) — extension per SURVEY §2.4
+# ---------------------------------------------------------------------------
+
+_TPCH_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1", _TPCH_Q1_SQL)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary. DECIMAL-accumulated sums make the result
+    independent of partial-aggregation order (bit-identical across
+    engines and partitionings — also the right call at 100 TB, where
+    float sums drift with partition count)."""
+    li = load(spark, sf_dir, "lineitem")
+    dec4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec4("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec4("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec4("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec4("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
