@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from vector_db_handler_spark.functions.vector import l2_norm, vector_literal
 from vector_db_handler_spark.operators import knn as knn_ops
+from vector_db_handler_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
 # shared fixtures
@@ -56,7 +57,7 @@ _SCORE = f"({_DOT_Q} / ({_ROW_NORM} * {QUERY_VEC_NORM!r}))"
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return load_table(spark, sf_dir, table)
 
 
 # registry -------------------------------------------------------------------

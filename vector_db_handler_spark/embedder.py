@@ -1,0 +1,74 @@
+"""Deterministic text embedder — the stand-in for the reference's
+external embedding HTTP service.
+
+The reference POSTs text to ``http://{host}:{port}/vectorizer/string/``
+(single) or ``/vectorizer/list/`` (batch), retrying up to 5 times with
+no backoff, and parses a JSON-string-encoded vector field
+(``app/core/document_ingestor.py:605-607``, ``:648-673``, ``:706-714``).
+That service is effectively a remote scalar UDF ``text → float[1024]``.
+
+Here it is a **deterministic hash embedder**: ``md5(text)`` seeds a
+PCG64 generator that draws a standard-normal vector, unit-normalized.
+Properties that matter for tests and the golden scenario:
+
+* identical text → identical vector (platform-independent: MD5 + PCG64
+  are both fully specified);
+* distinct texts → near-orthogonal vectors in high dim (cosine ≈ 0),
+  so "similar" can be engineered by prefix-sharing in fixtures;
+* unit-norm, so dot product == cosine.
+
+Spark integration is the Arrow slow-path done right: a batched
+``mapInPandas``/pandas UDF (one Python call per ~10k-row Arrow batch),
+never a row-at-a-time Python UDF.  At 100 TB the same shape holds for a
+real encoder — batch inference per Arrow chunk, model broadcast once
+per executor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DIM = 1024  # reference document_ingestor.py:73
+
+
+def embed_text(text: str, dim: int = DEFAULT_DIM) -> list[float]:
+    """Embed one string (the ``/vectorizer/string/`` analog)."""
+    seed = int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    v /= np.linalg.norm(v)
+    return [float(x) for x in v.astype(np.float32)]
+
+
+def embed_texts(texts: Sequence[str], dim: int = DEFAULT_DIM) -> list[list[float]]:
+    """Batch embed (the ``/vectorizer/list/`` analog)."""
+    return [embed_text(t, dim) for t in texts]
+
+
+def with_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Append an embedding column to a DataFrame of texts.
+
+    ``mapInPandas`` so each Arrow batch is one Python hop; schema is the
+    input schema plus ``out_col ARRAY<FLOAT>``.
+    """
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))])
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [embed_text(t, dim) for t in pdf[text_col].astype(str)]
+            yield pdf
+
+    return df.mapInPandas(embed_batches, schema=out_schema)
