@@ -1,0 +1,207 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its ingest happily duplicates — fresh
+uuid4 per upsert, ``document_ingestor.py:105``); mandated as extension
+surface by BASELINE.json.  Five strategies, cheapest to richest:
+
+* exact          — hash-groupBy on the full text (one shuffle on a
+                   64-bit key; at 100 TB this is the map-side-combined
+                   baseline every pipeline runs first);
+* ngram Jaccard  — k-word shingles, shingle-inverted-index self-join,
+                   exact Jaccard ≥ t (quadratic only within shingle
+                   buckets, not across the corpus);
+* MinHash + LSH  — 8-permutation signatures, banded bucketing, then
+                   exact-Jaccard verification of candidates only: the
+                   scale path — candidate generation is linear in docs
+                   × bands, and only near-misses are verified;
+* SimHash        — 16-bit weighted token fingerprint per doc; Hamming
+                   buckets find near-dups in one equi-join;
+* embedding cosine — semantic near-dup via the vector column (see
+                   ``operators/similarity.py`` for the join itself).
+
+Every operator is pure DataFrame-in/DataFrame-out, built from native
+expressions (portable md5-derived hashing — see ``functions/text.py``)
+so the DuckDB oracles replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.functions.text import (
+    portable_hash28,
+    portable_hash60,
+    word_shingles,
+)
+
+# MinHash permutation parameters: h_i(s) = (A[i]*h28(s) + B[i]) mod P.
+# P = 2^31 - 1 (Mersenne prime); A/B fixed odd constants < P so the
+# same integers come out of any engine with 64-bit arithmetic
+# (28-bit hash × 31-bit A stays < 2^59 — no overflow).
+MINHASH_P = 2_147_483_647
+MINHASH_A = [1_000_003, 19_349_663, 83_492_791, 1_299_709, 2_750_161, 4_256_233, 7_368_787, 9_576_881]
+MINHASH_B = [12_345, 67_891, 24_681, 13_579, 86_420, 97_531, 11_111, 55_555]
+N_PERM = 8
+N_BANDS = 4  # 4 bands × 2 rows
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: one row per distinct text, with the kept
+    (minimum) id and the duplicate count.  ``n_copies > 1`` rows are the
+    redundant sets."""
+    return (
+        docs.groupBy(portable_hash60(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Inverted index: (id, shingle) with distinct k-word shingles."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by exact k-word-shingle Jaccard ≥ threshold.
+
+    Shuffle profile: one explode + self-equi-join on ``shingle`` (the
+    inverted index prunes the O(n²) pair space to co-shingled pairs),
+    one groupBy on the pair key.  Rare ultra-frequent shingles are the
+    skew risk at scale — AQE skew-join splitting handles moderate skew;
+    a stop-shingle filter (drop shingles in > f% of docs) is the
+    documented escape hatch.
+    """
+    sh = shingle_index(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """8-permutation MinHash signature per doc: columns mh0..mh7.
+
+    One explode + one groupBy(doc) with 8 MIN aggregates — map-side
+    combined, so the shuffle carries one row per doc, not per shingle.
+    """
+    sh = shingle_index(docs, text_col, id_col, k)
+    h = portable_hash28(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: signatures → band keys (2 rows/band, 4 bands) → equi-join
+    on (band, key) → DISTINCT candidate pairs → exact-Jaccard
+    verification of candidates only.  At 100 TB the verification join
+    touches only the candidate set — the banded equi-join replaces the
+    all-pairs comparison entirely; band width trades recall for
+    candidate volume.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, k)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (F.col(f"mh{2 * i}") * F.lit(1_000_003) + F.col(f"mh{2 * i + 1}")).alias("key"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    b1, b2 = bands.alias("x"), bands.alias("y")
+    cands = (
+        b1.join(
+            b2,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    # Exact verification restricted to candidates.
+    sh = shingle_index(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        cands.join(a, cands.d1 == F.col("a.doc_id"))
+        .join(b, (cands.d2 == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per doc from token-frequency-weighted bit votes.
+
+    For bit b: vote = Σ_tokens cnt(token) · (+1 if bit b of hash(token)
+    else −1); bit set iff vote > 0.  One explode + token groupBy + doc
+    groupBy — all native integer expressions.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    counted = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    h = portable_hash28(F.col("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    sig = counted.groupBy("doc_id").agg(*votes)
+    out = F.lit(0)
+    for b in range(16):
+        out = out + F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return sig.select("doc_id", out.alias("simhash"))

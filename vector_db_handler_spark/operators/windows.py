@@ -1,0 +1,90 @@
+"""Time-window operators over event streams (batch form).
+
+The reference has no streaming/time-series surface (SURVEY §2.4); the
+``events`` fixture drives the extension ops.  Batch forms here share
+semantics with the Structured Streaming versions in
+``streaming/stream_ops.py`` — same groupings, same windows — so a
+pipeline can run identically over a backfill (batch) and a live stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def tumbling_agg(events: DataFrame, ts_col: str = "ts", unit: str = "hour") -> DataFrame:
+    """Tumbling-window aggregate keyed by (window_start, event_type).
+
+    Uses ``date_trunc`` rather than ``F.window`` so the key is a plain
+    timestamp (portable to any SQL engine); at 100 TB this is a single
+    map-side-combinable groupBy — the window key is derived, no shuffle
+    beyond the aggregation itself.
+    """
+    return (
+        events.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, ts_col: str = "ts", width_hours: int = 2, slide_hours: int = 1
+) -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows.
+
+    Implemented by exploding each row into the windows that contain it
+    (generate window starts with ``sequence``) — the portable
+    equivalent of ``F.window(ts, '2 hours', '1 hour')`` without the
+    struct key.
+    """
+    n = width_hours // slide_hours
+    starts = F.sequence(F.lit(0), F.lit(n - 1))
+    return (
+        events.withColumn(
+            "window_start",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.date_trunc("hour", F.col(ts_col))
+                    - (i * F.expr(f"INTERVAL {slide_hours} HOUR")),
+                )
+            ),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts", key_col: str = "user_id"
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from
+    the previous event of the same user exceeds ``gap_minutes``.
+
+    lag + cumulative-sum over a per-user window: one shuffle on the
+    user key; session ids are then per-user ordinals (deterministic).
+    Streaming twin: ``session_window(ts, gap)``.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, "event_id")
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    with_break = events.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    )
+    with_sid = with_break.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy(key_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.col(ts_col).cast("long")).alias("session_start_epoch"),
+            F.max(F.col(ts_col).cast("long")).alias("session_end_epoch"),
+        )
+    )
