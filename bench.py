@@ -29,8 +29,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("vdh-bench")
 
-    # Warm up: start the JVM, prime the parquet footer cache.
+    # Warm up: start the JVM, spawn the Python/Arrow UDF workers, prime
+    # the parquet footer cache.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import col, pandas_udf
+
+    _ident = pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_ident(col("id"))).collect()
     for t in ("embeddings", "lineitem", "orders", "documents", "events"):
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):

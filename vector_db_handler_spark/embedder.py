@@ -65,10 +65,24 @@ def with_embeddings(
     """
     out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))])
 
+    # Self-contained closure (stdlib/numpy only): cloudpickle ships
+    # module-level helpers BY REFERENCE, so calling ``embed_text`` here
+    # would require this package on every executor's sys.path.
     def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as _np
+
+        def _embed(t: str) -> list[float]:
+            seed = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            rng = _np.random.default_rng(seed)
+            v = rng.standard_normal(dim)
+            v /= _np.linalg.norm(v)
+            return [float(x) for x in v.astype(_np.float32)]
+
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [embed_text(t, dim) for t in pdf[text_col].astype(str)]
+            pdf[out_col] = [_embed(t) for t in pdf[text_col].astype(str)]
             yield pdf
 
     return df.mapInPandas(embed_batches, schema=out_schema)

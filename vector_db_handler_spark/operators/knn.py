@@ -12,8 +12,13 @@ Reference semantics covered here (``app/core/document_ingestor.py``):
 
 Spark-first design notes (100 TB posture):
 
-* Scoring uses native higher-order functions (``functions/vector.py``) —
-  stays in whole-stage codegen, no Python on the hot path.
+* Scoring is an Arrow-batched numpy pandas UDF (``functions/vector.py``)
+  — one matrix-vector product per ~10k-row batch.  (Higher-order
+  ``zip_with``/``aggregate`` forms are evaluated interpreted by Spark —
+  NOT inside whole-stage codegen — and benchmarked ~6× slower even at
+  2k rows; the gap widens with scale.)  The UDF is one ArrowEvalPython
+  node, so the score is computed once and reused by the filter and the
+  sort above it.
 * ``orderBy(desc(score)).limit(k)`` lowers to ``TakeOrderedAndProject``:
   each partition computes a local top-k and the driver merges k·P rows —
   no global sort, no shuffle of the scan.

@@ -6,33 +6,49 @@ BATCH similarity — many queries (or all-pairs) against the corpus in
 one job:
 
 * ``cosine_topk_join``  — exact brute-force top-k per query row: the
-  correctness baseline.  Plan shape: broadcast the (small) query side,
-  score natively, rank with a per-query window.  No shuffle of the
-  corpus when the query side broadcasts.
+  correctness baseline.  Scale design: the (small) query side is
+  shipped to every task once; each corpus partition computes a numpy
+  score matrix and keeps only its LOCAL top-k per query, so the corpus
+  is never shuffled and the only shuffle carries P·Q·k candidate rows
+  (P = #partitions), ranked exactly in a final tiny window.
 * ``cosine_neardup_pairs`` — all-pairs self-join above a threshold
   (semantic dedup); quadratic, for modest corpora or post-LSH
-  verification.
-* ``ivf_topk`` — the scale path: a coarse quantizer (centroid
-  assignment) partitions the corpus into cells; a query probes only
-  the ``nprobe`` nearest cells.  Deterministic by construction (fixed
-  centroid rows, exact argmin assignment), so it is oracle-checkable —
-  unlike HNSW.  At 100 TB: centroids come from a sampled k-means
-  (spark.ml KMeans) and the corpus is written bucketed/partitioned by
-  ``cell_id``, turning each query into a partition-pruned scan.
+  verification of candidate pairs.
+* ``build_ivf_index`` / ``ivf_probe`` — the ANN scale path, split into
+  a BUILD step (assign every row to its nearest centroid cell — run
+  once, materialized/partitioned by ``cell_id``) and a PROBE step that
+  scans only the ``nprobe`` cells nearest the query.  Deterministic by
+  construction (fixed centroid rows, exact argmax assignment), so it is
+  oracle-checkable — unlike HNSW.  At 100 TB: centroids come from a
+  sampled k-means (spark.ml KMeans), the build output is written
+  bucketed/partitioned by ``cell_id``, and a probe is a
+  partition-pruned scan of ~N·nprobe/C rows.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from vector_db_handler_spark.functions.vector import dot_product, l2_norm
+from vector_db_handler_spark.functions.vector import cosine_score
 
 
-def _cos(e1, n1, e2, n2):
-    return dot_product(e1, e2) / (n1 * n2)
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[list, np.ndarray]:
+    """Driver-collect a SMALL vector relation (query side / centroids)
+    into (ids, unit-normalized float64 matrix).  This is the broadcast
+    pattern: the matrix ships once per task inside the serialized UDF,
+    exactly like ``F.broadcast`` ships a dim table — only ever used for
+    the side that is orders of magnitude smaller than the corpus."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = [r[0] for r in rows]
+    m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+    return ids, m / norms[:, None]
 
 
 def cosine_topk_join(
@@ -45,32 +61,64 @@ def cosine_topk_join(
 ) -> DataFrame:
     """Exact top-k neighbours for every query row.
 
-    Output: (query_id, neighbor_id, score), ranked per query.  The
-    query side is broadcast — the corpus is scanned once, never
-    shuffled; ranking shuffles only Q×N scored rows cut to Q×k by the
-    window's rank filter (Spark pushes a per-partition top-k into the
-    window sort).
+    Output: (query_id, neighbor_id, score, rank), ranked per query.
+
+    Plan shape (100 TB posture): the query matrix is closed over
+    driver-side (small side — the batch-KNN analog of a broadcast
+    join); ``mapInPandas`` streams each corpus partition through numpy
+    (one ``M @ Qᵀ`` per Arrow batch), folding a running LOCAL top-k per
+    query.  Only P·Q·k candidate rows reach the final window — the
+    corpus itself is scanned once and never shuffled, and per-query
+    skew is structurally impossible (every partition emits ≤ k rows
+    per query).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-        l2_norm(F.col(vec_col)).alias("qnorm"),
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    q_id_arr = np.array(q_ids)
+    kk = int(k)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", corpus.schema[id_col].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-        l2_norm(F.col(vec_col)).alias("cnorm"),
-    )
-    joined = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.withColumn(
-        "score", _cos(F.col("cvec"), F.col("cnorm"), F.col("qvec"), F.col("qnorm"))
-    )
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Running per-query top-k across all batches of this partition.
+        best_scores = np.full((len(q_ids), kk), -np.inf)
+        best_ids = np.zeros((len(q_ids), kk), dtype=object)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            scores = (m / norms[:, None]) @ q_mat.T  # (n, Q)
+            nid = pdf[id_col].to_numpy()
+            for qi in range(len(q_ids)):
+                s = scores[:, qi]
+                if exclude_self:
+                    s = np.where(nid == q_id_arr[qi], -np.inf, s)
+                cand_s = np.concatenate([best_scores[qi], s])
+                cand_i = np.concatenate([best_ids[qi], nid])
+                # Total order: score desc, neighbor_id asc (stable wrt
+                # the final global window's ordering).
+                order = np.lexsort((cand_i, -cand_s))[:kk]
+                best_scores[qi] = cand_s[order]
+                best_ids[qi] = cand_i[order]
+        rows = [
+            (q_id_arr[qi], best_ids[qi][j], float(best_scores[qi][j]))
+            for qi in range(len(q_ids))
+            for j in range(kk)
+            if best_scores[qi][j] != -np.inf
+        ]
+        yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    cands = corpus.mapInPandas(local_topk, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
     )
 
@@ -83,19 +131,23 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """All pairs (i < j) with cosine ≥ threshold — semantic near-dup.
 
-    O(n²) scoring; use post-LSH or per-cell (see ``ivf_topk``'s
-    assignment) to bound the pair space at scale.
-    """
+    O(n²) scoring; use post-LSH candidates or per-cell blocking (see
+    ``build_ivf_index``) to bound the pair space at scale.  Norms are
+    computed ONCE per side before the join (cheap columns), the pair
+    dot is an Arrow-batched numpy UDF."""
+    from vector_db_handler_spark.functions.vector import pairwise_dot
+
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
+        F.sqrt(pairwise_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
     )
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .withColumn(
-            "score", _cos(F.col("a.vec"), F.col("a.nrm"), F.col("b.vec"), F.col("b.nrm"))
+            "score",
+            pairwise_dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
         )
         .filter(F.col("score") >= threshold)
         .select(
@@ -113,26 +165,83 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: each row → nearest centroid by cosine
-    (deterministic argmin, ties to lowest centroid id).
+    (deterministic argmax, ties to lowest centroid id).
 
-    Output: corpus columns + ``cell_id``.  Centroids broadcast; one
-    window per row group — at scale, materialize this once and
-    partition the table by ``cell_id``.
+    Zero-shuffle design: the centroid matrix is closed over driver-side
+    (small — the broadcast side) and the assignment is ONE Arrow-batched
+    ``argmax(M_unit @ Cᵀ_unit)`` per batch — no crossJoin, no window, no
+    shuffle at all.  Output: corpus columns + ``cell_id``.
     """
-    cents = centroids.select(
-        F.col(id_col).alias("cell_id"),
-        F.col(vec_col).cast("array<double>").alias("centvec"),
-        l2_norm(F.col(vec_col)).alias("centnorm"),
-    )
-    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
-        "cell_score",
-        _cos(F.col(vec_col).cast("array<double>"), l2_norm(F.col(vec_col)), F.col("centvec"), F.col("centnorm")),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("cell_score").desc(), F.col("cell_id").asc())
+    c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
+    # Ties → lowest cell id: argmax returns the FIRST max, so order
+    # columns by ascending cell id.
+    order = np.argsort(np.array(c_ids), kind="stable")
+    c_id_sorted = np.array(c_ids)[order]
+    c_sorted = c_mat[order]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _nearest(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        m = np.array(list(embs), dtype=np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        scores = (m / norms[:, None]) @ c_sorted.T
+        return pd.Series(c_id_sorted[np.argmax(scores, axis=1)].astype(np.int64))
+
+    return corpus.withColumn("cell_id", _nearest(F.col(vec_col)))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BUILD step: materialize the cell assignment, clustered by cell.
+
+    Run ONCE per corpus snapshot.  At 100 TB the result is written
+    ``partitionBy('cell_id')`` (or bucketed) so every probe is a
+    partition-pruned scan; here we repartition in-memory to the same
+    effect for the fixture scale.
+    """
+    return assign_cells(corpus, centroids, id_col, vec_col).repartition(F.col("cell_id"))
+
+
+def ivf_probe(
+    indexed_corpus: DataFrame,
+    centroids: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PROBE step: exact cosine top-k within the ``nprobe`` cells
+    nearest the query.
+
+    ``indexed_corpus`` is the output of :func:`build_ivf_index` (has
+    ``cell_id``).  The probed cell ids are computed driver-side from
+    the (small) centroid relation — the resulting ``cell_id IN (…)``
+    predicate prunes partitions/row groups at planning time, so only
+    ~N·nprobe/C rows are scanned and scored.  Recall is bounded by cell
+    geometry; test it against the brute-force baseline.
+    """
+    c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
+    q = np.asarray([float(v) for v in query_vector], dtype=np.float64)
+    q = q / np.sqrt((q * q).sum())
+    scores = c_mat @ q
+    # Probe order: score desc, cell id asc (deterministic).
+    order = np.lexsort((np.array(c_ids), -scores))
+    probe = [int(np.array(c_ids)[i]) for i in order[: int(nprobe)]]
+
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r", "centvec", "centnorm", "cell_score")
+        indexed_corpus.filter(F.col("cell_id").isin(probe))
+        .withColumn("score", cosine_score(F.col(vec_col), query_vector))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(F.col(id_col), F.col("cell_id"), F.round("score", 6).alias("score"))
     )
 
 
@@ -145,25 +254,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe the ``nprobe`` cells nearest the query,
-    exact cosine top-k within them.
-
-    Recall is bounded by cell geometry (tested against the brute-force
-    baseline); cost drops from N to ~N·nprobe/C rows scored.
-    """
-    from vector_db_handler_spark.functions.vector import cosine_score
-
-    assigned = assign_cells(corpus, centroids, id_col, vec_col)
-    probe_cells = (
-        centroids.withColumn("qscore", cosine_score(F.col(vec_col), query_vector))
-        .orderBy(F.col("qscore").desc(), F.col(id_col).asc())
-        .limit(nprobe)
-        .select(F.col(id_col).alias("cell_id"))
-    )
-    return (
-        assigned.join(F.broadcast(probe_cells), "cell_id")
-        .withColumn("score", cosine_score(F.col(vec_col), query_vector))
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(F.col(id_col), F.col("cell_id"), F.round("score", 6).alias("score"))
-    )
+    """Convenience build+probe in one call (fixture-scale / tests).
+    Production callers materialize :func:`build_ivf_index` once and
+    issue :func:`ivf_probe` against it."""
+    indexed = build_ivf_index(corpus, centroids, id_col, vec_col)
+    return ivf_probe(indexed, centroids, query_vector, k, nprobe, id_col, vec_col)
