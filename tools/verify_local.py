@@ -1,6 +1,6 @@
 """Scratch: local replica of the driver's t2 correctness gate at sf0.01."""
 import os, sys, traceback
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from vector_db_handler_spark.session import get_spark

@@ -29,6 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vector_db_handler_spark import store as store_ops
 from vector_db_handler_spark.functions.vector import l2_norm, vector_literal
 from vector_db_handler_spark.operators import knn as knn_ops
 from vector_db_handler_spark.sources.tables import load_table
@@ -276,6 +277,113 @@ def delete_by_id_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     ids = spark.createDataFrame([(i,) for i in _DELETE_IDS], "vec_id bigint")
     return emb.join(F.broadcast(ids), "vec_id", "left_anti").select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# H6/H7/H8/H10/H17 on a POINTS-shaped view: the driver re-verifies the
+# actual store.py transform functions (not re-implementations) against
+# the oracle.  The view maps the embeddings fixture onto POINTS_SCHEMA
+# roles: tenant = vec_id%4, doc = label, chunk = vec_id%5.
+# ---------------------------------------------------------------------------
+
+_POINTS_VIEW_SQL = """
+SELECT CAST(vec_id AS VARCHAR) AS point_id,
+       'u' || CAST(vec_id % 4 AS VARCHAR) AS user_id,
+       CAST(label AS BIGINT) AS doc_id,
+       CAST(vec_id % 5 AS BIGINT) AS chunk_id,
+       't' || CAST(label AS VARCHAR) AS title
+FROM embeddings
+"""
+
+
+def _points_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.concat(F.lit("u"), (F.col("vec_id") % 4).cast("string")).alias("user_id"),
+        F.col("label").cast("long").alias("doc_id"),
+        (F.col("vec_id") % 5).cast("long").alias("chunk_id"),
+        F.concat(F.lit("t"), F.col("label").cast("string")).alias("title"),
+    )
+
+
+_PT_COLS = ["point_id", "user_id", "doc_id", "chunk_id", "title"]
+
+_DELETE_BY_TITLE_SQL = f"""
+WITH points AS ({_POINTS_VIEW_SQL})
+SELECT {", ".join(_PT_COLS)} FROM points
+WHERE NOT (user_id = 'u1' AND title = 't3')
+"""
+
+
+@register("delete_doc_by_title", _DELETE_BY_TITLE_SQL)
+def delete_doc_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # H6 (reference document_ingestor.py:169-190): DELETE WHERE tenant
+    # AND Title == t — runs store.delete_doc_by_title_t verbatim.
+    return store_ops.delete_doc_by_title_t(_points_view(spark, sf_dir), "u1", "t3")
+
+
+_DELETE_CHUNK_SQL = f"""
+WITH points AS ({_POINTS_VIEW_SQL})
+SELECT {", ".join(_PT_COLS)} FROM points
+WHERE NOT (user_id = 'u2' AND doc_id = 5 AND chunk_id = 0)
+"""
+
+
+@register("delete_chunk", _DELETE_CHUNK_SQL)
+def delete_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # H7 (reference :192-216): conjunctive filter-delete.
+    return store_ops.delete_chunk_t(_points_view(spark, sf_dir), "u2", 5, 0)
+
+
+_DELETE_BY_ID_SQL = f"""
+WITH points AS ({_POINTS_VIEW_SQL})
+SELECT {", ".join(_PT_COLS)} FROM points
+WHERE NOT (user_id = 'u3' AND point_id = '43')
+"""
+
+
+@register("delete_by_id", _DELETE_BY_ID_SQL)
+def delete_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # H8 (reference :218-237): primary-key delete.
+    return store_ops.delete_by_id_t(_points_view(spark, sf_dir), "u3", "43")
+
+
+_TRUNCATE_SQL = f"""
+WITH points AS ({_POINTS_VIEW_SQL})
+SELECT {", ".join(_PT_COLS)} FROM points
+WHERE user_id <> 'u0'
+"""
+
+
+@register("truncate_collection", _TRUNCATE_SQL)
+def truncate_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # H10 (reference :260-275): empty filter matches ALL tenant rows
+    # (Filter(must=[]), ref :271); other tenants untouched.
+    return store_ops.truncate_collection_t(_points_view(spark, sf_dir), "u0")
+
+
+_SCROLL_CHUNK_SQL = f"""
+WITH points AS ({_POINTS_VIEW_SQL})
+SELECT {", ".join(_PT_COLS)} FROM points
+WHERE doc_id = 7 AND chunk_id = 2
+ORDER BY point_id ASC
+LIMIT 20
+"""
+
+
+@register("scroll_chunk", _SCROLL_CHUNK_SQL)
+def scroll_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # H17 (reference :475-513): SCAN WHERE DocId AND ChunkId, LIMIT n.
+    # point_id is STRING, so the deterministic page order is
+    # lexicographic in both engines.
+    pts = _points_view(spark, sf_dir)
+    return knn_ops.scroll(
+        pts,
+        limit=20,
+        pre_filter=(F.col("doc_id") == 7) & (F.col("chunk_id") == 2),
+        order_col="point_id",
+    )
 
 
 # ---------------------------------------------------------------------------
