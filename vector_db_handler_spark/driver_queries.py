@@ -30,8 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_db_handler_spark import store as store_ops
+from vector_db_handler_spark.functions import text as text_fns
 from vector_db_handler_spark.functions.vector import l2_norm, vector_literal
+from vector_db_handler_spark.operators import dedup as dedup_ops
 from vector_db_handler_spark.operators import knn as knn_ops
+from vector_db_handler_spark.operators import windows as window_ops
 from vector_db_handler_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -504,3 +507,334 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extension surface (BASELINE.json north star; no
+# reference analog — its ingest happily duplicates, document_ingestor.py:105).
+# Oracle SQL twins are generated from the same constants as the Spark
+# operators so the two engines stay textually in lockstep.
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of functions.text.portable_hash60 / portable_hash28.
+def _sql_hash(expr: str, hex_chars: int, offset: int = 1) -> str:
+    return f"CAST('0x' || substr(md5({expr}), {offset}, {hex_chars}) AS BIGINT)"
+
+
+#: DuckDB twin of functions.text.word_shingles (k=3) + explode.
+_SHINGLE_SQL = """
+SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, len(t) - 2),
+         i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+_DEDUP_EXACT_SQL = f"""
+SELECT {_sql_hash('text', 15)} AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups via portable 60-bit text hash (one map-side-
+    combined shuffle; the baseline first pass of any 100 TB pipeline)."""
+    return dedup_ops.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_NGRAM_THRESHOLD = 0.6
+_NGRAM_MAX_DOC_FRAC = 0.01
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+hot AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) > {_NGRAM_MAX_DOC_FRAC} * (SELECT count(DISTINCT doc_id) FROM documents)
+),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS nc
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ROUND(CAST(nc AS DOUBLE) / (s1.n + s2.n - nc), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(nc AS DOUBLE) / (s1.n + s2.n - nc) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_JACCARD_SQL)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.6, with the
+    stop-shingle guard (shingles in >1% of docs dropped pre-join)."""
+    return dedup_ops.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=_NGRAM_THRESHOLD,
+        max_doc_frac=_NGRAM_MAX_DOC_FRAC,
+    )
+
+
+_LSH_THRESHOLD = 0.5
+
+_MINHASH_TERMS = ",\n  ".join(
+    f"min(({dedup_ops.MINHASH_A[i]} * h28 + {dedup_ops.MINHASH_B[i]}) "
+    f"% {dedup_ops.MINHASH_P}) AS mh{i}"
+    for i in range(dedup_ops.N_PERM)
+)
+_BAND_SELECTS = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, {i} AS band, mh{2 * i} * 1000003 + mh{2 * i + 1} AS key FROM sig"
+    for i in range(dedup_ops.N_BANDS)
+)
+
+_MINHASH_LSH_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+h AS (SELECT doc_id, {_sql_hash('shingle', 7)} AS h28 FROM sh),
+sig AS (SELECT doc_id,
+  {_MINHASH_TERMS}
+  FROM h GROUP BY doc_id),
+bands AS (
+  {_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.d1, c.d2, count(*) AS nc
+  FROM cands c
+  JOIN sh a ON c.d1 = a.doc_id
+  JOIN sh b ON c.d2 = b.doc_id AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ROUND(CAST(nc AS DOUBLE) / (s1.n + s2.n - nc), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(nc AS DOUBLE) / (s1.n + s2.n - nc) >= {_LSH_THRESHOLD}
+"""
+
+
+@register("minhash_lsh_pairs", _MINHASH_LSH_SQL)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation (8 perms, 4 bands) + exact
+    Jaccard verification of candidates only."""
+    return dedup_ops.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=_LSH_THRESHOLD)
+
+
+def _simhash_vote_sql() -> str:
+    terms = []
+    for half, off in (("hi", 1), ("lo", 9)):
+        h = _sql_hash("token", 8, off)
+        for b in range(32):
+            terms.append(
+                f"SUM(CASE WHEN (({h} >> {b}) & 1) = 1 THEN cnt ELSE -cnt END) AS v_{half}_{b}"
+            )
+    return ",\n  ".join(terms)
+
+
+def _simhash_bits_sql(half: str) -> str:
+    return " + ".join(
+        f"CAST(CASE WHEN v_{half}_{b} > 0 THEN {2**b} ELSE 0 END AS BIGINT)" for b in range(32)
+    )
+
+
+_SIMHASH_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+counted AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+votes AS (SELECT doc_id,
+  {_simhash_vote_sql()}
+  FROM counted GROUP BY doc_id)
+SELECT doc_id,
+       {_simhash_bits_sql("hi")} AS sim_hi,
+       {_simhash_bits_sql("lo")} AS sim_lo
+FROM votes
+"""
+
+
+@register("simhash64", _SIMHASH_SQL)
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (two 32-bit halves) per document."""
+    return dedup_ops.simhash64(load(spark, sf_dir, "documents"))
+
+
+# -- text analysis -----------------------------------------------------------
+
+_TEXT_STATS_SQL = r"""
+SELECT lang,
+  count(*) AS n_docs,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+  CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS sum_distinct_tokens,
+  CAST(SUM(len(replace(text, ' ', ''))) AS BIGINT) AS sum_token_chars,
+  CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS sum_bpe_tokens,
+  ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("text_stats", _TEXT_STATS_SQL)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: token counts, vocabulary size,
+    character mass, BPE-ish piece count — all native expressions
+    (map-side-combinable single shuffle on lang)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text_fns.token_count(t)).alias("sum_tokens"),
+        F.sum(text_fns.distinct_token_count(t)).alias("sum_distinct_tokens"),
+        F.sum(text_fns.sum_token_len(t)).alias("sum_token_chars"),
+        F.sum(text_fns.bpe_ish_token_count(t)).alias("sum_bpe_tokens"),
+        F.round(F.sum(text_fns.token_count(t)).cast("double") / F.count("*"), 6).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+def _lang_scores_sql() -> str:
+    # Same word-boundary regex the Spark side uses (RE2 and Java regex
+    # agree on \b + alternation over plain-word vocabularies).
+    parts = []
+    for lang in text_fns.LANG_MARKERS:
+        pat = text_fns.lang_marker_pattern(lang)
+        parts.append(f"len(regexp_extract_all(text, '{pat}')) AS s_{lang}")
+    return ",\n  ".join(parts)
+
+
+def _lang_case_sql() -> str:
+    langs = list(text_fns.LANG_MARKERS)
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{langs[0]}' END"
+
+
+_LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+  {_lang_scores_sql()}
+  FROM documents
+)
+SELECT lang, {_lang_case_sql()} AS predicted, count(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+@register("lang_id_counts", _LANG_ID_SQL)
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID confusion counts: actual fixture lang x
+    marker-vocabulary argmax prediction."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text_fns.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_DOC_FINGERPRINT_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL})
+SELECT doc_id, min({_sql_hash('shingle', 15)}) AS fingerprint
+FROM sh GROUP BY doc_id
+"""
+
+
+@register("doc_fingerprint", _DOC_FINGERPRINT_SQL)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (min 60-bit hash over 3-word
+    shingles — a 1-permutation MinHash, robust to local edits)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_fns.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# -- time windows over events ------------------------------------------------
+
+_TUMBLING_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start_epoch,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("tumbling_events", _TUMBLING_SQL)
+def tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate (batch form; streaming twin in
+    streaming/stream_ops.py)."""
+    ev = load(spark, sf_dir, "events")
+    out = window_ops.tumbling_agg(ev, unit="hour")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_SLIDING_SQL = """
+SELECT epoch_us(date_trunc('hour', ts) - to_hours(CAST(i AS BIGINT))) // 1000000
+         AS window_start_epoch,
+       event_type,
+       count(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) offsets
+GROUP BY 1, 2
+"""
+
+
+@register("sliding_events", _SLIDING_SQL)
+def sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h-wide / 1h-slide sliding-window counts (each event lands in 2
+    windows)."""
+    ev = load(spark, sf_dir, "events")
+    out = window_ops.sliding_agg(ev, width_hours=2, slide_hours=1)
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+lagged AS (
+  SELECT user_id, event_id, us,
+         us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+  FROM ev
+),
+marked AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sid AS (
+  SELECT user_id, us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(us) AS session_start_us, max(us) AS session_end_us
+FROM sid GROUP BY 1, 2
+"""
+
+
+@register("sessionize_events", _SESSIONIZE_SQL)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — lag + running sum over a
+    per-user window; one shuffle on the user key."""
+    ev = load(spark, sf_dir, "events")
+    return window_ops.sessionize(ev, gap_minutes=30)

@@ -14,8 +14,9 @@ surface by BASELINE.json.  Five strategies, cheapest to richest:
                    exact-Jaccard verification of candidates only: the
                    scale path — candidate generation is linear in docs
                    × bands, and only near-misses are verified;
-* SimHash        — 16-bit weighted token fingerprint per doc; Hamming
-                   buckets find near-dups in one equi-join;
+* SimHash        — 64-bit weighted token fingerprint per doc (two
+                   32-bit halves); Hamming buckets find near-dups in
+                   one equi-join;
 * embedding cosine — semantic near-dup via the vector column (see
                    ``operators/similarity.py`` for the join itself).
 
@@ -70,6 +71,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact k-word-shingle Jaccard ≥ threshold.
 
@@ -77,10 +79,23 @@ def ngram_jaccard_pairs(
     inverted index prunes the O(n²) pair space to co-shingled pairs),
     one groupBy on the pair key.  Rare ultra-frequent shingles are the
     skew risk at scale — AQE skew-join splitting handles moderate skew;
-    a stop-shingle filter (drop shingles in > f% of docs) is the
-    documented escape hatch.
+    ``max_doc_frac`` is the structural guard: shingles present in more
+    than that fraction of docs are dropped from the index BEFORE the
+    join (a shingle in f·N docs alone contributes (f·N)² pairs), and
+    Jaccard is then computed consistently over the filtered shingle
+    space (sizes and intersections both exclude stop-shingles).
     """
     sh = shingle_index(docs, text_col, id_col, k)
+    if max_doc_frac is not None:
+        n_docs = docs.select(id_col).distinct().count()
+        cutoff = max_doc_frac * n_docs
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > cutoff)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -181,27 +196,48 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash per doc from token-frequency-weighted bit votes.
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc from token-frequency-weighted bit votes,
+    emitted as two 32-bit halves (``sim_hi``, ``sim_lo``) so the value
+    stays inside signed int64 in every engine.
 
     For bit b: vote = Σ_tokens cnt(token) · (+1 if bit b of hash(token)
-    else −1); bit set iff vote > 0.  One explode + token groupBy + doc
-    groupBy — all native integer expressions.
+    else −1); bit set iff vote > 0.  The token hash draws 64 bits from
+    two md5-prefix words (portable across engines).  One explode +
+    token groupBy + doc groupBy — all native integer expressions,
+    map-side combined.
+
+    16 bits (round 1) collide catastrophically beyond ~64k docs; 64
+    bits is the standard fingerprint width (Charikar/Manku et al.) and
+    keeps random-collision probability negligible at 100 TB corpus
+    sizes.  Near-dup lookup: band the halves into 4×16-bit keys and
+    equi-join, then verify Hamming distance ≤ r on candidates.
     """
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     )
     counted = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    h = portable_hash28(F.col("token"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(-F.col("cnt"))
-        ).alias(f"v{b}")
-        for b in range(16)
-    ]
+    # Two independent 32-bit words from the md5 hex prefix.
+    h_hi = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    h_lo = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
+    votes = []
+    for half, h in (("hi", h_hi), ("lo", h_lo)):
+        for b in range(32):
+            votes.append(
+                F.sum(
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                        -F.col("cnt")
+                    )
+                ).alias(f"v_{half}_{b}")
+            )
     sig = counted.groupBy("doc_id").agg(*votes)
-    out = F.lit(0)
-    for b in range(16):
-        out = out + F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-    return sig.select("doc_id", out.alias("simhash"))
+    outs = {}
+    for half in ("hi", "lo"):
+        acc = F.lit(0).cast("long")
+        for b in range(32):
+            acc = acc + F.when(F.col(f"v_{half}_{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        outs[half] = acc
+    return sig.select("doc_id", outs["hi"].alias("sim_hi"), outs["lo"].alias("sim_lo"))

@@ -70,12 +70,16 @@ def sessionize(
 
     lag + cumulative-sum over a per-user window: one shuffle on the
     user key; session ids are then per-user ordinals (deterministic).
-    Streaming twin: ``session_window(ts, gap)``.
+    Gap arithmetic is in integer MICROSECONDS (``unix_micros``) — no
+    sub-second truncation, and bit-exact in any engine with an
+    epoch-microseconds accessor.  Streaming twin:
+    ``session_window(ts, gap)`` (see ``streaming/stream_ops.py``).
     """
+    us = F.unix_micros(F.col(ts_col))
     w = W.partitionBy(key_col).orderBy(ts_col, "event_id")
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    gap = us - F.lag(us).over(w)
     with_break = events.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+        "is_new", F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     )
     with_sid = with_break.withColumn(
         "session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
@@ -84,7 +88,7 @@ def sessionize(
         with_sid.groupBy(key_col, "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.min(F.col(ts_col).cast("long")).alias("session_start_epoch"),
-            F.max(F.col(ts_col).cast("long")).alias("session_end_epoch"),
+            F.min(F.unix_micros(F.col(ts_col))).alias("session_start_us"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("session_end_us"),
         )
     )
