@@ -752,11 +752,9 @@ FROM sh GROUP BY doc_id
 @register("doc_fingerprint", _DOC_FINGERPRINT_SQL)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (min 60-bit hash over 3-word
-    shingles — a 1-permutation MinHash, robust to local edits)."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", text_fns.doc_fingerprint(F.col("text")).alias("fingerprint")
-    )
+    shingles — a 1-permutation MinHash, robust to local edits).
+    Explode + codegen md5 + map-side-combined MIN."""
+    return dedup_ops.doc_fingerprints(load(spark, sf_dir, "documents"))
 
 
 # -- time windows over events ------------------------------------------------
@@ -838,3 +836,123 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user window; one shuffle on the user key."""
     ev = load(spark, sf_dir, "events")
     return window_ops.sessionize(ev, gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Batch similarity search (extension; single-query analog is H13)
+# ---------------------------------------------------------------------------
+
+_COS_PAIR_SQL = (
+    "list_dot_product(c.cv, q.qv) / "
+    "(sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+_COSINE_TOPK_JOIN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_PAIR_SQL} AS score
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(score, 6) AS score, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("cosine_topk_join", _COSINE_TOPK_JOIN_SQL)
+def cosine_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact KNN: top-3 neighbours for each of 5 query rows in one
+    job; corpus scanned once, never shuffled (local top-k per
+    partition, final rank over P*Q*k candidates)."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_topk_join(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+_NEARDUP_THRESHOLD = 0.45
+
+_COSINE_NEARDUP_SQL = f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id1, bb.vec_id AS id2,
+       ROUND(list_dot_product(a.v, bb.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6)
+         AS score
+FROM b a JOIN b bb ON a.vec_id < bb.vec_id
+WHERE list_dot_product(a.v, bb.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+      >= {_NEARDUP_THRESHOLD}
+"""
+
+
+@register("cosine_neardup_pairs", _COSINE_NEARDUP_SQL)
+def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45) — the
+    semantic-dedup pass; block-matrix scan, no pair shuffle."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_neardup_pairs(emb, threshold=_NEARDUP_THRESHOLD)
+
+
+_IVF_NPROBE = 2
+_IVF_K = 5
+
+#: Centroid rule shared by Spark and the oracle: every 100th vector.
+_IVF_CENTROID_PRED = "vec_id % 100 = 0"
+
+_IVF_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE {_IVF_CENTROID_PRED}
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+asg_scored AS (
+  SELECT corpus.vec_id, cents.cell_id,
+         list_dot_product(corpus.ev, cents.cv) /
+         (sqrt(list_dot_product(corpus.ev, corpus.ev)) *
+          sqrt(list_dot_product(cents.cv, cents.cv))) AS cs
+  FROM corpus CROSS JOIN cents
+),
+asg AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id ASC) AS rn
+    FROM asg_scored
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT cell_id,
+           row_number() OVER (ORDER BY list_dot_product(cv, {_Q_SQL}) /
+             (sqrt(list_dot_product(cv, cv)) * {QUERY_VEC_NORM!r}) DESC, cell_id ASC) AS rn
+    FROM cents
+  ) WHERE rn <= {_IVF_NPROBE}
+)
+SELECT e.vec_id, asg.cell_id, ROUND({_SCORE.replace('embedding', 'e.embedding')}, 6) AS score
+FROM embeddings e
+JOIN asg ON e.vec_id = asg.vec_id
+JOIN probe ON asg.cell_id = probe.cell_id
+ORDER BY {_SCORE.replace('embedding', 'e.embedding')} DESC, e.vec_id ASC
+LIMIT {_IVF_K}
+"""
+
+
+@register("ivf_topk", _IVF_TOPK_SQL)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: build (centroid assignment, zero-shuffle
+    argmax) + probe (2 nearest cells only) — the deterministic,
+    oracle-checkable ANN path."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.expr(_IVF_CENTROID_PRED))
+    return sim_ops.ivf_topk(emb, cents, QUERY_VEC, k=_IVF_K, nprobe=_IVF_NPROBE)

@@ -131,30 +131,49 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """All pairs (i < j) with cosine ≥ threshold — semantic near-dup.
 
-    O(n²) scoring; use post-LSH candidates or per-cell blocking (see
-    ``build_ivf_index``) to bound the pair space at scale.  Norms are
-    computed ONCE per side before the join (cheap columns), the pair
-    dot is an Arrow-batched numpy UDF."""
-    from vector_db_handler_spark.functions.vector import pairwise_dot
+    O(n²) compute is inherent to all-pairs, but pair MATERIALIZATION is
+    not: a self-join would shuffle N² rows each carrying two vectors.
+    Instead the corpus matrix is closed over driver-side (broadcast
+    pattern) and each partition emits only its above-threshold pairs
+    from one numpy block product — no join, no shuffle, output is just
+    the (rare) qualifying pairs.
 
-    base = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-        F.sqrt(pairwise_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    Fits corpora up to the broadcast budget (~10⁶ rows at 64 dims).
+    Beyond that, all-pairs is the wrong query: block by LSH bucket or
+    IVF cell (``build_ivf_index``) and verify candidates only.
+    """
+    c_ids, c_unit = _collect_matrix(corpus, id_col, vec_col)
+    c_id_arr = np.array(c_ids)
+    thr = float(threshold)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id1", corpus.schema[id_col].dataType),
+            T.StructField("id2", corpus.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn(
-            "score",
-            pairwise_dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
-        )
-        .filter(F.col("score") >= threshold)
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.round("score", 6).alias("score"),
-        )
+
+    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            scores = (m / norms[:, None]) @ c_unit.T  # (n, N)
+            rid = pdf[id_col].to_numpy()
+            rows, cols = np.where(scores >= thr)
+            keep = rid[rows] < c_id_arr[cols]  # i < j, dedups both orders
+            yield pd.DataFrame(
+                {
+                    "id1": rid[rows][keep],
+                    "id2": c_id_arr[cols][keep],
+                    "score": scores[rows, cols][keep],
+                }
+            )
+
+    return corpus.mapInPandas(block_pairs, schema=out_schema).select(
+        "id1", "id2", F.round("score", 6).alias("score")
     )
 
 
