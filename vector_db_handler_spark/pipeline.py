@@ -27,6 +27,13 @@ class DocumentPipeline:
     def __init__(self, store: PointsStore, dim: int | None = None):
         self.store = store
         self.dim = dim or store.vector_size
+        if self.dim != store.vector_size:
+            # The reference fixes dim per collection at creation
+            # (ref :73, :86); catching the mismatch here beats a broken
+            # cosine query at read time.
+            raise ValueError(
+                f"embedder dim {self.dim} != collection vector_size {store.vector_size}"
+            )
 
     # -- ingest (P1/P2, ref :620-731) ----------------------------------------
 

@@ -34,7 +34,7 @@ Semantic invariants preserved (SURVEY §2.4):
 
 from __future__ import annotations
 
-import os
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -142,7 +142,6 @@ def update_vector_t(
     more than the matching rows.
     """
     vec = [float(v) for v in vector]
-    norm = sum(v * v for v in vec) ** 0.5
     is_match = (
         (F.col("user_id") == user_id)
         & (F.col("doc_id") == doc_id)
@@ -153,13 +152,16 @@ def update_vector_t(
         "_rn", F.when(is_match, F.row_number().over(w)).otherwise(F.lit(None))
     )
     new_vec = F.array(*[F.lit(v).cast("float") for v in vec])
+    # Norm from the float32-ROUNDED values (same as the ingest path) —
+    # a float64-input norm would disagree with the stored vector by
+    # ~1e-7 and skew precomputed-norm cosine scores for updated rows.
     return (
         ranked.withColumn(
             "embedding", F.when(F.col("_rn") == 1, new_vec).otherwise(F.col("embedding"))
         )
         .withColumn(
             "embedding_norm",
-            F.when(F.col("_rn") == 1, F.lit(norm)).otherwise(F.col("embedding_norm")),
+            F.when(F.col("_rn") == 1, l2_norm(new_vec)).otherwise(F.col("embedding_norm")),
         )
         .drop("_rn")
     )
@@ -185,6 +187,34 @@ class PointsStore:
         self.vector_size = vector_size
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    # -- filesystem (Hadoop FS API: works on local, HDFS, s3a, …) ------------
+    #
+    # Catalog state IS the set of partition directories; all directory
+    # operations go through the Hadoop FileSystem bound to the table
+    # path, never the local ``os`` module — the same code runs against
+    # object storage on a real cluster.
+
+    def _fs(self):
+        jvm = self.spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.root)
+        fs = path.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        return fs, jvm
+
+    def _partition_path(self, jvm, user_id: str):
+        return jvm.org.apache.hadoop.fs.Path(self.root, f"user_id={user_id}")
+
+    def _partition_dirs(self) -> list[str]:
+        """Names of existing ``user_id=…`` partition directories."""
+        fs, jvm = self._fs()
+        root = jvm.org.apache.hadoop.fs.Path(self.root)
+        if not fs.exists(root):
+            return []
+        return [
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith("user_id=")
+        ]
+
     # -- catalog (H2/H11/H19) ------------------------------------------------
 
     def ensure_collection(self, user_id: str) -> None:
@@ -193,33 +223,25 @@ class PointsStore:
         kept for API parity."""
 
     def collection_exists(self, user_id: str) -> bool:
-        return os.path.isdir(os.path.join(self.root, f"user_id={user_id}"))
+        fs, jvm = self._fs()
+        return bool(fs.exists(self._partition_path(jvm, user_id)))
 
     def list_collections(self) -> list[str]:
         """H19 (ref :559-568): ALL tenants (no isolation), mangled names."""
-        if not os.path.isdir(self.root):
-            return []
-        out = [
-            collection_name(d.split("=", 1)[1])
-            for d in os.listdir(self.root)
-            if d.startswith("user_id=")
-        ]
+        out = [collection_name(d.split("=", 1)[1]) for d in self._partition_dirs()]
         return sorted(out)
 
     def drop_collection(self, user_id: str) -> None:
         """H11 (ref :277-288): DROP — remove the tenant partition."""
-        import shutil
-
-        path = os.path.join(self.root, f"user_id={user_id}")
-        if os.path.isdir(path):
-            shutil.rmtree(path)
+        fs, jvm = self._fs()
+        path = self._partition_path(jvm, user_id)
+        if fs.exists(path):
+            fs.delete(path, True)
 
     # -- read ---------------------------------------------------------------
 
     def read(self) -> DataFrame:
-        if not os.path.isdir(self.root) or not any(
-            d.startswith("user_id=") for d in os.listdir(self.root)
-        ):
+        if not self._partition_dirs():
             return self.spark.createDataFrame([], POINTS_SCHEMA)
         df = self.spark.read.schema(POINTS_SCHEMA).parquet(self.root)
         return df
@@ -240,18 +262,36 @@ class PointsStore:
         """H3/H4 (ref :89-144): INSERT-only "upsert" — every row gets a
         fresh uuid4 (ref :105/:137), duplicates are intentional.  Adds
         the length check the reference's docstring promises but never
-        implements (ref :130-131 vs :134-140)."""
+        implements (ref :130-131 vs :134-140), and enforces the
+        per-collection vector dimension at WRITE time (the reference
+        fixes dim at collection creation, ref :73/:86; accepting a
+        mixed-dim row here would break every cosine query at read time
+        instead).
+
+        Missing payload keys stay ``None`` — the reference stores the
+        payload as-is and ``payload.get`` returns None on read
+        (ref :974-977); the ``{DocId: 0, …}`` defaults belong to the
+        HTTP schema layer (``schemas.py:7-11``), applied in ``api.py``.
+        """
         if len(vectors) != len(metadatas):
             raise ValueError("vectors and metadatas must have equal length")
+        for i, vec in enumerate(vectors):
+            if len(vec) != self.vector_size:
+                raise ValueError(
+                    f"vector {i} has dim {len(vec)}, collection expects {self.vector_size}"
+                )
         rows = []
         for vec, meta in zip(vectors, metadatas):
             meta = dict(meta or {})
+            doc_id = meta.pop("DocId", None)
+            chunk_id = meta.pop("ChunkId", None)
+            title = meta.pop("Title", None)
             rows.append(
                 (
                     user_id,
-                    int(meta.pop("DocId", 0)),
-                    int(meta.pop("ChunkId", 0)),
-                    str(meta.pop("Title", "string")),
+                    int(doc_id) if doc_id is not None else None,
+                    int(chunk_id) if chunk_id is not None else None,
+                    str(title) if title is not None else None,
                     {str(k): str(v) for k, v in meta.items()},
                     [float(v) for v in vec],
                 )
@@ -283,24 +323,46 @@ class PointsStore:
 
     def _rewrite_tenant(self, user_id: str, new_tenant_df: DataFrame) -> None:
         """Rewrite ONE tenant partition.  Other tenants' files are
-        untouched (dynamic partition overwrite).
+        untouched.
 
-        ``localCheckpoint`` breaks lineage from the source path so the
-        read-transform-overwrite cycle is legal on file sources.  (On a
-        production lakehouse this whole method is a Delta/Iceberg
-        ``MERGE``/``DELETE`` — transactional and no materialize step;
-        plain parquet is what the fixture environment offers.)
+        Scale-safe write pattern: the transformed tenant rows stream
+        through the executors into a ``_staging_<uuid>`` directory under
+        the table root (underscore-prefixed → invisible to readers),
+        then the old partition directory is swapped for the staged one
+        with O(1) FileSystem renames.  Nothing is pinned in memory —
+        unlike an eager ``localCheckpoint``, this works when one tenant
+        exceeds executor storage.  (On a production lakehouse this
+        whole method is a Delta/Iceberg ``MERGE``/``DELETE`` —
+        transactional, no staging dance; plain parquet is what the
+        fixture environment offers.)
         """
-        out = new_tenant_df.select([f.name for f in POINTS_SCHEMA.fields]).localCheckpoint(
-            eager=True
+        fs, jvm = self._fs()
+        staging = jvm.org.apache.hadoop.fs.Path(self.root, f"_staging_{uuid.uuid4().hex}")
+        (
+            new_tenant_df.select([f.name for f in POINTS_SCHEMA.fields])
+            .write.mode("overwrite")
+            .partitionBy("user_id")
+            .parquet(str(staging))
         )
-        if not out.take(1):
-            # Overwrite-with-empty leaves old files in dynamic mode; drop
-            # the partition dir but keep an empty marker so the
-            # collection stays in the catalog (truncate ≠ drop, ref :271).
-            self.truncate_collection(user_id)
-            return
-        out.write.mode("overwrite").partitionBy("user_id").parquet(self.root)
+        try:
+            staged = [
+                st.getPath()
+                for st in fs.listStatus(staging)
+                if st.isDirectory() and st.getPath().getName().startswith("user_id=")
+            ]
+            if not staged:
+                # Transform produced zero rows: truncate semantics —
+                # drop the data but keep the collection listed
+                # (empty-filter matches all, ref :271; truncate ≠ drop).
+                self.truncate_collection(user_id)
+                return
+            for src in staged:
+                dst = jvm.org.apache.hadoop.fs.Path(self.root, src.getName())
+                if fs.exists(dst):
+                    fs.delete(dst, True)
+                fs.rename(src, dst)
+        finally:
+            fs.delete(staging, True)
 
     def _apply(self, user_id: str, transform) -> None:
         tenant = self.read_tenant(user_id)
@@ -327,7 +389,8 @@ class PointsStore:
         reference keeps an empty collection object; our catalog is the
         set of partition dirs, so an empty marker dir stands in."""
         self.drop_collection(user_id)
-        os.makedirs(os.path.join(self.root, f"user_id={user_id}"), exist_ok=True)
+        fs, jvm = self._fs()
+        fs.mkdirs(self._partition_path(jvm, user_id))
 
     def update_vector(
         self, user_id: str, vector: Sequence[float], doc_id: int, chunk_id: int
