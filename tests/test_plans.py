@@ -1,0 +1,52 @@
+"""Physical-plan shape checks — the properties that make these queries
+scale, which row-level oracles can't see: broadcast joins on dim
+tables, filter pushdown into the parquet scan, and top-k lowering to
+TakeOrderedAndProject instead of a global sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark import driver_queries as dq
+from vector_db_handler_spark.operators import knn as knn_ops
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q3_broadcasts_customer_and_pushes_filters(spark, sf_dir):
+    plan = _plan(dq.tpch_q3(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # mktsegment equality must reach the customer scan.
+    assert "PushedFilters" in plan and "c_mktsegment" in plan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = _plan(dq.tpch_q5(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # cust, supp, nation, region
+    assert "r_name" in plan  # region filter present, not a post-join filter
+
+
+def test_knn_lowers_to_take_ordered(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(knn_ops.knn(emb, dq.QUERY_VEC, k=5, tie_break_col="vec_id"))
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_filtered_knn_pushes_doc_filter(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(
+        knn_ops.knn_on_docs(emb, dq.QUERY_VEC, doc_ids=[1, 2], k=5, doc_id_col="label")
+    )
+    assert "PushedFilters" in plan and "label" in plan
+
+
+def test_scroll_prunes_columns(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(
+        knn_ops.scroll(emb, limit=5, order_col="vec_id").select("vec_id", "label")
+    )
+    # with_vectors=False semantics: the embedding column must not be read.
+    assert "embedding" not in plan.split("ReadSchema")[-1].splitlines()[0]

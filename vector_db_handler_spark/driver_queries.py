@@ -956,3 +956,110 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cents = emb.filter(F.expr(_IVF_CENTROID_PRED))
     return sim_ops.ivf_topk(emb, cents, QUERY_VEC, k=_IVF_K, nprobe=_IVF_NPROBE)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface: join-heavy TPC-H shapes (Q3, Q5) — SURVEY §2.4
+# extension; exercises broadcast-join planning the vector surface never
+# touches.
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1996-06-30 00:00:00"
+
+_TPCH_Q3_SQL = f"""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       epoch_us(o.o_orderdate) // 1000000 AS o_orderdate_epoch,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) DESC,
+         l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("tpch_q3", _TPCH_Q3_SQL)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): dim side (filtered customer)
+    explicitly broadcast — the fact tables join and aggregate without a
+    dim shuffle; top-10 sorts on the EXACT decimal revenue so the cut
+    is engine-independent."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_CUTOFF).cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_CUTOFF).cast("timestamp")
+    )
+    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    g = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_dec).alias("rev_dec"))
+    )
+    return (
+        g.orderBy(F.col("rev_dec").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            # NTZ → timestamp → epoch seconds (session TZ pinned UTC,
+            # so this equals DuckDB's epoch of the same wall-clock).
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+        )
+    )
+
+
+_TPCH_Q5_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("tpch_q5", _TPCH_Q5_SQL)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): supplier/nation/region dims
+    broadcast; the only shuffles are the two fact joins and the final
+    5-row aggregate."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev_dec).cast("double").alias("revenue"))
+    )
