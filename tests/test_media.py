@@ -1,0 +1,53 @@
+"""Multimodal plumbing that the SQL oracles can't check: the
+decode/feature-extract mapInPandas stage (schema, batch shape,
+determinism, normalization) and the stubbed real-codec boundary."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_handler_spark.operators import media as media_ops
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return media_ops.synthesize_media(docs)
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "modality", "media", "byte_len"]
+    assert media.schema["media"].dataType.typeName() == "binary"
+    mods = {r["modality"] for r in media.select("modality").distinct().collect()}
+    assert mods == set(media_ops.MODALITIES)
+
+
+def test_decode_features_shape_and_determinism(media):
+    feats = media_ops.decode_features(media).collect()
+    assert len(feats) == media.count()
+    for r in feats[:10]:
+        assert len(r["features"]) == media_ops.N_HIST_BUCKETS
+        assert abs(sum(r["features"]) - 1.0) < 1e-5  # L1-normalized histogram
+    again = media_ops.decode_features(media).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in again
+    }
+
+
+def test_real_decode_is_explicit_stub(media):
+    with pytest.raises(NotImplementedError, match="decoder-agnostic"):
+        media_ops.decode_features(media, decode="real")
+    with pytest.raises(ValueError):
+        media_ops.decode_features(media, decode="typo")
+
+
+def test_phash_stable_under_small_edit(spark):
+    # pHash property: tiny local edit -> small Hamming distance; the
+    # exact md5 would flip completely.
+    base = " ".join(f"word{i}" for i in range(200))
+    edited = base.replace("word100", "wordX")
+    docs = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    rows = {r["media_id"]: (r["phash_hi"], r["phash_lo"])
+            for r in media_ops.media_phash(media_ops.synthesize_media(docs)).collect()}
+    dist = bin(rows[1][0] ^ rows[2][0]).count("1") + bin(rows[1][1] ^ rows[2][1]).count("1")
+    assert dist <= 16, f"hamming distance {dist} too large for a 1-word edit"

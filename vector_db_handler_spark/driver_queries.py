@@ -629,10 +629,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=_LSH_THRESHOLD)
 
 
-def _simhash_vote_sql() -> str:
+def _simhash_vote_sql(col: str = "token") -> str:
     terms = []
     for half, off in (("hi", 1), ("lo", 9)):
-        h = _sql_hash("token", 8, off)
+        h = _sql_hash(col, 8, off)
         for b in range(32):
             terms.append(
                 f"SUM(CASE WHEN (({h} >> {b}) & 1) = 1 THEN cnt ELSE -cnt END) AS v_{half}_{b}"
@@ -1063,3 +1063,89 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rev_dec).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal media surface (builder brief; no reference analog — the
+# reference stores text payloads only, document_ingestor.py:104-108).
+# The synthetic media table derives from documents (UTF-8 bytes as
+# blobs), so every byte-level hash has an exact text-level SQL twin.
+# ---------------------------------------------------------------------------
+
+_MEDIA_VIEW_SQL = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+       text
+FROM documents
+"""
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_handler_spark.operators import media as media_ops
+
+    return media_ops.synthesize_media(load(spark, sf_dir, "documents"))
+
+
+_MEDIA_STATS_SQL = f"""
+WITH media AS ({_MEDIA_VIEW_SQL})
+SELECT modality,
+       count(*) AS n_items,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       count(DISTINCT md5(text)) AS n_distinct
+FROM media GROUP BY modality
+"""
+
+
+@register("media_modality_stats", _MEDIA_STATS_SQL)
+def media_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality inventory over the binary media column (count,
+    byte mass, distinct-blob count).  The Spark side hashes RAW BYTES;
+    the oracle may hash the source text because the fixture's blobs
+    ARE its UTF-8 text."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    return media_ops.modality_stats(_media_df(spark, sf_dir))
+
+
+_MEDIA_DEDUP_SQL = """
+SELECT md5(text) AS media_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+@register("media_binary_dedup", _MEDIA_DEDUP_SQL)
+def media_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup: md5 over the blob column, map-side-combined
+    groupBy — runs at scan speed with zero decode."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    return media_ops.binary_exact_dedup(_media_df(spark, sf_dir))
+
+
+_MEDIA_PHASH_SQL = f"""
+WITH media AS (SELECT doc_id AS media_id, lower(text) AS signal FROM documents),
+grams AS (
+  SELECT media_id, unnest(list_transform(
+           generate_series(1, len(signal) - 3),
+           i -> signal[i:i+3])) AS gram
+  FROM media
+),
+counted AS (SELECT media_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+votes AS (SELECT media_id,
+  {_simhash_vote_sql("gram")}
+  FROM counted GROUP BY media_id)
+SELECT media_id,
+       {_simhash_bits_sql("hi")} AS phash_hi,
+       {_simhash_bits_sql("lo")} AS phash_lo
+FROM votes
+"""
+
+
+@register("media_phash", _MEDIA_PHASH_SQL)
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-ish 64-bit media fingerprint: SimHash over char
+    4-grams of the decoded+normalized signal (deterministic fake
+    decode; with a real codec only the decode stage changes)."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    return media_ops.media_phash(_media_df(spark, sf_dir))
