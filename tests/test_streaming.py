@@ -1,0 +1,54 @@
+"""Batch-stream equivalence: the Structured Streaming twins must
+produce the same aggregates as the batch window operators when the
+whole fixture is replayed with availableNow."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_handler_spark.operators import windows as window_ops
+from vector_db_handler_spark.sources.tables import load_table
+from vector_db_handler_spark.streaming import stream_ops
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _drain(spark, df, name):
+    stream_ops.run_to_memory(df, name)
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, batch_events):
+    got = _drain(spark, stream_ops.tumbling_stream(stream_events(spark, sf_dir)), "t_tumble")
+    want = window_ops.tumbling_agg(batch_events, unit="hour")
+    g = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in got.collect()}
+    w = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, batch_events):
+    got = _drain(spark, stream_ops.sliding_stream(stream_events(spark, sf_dir)), "t_slide")
+    want = window_ops.sliding_agg(batch_events, width_hours=2, slide_hours=1)
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    w = {(r["window_start"], r["event_type"]): r["n_events"] for r in want.collect()}
+    # The F.window form emits the partial leading window(s) the
+    # date_trunc explode form also emits; keys must agree exactly.
+    assert g == w and len(g) > 0
+
+
+def test_session_stream_matches_batch_session_count(spark, sf_dir, batch_events):
+    got = _drain(spark, stream_ops.session_stream(stream_events(spark, sf_dir)), "t_sess")
+    want = window_ops.sessionize(batch_events, gap_minutes=30)
+    # Same number of (user, session) groups and same total events.
+    assert got.count() == want.count()
+    assert (
+        sum(r["n_events"] for r in got.collect())
+        == sum(r["n_events"] for r in want.collect())
+    )
+
+
+def stream_events(spark, sf_dir):
+    return stream_ops.stream_events(spark, sf_dir)

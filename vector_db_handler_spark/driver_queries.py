@@ -1149,3 +1149,27 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.operators import media as media_ops
 
     return media_ops.media_phash(_media_df(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming surface — the streaming twin of tumbling_events,
+# drained with availableNow into a memory sink.  Deterministic (full
+# replay of the fixture), so it gets the SAME oracle as the batch form:
+# a hash-checked proof that batch and stream agree.
+# ---------------------------------------------------------------------------
+
+
+@register("tumbling_events_stream", _TUMBLING_SQL)
+def tumbling_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly tumbling aggregate (file source, watermarked,
+    availableNow replay) — must hash-match the batch oracle."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    stream_ops.run_to_memory(stream_ops.tumbling_stream(ev), "dq_tumbling_stream")
+    return spark.table("dq_tumbling_stream").select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

@@ -1,0 +1,124 @@
+"""Structured Streaming twins of the batch window operators
+(``operators/windows.py``) — same groupings, same window semantics, so
+a pipeline runs identically over a backfill (batch) and a live stream.
+
+The reference has no streaming surface at all (SURVEY §2.4: purely
+request/response); this is extension surface over the ``events``
+fixture.
+
+Design notes (scale posture):
+
+* File source + ``trigger(availableNow=True)`` gives exactly-once
+  batch-equivalent replay of a directory; on a live deployment the
+  same plan reads Kafka — only the ``readStream`` line changes.
+* Every aggregate carries a WATERMARK so state is bounded: late rows
+  beyond the horizon are dropped instead of growing executor state
+  forever — the difference between a stream job that runs for months
+  and one that OOMs.
+* Tumbling/sliding use ``F.window`` (struct key, map-side combined);
+  sessions use ``F.session_window`` — Spark's native gap-merge state
+  operator, the streaming twin of the batch lag+cumsum sessionize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Fixture schema for the events table; a streaming file source needs
+#: the schema up front (no inference on unbounded input).  ``ts`` is
+#: TIMESTAMP(NANOS) in the fixture parquet, read as LONG
+#: (``nanosAsLong``) and truncated to microseconds like the batch
+#: loader (sources/tables.py).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events fixture (file source)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The streaming file source wants a DIRECTORY; the fixture is a
+    # single file, so stream the parent dir with a glob filter.
+    df = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(
+    events: DataFrame, ts_col: str = "ts", width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming hourly tumbling aggregate — twin of
+    ``windows.tumbling_agg`` (same keys, same sums)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sliding-window counts — twin of ``windows.sliding_agg``
+    (every event lands in width/slide windows)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width, slide), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-based sessions — twin of ``windows.sessionize``
+    via the native ``session_window`` state operator."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
+    """Drain an availableNow query into an in-memory table ``name``
+    (test/backfill helper; production sinks are files/Kafka/Delta)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
