@@ -152,41 +152,53 @@ def media_phash(
     can verify it.  Emitted as two 32-bit halves (``phash_hi``,
     ``phash_lo``); near-dup lookup is an equi-join on 16-bit bands +
     Hamming verification, same as :func:`dedup.simhash64`.
+
+    Execution shape: decode → gram-count → hash → vote happens in ONE
+    self-contained ``mapInPandas`` pass over the media rows — no gram
+    explode, NO shuffle at all (an exploded-grams formulation moves
+    |signal|·rows through an exchange; binary signals don't belong in
+    SQL rows at scale — you fingerprint inside the decode stage).
+    Gram hashes are md5 (engine-portable) and memoized per partition:
+    real corpora share most grams.
     """
-    signal = F.lower(F.decode(F.col(media_col), "ISO-8859-1"))
-    # Guard: signals shorter than 4 chars have no grams (sequence()
-    # would otherwise count DOWN when stop < start).
-    gram_array = F.when(
-        F.length(signal) >= 4,
-        F.transform(
-            F.sequence(F.lit(1), F.length(signal) - 3),
-            lambda i: signal.substr(i, F.lit(4)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = media.select(
-        F.col(id_col).alias("media_id"),
-        F.explode(gram_array).alias("gram"),
-    )
-    counted = grams.groupBy("media_id", "gram").agg(F.count("*").alias("cnt"))
-    h_hi = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
-    h_lo = F.conv(F.substring(F.md5(F.col("gram")), 9, 8), 16, 10).cast("long")
-    votes = []
-    for half, h in (("hi", h_hi), ("lo", h_lo)):
-        for b in range(32):
-            votes.append(
-                F.sum(
-                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                        -F.col("cnt")
-                    )
-                ).alias(f"v_{half}_{b}")
-            )
-    sig = counted.groupBy("media_id").agg(*votes)
-    outs = {}
-    for half in ("hi", "lo"):
-        acc = F.lit(0).cast("long")
-        for b in range(32):
-            acc = acc + F.when(F.col(f"v_{half}_{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        outs[half] = acc
-    return sig.select("media_id", outs["hi"].alias("phash_hi"), outs["lo"].alias("phash_lo"))
+    id_type = media.schema[id_col].dataType.simpleString()
+    schema = f"media_id {id_type}, phash_hi long, phash_lo long"
+
+    def fingerprint(batches):
+        import hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        bits = _np.arange(32, dtype=_np.int64)
+        weights = _np.int64(1) << bits
+        memo: dict[str, tuple[int, int]] = {}
+
+        def gram_words(g: str) -> tuple[int, int]:
+            h = memo.get(g)
+            if h is None:
+                d = hashlib.md5(g.encode("utf-8")).hexdigest()
+                h = (int(d[:8], 16), int(d[8:16], 16))
+                memo[g] = h
+            return h
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                signal = bytes(blob).decode("latin-1").lower()
+                if len(signal) < 4:
+                    continue
+                counts: dict[str, int] = {}
+                for i in range(len(signal) - 3):
+                    g = signal[i : i + 4]
+                    counts[g] = counts.get(g, 0) + 1
+                words = _np.array([gram_words(g) for g in counts], dtype=_np.int64)
+                cnt = _np.fromiter(counts.values(), dtype=_np.int64)[:, None]
+                v_hi = ((((words[:, 0:1] >> bits) & 1) * 2 - 1) * cnt).sum(axis=0)
+                v_lo = ((((words[:, 1:2] >> bits) & 1) * 2 - 1) * cnt).sum(axis=0)
+                ids.append(mid)
+                his.append(int(((v_hi > 0) * weights).sum()))
+                los.append(int(((v_lo > 0) * weights).sum()))
+            yield _pd.DataFrame({"media_id": ids, "phash_hi": his, "phash_lo": los})
+
+    return media.mapInPandas(fingerprint, schema=schema)
