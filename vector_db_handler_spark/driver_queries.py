@@ -550,15 +550,16 @@ _NGRAM_MAX_DOC_FRAC = 0.01
 
 _NGRAM_JACCARD_SQL = f"""
 WITH sh0 AS ({_SHINGLE_SQL}),
+shh AS (SELECT doc_id, {_sql_hash("shingle", 15)} AS h FROM sh0),
 hot AS (
-  SELECT shingle FROM sh0 GROUP BY shingle
+  SELECT h FROM shh GROUP BY h
   HAVING count(*) > {_NGRAM_MAX_DOC_FRAC} * (SELECT count(DISTINCT doc_id) FROM documents)
 ),
-sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sh AS (SELECT * FROM shh WHERE h NOT IN (SELECT h FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS nc
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT d1, d2, ROUND(CAST(nc AS DOUBLE) / (s1.n + s2.n - nc), 6) AS jaccard
@@ -606,12 +607,13 @@ cands AS (
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shh AS (SELECT doc_id, {_sql_hash("shingle", 15)} AS hh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 common AS (
   SELECT c.d1, c.d2, count(*) AS nc
   FROM cands c
-  JOIN sh a ON c.d1 = a.doc_id
-  JOIN sh b ON c.d2 = b.doc_id AND a.shingle = b.shingle
+  JOIN shh a ON c.d1 = a.doc_id
+  JOIN shh b ON c.d2 = b.doc_id AND a.hh = b.hh
   GROUP BY 1, 2
 )
 SELECT d1, d2, ROUND(CAST(nc AS DOUBLE) / (s1.n + s2.n - nc), 6) AS jaccard
