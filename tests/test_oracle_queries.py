@@ -18,8 +18,20 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     compare(dq.queries()[name](spark, sf_dir), duck, _ORACLES[name])
 
 
+#: Queries that intentionally ship WITHOUT an oracle (driver records a
+#: weaker rows-only check).  Each needs a reason.
+ROWS_ONLY = {
+    # md5-seeded PCG64 embedder is not SQL-expressible; shape/score
+    # semantics are pytest-asserted in test_golden_scenario.py.
+    "pipeline_ingest_search",
+}
+
+
 def test_every_query_has_oracle_or_reason():
-    # Queries without an oracle get only the driver's weaker rows-only
-    # check; keep the list explicit so additions are deliberate.
     no_oracle = set(dq.queries()) - set(_ORACLES)
-    assert no_oracle == set(), f"queries without oracle SQL: {sorted(no_oracle)}"
+    assert no_oracle == ROWS_ONLY, f"unexplained oracle-free queries: {sorted(no_oracle - ROWS_ONLY)}"
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    for name in sorted(ROWS_ONLY):
+        assert dq.queries()[name](spark, sf_dir).count() > 0

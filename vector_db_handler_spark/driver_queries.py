@@ -1175,3 +1175,164 @@ def tumbling_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document quality scoring (training-data filtering pass)
+# ---------------------------------------------------------------------------
+
+_TEXT_QUALITY_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+       (n_tokens >= 30 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3) AS keep
+FROM scored
+"""
+
+
+@register("text_quality", _TEXT_QUALITY_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality gate: token count + type-token ratio with a
+    boolean keep flag — the filter pass a pretraining pipeline runs
+    before dedup.  Pure narrow expressions; no shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = text_fns.token_count(t)
+    ttr = text_fns.distinct_token_count(t).cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        ((n_tokens >= 30) & (ttr >= 0.3)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline end-to-end (P1/P2/P10): embed -> store -> search.  The hash
+# embedder is not SQL-expressible (md5-seeded PCG64), so this is a
+# rows-only driver check; the full shape/score assertions live in
+# tests/test_golden_scenario.py.
+# ---------------------------------------------------------------------------
+
+
+@register("pipeline_ingest_search")
+def pipeline_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest 20 fixture docs through the deterministic embedder into a
+    scratch store, then run the reference search path (P10) and return
+    its projection — deterministic apart from being oracle-free."""
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.pipeline import DocumentPipeline
+    from vector_db_handler_spark.store import PointsStore
+
+    dim = 32
+    root = os.path.join(
+        tempfile.gettempdir(), f"vdh_pipeline_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    store = PointsStore(spark, root, vector_size=dim)
+    pipe = DocumentPipeline(store, dim=dim)
+    if not store.collection_exists("driver"):
+        docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(20).collect()
+        pipe.upsert_str_list(
+            "driver",
+            [r["text"] for r in docs],
+            [{"DocId": r["doc_id"], "ChunkId": 0, "Title": r["source"]} for r in docs],
+        )
+    query_text = load(spark, sf_dir, "documents").orderBy("doc_id").limit(1).collect()[0]["text"]
+    hits = pipe._search_df("driver", query_text, limit=5, score_threshold=0.0)
+    return hits.select(
+        F.col("doc_id").alias("DocId"),
+        F.col("chunk_id").alias("ChunkId"),
+        F.col("title").alias("Title"),
+        F.round("score", 6).alias("similarity_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series operators Spark lacks natively (operators/timeseries.py):
+# as-of join, banded range join, hierarchical rollup — oracled with
+# DuckDB's native ASOF JOIN / inequality join / ROLLUP.
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       COALESCE(v.view_id, -1) AS asof_view_id,
+       COALESCE(epoch_us(p.ts) - epoch_us(v.ts), -1) AS gap_us
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register("asof_join_purchase_view", _ASOF_SQL)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase matched to the user's most
+    recent prior (or simultaneous) view.  Union-tag + carry-forward:
+    one shuffle on user_id, no range join anywhere in the plan."""
+    from vector_db_handler_spark.operators import timeseries as ts_ops
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = ts_ops.asof_join(purchases, views, key_col="user_id", ts_col="ts",
+                              right_val_col="event_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("asof_val"), F.lit(-1)).alias("asof_view_id"),
+        F.coalesce(F.unix_micros(F.col("ts")) - F.col("asof_us"), F.lit(-1)).alias("gap_us"),
+    )
+
+
+_RANGE_WINDOW_SEC = 300
+
+_RANGE_JOIN_SQL = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+SELECT a.user_id, a.event_id AS id1, b.event_id AS id2, b.us - a.us AS gap_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND b.us - a.us >= 0 AND b.us - a.us <= {_RANGE_WINDOW_SEC * 1_000_000}
+ AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+"""
+
+
+@register("range_join_pairs", _RANGE_JOIN_SQL)
+def range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 5 minutes — banded equi-join
+    (bucket + probe {b, b+1}), which hash-joins where a naive
+    inequality join would nested-loop."""
+    from vector_db_handler_spark.operators import timeseries as ts_ops
+
+    ev = load(spark, sf_dir, "events")
+    return ts_ops.range_join_pairs(ev, window_sec=_RANGE_WINDOW_SEC)
+
+
+_ROLLUP_SQL = """
+SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), event_type)
+"""
+
+
+@register("rollup_day_type", _ROLLUP_SQL)
+def rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: day × type, day, grand
+    total in one grouping-sets pass (no UNION ALL rescans)."""
+    from vector_db_handler_spark.operators import timeseries as ts_ops
+
+    return ts_ops.rollup_by_day_type(load(spark, sf_dir, "events"))

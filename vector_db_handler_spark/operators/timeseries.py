@@ -1,0 +1,165 @@
+"""Time-series operators Spark lacks natively: as-of join, banded
+range join, and hierarchical rollup.
+
+No analog in the reference (purely request/response point ops, SURVEY
+§2.4); these are the time-series primitives a training-data pipeline
+needs over event streams (session stitching, impression→conversion
+attribution, multi-granularity feature tables).
+
+All three are compositions of stock DataFrame ops — no custom
+physical operators:
+
+* **as-of join** — the classic union-tag trick: append right rows to
+  the left with a tag, sort per key by (ts, tag), carry the latest
+  right value forward with ``last(ignorenulls)``.  ONE shuffle on the
+  key; no range predicate ever reaches a join, so there's no
+  cartesian blow-up to fight.  (DuckDB's native ``ASOF JOIN`` is the
+  oracle twin.)
+* **range join** — equi-join on (key, time-bucket) with the left side
+  exploded into the two candidate buckets, then an exact band filter.
+  Turns an inequality join (which Spark would plan as
+  BroadcastNestedLoop) into a hash join with bounded per-bucket
+  fan-out.
+* **rollup** — ``DataFrame.rollup``: Catalyst expands grouping sets
+  in one pass (partial aggregation per set), instead of a UNION ALL
+  of per-granularity scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_val_col: str,
+) -> DataFrame:
+    """For each left row: the right row with the greatest ``ts <=
+    left.ts`` for the same key (``>=`` tie: right rows at the exact
+    left timestamp DO match, like DuckDB ``ASOF ... ON l.ts >= r.ts``).
+
+    Right rows are pre-deduplicated to one value per (key, ts) —
+    ``max(right_val_col)`` — so ties resolve identically in any
+    engine.  Output: left columns + ``asof_<val>`` + ``asof_ts`` (null
+    when no prior right row exists).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    r = (
+        right.groupBy(key_col, ts_col)
+        .agg(F.max(right_val_col).alias("_r_val"))
+        .select(
+            F.col(key_col),
+            us.alias("_us"),
+            F.lit(0).alias("_tag"),
+            F.col("_r_val"),
+            us.alias("_r_us"),
+        )
+    )
+    l_cols = [F.col(c) for c in left.columns]
+    l = left.select(
+        *l_cols,
+        us.alias("_us"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r.schema["_r_val"].dataType).alias("_r_val"),
+        F.lit(None).cast("long").alias("_r_us"),
+    )
+    # Right rows sort BEFORE left rows at the same timestamp (tag 0 <
+    # tag 1) => ">=" as-of semantics.
+    w = W.partitionBy(key_col).orderBy("_us", "_tag").rowsBetween(W.unboundedPreceding, 0)
+    # Right rows keep their KEY (the window partitions on it); every
+    # other left column rides along as null.
+    r_shaped = r.select(
+        *[
+            F.col(key_col).alias(c)
+            if c == key_col
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        "_us",
+        "_tag",
+        "_r_val",
+        "_r_us",
+    )
+    unioned = l.unionByName(r_shaped)
+    carried = unioned.withColumn("_asof_val", F.last("_r_val", ignorenulls=True).over(w)).withColumn(
+        "_asof_us", F.last("_r_us", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("_tag") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            F.col("_asof_val").alias("asof_val"),
+            F.col("_asof_us").alias("asof_us"),
+        )
+    )
+
+
+def range_join_pairs(
+    events: DataFrame,
+    window_sec: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """All ordered pairs of same-key events with ``0 <= t2 - t1 <=
+    window`` (t1 < t2, or equal-ts pairs ordered by id).
+
+    Banded equi-join: bucket = ``us // window``; the left side probes
+    buckets {b, b+1}, so every qualifying pair is found in a plain
+    hash join and the band predicate is a cheap post-filter.  Without
+    the bucketing Spark plans the inequality as a nested-loop join —
+    quadratic per key.
+    """
+    w_us = int(window_sec) * 1_000_000
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    ).withColumn("b", (F.col("us") / F.lit(w_us)).cast("long"))
+    probe = base.withColumn("jb", F.explode(F.array(F.col("b"), F.col("b") + 1)))
+    build = base.select(
+        F.col("k").alias("k2"), F.col("id").alias("id2"),
+        F.col("us").alias("us2"), F.col("b").alias("b2"),
+    )
+    pairs = probe.join(
+        build, (F.col("k") == F.col("k2")) & (F.col("jb") == F.col("b2"))
+    ).filter(
+        (F.col("us2") - F.col("us") >= 0)
+        & (F.col("us2") - F.col("us") <= w_us)
+        & (
+            (F.col("us") < F.col("us2"))
+            | ((F.col("us") == F.col("us2")) & (F.col("id") < F.col("id2")))
+        )
+    )
+    return pairs.select(
+        F.col("k").alias(key_col),
+        F.col("id").alias("id1"),
+        F.col("id2"),
+        (F.col("us2") - F.col("us")).alias("gap_us"),
+    )
+
+
+def rollup_by_day_type(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Hierarchical rollup (day × event_type → day → grand total) in
+    ONE grouping-sets pass; levels marked with 'ALL' sentinels so the
+    output needs no null-semantics agreement between engines."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").cast("string")
+    return (
+        events.withColumn("_day", day)
+        .rollup("_day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("_day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
