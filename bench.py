@@ -32,10 +32,12 @@ def main() -> None:
     # Warm up: start the JVM, spawn the Python/Arrow UDF workers, prime
     # the parquet footer cache.
     spark.range(1000).selectExpr("sum(id)").collect()
-    from pyspark.sql.functions import col, pandas_udf
+    from pyspark.sql.functions import broadcast, col, pandas_udf
 
     _ident = pandas_udf(lambda s: s, "long")
     spark.range(1000).select(_ident(col("id"))).collect()
+    # First broadcast join pays one-time exchange/thread-pool spin-up.
+    spark.range(100).join(broadcast(spark.range(10)), "id").collect()
     for t in ("embeddings", "lineitem", "orders", "documents", "events"):
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):

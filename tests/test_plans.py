@@ -50,3 +50,28 @@ def test_scroll_prunes_columns(spark, sf_dir):
     )
     # with_vectors=False semantics: the embedding column must not be read.
     assert "embedding" not in plan.split("ReadSchema")[-1].splitlines()[0]
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    from vector_db_handler_spark.operators import timeseries as ts_ops
+    from vector_db_handler_spark.sources.tables import load_table
+
+    plan = _plan(ts_ops.range_join_pairs(load_table(spark, sf_dir, "events"), window_sec=300))
+    # The bucketing must turn the band predicate into an equi-join.
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    from vector_db_handler_spark.operators import timeseries as ts_ops
+    from vector_db_handler_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(ev.event_type == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(ev.event_type == "view")
+    plan = _plan(ts_ops.asof_join(left, right, "user_id", "ts", "event_id"))
+    assert "Join" not in plan  # no join operator at all - union + window
+    # one exchange for the right-side pre-dedup agg, one for the window
+    # partitioning; never more.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
