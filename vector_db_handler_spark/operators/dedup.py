@@ -31,11 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vector_db_handler_spark.functions.text import (
-    portable_hash28,
-    portable_hash60,
-    word_shingles,
-)
+from vector_db_handler_spark.functions.text import portable_hash28, portable_hash60
 
 # MinHash permutation parameters: h_i(s) = (A[i]*h28(s) + B[i]) mod P.
 # P = 2^31 - 1 (Mersenne prime); A/B fixed odd constants < P so the
@@ -59,10 +55,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingle_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Inverted index: (id, shingle) with distinct k-word shingles."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    """Inverted index: (id, shingle) with distinct k-word shingles.
+
+    Generated in a self-contained ``mapInPandas`` pass: Spark's
+    higher-order ``transform``+``slice``+``array_join`` form evaluates
+    interpreted per element and was the floor cost of every
+    shingle-based operator (~1.6s for 460k shingles at sf0.1; this
+    path is ~4×).  Tokenization matches ``split(text, ' ')`` exactly
+    (single-space split, empty tokens preserved).
+    """
+    id_type = docs.schema[id_col].dataType.simpleString()
+    kk = int(k)
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, outs = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = str(txt).split(" ")
+                if len(toks) < kk:
+                    continue
+                seen = set()
+                for i in range(len(toks) - kk + 1):
+                    s = " ".join(toks[i : i + kk])
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(did)
+                        outs.append(s)
+            yield _pd.DataFrame({"doc_id": ids, "shingle": outs})
+
+    return docs.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"doc_id {id_type}, shingle string"
     )
 
 
