@@ -66,3 +66,22 @@ def test_cosine_topk_join_matches_per_query_knn(spark, sf_dir):
             ).collect()
         ]
         assert by_query[qrow["vec_id"]] == expected
+
+
+def test_ivf_with_kmeans_centroids(spark, sf_dir):
+    # Production build path: learned centroids must give at least the
+    # recall of the fixed-stride test centroids at the same nprobe.
+    emb = _emb(spark, sf_dir)
+    cents = sim_ops.train_centroids(emb, k=5)
+    assert cents.count() == 5
+    k = 10
+    exact = {
+        r["vec_id"]
+        for r in knn_ops.knn(emb, dq.QUERY_VEC, k=k, score_threshold=None,
+                             tie_break_col="vec_id").collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in sim_ops.ivf_topk(emb, cents, dq.QUERY_VEC, k=k, nprobe=2).collect()
+    }
+    assert len(exact & approx) / k >= 0.5

@@ -52,3 +52,35 @@ def test_session_stream_matches_batch_session_count(spark, sf_dir, batch_events)
 
 def stream_events(spark, sf_dir):
     return stream_ops.stream_events(spark, sf_dir)
+
+
+def test_streaming_exact_dedup_holds_state_across_batches(spark, sf_dir, tmp_path):
+    """The same corpus replayed in TWO micro-batches must emit each
+    content hash exactly once (state survives between batches), with
+    the first batch's minimum doc_id kept."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.functions.text import portable_hash60
+    from vector_db_handler_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = docs.select("doc_id", portable_hash60(F.col("text")).alias("text_hash"))
+    src = str(tmp_path / "replay")
+    hashed.coalesce(1).write.mode("append").parquet(src)
+    hashed.coalesce(1).write.mode("append").parquet(src)  # duplicate batch
+
+    stream = (
+        spark.readStream.schema("doc_id long, text_hash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ops.run_to_memory(
+        stream_ops.streaming_exact_dedup(stream), "t_dedup", mode="append"
+    )
+    got = {r["text_hash"]: r["doc_id"] for r in spark.table("t_dedup").collect()}
+
+    want = {
+        r["text_hash"]: r["keep_id"]
+        for r in exact_dedup(docs).collect()
+    }
+    assert got == want and len(got) > 0

@@ -278,3 +278,33 @@ def ivf_topk(
     issue :func:`ivf_probe` against it."""
     indexed = build_ivf_index(corpus, centroids, id_col, vec_col)
     return ivf_probe(indexed, centroids, query_vector, k, nprobe, id_col, vec_col)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Learn IVF centroids with spark.ml KMeans (the production build
+    path — fixed-stride centroid picking is only for oracle tests).
+
+    Returns a centroid relation shaped like the corpus
+    ((id_col, vec_col)) so it drops straight into
+    :func:`build_ivf_index` / :func:`ivf_probe`.  At 100 TB, fit on a
+    ``corpus.sample(...)`` — k-means converges on a sample and the
+    assignment step already scans the full corpus exactly once.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=int(k), seed=seed, maxIter=int(max_iter)).fit(feats)
+    rows = [
+        (i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(rows, f"{id_col} long, {vec_col} array<double>")

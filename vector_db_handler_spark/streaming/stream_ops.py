@@ -111,14 +111,74 @@ def session_stream(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
+def run_to_memory(
+    stream_df: DataFrame, name: str, timeout_sec: int = 120, mode: str = "complete"
+) -> None:
     """Drain an availableNow query into an in-memory table ``name``
-    (test/backfill helper; production sinks are files/Kafka/Delta)."""
+    (test/backfill helper; production sinks are files/Kafka/Delta).
+    ``mode='append'`` for stateful operators that forbid complete."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    hash_col: str = "text_hash",
+    timeout_conf: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator: first-occurrence dedup across a
+    stream — emit a doc only the first time its content hash appears;
+    later duplicates are dropped no matter how far apart they arrive.
+
+    ``applyInPandasWithState`` keyed by the content hash with a single
+    boolean "seen" state per key.  This is the streaming twin of
+    ``dedup.exact_dedup``'s keep-first semantics, and the template for
+    any custom stateful operator (the reference has none — SURVEY
+    §2.4).  State is one tombstone per distinct hash; at 100 TB pair
+    it with a TTL timeout or an upstream bloom pre-filter to bound the
+    store.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("text_hash", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def keep_first(key, pdfs, state):
+        import pandas as _pd
+
+        if state.exists:
+            # Hash already emitted in an earlier batch: drain and drop.
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            m = pdf["doc_id"].min()
+            best = m if best is None else min(best, m)
+        state.update((True,))
+        if best is not None:
+            yield _pd.DataFrame({"text_hash": [key[0]], "doc_id": [best]})
+
+    return (
+        docs_stream.groupBy(hash_col)
+        .applyInPandasWithState(
+            keep_first,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=getattr(GroupStateTimeout, timeout_conf),
+        )
+    )
