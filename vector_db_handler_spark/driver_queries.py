@@ -1336,3 +1336,92 @@ def rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.operators import timeseries as ts_ops
 
     return ts_ops.rollup_by_day_type(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 (forecast revenue change): pure scan-aggregate with range
+# predicates — the pushdown sanity check (no joins, no window).
+# ---------------------------------------------------------------------------
+
+_TPCH_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6", _TPCH_Q6_SQL)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group: top-3 customers by order value per nation — the
+# everyday analytics window shape (rank over exact DECIMAL totals).
+# ---------------------------------------------------------------------------
+
+_TOP_CUSTOMERS_SQL = """
+WITH spend AS (
+  SELECT c.c_nationkey, c.c_custkey, c.c_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS total_dec
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT n.n_name, s.c_name,
+         CAST(s.total_dec AS DOUBLE) AS total_spend,
+         row_number() OVER (PARTITION BY s.c_nationkey
+                            ORDER BY s.total_dec DESC, s.c_custkey ASC) AS rank
+  FROM spend s JOIN nation n ON s.c_nationkey = n.n_nationkey
+)
+SELECT n_name, c_name, total_spend, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("top_customers_per_nation", _TOP_CUSTOMERS_SQL)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 spenders per nation: map-side-combined DECIMAL totals,
+    rank window partitioned by nation (25 keys — the window shuffle
+    carries one customer-row per group member, not order rows), nation
+    dim broadcast."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total_dec"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("total_dec").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_name",
+            F.col("total_dec").cast("double").alias("total_spend"),
+            "rank",
+        )
+    )
