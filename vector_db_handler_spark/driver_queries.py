@@ -1425,3 +1425,44 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 (promotion effect): lineitem x part with a conditional
+# aggregate — covers the last fixture table (part) and the
+# broadcast-dim + CASE-aggregate shape.
+# ---------------------------------------------------------------------------
+
+_TPCH_Q14_SQL = """
+SELECT ROUND(
+  100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+  6) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("tpch_q14", _TPCH_Q14_SQL)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share for one month: part dim broadcast, both
+    sums DECIMAL-accumulated and divided as doubles (identical IEEE
+    division in every engine)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(disc).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
