@@ -1466,3 +1466,113 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded near-dup (completes the SimHash pipeline: fingerprint
+# -> band -> candidate -> popcount verify)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_HAMMING = 8
+
+_SIMHASH_NEARDUP_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+counted AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+votes AS (SELECT doc_id,
+  {_simhash_vote_sql()}
+  FROM counted GROUP BY doc_id),
+sig AS (
+  SELECT doc_id,
+         {_simhash_bits_sql("hi")} AS sim_hi,
+         {_simhash_bits_sql("lo")} AS sim_lo
+  FROM votes
+),
+bands AS (
+  SELECT doc_id, 0 AS band, sim_hi & 65535 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, (sim_hi >> 16) & 65535 FROM sig
+  UNION ALL SELECT doc_id, 2, sim_lo & 65535 FROM sig
+  UNION ALL SELECT doc_id, 3, (sim_lo >> 16) & 65535 FROM sig
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT c.d1, c.d2,
+       CAST(bit_count(CAST(xor(a.sim_hi, b.sim_hi) AS BIGINT))
+          + bit_count(CAST(xor(a.sim_lo, b.sim_lo) AS BIGINT)) AS INTEGER) AS hamming
+FROM cands c
+JOIN sig a ON c.d1 = a.doc_id
+JOIN sig b ON c.d2 = b.doc_id
+WHERE bit_count(CAST(xor(a.sim_hi, b.sim_hi) AS BIGINT))
+    + bit_count(CAST(xor(a.sim_lo, b.sim_lo) AS BIGINT)) <= {_SIMHASH_HAMMING}
+"""
+
+
+@register("simhash_neardup_pairs", _SIMHASH_NEARDUP_SQL)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 8 over 64 bits): 16-bit band
+    candidates + popcount verification."""
+    out = dedup_ops.simhash_neardup_pairs(load(spark, sf_dir, "documents"),
+                                          max_hamming=_SIMHASH_HAMMING)
+    return out.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# JSON payload analytics over the events props column
+# ---------------------------------------------------------------------------
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_props_stats", _JSON_PROPS_SQL)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: JSON-path extraction from the
+    props column (codegen get_json_object), aggregated per type."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregate analytics: per-label per-dimension centroid
+# ---------------------------------------------------------------------------
+
+_LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+       ROUND(CAST(SUM(CAST(CAST(embedding AS DOUBLE[])[i] AS DECIMAL(28,12))) AS DOUBLE)
+         / count(*), 6) AS mean_val
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
+GROUP BY label, i
+"""
+
+
+@register("label_centroids", _LABEL_CENTROIDS_SQL)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (element-wise): posexplode + DECIMAL
+    accumulation so partial-aggregation order can't shift the result.
+    The building block for class prototypes / cluster drift checks."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count("*"), 6
+            ).alias("mean_val")
+        )
+        .select("label", F.col("pos").cast("int").alias("pos"), "mean_val")
+    )

@@ -158,6 +158,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash Hamming distance ≤ r.
+
+    Pigeonhole banding: split the 64 bits into four 16-bit bands; any
+    pair within Hamming ≤ 48/… shares at least one exact band
+    (guaranteed complete for r ≤ 3·16; we use it as candidate
+    generation for small r where recall is ~1).  Equi-join on
+    (band_idx, band_value) → DISTINCT candidates → exact popcount
+    verification.  One row per doc enters the banding explode — the
+    join never touches raw text.
+    """
+    sig = simhash64(docs, text_col, id_col).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sim_hi" if i < 2 else "sim_lo"), (i % 2) * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    b1, b2 = bands.alias("x"), bands.alias("y")
+    cands = (
+        b1.join(
+            b2,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sim_hi").alias("hi1"), F.col("sim_lo").alias("lo1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sim_hi").alias("hi2"), F.col("sim_lo").alias("lo2"))
+    hamming = F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2"))) + F.bit_count(
+        F.col("lo1").bitwiseXOR(F.col("lo2"))
+    )
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
 def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Rolling-hash fingerprint per doc: min 60-bit hash over k-word
     shingles (1-permutation MinHash — robust to local edits).
