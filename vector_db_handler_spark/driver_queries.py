@@ -1576,3 +1576,24 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", F.col("pos").cast("int").alias("pos"), "mean_val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyset pagination (extension over H15: the reference discards the
+# next-page offset, :436 — keyset is the scale-correct replacement)
+# ---------------------------------------------------------------------------
+
+_SCROLL_PAGE2_SQL = """
+SELECT vec_id, label FROM embeddings WHERE vec_id > 19
+ORDER BY vec_id ASC LIMIT 20
+"""
+
+
+@register("scroll_page2", _SCROLL_PAGE2_SQL)
+def scroll_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second page via keyset (after = last id of page 1): the
+    predicate reaches the scan; no offset re-scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_ops.scroll(emb, limit=20, order_col="vec_id", after=19).select(
+        "vec_id", "label"
+    )

@@ -235,21 +235,23 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
-) -> DataFrame:
-    """8-permutation MinHash signature per doc: columns mh0..mh7.
-
-    One explode + one groupBy(doc) with 8 MIN aggregates — map-side
-    combined, so the shuffle carries one row per doc, not per shingle.
-    """
-    sh = shingle_index(docs, text_col, id_col, k)
+def minhash_signatures_from_index(sh: DataFrame) -> DataFrame:
+    """8-permutation MinHash signatures from a (doc_id, shingle) index:
+    one groupBy(doc) with 8 MIN aggregates — map-side combined, so the
+    shuffle carries one row per doc, not per shingle."""
     h = portable_hash28(F.col("shingle"))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i in range(N_PERM)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """8-permutation MinHash signature per doc: columns mh0..mh7."""
+    return minhash_signatures_from_index(shingle_index(docs, text_col, id_col, k))
 
 
 def minhash_lsh_pairs(
@@ -267,8 +269,13 @@ def minhash_lsh_pairs(
     touches only the candidate set — the banded equi-join replaces the
     all-pairs comparison entirely; band width trades recall for
     candidate volume.
+
+    The shingle index is generated ONCE and cached: the signature
+    aggregate and the verification joins all read it (at scale: a
+    materialized index table, as in ngram_jaccard_pairs).
     """
-    sig = minhash_signatures(docs, text_col, id_col, k)
+    sh_str = shingle_index(docs, text_col, id_col, k).cache()
+    sig = minhash_signatures_from_index(sh_str)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -295,9 +302,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verification restricted to candidates (hash-keyed index:
-    # int joins, identical merging in the SQL twin).  Cached: three
-    # consumers (sizes + both verification join sides).
-    sh = hashed_shingle_index(docs, text_col, id_col, k).cache()
+    # int joins, identical merging in the SQL twin) — derived from the
+    # SAME cached index as the signatures.
+    sh = sh_str.select("doc_id", portable_hash60(F.col("shingle")).alias("h"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

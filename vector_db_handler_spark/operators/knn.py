@@ -106,14 +106,24 @@ def scroll(
     limit: int = 20,
     pre_filter: Column | None = None,
     order_col: str | None = None,
+    after: object | None = None,
 ) -> DataFrame:
-    """Paged scan, first page (reference H15-H18, ``:410-557``).
+    """Paged scan (reference H15-H18, ``:410-557``).
 
-    The reference returns only the first page and discards the
-    next-page offset (:436); we reproduce that LIMIT semantics but pin
-    row order on ``order_col`` for determinism.
+    The reference returns only the first page and DISCARDS the
+    next-page offset (:436) — real pagination is unreachable through
+    its API.  We reproduce the first-page LIMIT semantics (``after``
+    omitted) and add KEYSET pagination: ``after`` = the last id of the
+    previous page ⇒ ``WHERE order_col > after`` feeds the next page.
+    Keyset predicates push into the parquet scan (row-group pruning on
+    the id column), unlike OFFSET which re-scans and discards — the
+    only pagination that survives 100 TB.
     """
     out = df if pre_filter is None else df.filter(pre_filter)
+    if after is not None:
+        if order_col is None:
+            raise ValueError("keyset pagination requires order_col")
+        out = out.filter(F.col(order_col) > F.lit(after))
     if order_col is not None:
         out = out.orderBy(F.col(order_col).asc())
     return out.limit(limit)
