@@ -74,6 +74,28 @@ class DocumentPipeline:
         )
         self.store.append(out)
 
+    def stream_ingest(self, docs_stream: DataFrame, user_id: str, text_col: str = "text"):
+        """Live indexing: continuously embed + append a document STREAM
+        into the tenant partition.
+
+        ``foreachBatch`` reuses the exact batch ingest path per
+        micro-batch (embedding mapInPandas included), so backfill and
+        live ingest are the same code — the Structured Streaming
+        pattern for sinks without a native streaming writer.  Returns
+        the StreamingQuery; caller owns its lifecycle.
+        """
+
+        def ingest_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.ingest_documents(user_id, batch_df, text_col=text_col)
+
+        return (
+            docs_stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     # -- deletes / update (P3-P9 pass-throughs, ref :733-917) -----------------
 
     def delete_doc(self, user_id: str, doc_id: int) -> None:

@@ -398,3 +398,14 @@ class PointsStore:
         self._apply(
             user_id, lambda df: update_vector_t(df, user_id, vector, doc_id, chunk_id)
         )
+
+    # -- maintenance ----------------------------------------------------------
+
+    def compact_tenant(self, user_id: str, target_files: int = 1) -> None:
+        """Small-file compaction: append-only ingest (one file per
+        upsert, like the reference's per-request writes) fragments a
+        tenant partition; streaming ingest multiplies it per
+        micro-batch.  Rewrites the tenant into ``target_files`` files
+        via the staged-rename path — same crash-safety as mutations,
+        and scan-task count drops back to O(target_files)."""
+        self._apply(user_id, lambda df: df.repartition(max(1, int(target_files))))
