@@ -1597,3 +1597,59 @@ def scroll_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ops.scroll(emb, limit=20, order_col="vec_id", after=19).select(
         "vec_id", "label"
     )
+
+
+# ---------------------------------------------------------------------------
+# H3/H4 upsert -> H15 scroll ROUNDTRIP through the real PointsStore.
+# Vectors are integer-valued (exact in float32), so the stored
+# embedding_norm is bit-reproducible from the source fixture and the
+# whole write/read path hash-checks against SQL.
+# ---------------------------------------------------------------------------
+
+_UPSERT_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       doc_id % 5 AS chunk_id,
+       lang AS title,
+       ROUND(sqrt(CAST(doc_id * doc_id + n_chars * n_chars AS DOUBLE)), 6) AS emb_norm
+FROM documents WHERE doc_id < 50
+"""
+
+
+@register("upsert_scroll_roundtrip", _UPSERT_ROUNDTRIP_SQL)
+def upsert_scroll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert 50 points through PointsStore.upsert_vectors (fresh
+    uuid4 ids, dim check, norm precompute — reference H3/H4 semantics,
+    document_ingestor.py:89-144) into a scratch table, then read the
+    tenant back.  Every surviving column the oracle can predict is
+    projected; point_id (uuid4) is correctly NOT comparable and
+    excluded."""
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.store import PointsStore
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"vdh_upsert_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    store = PointsStore(spark, root, vector_size=2)
+    if not store.collection_exists("driver"):
+        docs = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .orderBy("doc_id")
+            .collect()
+        )
+        store.upsert_vectors(
+            "driver",
+            [[float(r["doc_id"]), float(r["n_chars"])] for r in docs],
+            [
+                {"DocId": r["doc_id"], "ChunkId": r["doc_id"] % 5, "Title": r["lang"]}
+                for r in docs
+            ],
+        )
+    return store.read_tenant("driver").select(
+        "doc_id",
+        "chunk_id",
+        "title",
+        F.round(F.col("embedding_norm"), 6).alias("emb_norm"),
+    )
