@@ -85,3 +85,20 @@ def test_ivf_with_kmeans_centroids(spark, sf_dir):
         for r in sim_ops.ivf_topk(emb, cents, dq.QUERY_VEC, k=k, nprobe=2).collect()
     }
     assert len(exact & approx) / k >= 0.5
+
+
+def test_written_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.expr(dq._IVF_CENTROID_PRED))
+    path = str(tmp_path / "ivf")
+    sim_ops.write_ivf_index(emb, cents, path)
+    probed = sim_ops.ivf_probe_table(spark, path, cents, dq.QUERY_VEC, k=5, nprobe=2)
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    # The cell predicate must be a PLANNING-time partition filter on
+    # the scan, not a post-scan filter.
+    assert "PartitionFilters" in plan and "cell_id" in plan.split("PartitionFilters")[1].splitlines()[0]
+    assert len(probed.collect()) == 5

@@ -308,3 +308,42 @@ def train_centroids(
         (i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())
     ]
     return corpus.sparkSession.createDataFrame(rows, f"{id_col} long, {vec_col} array<double>")
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index ON DISK, partitioned by ``cell_id``.
+
+    This is the real 100 TB build artifact: a probe against the
+    written table prunes entire cell directories at PLANNING time
+    (``PartitionFilters`` on the scan), so I/O scales with
+    nprobe/C — an in-memory ``repartition`` (see
+    :func:`build_ivf_index`) cannot prune because every cached
+    partition must still be inspected.
+    """
+    assign_cells(corpus, centroids, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(path)
+
+
+def ivf_probe_table(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a written IVF index (see :func:`write_ivf_index`): the
+    ``cell_id IN (…)`` predicate becomes a partition filter — only the
+    probed cells' files are opened."""
+    return ivf_probe(
+        spark.read.parquet(path), centroids, query_vector, k, nprobe, id_col, vec_col
+    )
