@@ -1653,3 +1653,43 @@ def upsert_scroll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title",
         F.round(F.col("embedding_norm"), 6).alias("emb_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: training corpus vs held-out/benchmark overlap
+# (cross-corpus n-gram Jaccard; doc_id >= 450 plays the eval set)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_THRESHOLD = 0.5
+
+_DECONTAM_SQL = f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+shh AS (SELECT doc_id, {_sql_hash("shingle", 15)} AS h FROM sh0),
+lsh AS (SELECT * FROM shh WHERE doc_id < 450),
+rsh AS (SELECT * FROM shh WHERE doc_id >= 450),
+lsizes AS (SELECT doc_id, count(*) AS n1 FROM lsh GROUP BY doc_id),
+rsizes AS (SELECT doc_id, count(*) AS n2 FROM rsh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS n_common
+  FROM lsh a JOIN rsh b ON a.h = b.h
+  GROUP BY 1, 2
+)
+SELECT left_id, right_id,
+       ROUND(CAST(n_common AS DOUBLE) / (l.n1 + r.n2 - n_common), 6) AS jaccard
+FROM common
+JOIN lsizes l ON left_id = l.doc_id
+JOIN rsizes r ON right_id = r.doc_id
+WHERE CAST(n_common AS DOUBLE) / (l.n1 + r.n2 - n_common) >= {_DECONTAM_THRESHOLD}
+"""
+
+
+@register("decontamination_pairs", _DECONTAM_SQL)
+def decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval contamination: cross-corpus shingle Jaccard >= 0.5
+    (cost scales with the eval side's postings, not train-squared)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup_ops.cross_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 450),
+        docs.filter(F.col("doc_id") >= 450),
+        threshold=_DECONTAM_THRESHOLD,
+    )

@@ -414,3 +414,40 @@ def simhash_from_hashed(
         )
 
     return counted.repartition(F.col(id_col)).mapInPandas(fold, schema=schema)
+
+
+def cross_jaccard_pairs(
+    left_docs: DataFrame,
+    right_docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-corpus shingle-Jaccard pairs — the DECONTAMINATION pass:
+    which training docs (left) overlap an eval/benchmark set (right)
+    above the threshold.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` but the
+    join is left-index × right-index, so cost scales with the (small)
+    eval side's postings, not the training corpus squared.  Returns
+    (left_id, right_id, jaccard).
+    """
+    lsh = hashed_shingle_index(left_docs, text_col, id_col, k).cache()
+    rsh = hashed_shingle_index(right_docs, text_col, id_col, k).cache()
+    lsizes = lsh.groupBy("doc_id").agg(F.count("*").alias("n1"))
+    rsizes = rsh.groupBy("doc_id").agg(F.count("*").alias("n2"))
+    common = (
+        lsh.alias("a")
+        .join(rsh.alias("b"), F.col("a.h") == F.col("b.h"))
+        .groupBy(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        common.join(lsizes.withColumnRenamed("doc_id", "left_id"), "left_id")
+        .join(rsizes.withColumnRenamed("doc_id", "right_id"), "right_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
+    )
