@@ -1212,6 +1212,21 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_tag(dim: int) -> str:
+    """Fingerprint for scratch-store paths under the system temp dir:
+    changes whenever the embedder output or points schema changes, so
+    a store cached by an earlier code version auto-invalidates instead
+    of silently serving stale rows."""
+    import hashlib
+
+    from vector_db_handler_spark import embedder as _emb
+    from vector_db_handler_spark.store import POINTS_SCHEMA
+
+    probe = ",".join(f"{v:.6f}" for v in _emb.embed_text("probe", 8))
+    basis = f"{dim}|{POINTS_SCHEMA.simpleString()}|{probe}"
+    return hashlib.md5(basis.encode()).hexdigest()[:10]
+
+
 # ---------------------------------------------------------------------------
 # Pipeline end-to-end (P1/P2/P10): embed -> store -> search.  The hash
 # embedder is not SQL-expressible (md5-seeded PCG64), so this is a
@@ -1233,7 +1248,8 @@ def pipeline_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = 32
     root = os.path.join(
-        tempfile.gettempdir(), f"vdh_pipeline_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"vdh_pipeline_{os.path.basename(sf_dir.rstrip('/'))}_{_scratch_tag(dim)}",
     )
     store = PointsStore(spark, root, vector_size=dim)
     pipe = DocumentPipeline(store, dim=dim)
@@ -1629,7 +1645,8 @@ def upsert_scroll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.store import PointsStore
 
     root = os.path.join(
-        tempfile.gettempdir(), f"vdh_upsert_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"vdh_upsert_{os.path.basename(sf_dir.rstrip('/'))}_{_scratch_tag(2)}",
     )
     store = PointsStore(spark, root, vector_size=2)
     if not store.collection_exists("driver"):
