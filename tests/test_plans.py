@@ -28,6 +28,14 @@ def test_q5_broadcasts_dims(spark, sf_dir):
     assert "r_name" in plan  # region filter present, not a post-join filter
 
 
+def test_q18_broadcasts_both_joins(spark, sf_dir):
+    plan = _plan(dq.tpch_q18(spark, sf_dir))
+    # The having-tail and its order join are both broadcast: neither
+    # orders nor customer is ever exchange-shuffled on a join key.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_knn_lowers_to_take_ordered(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = _plan(knn_ops.knn(emb, dq.QUERY_VEC, k=5, tie_break_col="vec_id"))

@@ -1177,6 +1177,124 @@ def tumbling_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sessions are uniquely keyed by (user_id, session_start) — the
+#: batch oracle's ordinal session_id is dropped because a stream can't
+#: number sessions it hasn't finished seeing.
+_SESSIONIZE_STREAM_SQL = """
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+lagged AS (
+  SELECT user_id, event_id, us,
+         us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+  FROM ev
+),
+marked AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sid AS (
+  SELECT user_id, us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, count(*) AS n_events,
+       min(us) AS session_start_us, max(us) AS session_end_us
+FROM sid GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_events_stream", _SESSIONIZE_STREAM_SQL)
+def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessions via the native ``session_window`` state
+    operator — must agree with the batch lag+cumsum sessionize.
+    ``session_window.end`` is last-event + gap by definition, so the
+    gap is subtracted to recover the batch op's max(ts)."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    stream_ops.run_to_memory(
+        stream_ops.session_stream(ev, gap="30 minutes"), "dq_session_stream"
+    )
+    gap_us = 30 * 60 * 1_000_000
+    return spark.table("dq_session_stream").select(
+        "user_id",
+        "n_events",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        (F.unix_micros(F.col("session_end")) - F.lit(gap_us)).alias("session_end_us"),
+    )
+
+
+_STREAM_DEDUP_SQL = f"""
+SELECT {_sql_hash('text', 15)} AS text_hash,
+       min(doc_id) AS doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("streaming_dedup_first", _STREAM_DEDUP_SQL)
+def streaming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: first-occurrence dedup via
+    ``applyInPandasWithState`` (one "seen" tombstone per content hash;
+    streaming/stream_ops.py:151).  The fixture is a single file, so the
+    availableNow replay is one micro-batch and the surviving row per
+    hash is the min doc_id — exactly the batch-dedup oracle.  The
+    cross-batch keep-first semantics (later batches drop already-seen
+    hashes) are pinned separately by tests/test_streaming.py."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    docs = stream_ops.stream_documents(spark, sf_dir)
+    hashed = docs.select(
+        text_fns.portable_hash60(F.col("text")).alias("text_hash"), "doc_id"
+    )
+    stream_ops.run_to_memory(
+        stream_ops.streaming_exact_dedup(hashed), "dq_stream_dedup", mode="append"
+    )
+    return spark.table("dq_stream_dedup")
+
+
+#: The exact aggregates exist only to make the sketch-accuracy claim
+#: oracle-checkable; a 100 TB profiling run executes the approx side
+#: alone.  Both engines' booleans must agree, which pins the sketch
+#: error INSIDE the bound — a hash-checked accuracy guarantee, not a
+#: pytest assertion.  Deterministic: Spark's HLL++ and GK-quantile
+#: sketches have no RNG, so the same input always yields the same
+#: estimate.
+_SKETCH_ACCURACY_SQL = """
+SELECT lang,
+       count(DISTINCT text) AS exact_distinct,
+       TRUE AS hll_within_5pct,
+       TRUE AS p50_within_10pct
+FROM documents GROUP BY lang
+"""
+
+
+@register("sketch_accuracy_by_lang", _SKETCH_ACCURACY_SQL)
+def sketch_accuracy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang HLL++ distinct estimate and GK median estimate, each
+    asserted within its error bound against the exact value computed
+    in the same pass (operators/sketches.py design notes)."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.countDistinct("text").alias("exact_distinct"),
+        F.approx_count_distinct("text", rsd=0.02).alias("hll"),
+        F.expr("percentile_approx(n_chars, 0.5, 1000)").alias("p50_approx"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_exact"),
+    )
+    return g.select(
+        "lang",
+        "exact_distinct",
+        (
+            F.abs(F.col("hll") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact")) <= 0.10 * F.col("p50_exact")
+        ).alias("p50_within_10pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-document quality scoring (training-data filtering pass)
 # ---------------------------------------------------------------------------
@@ -1480,6 +1598,62 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 100.0 * F.sum(promo).cast("double") / F.sum(disc).cast("double"), 6
             ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q18_MIN_QTY = 250
+
+_TPCH_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_dec
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > {_Q18_MIN_QTY}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       epoch_us(o.o_orderdate) // 1000000 AS o_orderdate_epoch,
+       o.o_totalprice,
+       CAST(b.qty_dec AS DOUBLE) AS total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("tpch_q18", _TPCH_Q18_SQL)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the HAVING subquery becomes
+    a map-side-combined aggregate over lineitem whose surviving rows
+    (the >250-qty tail — a tiny fraction at any SF) are BROADCAST into
+    orders, and that still-small join result is broadcast into
+    customer — the two big tables are each scanned once and never
+    shuffled.  No re-aggregation after the joins: order↔customer is
+    1:1 per orderkey, so the lineitem sum is carried through.  Top-100
+    cut on (o_totalprice DESC, o_orderkey) is tie-deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    qty_dec = F.col("l_quantity").cast("decimal(18,6)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_dec).alias("qty_dec"))
+        .filter(F.col("qty_dec") > _Q18_MIN_QTY)
+    )
+    j = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+    out = cust.join(F.broadcast(j), j.o_custkey == cust.c_custkey)
+    return (
+        out.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate_epoch"),
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
         )
     )
 

@@ -43,6 +43,27 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+#: Fixture schema for the documents table (streaming dedup input).
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the documents fixture (file source)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events fixture (file source)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
