@@ -41,6 +41,47 @@ def test_real_decode_is_explicit_stub(media):
         media_ops.decode_features(media, decode="typo")
 
 
+def test_fixture_is_ascii(media, spark, sf_dir):
+    # The frame/resize oracles slice TEXT where Spark slices BYTES;
+    # that identity holds only while the fixture stays pure ASCII.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    n = docs.filter(F.length(F.encode("text", "UTF-8")) != F.length("text")).count()
+    assert n == 0
+
+
+def test_frame_sample_reassembles_to_strided_source(media):
+    # Concatenating a blob's sampled frames in frame_idx order must
+    # equal the source bytes at stride positions — content, not count.
+    rows = media_ops.frame_sample(media, frame_bytes=256, every_k=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+        assert r["frame_idx"] % 4 == 0
+        assert r["frame_len"] == len(r["frame"]) <= 256
+    src = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    for mid, frames in list(by_id.items())[:20]:
+        got = b"".join(bytes(f["frame"]) for f in sorted(frames, key=lambda f: f["frame_idx"]))
+        want = b"".join(
+            src[mid][j * 256 : (j + 1) * 256]
+            for j in range(0, (len(src[mid]) + 255) // 256, 4)
+        )
+        assert got == want
+
+
+def test_resize_fixed_length_and_empty_blob(media, spark):
+    out = media_ops.resize_normalize(media, out_len=64).collect()
+    assert len(out) == media.count()
+    assert all(len(bytes(r["resized"])) == 64 for r in out)
+    # Empty blob edge: survives with an empty signal instead of crashing.
+    from pyspark.sql import functions as F
+
+    empty = media.limit(1).withColumn("media", F.lit(b""))
+    [r] = media_ops.resize_normalize(empty, out_len=64).collect()
+    assert bytes(r["resized"]) == b""
+
+
 def test_phash_stable_under_small_edit(spark):
     # pHash property: tiny local edit -> small Hamming distance; the
     # exact md5 would flip completely.

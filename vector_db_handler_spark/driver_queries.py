@@ -1153,6 +1153,78 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_ops.media_phash(_media_df(spark, sf_dir))
 
 
+_FRAME_BYTES, _FRAME_EVERY_K = 256, 4
+
+#: The fixture is pure ASCII (pinned by test_media), so the oracle may
+#: slice TEXT where Spark slices BYTES — same octets, same md5.
+_MEDIA_FRAMES_SQL = f"""
+WITH m AS ({_MEDIA_VIEW_SQL}),
+e AS (
+  SELECT modality, text,
+         unnest(generate_series(1,
+           CAST(ceil(length(text)/{_FRAME_BYTES}.0) AS BIGINT))) AS i
+  FROM m
+),
+f AS (
+  SELECT modality,
+         md5(substr(text, (i-1)*{_FRAME_BYTES} + 1, {_FRAME_BYTES})) AS frame_md5,
+         length(substr(text, (i-1)*{_FRAME_BYTES} + 1, {_FRAME_BYTES})) AS frame_len
+  FROM e WHERE ((i-1) % {_FRAME_EVERY_K}) = 0
+)
+SELECT modality, count(*) AS n_frames,
+       count(DISTINCT frame_md5) AS n_distinct_frames,
+       CAST(SUM(frame_len) AS BIGINT) AS frame_bytes
+FROM f GROUP BY 1
+"""
+
+
+@register("media_frame_stats", _MEDIA_FRAMES_SQL)
+def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-in-4 frame sampling over the binary media column (256-byte
+    frames), verified by CONTENT: the oracle recomputes every sampled
+    frame's md5, so the mapInPandas row expansion must produce exactly
+    the right bytes at the right strides."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    frames = media_ops.frame_sample(
+        _media_df(spark, sf_dir), frame_bytes=_FRAME_BYTES, every_k=_FRAME_EVERY_K
+    )
+    return frames.groupBy("modality").agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct(F.md5("frame")).alias("n_distinct_frames"),
+        F.sum("frame_len").cast("long").alias("frame_bytes"),
+    )
+
+
+_RESIZE_LEN = 64
+
+_MEDIA_RESIZE_SQL = f"""
+WITH m AS ({_MEDIA_VIEW_SQL}),
+pos AS (
+  SELECT media_id, text, unnest(generate_series(0, {_RESIZE_LEN} - 1)) AS j
+  FROM m
+),
+resized AS (
+  SELECT media_id,
+         string_agg(substr(text, CAST((j * length(text)) // {_RESIZE_LEN} AS BIGINT) + 1, 1),
+                    '' ORDER BY j) AS sig
+  FROM pos GROUP BY media_id
+)
+SELECT media_id, md5(sig) AS resize_md5 FROM resized
+"""
+
+
+@register("media_resize_fingerprint", _MEDIA_RESIZE_SQL)
+def media_resize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of every blob to a fixed 64-byte signal
+    (operators/media.resize_normalize), fingerprinted so the oracle
+    checks the exact resampled bytes, not just shapes."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    resized = media_ops.resize_normalize(_media_df(spark, sf_dir), out_len=_RESIZE_LEN)
+    return resized.select("media_id", F.md5("resized").alias("resize_md5"))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming surface — the streaming twin of tumbling_events,
 # drained with availableNow into a memory sink.  Deterministic (full

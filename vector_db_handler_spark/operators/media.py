@@ -138,6 +138,96 @@ def decode_features(
     return media.mapInPandas(extract, schema=out_schema)
 
 
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    every_k: int = 4,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame sampling: split each blob into fixed-size frames and keep
+    every k-th (frame 0, k, 2k, …) — the video/audio "sample 1-in-k
+    frames" pass.  One-to-many row expansion inside ``mapInPandas``
+    (Arrow batch in, longer Arrow batch out; no explode of a
+    driver-built array).  With a real container format the frame
+    boundary comes from the codec instead of a byte stride — only the
+    slicing line changes.  The final short frame is kept when its
+    index lands on the stride, matching the SQL twin's ``substr``
+    arithmetic."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", media.schema[id_col].dataType),
+            T.StructField("modality", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+            T.StructField("frame_len", T.IntegerType()),
+        ]
+    )
+    fb, k = int(frame_bytes), int(every_k)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mods, idxs, frames, lens = [], [], [], [], []
+            for mid, mod, blob in zip(pdf[id_col], pdf["modality"], pdf[media_col]):
+                b = bytes(blob)
+                for j in range(0, (len(b) + fb - 1) // fb, k):
+                    fr = b[j * fb : (j + 1) * fb]
+                    ids.append(mid)
+                    mods.append(mod)
+                    idxs.append(j)
+                    frames.append(fr)
+                    lens.append(len(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": mods,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "frame": frames,
+                    "frame_len": np.array(lens, dtype=np.int32),
+                }
+            )
+
+    return media.mapInPandas(sample, schema=out_schema)
+
+
+def resize_normalize(
+    media: DataFrame,
+    out_len: int = 64,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize to a fixed-length signal: nearest-neighbor resample of
+    the byte stream to ``out_len`` bytes (position ``j`` reads source
+    byte ``j*len//out_len``).  The normalization every downstream
+    fixed-width consumer (feature extractor, pHash, ANN) expects; a
+    real image resize swaps this for the codec+interpolation call with
+    the same (id, modality, BINARY(out_len)) contract."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", media.schema[id_col].dataType),
+            T.StructField("modality", T.StringType()),
+            T.StructField("resized", T.BinaryType()),
+        ]
+    )
+    ol = int(out_len)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf[media_col]:
+                b = bytes(blob)
+                if not b:
+                    out.append(b"")
+                    continue
+                idx = (np.arange(ol, dtype=np.int64) * len(b)) // ol
+                out.append(np.frombuffer(b, dtype=np.uint8)[idx].tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "modality": pdf["modality"], "resized": out}
+            )
+
+    return media.mapInPandas(resize, schema=out_schema)
+
+
 def media_phash(
     media: DataFrame,
     media_col: str = "media",
