@@ -1,0 +1,77 @@
+"""Property-based checks (hypothesis): the distributed time-series
+joins agree with brute-force per-row reference semantics on arbitrary
+small inputs — ties, duplicates, empty sides, and window-boundary gaps
+included.  The oracle queries pin one fixture; these pin the operator
+CONTRACT over the input space."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.operators import timeseries as ts_ops
+
+# Small domains force collisions: repeated keys, equal timestamps,
+# gaps exactly at the window edge.
+_KEYS = st.integers(min_value=0, max_value=2)
+_US = st.integers(min_value=0, max_value=20)
+_VAL = st.integers(min_value=-5, max_value=5)
+
+_LEFT = st.lists(st.tuples(_KEYS, _US), min_size=0, max_size=12)
+_RIGHT = st.lists(st.tuples(_KEYS, _US, _VAL), min_size=0, max_size=12)
+
+
+def _ts_df(spark, rows, cols):
+    df = spark.createDataFrame(rows, cols)
+    return df.withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+
+
+@settings(max_examples=10, deadline=None)
+@given(left=_LEFT, right=_RIGHT)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    left = [(k, u, i) for i, (k, u) in enumerate(left)]
+    ldf = _ts_df(spark, left or [(0, 0, 0)], ["k", "us", "rid"])
+    if not left:
+        ldf = ldf.limit(0)
+    rdf = _ts_df(spark, right or [(0, 0, 0)], ["k", "us", "v"])
+    if not right:
+        rdf = rdf.limit(0)
+
+    got = {
+        r["rid"]: (r["asof_val"], r["asof_us"])
+        for r in ts_ops.asof_join(ldf, rdf, "k", "ts", "v").collect()
+    }
+
+    for k, lus, rid in left:
+        cand = [(ru, rv) for rk, ru, rv in right if rk == k and ru <= lus]
+        if not cand:
+            assert got[rid] == (None, None)
+        else:
+            best_us = max(ru for ru, _ in cand)
+            # duplicate (key, ts) right rows dedup to max(val)
+            best_val = max(rv for ru, rv in cand if ru == best_us)
+            assert got[rid] == (best_val, best_us)
+    assert len(got) == len(left)
+
+
+@settings(max_examples=10, deadline=None)
+@given(events=st.lists(st.tuples(_KEYS, _US), min_size=0, max_size=14),
+       window_us=st.integers(min_value=1, max_value=8))
+def test_range_join_pairs_matches_bruteforce(spark, events, window_us):
+    rows = [(k, u * 1_000_000, i) for i, (k, u) in enumerate(events)]
+    df = _ts_df(spark, rows or [(0, 0, 0)], ["user_id", "us", "event_id"])
+    if not rows:
+        df = df.limit(0)
+
+    got = {
+        (r["user_id"], r["id1"], r["id2"], r["gap_us"])
+        for r in ts_ops.range_join_pairs(df, window_sec=window_us).collect()
+    }
+
+    want = set()
+    for k1, u1, i1 in rows:
+        for k2, u2, i2 in rows:
+            ordered = u1 < u2 or (u1 == u2 and i1 < i2)
+            if k1 == k2 and ordered and 0 <= u2 - u1 <= window_us * 1_000_000:
+                want.add((k1, i1, i2, u2 - u1))
+    assert got == want
