@@ -1,0 +1,75 @@
+"""Written MinHash-LSH index: build-once/probe-many parity with the
+in-memory pipeline, plus the scan-pruning plan shape that makes the
+probe cheap at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.operators import dedup as dedup_ops
+
+_THRESHOLD = 0.6
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_lsh_probe_matches_in_memory_pairs(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "lsh")
+    dedup_ops.write_lsh_index(docs, path)
+
+    # Probe with a slice of the corpus itself: the probe must surface
+    # exactly the full pipeline's pairs that involve a probe doc
+    # (same bands, same verification — only the storage differs).
+    queries = docs.filter(F.col("doc_id") < 25)
+    probed = dedup_ops.lsh_probe_table(spark, path, queries, _THRESHOLD)
+    got = {
+        (min(r["query_id"], r["corpus_id"]), max(r["query_id"], r["corpus_id"])): r["jaccard"]
+        for r in probed.collect()
+        if r["query_id"] != r["corpus_id"]
+    }
+
+    full = dedup_ops.minhash_lsh_pairs(docs, _THRESHOLD)
+    q_ids = {r["doc_id"] for r in queries.select("doc_id").collect()}
+    want = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in full.collect()
+        if r["d1"] in q_ids or r["d2"] in q_ids
+    }
+    assert got == want
+
+    # Every probe doc is in the index, so it must at least find itself
+    # at jaccard 1.0 (docs long enough to have shingles).
+    selfs = {r["query_id"] for r in probed.collect() if r["query_id"] == r["corpus_id"]}
+    with_shingles = {
+        r["doc_id"]
+        for r in dedup_ops.shingle_index(queries).select("doc_id").distinct().collect()
+    }
+    assert selfs == with_shingles
+
+
+def test_lsh_probe_pushes_key_filter_to_scan(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "lsh")
+    dedup_ops.write_lsh_index(docs, path)
+    probed = dedup_ops.lsh_probe_table(
+        spark, path, docs.filter(F.col("doc_id") < 5), _THRESHOLD
+    )
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    # The inlined key IN (...) predicate must reach the bands scan so
+    # parquet min/max stats on the sorted key column can skip row
+    # groups — the probe's I/O bound at scale.
+    scan = plan.split("bands")[1]
+    assert "PushedFilters" in scan and "In(key" in scan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_lsh_probe_empty_query_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "lsh")
+    dedup_ops.write_lsh_index(docs, path)
+    empty = docs.filter(F.lit(False))
+    assert dedup_ops.lsh_probe_table(spark, path, empty, _THRESHOLD).count() == 0

@@ -631,6 +631,73 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=_LSH_THRESHOLD)
 
 
+_LSH_PROBE_MAX_ID = 25
+
+#: Probe semantics: x is the query batch (doc_id < 25), y ranges over
+#: the whole indexed corpus — self-matches included (jaccard 1.0) and
+#: no d1<d2 ordering, exactly what an ingest-time "is this new doc a
+#: near-dup of anything?" lookup returns.
+_LSH_PROBE_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+h AS (SELECT doc_id, {_sql_hash('shingle', 7)} AS h28 FROM sh),
+sig AS (SELECT doc_id,
+  {_MINHASH_TERMS}
+  FROM h GROUP BY doc_id),
+bands AS (
+  {_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS query_id, y.doc_id AS corpus_id
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < {_LSH_PROBE_MAX_ID}
+),
+shh AS (SELECT doc_id, {_sql_hash("shingle", 15)} AS hh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+common AS (
+  SELECT c.query_id, c.corpus_id, count(*) AS nc
+  FROM cands c
+  JOIN shh a ON c.query_id = a.doc_id
+  JOIN shh b ON c.corpus_id = b.doc_id AND a.hh = b.hh
+  GROUP BY 1, 2
+)
+SELECT query_id, corpus_id,
+       ROUND(CAST(nc AS DOUBLE) / (s1.n + s2.n - nc), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON query_id = s1.doc_id
+JOIN sizes s2 ON corpus_id = s2.doc_id
+WHERE CAST(nc AS DOUBLE) / (s1.n + s2.n - nc) >= {_LSH_THRESHOLD}
+"""
+
+
+@register("lsh_index_probe", _LSH_PROBE_SQL)
+def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a WRITTEN MinHash-LSH index (built once into a scratch
+    path, like a nightly corpus snapshot) with a 25-doc batch: the
+    deployment-shaped "near-dup lookup before ingest".  The band-key
+    IN-list is pushed to the parquet scan of the sorted bands table;
+    verification touches only candidate docs' shingle rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    basis = (
+        f"{dedup_ops.N_PERM}|{dedup_ops.N_BANDS}|{dedup_ops.MINHASH_P}|"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"vdh_lsh_{hashlib.md5(basis.encode()).hexdigest()[:10]}"
+    )
+    if not (
+        os.path.exists(os.path.join(path, "bands", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "shingles", "_SUCCESS"))
+    ):
+        dedup_ops.write_lsh_index(docs, path)
+    queries = docs.filter(F.col("doc_id") < _LSH_PROBE_MAX_ID)
+    return dedup_ops.lsh_probe_table(spark, path, queries, _LSH_THRESHOLD)
+
+
 def _simhash_vote_sql(col: str = "token") -> str:
     terms = []
     for half, off in (("hi", 1), ("lo", 9)):

@@ -254,6 +254,26 @@ def minhash_signatures(
     return minhash_signatures_from_index(shingle_index(docs, text_col, id_col, k))
 
 
+def band_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH band keys from MinHash signatures: 4 bands × 2 rows each,
+    band key = pair-hash of the two member permutations.  One exploded
+    row per (doc, band)."""
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (F.col(f"mh{2 * i}") * F.lit(1_000_003) + F.col(f"mh{2 * i + 1}")).alias("key"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
@@ -276,20 +296,7 @@ def minhash_lsh_pairs(
     """
     sh_str = shingle_index(docs, text_col, id_col, k).cache()
     sig = minhash_signatures_from_index(sh_str)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        (F.col(f"mh{2 * i}") * F.lit(1_000_003) + F.col(f"mh{2 * i + 1}")).alias("key"),
-                    )
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    bands = band_keys(sig)
     b1, b2 = bands.alias("x"), bands.alias("y")
     cands = (
         b1.join(
@@ -322,6 +329,106 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> None:
+    """Materialize the MinHash-LSH index ON DISK — the 100 TB build
+    artifact the in-memory ``.cache()`` in :func:`minhash_lsh_pairs`
+    stands in for.  Two tables under ``path``:
+
+    * ``bands/``  — (doc_id, key) partitioned by ``band`` and SORTED by
+      ``key`` within each file, so a probe's ``key IN (…)`` predicate
+      prunes row groups via parquet min/max stats.
+    * ``shingles/`` — (doc_id, h) hashed shingle index for exact-
+      Jaccard verification of candidates.
+
+    Build once per corpus snapshot; every incoming batch probes it
+    (:func:`lsh_probe_table`) instead of re-shingling the corpus.
+    """
+    sh = shingle_index(docs, text_col, id_col, k).cache()
+    bands = band_keys(minhash_signatures_from_index(sh), "doc_id")
+    (
+        bands.repartition("band")
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    sh.select("doc_id", portable_hash60(F.col("shingle")).alias("h")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/shingles")
+    sh.unpersist()
+
+
+def lsh_probe_table(
+    spark,
+    path: str,
+    query_docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Probe a written LSH index with a (small) batch of new docs:
+    returns (query_id, corpus_id, jaccard) for every indexed doc whose
+    exact Jaccard with a query doc is ≥ ``threshold``, using the banded
+    candidates exactly as :func:`minhash_lsh_pairs` does — a probe
+    against an index built from the same corpus finds the same pairs.
+
+    The query side is one ingest micro-batch, so its distinct band
+    keys are collected and inlined as a ``key IN (…)`` predicate —
+    pushed to the parquet scan (row-group pruning against the sorted
+    ``key`` column); the precise (band, key) equi-join then runs
+    against only the surviving rows with the query side broadcast.
+    The verification join reads only candidate docs' shingle rows.
+    """
+    qsh = shingle_index(query_docs, text_col, id_col, k).cache()
+    qbands = band_keys(minhash_signatures_from_index(qsh), "doc_id").cache()
+    keys = [r["key"] for r in qbands.select("key").distinct().collect()]
+    bands = spark.read.parquet(f"{path}/bands").filter(F.col("key").isin(keys or [-1]))
+    cands = (
+        bands.join(
+            F.broadcast(qbands.select(F.col("doc_id").alias("q_id"), "band", "key")),
+            ["band", "key"],
+        )
+        .select("q_id", F.col("doc_id").alias("c_id"))
+        .distinct()
+    )
+    corpus_sh = spark.read.parquet(f"{path}/shingles").join(
+        F.broadcast(cands.select("c_id").distinct()),
+        F.col("doc_id") == F.col("c_id"),
+        "leftsemi",
+    )
+    q_hashes = qsh.select(
+        F.col("doc_id").alias("q_id"), portable_hash60(F.col("shingle")).alias("h")
+    )
+    q_sizes = q_hashes.groupBy("q_id").agg(F.count("*").alias("nq"))
+    c_sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("nc"))
+    c_hashes = corpus_sh.select(F.col("doc_id").alias("c_id2"), F.col("h").alias("ch"))
+    common = (
+        cands.join(F.broadcast(q_hashes), "q_id")
+        .join(c_hashes, (F.col("c_id") == F.col("c_id2")) & (F.col("h") == F.col("ch")))
+        .groupBy("q_id", "c_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("nq") + F.col("nc") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(q_sizes), "q_id")
+        .join(c_sizes.select(F.col("doc_id").alias("c_id"), "nc"), "c_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("corpus_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     )
 
 
