@@ -1316,6 +1316,22 @@ def tumbling_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sliding_events_stream", _SLIDING_SQL)
+def sliding_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 2h/1h sliding-window counts — same oracle as the
+    batch form, completing the tumbling/sliding/session trio of
+    batch=stream equivalence proofs."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    stream_ops.run_to_memory(stream_ops.sliding_stream(ev), "dq_sliding_stream")
+    return spark.table("dq_sliding_stream").select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+    )
+
+
 #: Sessions are uniquely keyed by (user_id, session_start) — the
 #: batch oracle's ordinal session_id is dropped because a stream can't
 #: number sessions it hasn't finished seeing.
