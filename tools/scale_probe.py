@@ -63,5 +63,41 @@ def main(factor: int = 100) -> None:
     print(f"ivf_probe (4/{n_cells} cells, written index) @ {n} rows: {time.perf_counter() - t0:.2f}s")
 
 
+def lsh(factor: int = 100) -> None:
+    """Text-dedup twin of the vector probe: build the written LSH index
+    on a factor× replicated documents corpus (suffix-tagged so replicas
+    are near-dups of their source, not exact dups), then time a 25-doc
+    probe against it."""
+    from vector_db_handler_spark.operators import dedup as dedup_ops
+
+    spark = get_spark("scale-probe-lsh")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_base = base.count()
+    path = os.path.join(tempfile.gettempdir(), f"vdh_docs_{factor}x")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        reps = spark.range(factor).withColumnRenamed("id", "rep")
+        big = base.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * n_base).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+        )
+        big.repartition(32).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path)
+    print(f"corpus: {big.count()} docs ({factor}x bench fixture)")
+
+    idx_path = path + "_lsh"
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(idx_path, "bands", "_SUCCESS")):
+        dedup_ops.write_lsh_index(big, idx_path)
+        print(f"lsh_index build @ {factor}x: {time.perf_counter() - t0:.2f}s")
+    queries = big.filter(F.col("doc_id") < 25)
+    dedup_ops.lsh_probe_table(spark, idx_path, queries, 0.6).collect()
+    t0 = time.perf_counter()  # warm
+    rows = dedup_ops.lsh_probe_table(spark, idx_path, queries, 0.6).collect()
+    print(f"lsh_probe (25 docs) @ {factor}x corpus: {time.perf_counter() - t0:.2f}s, {len(rows)} matches")
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)
+    if len(sys.argv) > 1 and sys.argv[1] == "lsh":
+        lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)

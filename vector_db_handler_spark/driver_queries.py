@@ -1759,6 +1759,69 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q18_MIN_QTY = 250
 
+_Q7_N1, _Q7_N2 = "NATION_3", "NATION_7"
+
+_TPCH_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+    OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tpch_q7", _TPCH_Q7_SQL)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): both nation-tagged dim sides are
+    filtered to the two named nations BEFORE their joins (supplier and
+    customer shrink to ~2/25 of their rows), nation and the tagged
+    supplier side broadcast; the only at-scale shuffle is
+    lineitem ⋈ orders on the order key.  The disjunctive nation-pair
+    predicate runs after the tags exist — on two string columns, not
+    on the join topology."""
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(_Q7_N1, _Q7_N2))
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+            | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev_dec).cast("double").alias("revenue"))
+    )
+
+
 _TPCH_Q18_SQL = f"""
 WITH big AS (
   SELECT l_orderkey,
