@@ -36,6 +36,14 @@ def test_q18_broadcasts_both_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q7_broadcasts_tagged_dims(spark, sf_dir):
+    plan = _plan(dq.tpch_q7(spark, sf_dir))
+    # Nation joins + the nation-tagged supplier side are broadcast;
+    # the shipdate range must reach the lineitem scan.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
 def test_knn_lowers_to_take_ordered(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = _plan(knn_ops.knn(emb, dq.QUERY_VEC, k=5, tie_break_col="vec_id"))
