@@ -54,6 +54,44 @@ def stream_events(spark, sf_dir):
     return stream_ops.stream_events(spark, sf_dir)
 
 
+def test_session_stream_merges_across_batches_and_boundary(spark, tmp_path):
+    """Session state must MERGE events that arrive in different
+    micro-batches but fall within the gap; a gap of EXACTLY the gap
+    duration also merges (closed boundary — matching the batch op and
+    the oracle's strict > new-session rule), while gap+1s splits."""
+    from pyspark.sql import functions as F
+
+    mins = 60 * 1_000_000
+    batch1 = [(1, 0 * mins), (1, 10 * mins)]
+    # 20m continues; 50m is exactly gap=30m after (merges); 80m+1s is
+    # gap+1s after the 50m event (new session).
+    batch2 = [(1, 20 * mins), (1, 50 * mins), (1, 80 * mins + 1_000_000)]
+    src = str(tmp_path / "sessions")
+    for rows in (batch1, batch2):
+        (
+            spark.createDataFrame(rows, ["user_id", "us"])
+            .select("user_id", F.timestamp_micros(F.col("us")).alias("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ops.run_to_memory(
+        stream_ops.session_stream(stream, gap="30 minutes"), "t_sessions"
+    )
+    got = {
+        (r["session_start"].minute + 60 * r["session_start"].hour, r["n_events"])
+        for r in spark.table("t_sessions").collect()
+    }
+    # One merged session 00:00-00:50 (4 events across both batches,
+    # exact-boundary event included), one new session at 01:20:01.
+    assert got == {(0, 4), (80, 1)}
+
+
 def test_streaming_exact_dedup_holds_state_across_batches(spark, sf_dir, tmp_path):
     """The same corpus replayed in TWO micro-batches must emit each
     content hash exactly once (state survives between batches), with

@@ -1334,7 +1334,10 @@ def sliding_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Sessions are uniquely keyed by (user_id, session_start) — the
 #: batch oracle's ordinal session_id is dropped because a stream can't
-#: number sessions it hasn't finished seeing.
+#: number sessions it hasn't finished seeing.  Boundary: a gap of
+#: EXACTLY the gap duration MERGES in Spark's ``session_window``
+#: (pinned by tests/test_streaming.py) — same as this oracle's
+#: strict ``>`` new-session rule and the batch lag+cumsum op.
 _SESSIONIZE_STREAM_SQL = """
 WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
 lagged AS (
