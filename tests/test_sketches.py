@@ -35,25 +35,55 @@ def test_quantiles_bracket_exact_median(spark, sf_dir):
     assert abs(q50 - exact_med) <= 0.05 * spread
 
 
-def test_bloom_prefilter_never_drops_novel_rows(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+def _hashed_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", portable_hash60(F.col("text")).alias("text_hash")
     )
+
+
+def test_bloom_prefilter_splits_without_false_negatives(spark, sf_dir):
+    docs = _hashed_docs(spark, sf_dir)
     seen = docs.filter(F.col("doc_id") % 2 == 0).select("text_hash")
-    novel = docs.filter(F.col("doc_id") % 2 == 1)
-    survivors = sketches.dedup_bloom_prefilter(docs, seen)
-    surv_ids = {r["doc_id"] for r in survivors.collect()}
-    novel_ids = {r["doc_id"] for r in novel.collect()}
-    # no false negatives: every definitely-seen row is dropped only if
-    # truly seen; every survivor must be novel
-    assert surv_ids <= novel_ids
-    # and the filter keeps the vast majority of novel rows (fpp=1%)
-    assert len(surv_ids) >= 0.9 * len(novel_ids)
+    seen_hashes = {r["text_hash"] for r in seen.collect()}
+    definitely_novel, maybe = sketches.dedup_bloom_prefilter(docs, seen)
+    novel_hashes = {r["text_hash"] for r in definitely_novel.collect()}
+    maybe_ids = {r["doc_id"] for r in maybe.collect()}
+    # no false negatives: nothing flagged definitely-novel is truly seen
+    assert not (novel_hashes & seen_hashes)
+    # every truly-seen row lands on the maybe side
+    truly_seen_ids = {
+        r["doc_id"] for r in docs.collect() if r["text_hash"] in seen_hashes
+    }
+    assert truly_seen_ids <= maybe_ids
+    # the split is a partition of the input
+    assert definitely_novel.count() + maybe.count() == docs.count()
 
 
 def test_bloom_prefilter_empty_seen_is_identity(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", portable_hash60(F.col("text")).alias("text_hash")
-    )
+    docs = _hashed_docs(spark, sf_dir)
     empty = docs.filter(F.lit(False)).select("text_hash")
-    assert sketches.dedup_bloom_prefilter(docs, empty).count() == docs.count()
+    novel, maybe = sketches.dedup_bloom_prefilter(docs, empty)
+    assert novel.count() == docs.count()
+    assert maybe.count() == 0
+
+
+def test_bloom_distributed_build_matches_driver_build(spark, sf_dir):
+    docs = _hashed_docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select("text_hash").repartition(7)
+    bits_d, m_d, k_d = sketches.build_bloom(seen, distributed=False)
+    bits_x, m_x, k_x = sketches.build_bloom(seen, distributed=True)
+    assert (m_d, k_d) == (m_x, k_x)
+    assert (bits_d == bits_x).all()
+
+
+def test_incremental_novel_docs_exact_even_at_high_fpp(spark, sf_dir):
+    docs = _hashed_docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select("text_hash")
+    # fpp=0.5 forces bloom false positives; the exact rescue join must
+    # still produce exactly the anti-join result
+    for distributed in (False, True):
+        got = sketches.incremental_novel_docs(docs, seen, fpp=0.5, distributed=distributed)
+        expect = docs.join(seen.distinct(), "text_hash", "left_anti")
+        assert {r["doc_id"] for r in got.collect()} == {
+            r["doc_id"] for r in expect.collect()
+        }

@@ -1612,8 +1612,9 @@ def range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROLLUP_SQL = """
-SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), 'ALL') AS day,
-       COALESCE(event_type, 'ALL') AS event_type,
+SELECT CASE WHEN GROUPING(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)) = 1
+            THEN 'ALL' ELSE CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) END AS day,
+       CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
        count(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
@@ -1884,8 +1885,13 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -> band -> candidate -> popcount verify)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_HAMMING = 8
+_SIMHASH_HAMMING = 3
 
+#: EXACT all-pairs oracle — deliberately NOT a replica of the Spark
+#: side's banding.  The block-combination scheme (dedup.py
+#: ``_simhash_block_plan``) is complete for Hamming <= r, so the banded
+#: candidate pipeline must reproduce the full all-pairs answer; any
+#: recall gap in the banding fails the hash comparison.
 _SIMHASH_NEARDUP_SQL = f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 counted AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
@@ -1897,24 +1903,11 @@ sig AS (
          {_simhash_bits_sql("hi")} AS sim_hi,
          {_simhash_bits_sql("lo")} AS sim_lo
   FROM votes
-),
-bands AS (
-  SELECT doc_id, 0 AS band, sim_hi & 65535 AS key FROM sig
-  UNION ALL SELECT doc_id, 1, (sim_hi >> 16) & 65535 FROM sig
-  UNION ALL SELECT doc_id, 2, sim_lo & 65535 FROM sig
-  UNION ALL SELECT doc_id, 3, (sim_lo >> 16) & 65535 FROM sig
-),
-cands AS (
-  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-  FROM bands x JOIN bands y
-    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
 )
-SELECT c.d1, c.d2,
+SELECT a.doc_id AS d1, b.doc_id AS d2,
        CAST(bit_count(CAST(xor(a.sim_hi, b.sim_hi) AS BIGINT))
           + bit_count(CAST(xor(a.sim_lo, b.sim_lo) AS BIGINT)) AS INTEGER) AS hamming
-FROM cands c
-JOIN sig a ON c.d1 = a.doc_id
-JOIN sig b ON c.d2 = b.doc_id
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(CAST(xor(a.sim_hi, b.sim_hi) AS BIGINT))
     + bit_count(CAST(xor(a.sim_lo, b.sim_lo) AS BIGINT)) <= {_SIMHASH_HAMMING}
 """
@@ -1922,8 +1915,9 @@ WHERE bit_count(CAST(xor(a.sim_hi, b.sim_hi) AS BIGINT))
 
 @register("simhash_neardup_pairs", _SIMHASH_NEARDUP_SQL)
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 8 over 64 bits): 16-bit band
-    candidates + popcount verification."""
+    """SimHash near-dup pairs (Hamming <= 3 over 64 bits): complete
+    block-combination band candidates (C(6,3)=20 32-bit keys/doc) +
+    popcount verification, checked against an exact all-pairs oracle."""
     out = dedup_ops.simhash_neardup_pairs(load(spark, sf_dir, "documents"),
                                           max_hamming=_SIMHASH_HAMMING)
     return out.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
@@ -2105,3 +2099,37 @@ def decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 450),
         threshold=_DECONTAM_THRESHOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-guarded incremental ingest: exact novelty gate (the bloom only
+# routes rows — definitely-novel bypasses the join, maybe-seen is
+# rescued by an exact anti-join, so the result is oracle-exact).
+# ---------------------------------------------------------------------------
+
+_BLOOM_NOVEL_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, {_sql_hash('text', 15)} AS text_hash FROM documents
+),
+seen AS (SELECT DISTINCT text_hash FROM hashed WHERE doc_id % 2 = 0)
+SELECT h.doc_id, h.text_hash
+FROM hashed h
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text_hash = h.text_hash)
+"""
+
+
+@register("bloom_incremental_novel", _BLOOM_NOVEL_SQL)
+def bloom_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest novelty gate: Bloom prefilter (DISTRIBUTED
+    build — per-partition bitmaps OR-merged by a map-side-combined
+    bit_or aggregate) routes rows; only the ~fpp maybe-seen slice pays
+    the exact anti-join.  fpp=0.3 deliberately forces false positives
+    so the driver row proves the rescue join, not just the happy
+    path."""
+    from vector_db_handler_spark.operators import sketches as sketch_ops
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", text_fns.portable_hash60(F.col("text")).alias("text_hash")
+    )
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select("text_hash")
+    return sketch_ops.incremental_novel_docs(docs, seen, fpp=0.3, distributed=True)

@@ -93,6 +93,14 @@ class VectorDBServer:
 
     def __init__(self, api: VectorDBApi, host: str = "127.0.0.1", port: int = 0):
         routes = _routes(api)
+        # ThreadingHTTPServer dispatches concurrently, but the store's
+        # mutations are multi-step (read → stage → delete+rename swap):
+        # two unserialized writers lose updates, and a reader can hit a
+        # missing file mid-swap.  The reference's ``async def`` handlers
+        # over blocking clients run one request at a time, so a single
+        # store-wide lock reproduces its consistency exactly (reads
+        # included — they scan the swapped files).
+        store_lock = threading.Lock()
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # silence per-request stderr noise
@@ -106,7 +114,9 @@ class VectorDBServer:
                 try:
                     length = int(self.headers.get("Content-Length") or 0)
                     body = json.loads(self.rfile.read(length)) if length else {}
-                    self._send(200, handler(body))
+                    with store_lock:
+                        result = handler(body)
+                    self._send(200, result)
                 except (KeyError, TypeError, json.JSONDecodeError) as e:
                     # FastAPI's pydantic validation analog.
                     self._send(422, {"detail": f"invalid request: {e}"})

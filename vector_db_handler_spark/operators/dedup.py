@@ -158,38 +158,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def _simhash_block_plan(max_hamming: int, n_blocks: int | None) -> tuple[list[int], list[int], list[tuple[int, ...]]]:
+    """(widths, offsets, block-combinations) for complete Hamming-≤r
+    banding over 64 bits (Manku/Jain/Das Sarma, WWW'07 §3): split the
+    fingerprint into B blocks; a pair differing in ≤ r bits leaves at
+    least B−r blocks untouched, so keying every combination of B−r
+    blocks is COMPLETE — some combination matches exactly for every
+    true near-dup pair."""
+    from itertools import combinations
+
+    r = int(max_hamming)
+    b = int(n_blocks) if n_blocks is not None else r + 3
+    if not (1 <= r < b <= 64):
+        raise ValueError(f"need 1 <= max_hamming ({r}) < n_blocks ({b}) <= 64")
+    widths = [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
+    offsets = [sum(widths[:i]) for i in range(b)]
+    return widths, offsets, list(combinations(range(b), b - r))
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash Hamming distance ≤ r.
+    """Near-dup pairs by 64-bit SimHash Hamming distance ≤ r — COMPLETE
+    candidate generation via block-combination banding.
 
-    Pigeonhole banding: split the 64 bits into four 16-bit bands; any
-    pair within Hamming ≤ 48/… shares at least one exact band
-    (guaranteed complete for r ≤ 3·16; we use it as candidate
-    generation for small r where recall is ~1).  Equi-join on
-    (band_idx, band_value) → DISTINCT candidates → exact popcount
-    verification.  One row per doc enters the banding explode — the
-    join never touches raw text.
+    The 64 bits split into B blocks (default B = r+3); each doc emits
+    one key per combination of B−r blocks (C(B, r) keys/doc), packed
+    into a single long.  Pigeonhole: r differing bits touch ≤ r blocks,
+    so every true pair shares at least one full combination — recall is
+    exactly 1, which is what lets the driver oracle be EXACT all-pairs
+    Hamming rather than a replica of the banding.
+
+    Scale: key entropy is 64·(B−r)/B bits — 32 bits at the default
+    r=3/B=6 (vs 16 bits for naive 4×16 banding, whose 65k-bucket space
+    degenerates to ~10¹¹ candidate pairs at 10⁸ docs).  Random-collision
+    candidates grow ~N²·C(B,r)/2^entropy: at 10⁸ docs and 32-bit keys
+    that is ~2·10⁴ spurious candidates per combination — candidate
+    volume stays ~linear in true near-dups (scale probe in PERF.md).
+    Trade-off dial: larger B widens recall margin per combination count
+    but narrows keys.
     """
+    widths, offsets, combos = _simhash_block_plan(max_hamming, n_blocks)
     sig = simhash64(docs, text_col, id_col).cache()
+    full = F.shiftleft(F.col("sim_hi"), 32).bitwiseOR(F.col("sim_lo"))
+    block_vals = [
+        F.shiftrightunsigned(full, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(len(widths))
+    ]
+    structs = []
+    for ci, combo in enumerate(combos):
+        key = block_vals[combo[0]]
+        for blk in combo[1:]:
+            key = F.shiftleft(key, widths[blk]).bitwiseOR(block_vals[blk])
+        structs.append(F.struct(F.lit(ci).alias("band"), key.alias("key")))
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("sim_hi" if i < 2 else "sim_lo"), (i % 2) * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", F.explode(F.array(*structs)).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     b1, b2 = bands.alias("x"), bands.alias("y")
     cands = (

@@ -86,8 +86,11 @@ def cosine_topk_join(
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Running per-query top-k across all batches of this partition.
-        best_scores = np.full((len(q_ids), kk), -np.inf)
-        best_ids = np.zeros((len(q_ids), kk), dtype=object)
+        # Candidates start EMPTY (no placeholder sentinel): every id in
+        # the lexsort key comes from real corpus rows, so the id column
+        # may be any orderable dtype (string ids included).
+        best_scores = [np.empty(0, dtype=np.float64) for _ in range(len(q_ids))]
+        best_ids: list = [np.empty(0, dtype=object) for _ in range(len(q_ids))]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -98,9 +101,12 @@ def cosine_topk_join(
             for qi in range(len(q_ids)):
                 s = scores[:, qi]
                 if exclude_self:
-                    s = np.where(nid == q_id_arr[qi], -np.inf, s)
+                    keep_mask = nid != q_id_arr[qi]
+                    s, ids_b = s[keep_mask], nid[keep_mask]
+                else:
+                    ids_b = nid
                 cand_s = np.concatenate([best_scores[qi], s])
-                cand_i = np.concatenate([best_ids[qi], nid])
+                cand_i = np.concatenate([best_ids[qi], ids_b])
                 # Total order: score desc, neighbor_id asc (stable wrt
                 # the final global window's ordering).
                 order = np.lexsort((cand_i, -cand_s))[:kk]
@@ -109,8 +115,7 @@ def cosine_topk_join(
         rows = [
             (q_id_arr[qi], best_ids[qi][j], float(best_scores[qi][j]))
             for qi in range(len(q_ids))
-            for j in range(kk)
-            if best_scores[qi][j] != -np.inf
+            for j in range(len(best_scores[qi]))
         ]
         yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
 

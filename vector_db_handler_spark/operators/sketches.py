@@ -10,19 +10,27 @@ shuffle to kilobytes per partition with a quantified error:
 * ``value_quantiles`` — KLL/Greenwald-Khanna (`percentile_approx`):
   mergeable quantile summaries; exact rank error bounded by
   1/accuracy.
-* ``dedup_bloom_prefilter`` — a driver-built Bloom filter over known
-  content hashes, pushed into the scan as a cheap pre-filter before an
+* ``bloom_maybe_seen`` / ``dedup_bloom_prefilter`` — a Bloom filter
+  over known content hashes used as a cheap pre-filter before an
   expensive exact anti-join (the standard "have we seen this doc
-  before" guard in incremental ingest; false positives fall through to
-  the exact join, false negatives are impossible).
+  before" guard in incremental ingest).  A Bloom hit is only MAYBE
+  seen (false positives ≈ fpp), so the filter FLAGS rows instead of
+  dropping them; ``incremental_novel_docs`` composes the full exact
+  workflow: definitely-novel rows pass through untouched, and only
+  the ~fpp maybe-seen fraction pays the exact anti-join.
 
-Approximate answers can't hash-match a DuckDB oracle, so these are
-pytest-verified against exact results with error-bound assertions
-(``tests/test_sketches.py``) rather than registered as driver queries.
+Approximate sketch values can't hash-match a DuckDB oracle, so those
+are pytest-verified with error-bound assertions
+(``tests/test_sketches.py``); ``incremental_novel_docs`` is EXACT end
+to end (the bloom only routes rows) and is oracle-checked by the
+driver (``driver_queries.py`` ``bloom_incremental_novel``).
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,78 +60,220 @@ def value_quantiles(
     )
 
 
-def dedup_bloom_prefilter(
-    new_docs: DataFrame,
+def _make_bloom_fns():
+    """(mix, set_bits) defined in FUNCTION scope so cloudpickle ships
+    them BY VALUE inside UDF closures — a module-level helper would be
+    pickled by reference and fail to import on executors launched from
+    outside the repo."""
+    import numpy as _np
+
+    def mix(x):
+        # splitmix64 finalizer twice with different constants — two
+        # independent 64-bit hash streams for double hashing.
+        def fin(v, c1, c2):
+            v = (v ^ (v >> _np.uint64(30))) * _np.uint64(c1)
+            v = (v ^ (v >> _np.uint64(27))) * _np.uint64(c2)
+            return v ^ (v >> _np.uint64(31))
+
+        return (
+            fin(x.copy(), 0xBF58476D1CE4E5B9, 0x94D049BB133111EB),
+            fin(
+                x + _np.uint64(0x9E3779B97F4A7C15),
+                0xFF51AFD7ED558CCD,
+                0xC4CEB9FE1A85EC53,
+            ),
+        )
+
+    def set_bits(bits, keys, m, k):
+        h1, h2 = mix(keys)
+        for i in range(k):
+            idx = (h1 + _np.uint64(i) * h2) % _np.uint64(m)
+            _np.bitwise_or.at(
+                bits,
+                (idx >> _np.uint64(6)).astype(_np.int64),
+                _np.uint64(1) << (idx & _np.uint64(63)),
+            )
+
+    return mix, set_bits
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for ``n`` keys at false-positive rate fpp."""
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def build_bloom(
     seen_hashes: DataFrame,
     hash_col: str = "text_hash",
     fpp: float = 0.01,
-) -> DataFrame:
-    """Rows of ``new_docs`` whose hash is definitely-unseen OR a bloom
-    false positive — the cheap pre-filter before the exact anti-join.
+    distributed: bool = False,
+) -> tuple["np.ndarray", int, int] | None:
+    """Build the (bits, m, k) Bloom state from a hash relation; ``None``
+    when the relation is empty.
 
-    The filter is built ONCE from ``seen_hashes`` (~1.2 MB per 10⁶
-    keys at 1% fpp) and broadcast to executors; typical
-    incremental-ingest batches are mostly novel, so the exact
-    anti-join afterwards touches only the ~fpp fraction that collides.
-    Callers still run the exact join on the survivors — this operator
-    never drops a truly-novel row (no false negatives by construction).
+    Two builds with IDENTICAL output bitmaps (``tests/test_sketches.py``
+    pins this):
 
-    The sketch itself is numpy (PySpark exposes no bloomFilter
-    builder): double hashing ``h1 + i·h2 mod m`` over splitmix64-mixed
-    keys, membership checked per Arrow batch.  The build collects the
-    KEYS to the driver — fine for the dedup-ledger sizes a bloom guard
-    targets; beyond that, build per-partition bitmaps with
-    ``mapPartitions`` and OR-merge them (same math, one treeReduce).
+    * driver (default) — collect the KEYS and set bits locally.  Fine
+      for the dedup-ledger sizes a bloom guard targets (~1.2 MB of
+      bitmap per 10⁶ keys at 1% fpp), but the collect itself carries
+      every key.
+    * ``distributed=True`` — each partition folds its keys into a
+      sparse local bitmap inside one Arrow-batched ``mapInPandas``
+      pass, emitting only its NONZERO (word_idx, word) pairs; a
+      ``groupBy(word).bit_or`` — map-side combined, so the shuffle
+      carries ≤ P×nonzero-words rows of two longs — OR-merges them,
+      and only the final ~m/64-word bitmap reaches the driver.  This
+      is the 100 TB build: driver traffic is the bitmap, never the
+      keys.
     """
-    import math
+    if distributed:
+        n = seen_hashes.count()
+        if n == 0:
+            return None
+        m, k = _bloom_params(n, fpp)
+        n_words = (m + 63) // 64
+        _, set_bits_f = _make_bloom_fns()
 
-    import numpy as np
+        def partial(batches):
+            import numpy as _np
+            import pandas as _pd
 
+            bits = _np.zeros(n_words, dtype=_np.uint64)
+            saw = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                saw = True
+                keys = pdf.iloc[:, 0].to_numpy(dtype=_np.int64).astype(_np.uint64)
+                set_bits_f(bits, keys, m, k)
+            if saw:
+                nz = _np.nonzero(bits)[0]
+                yield _pd.DataFrame(
+                    {"w": nz.astype(_np.int64), "v": bits[nz].view(_np.int64)}
+                )
+
+        merged = (
+            seen_hashes.select(hash_col)
+            .mapInPandas(partial, schema="w long, v long")
+            .groupBy("w")
+            .agg(F.bit_or("v").alias("v"))
+            .collect()
+        )
+        bits = np.zeros(n_words, dtype=np.uint64)
+        for r in merged:
+            bits[r["w"]] = np.int64(r["v"]).view(np.uint64)
+        return bits, m, k
+
+    mix_f, set_bits_f = _make_bloom_fns()
     keys = np.array(
         [r[0] for r in seen_hashes.select(hash_col).collect()], dtype=np.uint64
     )
     if keys.size == 0:
-        return new_docs
-    n = int(keys.size)
-    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
-    k = max(1, round(m / n * math.log(2)))
-
-    def _mix(x: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
-        # splitmix64 finalizer twice with different constants — two
-        # independent 64-bit hash streams for double hashing.
-        def fin(v, c1, c2):
-            v = (v ^ (v >> np.uint64(30))) * np.uint64(c1)
-            v = (v ^ (v >> np.uint64(27))) * np.uint64(c2)
-            return v ^ (v >> np.uint64(31))
-
-        return (
-            fin(x.copy(), 0xBF58476D1CE4E5B9, 0x94D049BB133111EB),
-            fin(x + np.uint64(0x9E3779B97F4A7C15), 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53),
-        )
-
+        return None
+    m, k = _bloom_params(int(keys.size), fpp)
     bits = np.zeros((m + 63) // 64, dtype=np.uint64)
-    h1, h2 = _mix(keys)
-    for i in range(k):
-        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
-        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (idx & np.uint64(63)))
+    set_bits_f(bits, keys, m, k)
+    return bits, m, k
 
-    bc = new_docs.sparkSession.sparkContext.broadcast((bits, m, k))
+
+def bloom_maybe_seen(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    hash_col: str = "text_hash",
+    fpp: float = 0.01,
+    flag_col: str = "maybe_seen",
+    distributed: bool = False,
+) -> DataFrame:
+    """``new_docs`` + a boolean ``flag_col``: True iff the row's hash
+    hits the Bloom filter built from ``seen_hashes``.
+
+    * ``flag_col`` False → DEFINITELY unseen (no false negatives by
+      construction); safe to admit with no further check.
+    * ``flag_col`` True → maybe seen (false-positive rate ≈ fpp);
+      resolve with an exact anti-join on this ~fpp-sized slice only.
+
+    The bitmap is broadcast once (~1.2 MB per 10⁶ keys at 1% fpp) and
+    membership is checked per Arrow batch in numpy — no shuffle, no
+    join; the scan stays embarrassingly parallel.
+    """
+    state = build_bloom(seen_hashes, hash_col, fpp, distributed)
+    if state is None:
+        return new_docs.withColumn(flag_col, F.lit(False))
+    bc = new_docs.sparkSession.sparkContext.broadcast(state)
+    mix_f, _ = _make_bloom_fns()
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
     def maybe_seen(col):
+        import numpy as _np
         import pandas as _pd
 
         bits_l, m_l, k_l = bc.value
-        x = col.to_numpy(dtype=np.int64).astype(np.uint64)
-        a1, a2 = _mix(x)
-        hit = np.ones(len(x), dtype=bool)
+        x = col.to_numpy(dtype=_np.int64).astype(_np.uint64)
+        a1, a2 = mix_f(x)
+        hit = _np.ones(len(x), dtype=bool)
         for i in range(k_l):
-            idx = (a1 + np.uint64(i) * a2) % np.uint64(m_l)
-            word = bits_l[(idx >> np.uint64(6)).astype(np.int64)]
-            hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) > 0
+            idx = (a1 + _np.uint64(i) * a2) % _np.uint64(m_l)
+            word = bits_l[(idx >> _np.uint64(6)).astype(_np.int64)]
+            hit &= (word >> (idx & _np.uint64(63))) & _np.uint64(1) > 0
         return _pd.Series(hit)
 
-    return new_docs.filter(~maybe_seen(F.col(hash_col)))
+    return new_docs.withColumn(flag_col, maybe_seen(F.col(hash_col)))
+
+
+def dedup_bloom_prefilter(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    hash_col: str = "text_hash",
+    fpp: float = 0.01,
+    distributed: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``new_docs`` into ``(definitely_novel, maybe_seen)``.
+
+    ``definitely_novel`` rows need NO further check (a Bloom filter has
+    no false negatives).  ``maybe_seen`` rows are seen-or-false-positive
+    (~fpp of the truly-novel rows land here) and MUST be resolved with
+    an exact anti-join before being dropped — returning both halves is
+    what makes the workflow lossless; filtering to the definitely-novel
+    half alone would silently discard ~fpp of novel documents.  See
+    :func:`incremental_novel_docs` for the composed exact pipeline.
+    """
+    flagged = bloom_maybe_seen(
+        new_docs, seen_hashes, hash_col, fpp, "_maybe_seen", distributed
+    )
+    return (
+        flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen"),
+        flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"),
+    )
+
+
+def incremental_novel_docs(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    hash_col: str = "text_hash",
+    fpp: float = 0.01,
+    distributed: bool = False,
+) -> DataFrame:
+    """EXACTLY the rows of ``new_docs`` whose hash is absent from
+    ``seen_hashes`` — the incremental-ingest novelty gate.
+
+    Semantically identical to a plain anti-join; the Bloom pre-filter
+    only changes the COST: definitely-novel rows (the overwhelming
+    majority of a typical ingest batch) bypass the join entirely, and
+    the exact anti-join — the only shuffle — touches just the ~fpp
+    maybe-seen slice.  Because false positives are rescued by that
+    join, the result is exact for every fpp, which is what lets the
+    driver oracle-check this against ``WHERE NOT EXISTS`` SQL.
+    """
+    definitely_novel, maybe = dedup_bloom_prefilter(
+        new_docs, seen_hashes, hash_col, fpp, distributed
+    )
+    seen = seen_hashes.select(F.col(hash_col).alias("_seen_h")).distinct()
+    rescued = maybe.join(
+        seen, maybe[hash_col] == F.col("_seen_h"), "left_anti"
+    )
+    return definitely_novel.unionByName(rescued)

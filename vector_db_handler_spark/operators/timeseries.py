@@ -146,8 +146,11 @@ def range_join_pairs(
 
 def rollup_by_day_type(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Hierarchical rollup (day × event_type → day → grand total) in
-    ONE grouping-sets pass; levels marked with 'ALL' sentinels so the
-    output needs no null-semantics agreement between engines."""
+    ONE grouping-sets pass.  Subtotal levels are marked 'ALL' via
+    ``GROUPING()`` — not ``coalesce`` — so a row whose ``event_type``
+    is genuinely NULL stays a distinct detail group instead of being
+    silently merged into the subtotal (both engines agree on
+    ``GROUPING()`` semantics)."""
     day = F.date_trunc("day", F.col(ts_col)).cast("date").cast("string")
     return (
         events.withColumn("_day", day)
@@ -155,10 +158,14 @@ def rollup_by_day_type(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.grouping("_day").alias("_g_day"),
+            F.grouping("event_type").alias("_g_type"),
         )
         .select(
-            F.coalesce(F.col("_day"), F.lit("ALL")).alias("day"),
-            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.when(F.col("_g_day") == 1, F.lit("ALL")).otherwise(F.col("_day")).alias("day"),
+            F.when(F.col("_g_type") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
             "n_events",
             "sum_value",
         )
