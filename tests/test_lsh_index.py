@@ -73,3 +73,29 @@ def test_lsh_probe_empty_query_batch(spark, sf_dir, tmp_path):
     dedup_ops.write_lsh_index(docs, path)
     empty = docs.filter(F.lit(False))
     assert dedup_ops.lsh_probe_table(spark, path, empty, _THRESHOLD).count() == 0
+
+
+def test_lsh_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+
+    inc_path = str(tmp_path / "lsh_inc")
+    dedup_ops.write_lsh_index(old, inc_path)
+    dedup_ops.append_lsh_index(new, inc_path)
+
+    full_path = str(tmp_path / "lsh_full")
+    dedup_ops.write_lsh_index(docs, full_path)
+
+    # A probe against the appended index must equal the same probe
+    # against a from-scratch rebuild — including matches that pair a
+    # probe doc with an APPENDED doc.
+    queries = docs.filter(F.col("doc_id") % 20 == 0)
+    key = lambda r: (r["query_id"], r["corpus_id"])
+    got = {key(r): r["jaccard"]
+           for r in dedup_ops.lsh_probe_table(spark, inc_path, queries, _THRESHOLD).collect()}
+    want = {key(r): r["jaccard"]
+            for r in dedup_ops.lsh_probe_table(spark, full_path, queries, _THRESHOLD).collect()}
+    assert got == want
+    # sanity: the appended half is actually reachable (self-matches)
+    assert any(q >= 400 for q, _ in got)

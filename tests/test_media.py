@@ -92,3 +92,38 @@ def test_phash_stable_under_small_edit(spark):
             for r in media_ops.media_phash(media_ops.synthesize_media(docs)).collect()}
     dist = bin(rows[1][0] ^ rows[2][0]).count("1") + bin(rows[1][1] ^ rows[2][1]).count("1")
     assert dist <= 16, f"hamming distance {dist} too large for a 1-word edit"
+
+
+def test_decode_fn_injects_custom_decoder(spark, sf_dir):
+    """A user-supplied codec drops into decode_features/media_phash
+    without operator edits; the default (fake-decode) results are
+    unchanged by the new parameter."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    media = media_ops.synthesize_media(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).limit(20)
+
+    # Self-contained stand-in for a real codec: constant 4-byte signal.
+    def const_decode(blob: bytes):
+        import numpy as _np
+
+        return _np.array([0, 64, 128, 255], dtype=_np.uint8)
+
+    feats = media_ops.decode_features(media, decode_fn=const_decode).collect()
+    assert len(feats) == 20
+    # every histogram is identical and nonzero exactly where the
+    # constant signal lands
+    first = feats[0]["features"]
+    assert all(r["features"] == first for r in feats)
+    assert sum(1 for v in first if v > 0) == 4
+
+    def const_text(blob: bytes) -> str:
+        return "abcdabcdabcd"
+
+    ph = media_ops.media_phash(media, decode_fn=const_text).collect()
+    assert len({(r["phash_hi"], r["phash_lo"]) for r in ph}) == 1
+
+    # default path unaffected
+    base = media_ops.media_phash(media).collect()
+    assert len(base) == 20

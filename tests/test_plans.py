@@ -91,3 +91,36 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_cosine_neardup_is_distributed_grouped_map(spark, sf_dir):
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = sim_ops.cosine_neardup_pairs(emb, threshold=0.45)
+    plan = _plan(df)
+    # The all-pairs product runs as a grouped-map pandas stage over
+    # block-pairs — never as a driver-collected matrix (no collect
+    # happens at plan-build time) and never as a joined pair explosion.
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    import re
+
+    # one exchange to co-locate each block-pair's rows; nothing else
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_q4_plans_left_semi_hash_join(spark, sf_dir):
+    plan = _plan(dq.tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the date range must reach the orders scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_q21_plans_semi_and_anti_joins(spark, sf_dir):
+    plan = _plan(dq.tpch_q21(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # supplier + nation ride broadcast; no big-table sort-merge join
+    assert "BroadcastHashJoin" in plan

@@ -96,8 +96,86 @@ def lsh(factor: int = 100) -> None:
     print(f"lsh_probe (25 docs) @ {factor}x corpus: {time.perf_counter() - t0:.2f}s, {len(rows)} matches")
 
 
+def neardup(n_rows: int = 100_000, n_blocks: int = 32) -> None:
+    """Exact all-pairs cosine near-dup at a synthetic n-row corpus of
+    DISTINCT pseudo-random vectors (near-orthogonal in 64 dims, so the
+    qualifying-pair output stays tiny and the measurement is pure
+    block-product compute + the N·B replication shuffle — no driver
+    matrix anywhere)."""
+    spark = get_spark("scale-probe-neardup")
+    path = os.path.join(tempfile.gettempdir(), f"vdh_randvec_{n_rows}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dims = F.sequence(F.lit(0), F.lit(63))
+        vec = F.transform(
+            dims,
+            lambda i: (
+                F.pmod(F.hash(F.concat(F.col("id").cast("string"), F.lit("-"), i.cast("string"))), F.lit(2001))
+                - 1000
+            ).cast("float")
+            / 1000.0,
+        )
+        spark.range(n_rows).select(
+            F.col("id").alias("vec_id"), vec.cast("array<float>").alias("embedding")
+        ).repartition(32).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path)
+    print(f"corpus: {big.count()} distinct random vectors")
+    sim_ops.cosine_neardup_pairs(big.limit(1000), 0.9, n_blocks=4).count()  # warm workers
+    t0 = time.perf_counter()
+    n_pairs = sim_ops.cosine_neardup_pairs(big, 0.9, n_blocks=n_blocks).count()
+    print(
+        f"cosine_neardup_pairs (exact all-pairs, B={n_blocks}) @ {n_rows} rows: "
+        f"{time.perf_counter() - t0:.2f}s, {n_pairs} pairs >= 0.9"
+    )
+
+
+def simhash(n_docs: int = 100_000) -> None:
+    """Candidate-volume A/B: naive 4×16 banding (n_blocks=4) vs the
+    block-combination scheme (n_blocks=6, 32-bit keys) on a DIVERSE
+    synthetic corpus (40 independent md5 tokens per doc) with one
+    planted near-dup twin per 100 docs.  The scale claim: candidates ≈
+    planted pairs for 32-bit keys (collision term N²·C(B,r)/2^32 stays
+    negligible), while 16-bit buckets fill linearly with N."""
+    from vector_db_handler_spark.operators import dedup as dedup_ops
+
+    spark = get_spark("scale-probe-simhash")
+    toks = F.sequence(F.lit(0), F.lit(39))
+    text = F.array_join(
+        F.transform(
+            toks,
+            lambda i: F.md5(F.concat(F.col("id").cast("string"), F.lit("-"), i.cast("string"))),
+        ),
+        " ",
+    )
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text"))
+    # Planted twins: doc_id % 100 == 0 gets a copy (id + n_docs) with
+    # its FIRST token replaced — a true Hamming-near fingerprint pair.
+    twin_text = F.concat(F.lit("twintoken "), F.substring_index(F.col("text"), " ", -39))
+    twins = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"), twin_text.alias("text")
+    )
+    corpus = base.unionByName(twins)
+    path = os.path.join(tempfile.gettempdir(), f"vdh_synthdocs_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus.repartition(32).write.mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+    n = corpus.count()
+    sig = dedup_ops.simhash64(corpus).cache()
+    sig.count()  # materialize once; both candidate runs read the cache
+    for blocks in (4, 6):
+        t0 = time.perf_counter()
+        n_cands = dedup_ops.simhash_band_candidates(sig, max_hamming=3, n_blocks=blocks).count()
+        print(
+            f"simhash candidates (r=3, B={blocks}, key={64 * (blocks - 3) // blocks}bit) "
+            f"@ {n} docs: {n_cands} candidates in {time.perf_counter() - t0:.2f}s"
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    elif len(sys.argv) > 1 and sys.argv[1] == "neardup":
+        neardup(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "simhash":
+        simhash(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
     else:
         main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)

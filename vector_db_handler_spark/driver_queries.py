@@ -2133,3 +2133,192 @@ def bloom_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seen = docs.filter(F.col("doc_id") % 2 == 0).select("text_hash")
     return sketch_ops.incremental_novel_docs(docs, seen, fpp=0.3, distributed=True)
+
+
+# ---------------------------------------------------------------------------
+# Skew / co-location surface as first-class checked queries: the salted
+# join (structural hot-key fix) and the bucketed co-located join must
+# produce EXACTLY the plain-join answer — the oracles are the plain
+# joins.  (Plan shapes — hot key spread over n_salts reducers, zero
+# exchanges on the bucketed join — are pinned by
+# tests/test_scale_patterns.py; the driver rows prove result parity.)
+# ---------------------------------------------------------------------------
+
+_SALTED_JOIN_SQL = """
+SELECT s.s_nationkey AS nationkey, count(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
+@register("salted_join_agg", _SALTED_JOIN_SQL)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem x supplier through the salted join (hot l_suppkey rows
+    spread over 8 deterministic sub-keys, supplier replicated per
+    salt), aggregated per nation — result must equal the plain join."""
+    from vector_db_handler_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, "suppkey", n_salts=8)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("bucketed_join_agg", _BUCKETED_JOIN_SQL)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through BUCKETED tables (both sides bucketBy the
+    join key into scratch-backed catalog tables — the co-location that
+    lets a 100 TB fact-fact join run with zero exchanges), aggregated
+    per order priority; must equal the plain join."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    base = os.path.join(tempfile.gettempdir(), f"vdh_bucketed_{tag}")
+    if li_tbl not in [t.name for t in spark.catalog.listTables()]:
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, "li"))
+            .mode("overwrite")
+            .saveAsTable(li_tbl)
+        )
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, "o"))
+            .mode("overwrite")
+            .saveAsTable(o_tbl)
+        )
+    j = spark.table(li_tbl).join(
+        spark.table(o_tbl), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4/Q21 shapes: EXISTS / NOT EXISTS planning (semi/anti hash
+# joins with a non-equi residual) — the fixture's lineitem has no
+# commit/receipt dates, so "late" is adapted to shipdate vs order date
+# with the join topology kept faithful to the TPC-H originals.
+# ---------------------------------------------------------------------------
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("tpch_q4", _TPCH_Q4_SQL)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS lowers to a
+    LEFT SEMI hash join on o_orderkey with the lateness residual; the
+    date range is pushed to the orders scan, and each order is counted
+    once no matter how many late lines it has."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "leftsemi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_TPCH_Q21_SQL = """
+WITH li_o AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, count(*) AS numwait
+FROM li_o l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l1.late AND n.n_name = 'NATION_3'
+AND EXISTS (SELECT 1 FROM li_o l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+AND NOT EXISTS (SELECT 1 FROM li_o l3
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.late)
+GROUP BY s.s_name
+"""
+
+
+@register("tpch_q21", _TPCH_Q21_SQL)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS/NOT EXISTS pair plans as LEFT SEMI + LEFT ANTI hash joins
+    on l_orderkey (suppkey inequality as residual); supplier and the
+    filtered nation broadcast.  The late-line relation is derived once
+    and reused by all three roles (l1/l2/l3)."""
+    orders_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    li_o = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    l1 = li_o.filter(F.col("late"))
+    l2 = li_o.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    waited = (
+        l1.join(l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "leftsemi")
+        .join(l3, (F.col("l_orderkey") == l3.k3) & (F.col("l_suppkey") != l3.s3), "left_anti")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -202,8 +202,35 @@ def simhash_neardup_pairs(
     Trade-off dial: larger B widens recall margin per combination count
     but narrows keys.
     """
-    widths, offsets, combos = _simhash_block_plan(max_hamming, n_blocks)
     sig = simhash64(docs, text_col, id_col).cache()
+    cands = simhash_band_candidates(sig, max_hamming, n_blocks)
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sim_hi").alias("hi1"), F.col("sim_lo").alias("lo1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sim_hi").alias("hi2"), F.col("sim_lo").alias("lo2"))
+    hamming = F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2"))) + F.bit_count(
+        F.col("lo1").bitwiseXOR(F.col("lo2"))
+    )
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def simhash_band_candidates(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DISTINCT candidate pairs (d1 < d2) from block-combination band
+    keys over a (id, sim_hi, sim_lo) signature relation — the
+    candidate-generation stage of :func:`simhash_neardup_pairs`,
+    exposed separately so scale probes can measure candidate volume
+    and so ``n_blocks=4, max_hamming=3`` reproduces the naive 4×16
+    banding (one 16-bit block per key) for A/B comparison."""
+    widths, offsets, combos = _simhash_block_plan(max_hamming, n_blocks)
     full = F.shiftleft(F.col("sim_hi"), 32).bitwiseOR(F.col("sim_lo"))
     block_vals = [
         F.shiftrightunsigned(full, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
@@ -216,10 +243,10 @@ def simhash_neardup_pairs(
             key = F.shiftleft(key, widths[blk]).bitwiseOR(block_vals[blk])
         structs.append(F.struct(F.lit(ci).alias("band"), key.alias("key")))
     bands = sig.select(
-        "doc_id", F.explode(F.array(*structs)).alias("bk")
+        F.col(id_col).alias("doc_id"), F.explode(F.array(*structs)).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     b1, b2 = bands.alias("x"), bands.alias("y")
-    cands = (
+    return (
         b1.join(
             b2,
             (F.col("x.band") == F.col("y.band"))
@@ -228,18 +255,6 @@ def simhash_neardup_pairs(
         )
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
-    )
-    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sim_hi").alias("hi1"), F.col("sim_lo").alias("lo1"))
-    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sim_hi").alias("hi2"), F.col("sim_lo").alias("lo2"))
-    hamming = F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2"))) + F.bit_count(
-        F.col("lo1").bitwiseXOR(F.col("lo2"))
-    )
-    return (
-        cands.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("d1", "d2", "hamming")
     )
 
 
@@ -394,6 +409,42 @@ def write_lsh_index(
     sh.unpersist()
 
 
+def append_lsh_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> None:
+    """Ingest-time index maintenance: fold a batch of NEW docs into a
+    written LSH index (:func:`write_lsh_index`) without rebuilding —
+    the write-side twin of :func:`lsh_probe_table`.
+
+    Appends the batch's band keys (into the same ``band=`` partitions)
+    and hashed shingles.  Cost is one shingling pass over the BATCH
+    only; the corpus is never re-read.  Appended band files are sorted
+    by ``key`` within themselves, so parquet min/max row-group pruning
+    keeps working per file; periodic compaction (rewrite one ``band=``
+    partition sorted) restores the fully-clustered layout without
+    touching the rest of the index.  MinHash parameters are module
+    constants, so batch signatures merge with the corpus index
+    bit-identically.
+    """
+    sh = shingle_index(new_docs, text_col, id_col, k).cache()
+    bands = band_keys(minhash_signatures_from_index(sh), "doc_id")
+    (
+        bands.repartition("band")
+        .sortWithinPartitions("key")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    sh.select("doc_id", portable_hash60(F.col("shingle")).alias("h")).write.mode(
+        "append"
+    ).parquet(f"{path}/shingles")
+    sh.unpersist()
+
+
 def lsh_probe_table(
     spark,
     path: str,
@@ -473,8 +524,8 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     16 bits (round 1) collide catastrophically beyond ~64k docs; 64
     bits is the standard fingerprint width (Charikar/Manku et al.) and
     keeps random-collision probability negligible at 100 TB corpus
-    sizes.  Near-dup lookup: band the halves into 4×16-bit keys and
-    equi-join, then verify Hamming distance ≤ r on candidates.
+    sizes.  Near-dup lookup: block-combination band keys
+    (:func:`simhash_band_candidates`) + Hamming ≤ r verification.
     """
     tok = docs.select(
         F.col(id_col).alias("doc_id"),

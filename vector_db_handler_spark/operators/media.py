@@ -91,24 +91,32 @@ def decode_features(
     id_col: str = "media_id",
     decode: str = "fake",
     n_buckets: int = N_HIST_BUCKETS,
+    decode_fn=None,
 ) -> DataFrame:
     """Decode + feature-extract: (id, modality, features ARRAY<FLOAT>).
 
-    ``decode='real'`` is the integration point for actual codecs
-    (PIL/soundfile/av — not present in this container) and raises
-    ``NotImplementedError``; ``decode='fake'`` produces a
-    deterministic L1-normalized byte histogram so the pipeline shape
-    (Arrow batching, fixed-width feature schema, downstream ANN
-    compatibility) is fully exercised.
+    ``decode_fn`` is the codec integration point: a SELF-CONTAINED
+    callable ``bytes -> np.ndarray[uint8]`` (the normalized signal —
+    e.g. grayscale pixels from PIL, PCM samples from soundfile) that
+    is cloudpickled into the executors, so it must only close over
+    numpy/stdlib (no repo-module references).  Passing one means no
+    operator edit is needed to go real: the Arrow batching, histogram,
+    and schema below are decoder-agnostic.
+
+    Without ``decode_fn``: ``decode='fake'`` histograms the raw bytes
+    (deterministic, oracle-checkable); ``decode='real'`` raises
+    ``NotImplementedError`` (PIL/soundfile/av absent in this
+    container).
     """
-    if decode == "real":
-        raise NotImplementedError(
-            "real media decoding requires PIL/soundfile/av; install them and "
-            "replace _fake_decode with the codec call — the Spark plumbing "
-            "below is decoder-agnostic"
-        )
-    if decode != "fake":
-        raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
+    if decode_fn is None:
+        if decode == "real":
+            raise NotImplementedError(
+                "real media decoding requires PIL/soundfile/av; pass "
+                "decode_fn=<codec callable> — the Spark plumbing below is "
+                "decoder-agnostic"
+            )
+        if decode != "fake":
+            raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
 
     out_schema = T.StructType(
         [
@@ -123,7 +131,10 @@ def decode_features(
         for pdf in batches:
             feats = []
             for blob in pdf[media_col]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if decode_fn is None:
+                    arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                else:
+                    arr = np.asarray(decode_fn(bytes(blob)), dtype=np.uint8)
                 hist = np.bincount(arr >> (8 - nb.bit_length() + 1), minlength=nb)[:nb]
                 total = hist.sum() or 1
                 feats.append((hist / total).astype(np.float32).tolist())
@@ -232,10 +243,14 @@ def media_phash(
     media: DataFrame,
     media_col: str = "media",
     id_col: str = "media_id",
+    decode_fn=None,
 ) -> DataFrame:
     """Perceptual-hash-ish 64-bit fingerprint per media item: SimHash
-    over character 4-grams of the decoded+normalized signal (here the
-    deterministic fake decode: latin-1, lowercased).
+    over character 4-grams of the decoded+normalized signal.  Default
+    decode is the deterministic fake (latin-1, lowercased — exactly
+    replayable in SQL); ``decode_fn`` (a self-contained
+    ``bytes -> str`` callable, cloudpickled to executors) swaps in a
+    real codec without touching the fingerprint stage.
 
     Robust to small edits the way a pHash is robust to re-encodes —
     and unlike a real pHash, exactly replayable in SQL, so the driver
@@ -275,7 +290,11 @@ def media_phash(
         for pdf in batches:
             ids, his, los = [], [], []
             for mid, blob in zip(pdf[id_col], pdf[media_col]):
-                signal = bytes(blob).decode("latin-1").lower()
+                signal = (
+                    decode_fn(bytes(blob))
+                    if decode_fn is not None
+                    else bytes(blob).decode("latin-1").lower()
+                )
                 if len(signal) < 4:
                     continue
                 counts: dict[str, int] = {}

@@ -133,52 +133,90 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs (i < j) with cosine ≥ threshold — semantic near-dup.
+    EXACT, and fully distributed: nothing is ever collected to the
+    driver.
 
-    O(n²) compute is inherent to all-pairs, but pair MATERIALIZATION is
-    not: a self-join would shuffle N² rows each carrying two vectors.
-    Instead the corpus matrix is closed over driver-side (broadcast
-    pattern) and each partition emits only its above-threshold pairs
-    from one numpy block product — no join, no shuffle, output is just
-    the (rare) qualifying pairs.
+    O(n²) compute is inherent to all-pairs, but neither pair
+    MATERIALIZATION nor a driver-resident corpus matrix is: rows hash
+    into ``n_blocks`` blocks; each row is replicated to the
+    block-PAIRS containing its block (B copies — far cheaper than the
+    N copies of a naive self-join's shuffle), and one
+    ``applyInPandas`` per block-pair computes its cross/within numpy
+    product, emitting only qualifying pairs.  Every unordered pair
+    lives in exactly one block-pair group, so no dedup pass is needed.
 
-    Fits corpora up to the broadcast budget (~10⁶ rows at 64 dims).
-    Beyond that, all-pairs is the wrong query: block by LSH bucket or
-    IVF cell (``build_ivf_index``) and verify candidates only.
+    Scale dial: a group holds ≤ 2N/B rows — choose ``n_blocks`` so
+    2N·dim·8/B fits an executor (B=160 puts a 10⁸×64-dim corpus at
+    ~640 MB/group); shuffle volume is N·B vector rows against the
+    self-join's N² pair rows.  Past ~10⁹ rows, exact all-pairs is the
+    wrong query — generate candidates with LSH buckets or IVF cells
+    (``build_ivf_index``) and verify those only.
     """
-    c_ids, c_unit = _collect_matrix(corpus, id_col, vec_col)
-    c_id_arr = np.array(c_ids)
     thr = float(threshold)
+    nb = int(n_blocks)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"id1 {id_type}, id2 {id_type}, score double"
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id1", corpus.schema[id_col].dataType),
-            T.StructField("id2", corpus.schema[id_col].dataType),
-            T.StructField("score", T.DoubleType()),
-        ]
+    blocked = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(nb)).alias("_b"),
+    )
+    rep = blocked.select(
+        "_id",
+        "_vec",
+        "_b",
+        F.explode(F.array(*[F.lit(j) for j in range(nb)])).alias("_o"),
+    ).select(
+        "_id",
+        "_vec",
+        "_b",
+        F.least("_b", "_o").alias("_p1"),
+        F.greatest("_b", "_o").alias("_p2"),
     )
 
-    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-            scores = (m / norms[:, None]) @ c_unit.T  # (n, N)
-            rid = pdf[id_col].to_numpy()
-            rows, cols = np.where(scores >= thr)
-            keep = rid[rows] < c_id_arr[cols]  # i < j, dedups both orders
-            yield pd.DataFrame(
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+        import pandas as _pd
+
+        p1, p2 = key
+        if len(pdf) == 0:
+            return _pd.DataFrame({"id1": [], "id2": [], "score": []})
+        m = _np.array(list(pdf["_vec"]), dtype=_np.float64)
+        norms = _np.sqrt(_np.einsum("ij,ij->i", m, m))
+        mu = m / norms[:, None]
+        ids = pdf["_id"].to_numpy()
+        if p1 == p2:
+            scores = mu @ mu.T
+            rows, cols = _np.where(scores >= thr)
+            keep = ids[rows] < ids[cols]  # i < j, dedups both orders
+            return _pd.DataFrame(
                 {
-                    "id1": rid[rows][keep],
-                    "id2": c_id_arr[cols][keep],
+                    "id1": ids[rows][keep],
+                    "id2": ids[cols][keep],
                     "score": scores[rows, cols][keep],
                 }
             )
+        m1, m2 = pdf["_b"].to_numpy() == p1, pdf["_b"].to_numpy() == p2
+        scores = mu[m1] @ mu[m2].T
+        rows, cols = _np.where(scores >= thr)
+        a, b = ids[m1][rows], ids[m2][cols]
+        lo = _np.where(a < b, a, b)
+        return _pd.DataFrame(
+            {
+                "id1": lo,
+                "id2": _np.where(a < b, b, a),
+                "score": scores[rows, cols],
+            }
+        )
 
-    return corpus.mapInPandas(block_pairs, schema=out_schema).select(
-        "id1", "id2", F.round("score", 6).alias("score")
+    return (
+        rep.groupBy("_p1", "_p2")
+        .applyInPandas(block_pairs, schema=out_schema)
+        .select("id1", "id2", F.round("score", 6).alias("score"))
     )
 
 

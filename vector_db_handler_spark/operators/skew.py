@@ -32,7 +32,22 @@ def salted_join(
     hash (not ``rand()``), so results are reproducible and retries of
     a failed task produce identical partitioning.  Output columns =
     plain ``left.join(right, key, how)``.
+
+    Only LEFT-preserving shapes are accepted: replication is on the
+    right side, so inner/left-outer/left-semi/left-anti results are
+    unchanged (every left row carries exactly one salt and sees every
+    right row of its key), but right/full-outer would emit each
+    UNMATCHED right row once per salt — silently duplicated.  Salt the
+    other side (swap the arguments) for right-skewed outer joins.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only ({sorted(allowed)}); "
+            f"got how={how!r} — right-side replication would duplicate "
+            "unmatched right rows under right/full outer shapes"
+        )
     salt = (F.abs(F.hash(*[F.col(c) for c in left.columns])) % n_salts).alias("_salt")
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(
