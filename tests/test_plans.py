@@ -124,3 +124,55 @@ def test_q21_plans_semi_and_anti_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # supplier + nation ride broadcast; no big-table sort-merge join
     assert "BroadcastHashJoin" in plan
+
+
+def test_q13_plans_single_outer_join(spark, sf_dir):
+    plan = _plan(dq.tpch_q13(spark, sf_dir))
+    # No-order customers must survive: exactly one LEFT OUTER join,
+    # with the priority filter applied on the orders side BEFORE it.
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "o_orderpriority" in plan
+
+
+def test_q17_correlated_avg_is_aggregate_then_join(spark, sf_dir):
+    plan = _plan(dq.tpch_q17(spark, sf_dir))
+    # The per-part average joins back as a broadcast — one HashAggregate
+    # feeding a BroadcastHashJoin, never a per-row rescan or nested loop.
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # brand/type equality reaches the part scan
+    assert "p_brand" in plan and "PushedFilters" in plan
+
+
+def test_q16_not_in_lowers_to_anti_join(spark, sf_dir):
+    plan = _plan(dq.tpch_q16(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_q20_nested_in_lowers_to_semi_chain(spark, sf_dir):
+    plan = _plan(dq.tpch_q20(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the year window reaches the lineitem scan
+    assert "l_shipdate" in plan and "PushedFilters" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    plan = _plan(dq.tpch_q22(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the 1-row average broadcasts (BroadcastNestedLoopJoin over a
+    # single-row side is the right plan for a scalar — cheap by
+    # construction); the big sides must still hash-join.
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_q15_max_is_single_aggregation_tree(spark, sf_dir):
+    plan = _plan(dq.tpch_q15(spark, sf_dir))
+    # revenue view aggregated ONCE; its max comes back as a 1-row
+    # broadcast; supplier rides a broadcast hash join.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
