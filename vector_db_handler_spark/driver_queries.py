@@ -2894,3 +2894,82 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs → transitive closure → one survivor per
+# cluster.  The step between pair generation (minhash_lsh_pairs) and
+# actually DROPPING duplicates in a training-data pipeline.  The
+# oracle replays the closure as a recursive CTE over the same pair
+# SQL — a rare case of an iterative Spark algorithm with an exact
+# SQL twin.
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_MINHASH_LSH_SQL})
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+FROM reach GROUP BY 1
+"""
+
+
+@register("neardup_components", _COMPONENTS_SQL)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the whole corpus: MinHash-LSH pairs →
+    hash-to-min label propagation (operators/dedup.connected_components)
+    until fixpoint; docs with no near-dup stay singleton components.
+    The oracle computes the same closure with a recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD)
+    comp = dedup_ops.connected_components(pairs, nodes=docs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+_CANONICAL_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_MINHASH_LSH_SQL})
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1
+)
+SELECT component, doc_id AS canonical_doc_id, cluster_size
+FROM (
+  SELECT CAST(c.component AS BIGINT) AS component, d.doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM comp c JOIN documents d ON c.node = d.doc_id
+) WHERE rn = 1
+"""
+
+
+@register("neardup_canonical_docs", _CANONICAL_SQL)
+def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One survivor per duplicate cluster: keep the longest member
+    (tie-break smallest id).  The downstream anti-join of
+    ``documents`` against the non-survivors IS the dedup."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD)
+    comp = dedup_ops.connected_components(pairs, nodes=docs)
+    return dedup_ops.canonical_docs(docs, comp)

@@ -636,3 +636,111 @@ def cross_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    nodes: DataFrame | None = None,
+    node_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → ``(node,
+    component)`` with component = the minimum reachable node id.
+
+    This is the cluster step of the dedup pipeline the pair operators
+    feed: pairs only say "a ≈ b"; transitive closure decides which
+    rows are ONE duplicate group (a≈b, b≈c ⇒ {a,b,c}), and the
+    canonical-survivor choice (``canonical_docs``) needs the group.
+
+    Hash-to-min label propagation: every node starts as its own
+    label; each round every node takes the min of its own and its
+    neighbors' labels; fixpoint when no label changes.  Rounds =
+    graph diameter, and near-dup graphs are piles of tiny cliques
+    (diameter ~2-3), so the loop runs 3-4 times in practice —
+    ``max_iter`` only guards pathological chains.  Per round: one
+    shuffle join (edges ⋈ labels on the destination) + one
+    map-side-combined min-aggregate, both on the node key; labels are
+    ``localCheckpoint``-ed so the plan does not grow with iterations.
+    This is the simple member of the Kiveris et al. "Connected
+    Components in MapReduce and Beyond" family; large-star/small-star
+    halves round count on high-diameter graphs but near-dup graphs
+    never are.
+
+    ``nodes`` (optional) adds isolated nodes (docs with no near-dup)
+    as singleton components, so the output covers the whole corpus.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=False)
+
+    labels = edges.select(F.col("a").alias("node")).distinct()
+    if nodes is not None:
+        labels = labels.union(
+            nodes.select(F.col(node_col).alias("node"))
+        ).distinct()
+    labels = labels.withColumn("lbl", F.col("node")).localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.b == labels.node)
+            .select(F.col("a").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.select("node", "lbl")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node"), F.col("lbl").alias("component"))
+
+
+def canonical_docs(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Pick ONE surviving document per duplicate cluster →
+    ``(component, canonical_doc_id, cluster_size)``.
+
+    The survivor is the highest-``quality_col`` member (longest doc by
+    default — the usual keep-the-richest-copy policy), tie-broken on
+    the smallest id so the choice is deterministic under any
+    execution order.  One window over the component key: at scale
+    this is a single shuffle on component id, and cluster sizes are
+    tiny (near-dup groups), so no skew concern.
+    """
+    from pyspark.sql import Window
+
+    j = components.join(
+        docs, components.node == docs[id_col]
+    ).select("component", id_col, quality_col)
+    w = Window.partitionBy("component")
+    ranked = j.select(
+        "component",
+        F.col(id_col),
+        F.count("*").over(w).alias("cluster_size"),
+        F.row_number()
+        .over(w.orderBy(F.col(quality_col).desc(), F.col(id_col).asc()))
+        .alias("_rn"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "component",
+        F.col(id_col).alias("canonical_doc_id"),
+        "cluster_size",
+    )
