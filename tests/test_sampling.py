@@ -1,0 +1,59 @@
+"""Deterministic-sampling properties: reproducibility under
+re-execution, salt independence (disjoint splits), exact per-group k,
+and the zero-shuffle plan shape of the stateless filters."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.operators import sampling as sampling_ops
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_sample_is_reproducible(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r["doc_id"] for r in sampling_ops.hash_sample(docs, 0.2, "doc_id").collect()}
+    b = {r["doc_id"] for r in sampling_ops.hash_sample(docs.repartition(13), 0.2, "doc_id").collect()}
+    assert a == b, "sample must not depend on partitioning"
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n
+
+
+def test_disjoint_hash_ranges_make_disjoint_splits(spark, sf_dir):
+    # train/holdout from one scan: same salt, complementary ranges.
+    docs = _docs(spark, sf_dir)
+    bucket = sampling_ops.sample_bucket(F.col("doc_id"))
+    train = {r["doc_id"] for r in docs.filter(bucket < 8000).collect()}
+    hold = {r["doc_id"] for r in docs.filter(bucket >= 8000).collect()}
+    assert train.isdisjoint(hold)
+    assert len(train) + len(hold) == docs.count()
+
+
+def test_different_salts_give_different_samples(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r["doc_id"] for r in sampling_ops.hash_sample(docs, 0.2, "doc_id", salt="s1").collect()}
+    b = {r["doc_id"] for r in sampling_ops.hash_sample(docs, 0.2, "doc_id", salt="s2").collect()}
+    assert a != b  # independent draws (overlap ~4%, not identity)
+
+
+def test_per_group_sample_exact_k(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = sampling_ops.per_group_sample_k(docs, k=7, group_col="lang", key_col="doc_id")
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    group_sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {g: min(7, n) for g, n in group_sizes.items()}
+
+
+def test_stratified_sample_plans_without_shuffle(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    df = sampling_ops.stratified_sample(
+        docs, rates={"en": 0.3}, strata_col="lang", key_col="doc_id", default_frac=0.1
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, "stateless filter must fuse into the scan"
+    assert "Join" not in plan

@@ -34,6 +34,7 @@ from vector_db_handler_spark.functions import text as text_fns
 from vector_db_handler_spark.functions.vector import l2_norm, vector_literal
 from vector_db_handler_spark.operators import dedup as dedup_ops
 from vector_db_handler_spark.operators import knn as knn_ops
+from vector_db_handler_spark.operators import sampling as sampling_ops
 from vector_db_handler_spark.operators import windows as window_ops
 from vector_db_handler_spark.sources.tables import load_table
 
@@ -2973,3 +2974,104 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD)
     comp = dedup_ops.connected_components(pairs, nodes=docs)
     return dedup_ops.canonical_docs(docs, comp)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (operators/sampling.py): reproducible corpus
+# curation — hash-of-key selection, never rand(), so retries,
+# repartitions, and other engines pick the SAME rows, and the oracle
+# can replay the selection exactly.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.30, "zh": 0.20}
+_SAMPLE_DEFAULT = 0.10
+_SAMPLE_BUCKET_SQL = (
+    "CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    " % 10000"
+)
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_SAMPLE_BUCKET_SQL} <
+      CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 2000 ELSE 1000 END
+"""
+
+
+@register("sample_stratified_docs", _STRATIFIED_SQL)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified corpus mix (30% en, 20% zh, 10% rest) by
+    key hash — a scan-fused stateless filter, zero shuffle."""
+    return sampling_ops.stratified_sample(
+        load(spark, sf_dir, "documents"),
+        rates=_SAMPLE_RATES,
+        strata_col="lang",
+        key_col="doc_id",
+        default_frac=_SAMPLE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+_PER_GROUP_K = 5
+
+_PER_GROUP_SQL = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_SAMPLE_BUCKET_SQL} ASC, doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= {_PER_GROUP_K}
+"""
+
+
+@register("sample_per_lang_topk", _PER_GROUP_SQL)
+def sample_per_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 uniformly-chosen docs per language: hash-ranked
+    window, one shuffle on the group key."""
+    return sampling_ops.per_group_sample_k(
+        load(spark, sf_dir, "documents"), k=_PER_GROUP_K,
+        group_col="lang", key_col="doc_id",
+    ).select("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality rule): the
+# fraction of k-word shingle OCCURRENCES that are repeats of an
+# earlier shingle in the same doc.  Boilerplate/spam detector; the
+# multiset twin of the distinct-shingle operators above.
+# ---------------------------------------------------------------------------
+
+_DOC_REPETITION_SQL = """
+WITH occ AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+cnt AS (SELECT doc_id, shingle, count(*) AS c FROM occ GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_shingles,
+       ROUND(CAST(SUM(c - 1) AS DOUBLE) / SUM(c), 6) AS dup_shingle_frac
+FROM cnt GROUP BY 1
+"""
+
+
+@register("doc_repetition", _DOC_REPETITION_SQL)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-shingle fraction per doc: explode ALL shingle
+    occurrences (multiset), count per (doc, shingle) with map-side
+    combine, then one more per-doc aggregate.  Both shuffles carry
+    pre-combined counts, and the doc_id key is unskewed — the
+    100 TB shape is two cheap stages."""
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(text_fns.word_shingles_all(F.col("text"))).alias("shingle"),
+    )
+    cnt = occ.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_shingles"),
+        F.round(F.sum(F.col("c") - 1).cast("double") / F.sum("c"), 6).alias(
+            "dup_shingle_frac"
+        ),
+    )

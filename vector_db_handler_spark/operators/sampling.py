@@ -1,0 +1,106 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Not present in the reference (no sampling surface at all); mandated
+by the extension brief — corpus curation at 100 TB starts with "take
+p% of each language / k docs per source", and it must be REPRODUCIBLE
+across runs, engines, and retries.
+
+Every operator here samples by a portable md5-derived hash of the row
+key, never by ``rand()``:
+
+* the sample is a pure function of (key, salt) — re-running a failed
+  stage, changing partitioning, or replaying on another engine
+  selects the SAME rows (Spark's ``df.sample`` guarantees none of
+  this: its Bernoulli draw is seeded per-partition, so a repartition
+  reshuffles the sample);
+* the salt gives independent samples from the same corpus (train /
+  holdout splits that provably don't overlap: disjoint hash ranges,
+  one scan);
+* it's exactly replayable in SQL, so the DuckDB oracles check the
+  operators row-for-row.
+
+Scale shape: ``hash_sample`` / ``stratified_sample`` are stateless
+row filters — they fuse into the scan (no shuffle, no state, trivially
+parallel at any corpus size).  ``per_group_sample_k`` is one window
+over the group key (single shuffle); group cardinality is the usual
+lang/source kind of key, far below skew territory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.functions.text import portable_hash60
+
+#: Hash-range denominator: rates are expressed in basis points out of
+#: 10_000, so fractions down to 0.01% are exact and the SQL twin is
+#: integer arithmetic (no float threshold to disagree on).
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_bucket(key: Column, salt: str = "smp") -> Column:
+    """Stable bucket in [0, SAMPLE_BUCKETS) from the row key: the
+    low 60 bits of md5(salt|key) mod 10_000.  Uniform because md5 is;
+    portable because both engines compute the identical integer."""
+    return portable_hash60(F.concat(F.lit(salt + "|"), key.cast("string"))) % SAMPLE_BUCKETS
+
+
+def hash_sample(
+    df: DataFrame,
+    frac: float,
+    key_col: str,
+    salt: str = "smp",
+) -> DataFrame:
+    """Keep a deterministic ``frac`` of rows by key hash.
+
+    A retry, a different partitioning, or a different engine keeps
+    exactly the same rows.  Plans as a scan-fused filter — zero
+    shuffle at any scale."""
+    cut = int(round(frac * SAMPLE_BUCKETS))
+    return df.filter(sample_bucket(F.col(key_col), salt) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_frac: float = 0.0,
+    salt: str = "smp",
+) -> DataFrame:
+    """Per-stratum hash sampling: stratum → keep-fraction.
+
+    The rate lookup is a broadcast-free CASE over the (small) rates
+    dict, so this stays a stateless scan-fused filter like
+    ``hash_sample`` — the idiom for "20% of English, 5% of the rest"
+    corpus mixes."""
+    cut = F.lit(int(round(default_frac * SAMPLE_BUCKETS)))
+    for stratum, frac in sorted(rates.items()):
+        cut = F.when(
+            F.col(strata_col) == stratum, int(round(frac * SAMPLE_BUCKETS))
+        ).otherwise(cut)
+    return df.filter(sample_bucket(F.col(key_col), salt) < cut)
+
+
+def per_group_sample_k(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    key_col: str,
+    salt: str = "smp",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen uniformly and
+    deterministically: rank rows inside each group by key hash and
+    keep the first k.  The fixed-size-per-source twin of
+    ``stratified_sample`` (which keeps a fraction).  One shuffle on
+    the group key; the hash tie-breaks on the key itself so ranking
+    is total even under hash collisions."""
+    w = Window.partitionBy(group_col).orderBy(
+        sample_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .drop("_rnk")
+    )
