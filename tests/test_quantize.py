@@ -1,0 +1,61 @@
+"""Int8 quantization properties the end-to-end oracle can't isolate:
+quantized ranking approximates exact cosine ranking (recall), values
+stay in int8 range, and the top-k lowers to TakeOrderedAndProject."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark import driver_queries as dq
+from vector_db_handler_spark.operators import knn as knn_ops
+from vector_db_handler_spark.operators import quantize as quantize_ops
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_qvec_values_fit_int8(spark, sf_dir):
+    q = quantize_ops.quantize_int8(_emb(spark, sf_dir))
+    stats = q.select(
+        F.min(F.array_min("qvec")).alias("lo"), F.max(F.array_max("qvec")).alias("hi")
+    ).collect()[0]
+    assert -127 <= stats["lo"] and stats["hi"] <= 127
+    assert stats["hi"] == 127  # the max-|x| component must hit full range
+
+
+def test_quantized_recall_vs_exact(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    k = 10
+    exact = {
+        r["vec_id"]
+        for r in knn_ops.knn(
+            emb, dq.QUERY_VEC, k=k, score_threshold=None, tie_break_col="vec_id"
+        ).collect()
+    }
+    quant = {
+        r["vec_id"]
+        for r in quantize_ops.quantized_knn(emb, dq.QUERY_VEC, k=k).collect()
+    }
+    # dot-product ranking (unnormalized) vs cosine differs by row norm;
+    # the fixture's rows are near-unit so overlap stays high.
+    assert len(exact & quant) >= 6, (exact, quant)
+
+
+def test_quantized_knn_plan_takeordered_no_collect(spark, sf_dir):
+    df = quantize_ops.quantized_knn(_emb(spark, sf_dir), dq.QUERY_VEC, k=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "TakeOrderedAndProject" in plan
+    # the scale is a broadcast, never a driver collect at plan time
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quantize_matches_driver_twin(spark, sf_dir):
+    # quantize_vector (driver-side single query) must agree with the
+    # distributed kernel given the same scale.
+    emb = _emb(spark, sf_dir)
+    s = quantize_ops.max_abs_scale(emb).collect()[0]["s"]
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    got = quantize_ops.quantize_int8(emb).filter(F.col("vec_id") == row["vec_id"]).collect()[0]["qvec"]
+    want = quantize_ops.quantize_vector(row["embedding"], s)
+    assert list(got) == want

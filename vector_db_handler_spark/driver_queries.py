@@ -34,6 +34,7 @@ from vector_db_handler_spark.functions import text as text_fns
 from vector_db_handler_spark.functions.vector import l2_norm, vector_literal
 from vector_db_handler_spark.operators import dedup as dedup_ops
 from vector_db_handler_spark.operators import knn as knn_ops
+from vector_db_handler_spark.operators import quantize as quantize_ops
 from vector_db_handler_spark.operators import sampling as sampling_ops
 from vector_db_handler_spark.operators import windows as window_ops
 from vector_db_handler_spark.sources.tables import load_table
@@ -3074,4 +3075,44 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("c") - 1).cast("double") / F.sum("c"), 6).alias(
             "dup_shingle_frac"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantized KNN (operators/quantize.py): symmetric max-abs
+# scalar quantization, integer dot scores — exact in both engines, so
+# the whole quantize→score→rank pipeline is hash-checked.
+# ---------------------------------------------------------------------------
+
+_QUANT_CLAMP = (
+    "CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(127.0 * x / s + 0.5))) AS BIGINT)"
+)
+
+_QUANTIZED_KNN_SQL = f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+),
+qc AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP}) AS v
+  FROM embeddings, scale
+)
+SELECT vec_id, CAST(list_dot_product(qc.v, (SELECT v FROM qq)) AS BIGINT) AS qscore
+FROM qc ORDER BY qscore DESC, vec_id LIMIT 10
+"""
+
+
+@register("quantized_knn_topk", _QUANTIZED_KNN_SQL)
+def quantized_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by int8-quantized dot product: the corpus max-|x| scale
+    rides a 1-row broadcast, one Arrow-batched numpy pass quantizes
+    and scores, and the limit lowers to TakeOrderedAndProject.
+    Integer scores ⇒ the oracle matches to the last bit."""
+    return quantize_ops.quantized_knn(
+        load(spark, sf_dir, "embeddings"), QUERY_VEC, k=10
     )
