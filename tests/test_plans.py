@@ -176,3 +176,11 @@ def test_q15_max_is_single_aggregation_tree(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_doc_repetition_fuses_into_scan(spark, sf_dir):
+    plan = _plan(dq.doc_repetition(spark, sf_dir))
+    # repeats = n − n_distinct inside the row: no explode-shuffle of
+    # the shingle multiset, no aggregation — a pure scan-fused map.
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan and "Generate" not in plan

@@ -3042,40 +3042,37 @@ def sample_per_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DOC_REPETITION_SQL = """
-WITH occ AS (
-  SELECT doc_id, unnest(list_transform(
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       ROUND(CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+         AS dup_shingle_frac
+FROM (
+  SELECT doc_id, list_transform(
            generate_series(1, len(t) - 2),
-           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+           i -> array_to_string(t[i:i+2], ' ')) AS sh
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
   WHERE len(t) >= 3
-),
-cnt AS (SELECT doc_id, shingle, count(*) AS c FROM occ GROUP BY 1, 2)
-SELECT doc_id,
-       CAST(SUM(c) AS BIGINT) AS n_shingles,
-       ROUND(CAST(SUM(c - 1) AS DOUBLE) / SUM(c), 6) AS dup_shingle_frac
-FROM cnt GROUP BY 1
+)
 """
 
 
 @register("doc_repetition", _DOC_REPETITION_SQL)
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-shingle fraction per doc: explode ALL shingle
-    occurrences (multiset), count per (doc, shingle) with map-side
-    combine, then one more per-doc aggregate.  Both shuffles carry
-    pre-combined counts, and the doc_id key is unskewed — the
-    100 TB shape is two cheap stages."""
+    """Duplicate-shingle fraction per doc, computed WITHOUT leaving
+    the row: repeats = n_shingles − n_distinct_shingles, both native
+    array expressions over the in-row shingle list.  ZERO shuffle —
+    the whole quality rule fuses into the scan, the ideal 100 TB
+    shape (the explode+groupBy formulation shuffles the corpus's
+    entire shingle multiset for the same answer)."""
     docs = load(spark, sf_dir, "documents")
-    occ = docs.select(
+    sh = text_fns.word_shingles_all(F.col("text"))
+    n = F.size(sh)
+    d = F.size(F.array_distinct(sh))
+    return docs.select(
         "doc_id",
-        F.explode(text_fns.word_shingles_all(F.col("text"))).alias("shingle"),
-    )
-    cnt = occ.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
-    return cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_shingles"),
-        F.round(F.sum(F.col("c") - 1).cast("double") / F.sum("c"), 6).alias(
-            "dup_shingle_frac"
-        ),
-    )
+        n.cast("long").alias("n_shingles"),
+        F.round((n - d).cast("double") / n, 6).alias("dup_shingle_frac"),
+    ).filter(F.col("n_shingles") >= 1)
 
 
 # ---------------------------------------------------------------------------
