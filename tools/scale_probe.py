@@ -170,6 +170,35 @@ def simhash(n_docs: int = 100_000) -> None:
         )
 
 
+def components(n_docs: int = 1_000_000, chain_len: int = 40) -> None:
+    """Connected-components probe: synthetic dup graph with planted
+    clique clusters AND one long chain (worst-case diameter), measure
+    rounds-to-converge and wall vs corpus size."""
+    from vector_db_handler_spark.operators import dedup as dedup_ops
+
+    spark = get_spark("components-probe")
+    # 1 cluster per 100 docs: sizes cycle 2..6; plus one 40-node chain.
+    docs = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    in_cluster = docs.filter((F.col("doc_id") % 100) < (F.col("doc_id") / 100 % 5 + 2))
+    pairs = in_cluster.filter((F.col("doc_id") % 100) > 0).select(
+        (F.col("doc_id") - F.col("doc_id") % 100).alias("d1"), F.col("doc_id").alias("d2")
+    )
+    if chain_len:
+        chain = spark.range(chain_len).select(
+            (F.col("id") + n_docs).alias("d1"), (F.col("id") + n_docs + 1).alias("d2")
+        )
+        pairs = pairs.union(chain)
+    t0 = time.perf_counter()
+    comp = dedup_ops.connected_components(pairs, nodes=docs)
+    n_comp = comp.select("component").distinct().count()
+    wall = time.perf_counter() - t0
+    n_clustered = comp.filter(F.col("node") != F.col("component")).count()
+    print(
+        f"components @ {n_docs} docs (chain={chain_len}): {n_comp} components, "
+        f"{n_clustered} non-root members, wall {wall:.2f}s"
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -177,5 +206,10 @@ if __name__ == "__main__":
         neardup(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "simhash":
         simhash(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "components":
+        components(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 40,
+        )
     else:
         main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)
