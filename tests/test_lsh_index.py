@@ -99,3 +99,43 @@ def test_lsh_append_matches_full_rebuild(spark, sf_dir, tmp_path):
     assert got == want
     # sanity: the appended half is actually reachable (self-matches)
     assert any(q >= 400 for q, _ in got)
+
+
+def test_streaming_ingest_maintains_lsh_index(spark, sf_dir, tmp_path):
+    """foreachBatch ingest: stream two document micro-batches into a
+    written index; a probe against the maintained index must equal
+    the probe against a from-scratch rebuild of the full corpus."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "lsh_stream")
+    dedup_ops.write_lsh_index(old, idx)
+
+    # Two parquet files in the ingest dir; maxFilesPerTrigger=1 makes
+    # availableNow process them as SEPARATE micro-batches, so the
+    # append path runs more than once.
+    ingest = tmp_path / "ingest"
+    docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)).coalesce(
+        1
+    ).write.parquet(str(ingest / "b1"))
+    docs.filter(F.col("doc_id") >= 400).coalesce(1).write.parquet(str(ingest / "b2"))
+    stream = (
+        spark.readStream.schema(stream_ops.DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(ingest))
+    )
+    stream_ops.stream_maintain_lsh_index(stream, idx, str(tmp_path / "ckpt"))
+
+    full = str(tmp_path / "lsh_full")
+    dedup_ops.write_lsh_index(docs, full)
+    queries = docs.filter(F.col("doc_id") % 20 == 0)
+    key = lambda r: (r["query_id"], r["corpus_id"])
+    got = {key(r): r["jaccard"]
+           for r in dedup_ops.lsh_probe_table(spark, idx, queries, _THRESHOLD).collect()}
+    want = {key(r): r["jaccard"]
+            for r in dedup_ops.lsh_probe_table(spark, full, queries, _THRESHOLD).collect()}
+    assert got == want
+    assert any(c >= 300 for _, c in got), "streamed docs must be probe-reachable"

@@ -203,3 +203,39 @@ def streaming_exact_dedup(
             timeoutConf=getattr(GroupStateTimeout, timeout_conf),
         )
     )
+
+
+def stream_maintain_lsh_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 180,
+) -> None:
+    """Ingest-time LSH index maintenance: every arriving micro-batch
+    of documents folds its bands/shingles into the written MinHash-LSH
+    index (``dedup.append_lsh_index``), so "is this new doc a near-dup
+    of ANYTHING seen so far?" (``dedup.lsh_probe_table``) stays
+    answerable continuously — the streaming half of the
+    build-once/probe-many design.
+
+    ``foreachBatch`` is the right operator here, not a stateful
+    aggregation: the index IS the state, it lives in the table (band-
+    partitioned parquet), and the checkpoint gives exactly-once batch
+    replay — a restart re-appends nothing.  Per batch the work is the
+    batch's own shingling + one partitioned append; nothing rescans
+    the existing index, so ingest cost is O(batch), not O(corpus).
+    """
+    from vector_db_handler_spark.operators.dedup import append_lsh_index
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_lsh_index(batch_df, index_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
