@@ -102,3 +102,25 @@ def test_written_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
     # the scan, not a post-scan filter.
     assert "PartitionFilters" in plan and "cell_id" in plan.split("PartitionFilters")[1].splitlines()[0]
     assert len(probed.collect()) == 5
+
+
+def test_ivf_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Appending new vectors into a written IVF index must answer
+    probes exactly like a from-scratch rebuild over the full corpus
+    (same centroids — the geometry is fixed at build time)."""
+    from vector_db_handler_spark import driver_queries as dq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+
+    inc = str(tmp_path / "ivf_inc")
+    sim_ops.write_ivf_index(emb.filter(F.col("vec_id") < 300), cents, inc)
+    sim_ops.append_ivf_index(emb.filter(F.col("vec_id") >= 300), cents, inc)
+
+    full = str(tmp_path / "ivf_full")
+    sim_ops.write_ivf_index(emb, cents, full)
+
+    got = sim_ops.ivf_probe_table(spark, inc, cents, dq.QUERY_VEC, k=10, nprobe=3).collect()
+    want = sim_ops.ivf_probe_table(spark, full, cents, dq.QUERY_VEC, k=10, nprobe=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert any(r["vec_id"] >= 300 for r in got), "appended rows must be probe-reachable"

@@ -374,6 +374,31 @@ def write_ivf_index(
     ).parquet(path)
 
 
+def append_ivf_index(
+    new_rows: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest-time IVF maintenance: assign ONLY the new vectors to the
+    existing centroids and append them into their cell partitions —
+    the ANN twin of ``dedup.append_lsh_index``.
+
+    Cost is O(new batch): one zero-shuffle Arrow-batched assignment
+    pass over the arrivals plus a partitioned append; the existing
+    index is never read, and probes keep pruning at planning time
+    because the partition layout is unchanged.  The centroids must be
+    the ones the index was built with (they define the cell geometry);
+    re-training centroids means a rebuild, not an append.  Cell files
+    accumulate one per append batch — compaction is a per-cell-
+    directory rewrite, same as the LSH band index.
+    """
+    assign_cells(new_rows, centroids, id_col, vec_col).write.mode("append").partitionBy(
+        "cell_id"
+    ).parquet(path)
+
+
 def ivf_probe_table(
     spark,
     path: str,
