@@ -3113,3 +3113,109 @@ def quantized_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_ops.quantized_knn(
         load(spark, sf_dir, "embeddings"), QUERY_VEC, k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-ops analytics: the monitoring queries a curation pipeline
+# runs per ingest — per-source quality report and weekly user
+# retention.  Both compose operators already proven above into
+# native-expression aggregates.
+# ---------------------------------------------------------------------------
+
+_SOURCE_QUALITY_SQL = """
+WITH per_doc AS (
+  SELECT source, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CASE WHEN len(t) >= 3 THEN
+           CAST(ROUND(CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+                AS DECIMAL(18,9))
+         ELSE CAST(0 AS DECIMAL(18,9)) END AS dup_frac_dec
+  FROM (
+    SELECT source, lang, text, t,
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' ')) AS sh
+    FROM (SELECT source, lang, text, string_split(text, ' ') AS t FROM documents)
+  )
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       ROUND(CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       ROUND(CAST(SUM(dup_frac_dec) AS DOUBLE) / COUNT(*), 6) AS avg_dup_frac
+FROM per_doc GROUP BY 1
+"""
+
+
+@register("source_quality_report", _SOURCE_QUALITY_SQL)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: doc count, language spread,
+    mean token count, mean duplicate-shingle fraction.  Everything is
+    computed in-row (native array expressions, including the
+    repetition stat) and combined in ONE map-side-combined aggregate —
+    a single shuffle on the low-cardinality source key.  Per-doc dup
+    fractions are identical doubles in both engines, so accumulating
+    them as DECIMAL makes the mean bit-stable."""
+    docs = load(spark, sf_dir, "documents")
+    sh = text_fns.word_shingles_all(F.col("text"))
+    n = F.size(sh)
+    dup_frac = F.round((n - F.size(F.array_distinct(sh))).cast("double") / n, 6)
+    per_doc = docs.select(
+        "source",
+        "lang",
+        text_fns.token_count(F.col("text")).alias("n_tokens"),
+        F.when(n >= 1, dup_frac).otherwise(F.lit(0.0))
+        .cast("decimal(18,9)")
+        .alias("dup_frac_dec"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(F.sum(F.col("n_tokens").cast("long")).cast("double") / F.count("*"), 6)
+        .alias("avg_tokens"),
+        F.round(F.sum("dup_frac_dec").cast("double") / F.count("*"), 6)
+        .alias("avg_dup_frac"),
+    )
+
+
+_RETENTION_SQL = """
+WITH wk AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT epoch_us(a.w) // 1000000 AS week_epoch,
+       CAST(COUNT(*) AS BIGINT) AS cohort,
+       CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS retained
+FROM wk a
+LEFT JOIN wk b ON a.user_id = b.user_id AND b.w = a.w + INTERVAL 7 DAY
+GROUP BY 1
+"""
+
+
+@register("user_retention_weekly", _RETENTION_SQL)
+def user_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: of each week's active users, how many
+    are active the NEXT week.  Shape: distinct-reduce to (user, week)
+    first — the self-join runs over the REDUCED relation (orders of
+    magnitude smaller than raw events at scale), co-partitioned on
+    user_id so the join reuses one exchange.  Each (user, week) matches
+    at most one next-week row (distinct), so the left join cannot
+    inflate the cohort."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w")).distinct()
+    nxt = wk.select(
+        F.col("user_id").alias("b_user"), F.col("w").alias("b_w")
+    )
+    j = wk.join(
+        nxt,
+        (wk.user_id == F.col("b_user"))
+        & (F.col("b_w") == F.col("w") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    return j.groupBy(
+        F.col("w").cast("timestamp").cast("long").alias("week_epoch")
+    ).agg(
+        F.count("*").alias("cohort"),
+        F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("retained"),
+    )
