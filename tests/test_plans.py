@@ -180,7 +180,9 @@ def test_q15_max_is_single_aggregation_tree(spark, sf_dir):
 
 def test_doc_repetition_fuses_into_scan(spark, sf_dir):
     plan = _plan(dq.doc_repetition(spark, sf_dir))
-    # repeats = n − n_distinct inside the row: no explode-shuffle of
-    # the shingle multiset, no aggregation — a pure scan-fused map.
+    # repeats = n − n_distinct inside the row, one Arrow-batched pass
+    # in the scan stage: no explode-shuffle of the shingle multiset,
+    # no aggregation, no interpreted array-lambda HOFs (10× slower).
+    assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan and "Generate" not in plan

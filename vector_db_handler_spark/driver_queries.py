@@ -3059,20 +3059,19 @@ FROM (
 @register("doc_repetition", _DOC_REPETITION_SQL)
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-shingle fraction per doc, computed WITHOUT leaving
-    the row: repeats = n_shingles − n_distinct_shingles, both native
-    array expressions over the in-row shingle list.  ZERO shuffle —
-    the whole quality rule fuses into the scan, the ideal 100 TB
-    shape (the explode+groupBy formulation shuffles the corpus's
-    entire shingle multiset for the same answer)."""
+    the row: repeats = n_shingles − n_distinct_shingles inside one
+    Arrow-batched pass (interpreted array-lambda HOFs measure 10×
+    slower — PERF.md).  ZERO shuffle — the quality rule runs inside
+    the scan stage, the ideal 100 TB shape (the explode+groupBy
+    formulation shuffles the whole shingle multiset for the same
+    answer)."""
     docs = load(spark, sf_dir, "documents")
-    sh = text_fns.word_shingles_all(F.col("text"))
-    n = F.size(sh)
-    d = F.size(F.array_distinct(sh))
-    return docs.select(
+    st = dedup_ops.repetition_stats(docs)
+    return st.select(
         "doc_id",
-        n.cast("long").alias("n_shingles"),
-        F.round((n - d).cast("double") / n, 6).alias("dup_shingle_frac"),
-    ).filter(F.col("n_shingles") >= 1)
+        "n_shingles",
+        F.round(F.col("dup_frac"), 6).alias("dup_shingle_frac"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3156,17 +3155,22 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions are identical doubles in both engines, so accumulating
     them as DECIMAL makes the mean bit-stable."""
     docs = load(spark, sf_dir, "documents")
-    sh = text_fns.word_shingles_all(F.col("text"))
-    n = F.size(sh)
-    dup_frac = F.round((n - F.size(F.array_distinct(sh))).cast("double") / n, 6)
-    per_doc = docs.select(
+    st = dedup_ops.repetition_stats(docs, carry_cols=("doc_id", "source", "lang"))
+    short = (
+        docs.join(st.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "source",
+            "lang",
+            text_fns.token_count(F.col("text")).alias("n_tokens"),
+            F.lit(0.0).cast("decimal(18,9)").alias("dup_frac_dec"),
+        )
+    )
+    per_doc = st.select(
         "source",
         "lang",
-        text_fns.token_count(F.col("text")).alias("n_tokens"),
-        F.when(n >= 1, dup_frac).otherwise(F.lit(0.0))
-        .cast("decimal(18,9)")
-        .alias("dup_frac_dec"),
-    )
+        "n_tokens",
+        F.round(F.col("dup_frac"), 6).cast("decimal(18,9)").alias("dup_frac_dec"),
+    ).unionByName(short)
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.count_distinct("lang").alias("n_langs"),

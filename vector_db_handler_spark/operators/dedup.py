@@ -744,3 +744,54 @@ def canonical_docs(
         F.col(id_col).alias("canonical_doc_id"),
         "cluster_size",
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = ("doc_id",),
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc token/shingle repetition stats in ONE Arrow-batched
+    pass: ``carry_cols + (n_tokens, n_shingles, dup_frac)``.
+
+    ``dup_frac`` = duplicate shingle occurrences / total shingle
+    occurrences (Gopher-style boilerplate signal).  The same numbers
+    are expressible as native ``transform``/``array_distinct``
+    expressions, but Spark evaluates array lambdas INTERPRETED —
+    measured 10× slower than this pass at sf0.1 (4.6s vs 0.46s);
+    like the shingle index, the Python loop over Arrow batches is the
+    fast path.  Zero shuffle either way: emits one row per input row
+    from inside the scan stage.  Docs with fewer than ``k`` tokens
+    are dropped (no shingles — matches the SQL twin's ``len(t) >= k``
+    guard).  The division result is a raw double; callers ROUND it
+    JVM-side so rounding semantics match the oracle exactly.
+    """
+    kk = int(k)
+    carry = list(carry_cols)
+    carry_schema = ", ".join(
+        f"{c} {docs.schema[c].dataType.simpleString()}" for c in carry
+    )
+
+    def stats(batches):  # self-contained: cloudpickled to executors
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for tup in zip(*(pdf[c] for c in carry), pdf[text_col]):
+                *vals, txt = tup
+                toks = str(txt).split(" ")
+                ns = len(toks) - kk + 1
+                if ns < 1:
+                    continue
+                seen = set()
+                for i in range(ns):
+                    seen.add(" ".join(toks[i : i + kk]))
+                rows.append((*vals, len(toks), ns, (ns - len(seen)) / ns))
+            yield _pd.DataFrame(
+                rows, columns=carry + ["n_tokens", "n_shingles", "dup_frac"]
+            )
+
+    return docs.select(*carry, text_col).mapInPandas(
+        stats, schema=f"{carry_schema}, n_tokens long, n_shingles long, dup_frac double"
+    )
