@@ -59,3 +59,15 @@ def test_quantize_matches_driver_twin(spark, sf_dir):
     got = quantize_ops.quantize_int8(emb).filter(F.col("vec_id") == row["vec_id"]).collect()[0]["qvec"]
     want = quantize_ops.quantize_vector(row["embedding"], s)
     assert list(got) == want
+
+
+def test_zero_and_empty_corpus_edges(spark):
+    from pyspark.sql import functions as F
+
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [0.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    got = quantize_ops.quantized_knn(zero, [0.0] * 4, k=2).collect()
+    assert [(r["vec_id"], r["qscore"]) for r in got] == [(1, 0), (2, 0)]
+    empty = zero.filter(F.lit(False))
+    assert quantize_ops.quantized_knn(empty, [1.0] * 4, k=2).collect() == []

@@ -78,6 +78,8 @@ def quantize_int8(
             if pdf.empty:
                 continue
             s = float(pdf["s"].iloc[0])
+            if not s > 0.0:  # all-zero corpus: q = 0 everywhere
+                s = 1.0
             mat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[embedding_col]]
             )
@@ -94,6 +96,8 @@ def quantize_vector(vec: Sequence[float], s: float) -> list[int]:
     query is a literal, not data)."""
     import math
 
+    if not s > 0.0:
+        s = 1.0
     return [
         int(max(-Q_MAX, min(Q_MAX, math.floor(127.0 * float(x) / s + 0.5))))
         for x in vec
@@ -134,6 +138,8 @@ def quantized_knn(
             if pdf.empty:
                 continue
             s = float(pdf["s"].iloc[0])
+            if not s > 0.0:  # all-zero corpus: every score is 0
+                s = 1.0
             qq = np.clip(
                 np.floor(127.0 * np.asarray(qv, dtype=np.float64) / s + 0.5),
                 -127,
