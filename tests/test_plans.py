@@ -186,3 +186,30 @@ def test_doc_repetition_fuses_into_scan(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan and "Generate" not in plan
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("tpch_q2", 2),   # min-agg + distinct
+        ("tpch_q8", 2),   # lineitem ⋈ orders + final agg
+        ("tpch_q9", 2),
+        ("tpch_q10", 2),
+        ("tpch_q11", 3),  # value agg + total agg + final filter
+        ("tpch_q19", 1),  # broadcast part, one agg
+    ],
+)
+def test_tpch_tail_never_shuffles_big_tables(spark, sf_dir, name, max_exchanges):
+    """Every dim side rides a broadcast: the only exchanges are the
+    aggregates' own shuffles — lineitem/orders are never sort-merge
+    joined or replicated through a nested loop."""
+    import re
+
+    plan = _plan(dq.queries()[name](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= max_exchanges
