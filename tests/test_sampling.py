@@ -57,3 +57,36 @@ def test_stratified_sample_plans_without_shuffle(spark, sf_dir):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan, "stateless filter must fuse into the scan"
     assert "Join" not in plan
+
+
+def test_stratified_sample_works_unchanged_on_a_stream(spark, sf_dir, tmp_path):
+    """Stateless hash filters are batch=stream by construction: the
+    SAME operator call runs on a readStream and selects the SAME
+    rows.  This is the point of sampling by key hash — a streaming
+    ingest and a batch backfill provably draw identical samples."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    docs = _docs(spark, sf_dir)
+    want = {
+        r["doc_id"]
+        for r in sampling_ops.stratified_sample(
+            docs, rates={"en": 0.3}, strata_col="lang", key_col="doc_id",
+            default_frac=0.1,
+        ).collect()
+    }
+    stream = stream_ops.stream_documents(spark, sf_dir)
+    sampled = sampling_ops.stratified_sample(
+        stream, rates={"en": 0.3}, strata_col="lang", key_col="doc_id",
+        default_frac=0.1,
+    )
+    q = (
+        sampled.writeStream.format("memory")
+        .queryName("sample_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM sample_stream").collect()}
+    assert got == want

@@ -3223,3 +3223,45 @@ def user_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("retained"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction: top tokens per language — the tokenizer-
+# training staple.  Token keys are Zipf-skewed by nature; the plan
+# relies on map-side combine (partial counts per partition) so the
+# shuffle carries one row per (partition, token), never one per
+# occurrence — the standard wordcount skew answer at 100 TB.
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOPK = 10
+
+_VOCAB_SQL = f"""
+SELECT lang, token, cnt, rnk FROM (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, token ASC) AS rnk
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY lang, token
+) WHERE rnk <= {_VOCAB_TOPK}
+"""
+
+
+@register("vocab_topk_tokens", _VOCAB_SQL)
+def vocab_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language by occurrence count, deterministic
+    tie-break on the token itself.  explode → one map-side-combined
+    shuffle on (lang, token) → per-lang window over the tiny
+    aggregated relation."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ", -1)).alias("token")
+    )
+    cnt = occ.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _VOCAB_TOPK)
+        .select("lang", "token", "cnt", "rnk")
+    )
