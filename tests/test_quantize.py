@@ -71,3 +71,29 @@ def test_zero_and_empty_corpus_edges(spark):
     assert [(r["vec_id"], r["qscore"]) for r in got] == [(1, 0), (2, 0)]
     empty = zero.filter(F.lit(False))
     assert quantize_ops.quantized_knn(empty, [1.0] * 4, k=2).collect() == []
+
+
+def test_ivfsq_probe_prunes_partitions_and_recalls(spark, sf_dir, tmp_path):
+    """The IVF-SQ8 probe must (a) prune cell partitions at planning
+    time, (b) rank by exact integer scores, and (c) approximate the
+    exact cosine top-k despite the double approximation (cell pruning
+    + int8)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivfsq")
+    quantize_ops.write_ivfsq_index(emb, cents, path)
+
+    df = quantize_ops.ivfsq_probe_table(spark, path, cents, dq.QUERY_VEC, k=10, nprobe=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    assert "cell_id" in plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "TakeOrderedAndProject" in plan
+
+    got = {r["vec_id"] for r in df.collect()}
+    exact = {
+        r["vec_id"]
+        for r in knn_ops.knn(
+            emb, dq.QUERY_VEC, k=10, score_threshold=None, tie_break_col="vec_id"
+        ).collect()
+    }
+    assert len(got & exact) >= 5, (got, exact)

@@ -3265,3 +3265,84 @@ def vocab_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _VOCAB_TOPK)
         .select("lang", "token", "cnt", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8: the production ANN composition — cell-pruned written index
+# over int8-quantized vectors (faiss "IVF,SQ8" re-expressed as
+# partitioned parquet).  Both halves are deterministic, so the whole
+# build→probe pipeline is hash-checked: the oracle recomputes cell
+# assignment, quantization, and the integer scores from first
+# principles.
+# ---------------------------------------------------------------------------
+
+_IVFSQ_K = 10
+
+_IVFSQ_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE {_IVF_CENTROID_PRED}
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+asg_scored AS (
+  SELECT corpus.vec_id, cents.cell_id,
+         list_dot_product(corpus.ev, cents.cv) /
+         (sqrt(list_dot_product(corpus.ev, corpus.ev)) *
+          sqrt(list_dot_product(cents.cv, cents.cv))) AS cs
+  FROM corpus CROSS JOIN cents
+),
+asg AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id ASC) AS rn
+    FROM asg_scored
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT cell_id,
+           row_number() OVER (ORDER BY list_dot_product(cv, {_Q_SQL}) /
+             (sqrt(list_dot_product(cv, cv)) * {QUERY_VEC_NORM!r}) DESC, cell_id ASC) AS rn
+    FROM cents
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+scale AS (
+  SELECT MAX(GREATEST(list_max(ev), -list_min(ev))) AS s FROM corpus
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+),
+qc AS (
+  SELECT vec_id, list_transform(ev, x -> {_QUANT_CLAMP}) AS v FROM corpus, scale
+)
+SELECT qc.vec_id, CAST(asg.cell_id AS BIGINT) AS cell_id,
+       CAST(list_dot_product(qc.v, (SELECT v FROM qq)) AS BIGINT) AS qscore
+FROM qc
+JOIN asg ON qc.vec_id = asg.vec_id
+JOIN probe ON asg.cell_id = probe.cell_id
+ORDER BY qscore DESC, qc.vec_id ASC
+LIMIT {_IVFSQ_K}
+"""
+
+
+@register("ivfsq_probe_topk", _IVFSQ_SQL)
+def ivfsq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a WRITTEN IVF-SQ8 index (built once into a scratch path):
+    the probed cells are planning-time partition filters, the scores
+    exact int8-domain dots — the full production ANN path,
+    hash-checked end to end."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.expr(_IVF_CENTROID_PRED))
+    basis = f"ivfsq|{_IVF_CENTROID_PRED}|{os.path.basename(sf_dir.rstrip('/'))}"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_ivfsq_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        quantize_ops.write_ivfsq_index(emb, cents, path)
+    return quantize_ops.ivfsq_probe_table(
+        spark, path, cents, QUERY_VEC, k=_IVFSQ_K, nprobe=_IVF_NPROBE
+    )

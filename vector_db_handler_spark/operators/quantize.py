@@ -155,3 +155,133 @@ def quantized_knn(
 
     scored = joined.mapInPandas(score, out_schema)
     return scored.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+
+
+
+def write_ivfsq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-SQ8: the written ANN index combining cell pruning with int8
+    storage — the faiss ``IVF,SQ8`` layout as a partitioned parquet
+    table ``(id, qvec ARRAY<BIGINT>) PARTITIONED BY cell_id``, plus a
+    1-row ``_scale`` sidecar the probe reads back.
+
+    Cells prune I/O at PLANNING time (partition filters on the probed
+    ``cell_id`` values); quantization shrinks the surviving bytes ~4×
+    (8× once packed to real int8 at the sink) and makes scoring exact
+    integer math.  The build is ONE fused Arrow-batched pass — assign
+    + quantize per batch, no shuffle beyond the partitioned write.
+    Centroids and the scale are the small side (contractually ≪
+    corpus) and ride into the closure, the same pattern as
+    ``similarity.assign_cells``."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from vector_db_handler_spark.operators.similarity import _collect_matrix
+
+    c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
+    order = np.argsort(np.array(c_ids), kind="stable")
+    c_id_sorted = np.array(c_ids)[order]
+    c_unit = c_mat[order]
+    s_val = float(
+        max_abs_scale(corpus, vec_col).collect()[0]["s"] or 0.0
+    )
+    if not s_val > 0.0:
+        s_val = 1.0
+
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("qvec", ArrayType(LongType()), False),
+            StructField("cell_id", LongType(), False),
+        ]
+    )
+
+    def build(batches):  # self-contained: cloudpickled to executors
+        import numpy as _np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _np.asarray(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]]
+            )
+            norms = _np.sqrt(_np.einsum("ij,ij->i", mat, mat))
+            norms[norms == 0.0] = 1.0
+            cells = c_id_sorted[
+                _np.argmax((mat / norms[:, None]) @ c_unit.T, axis=1)
+            ].astype(_np.int64)
+            q = _np.clip(
+                _np.floor(127.0 * mat / s_val + 0.5), -127, 127
+            ).astype(_np.int64)
+            out = pdf[[id_col]].copy()
+            out["qvec"] = list(q)
+            out["cell_id"] = cells
+            yield out
+
+    corpus.select(id_col, vec_col).mapInPandas(build, out_schema).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame([(s_val,)], "s double").write.mode("overwrite").parquet(
+        path + "_scale"
+    )
+
+
+def ivfsq_probe_table(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "qscore",
+) -> DataFrame:
+    """Probe a written IVF-SQ8 index: pick the ``nprobe`` nearest
+    cells driver-side (small centroid relation), scan ONLY those cell
+    partitions, score with the exact integer dot against the
+    identically-quantized query → ``(id, cell_id, qscore)`` top-k.
+
+    The ``cell_id IN (…)`` predicate is a planning-time partition
+    filter (same mechanism as the float IVF probe, test-pinned
+    there); integer scores keep the ranking engine-exact."""
+    import numpy as np
+
+    from vector_db_handler_spark.operators.similarity import _collect_matrix
+
+    c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
+    q = np.asarray([float(v) for v in query_vector], dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+    scores = c_mat @ (q / qn if qn > 0 else q)
+    order = np.lexsort((np.array(c_ids), -scores))
+    probe = [int(np.array(c_ids)[i]) for i in order[: int(nprobe)]]
+
+    s_val = float(spark.read.parquet(path + "_scale").collect()[0]["s"])
+    qq = quantize_vector(query_vector, s_val)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _int_dot(qvecs):  # self-contained numpy kernel, Arrow-batched
+        import numpy as _np
+        import pandas as _pd
+
+        if len(qvecs) == 0:
+            return _pd.Series(_np.zeros(0, dtype=_np.int64))
+        m = _np.asarray([_np.asarray(v, dtype=_np.int64) for v in qvecs])
+        return _pd.Series(m @ _np.asarray(qq, dtype=_np.int64))
+
+    idx = spark.read.parquet(path).filter(F.col("cell_id").isin(probe))
+    return (
+        idx.withColumn(score_col, _int_dot(F.col("qvec")))
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(id_col, "cell_id", score_col)
+    )
