@@ -3346,3 +3346,72 @@ def ivfsq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_ops.ivfsq_probe_table(
         spark, path, cents, QUERY_VEC, k=_IVFSQ_K, nprobe=_IVF_NPROBE
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: for every purchase, was there a view by the SAME
+# user within the preceding 30 minutes?  The event-sequence pattern
+# (think signup→activation, impression→click attribution) that
+# session windows alone can't answer.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_SEC = 1800
+
+_FUNNEL_SQL = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+),
+conv AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         EXISTS (
+           SELECT 1 FROM views v
+           WHERE v.user_id = p.user_id
+             AND v.ts <= p.ts
+             AND v.ts > p.ts - INTERVAL {_FUNNEL_WINDOW_SEC} SECOND
+         ) AS converted
+  FROM purchases p
+)
+SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
+       CAST(COUNT(*) AS BIGINT) AS purchases,
+       CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS with_prior_view
+FROM conv GROUP BY 1
+"""
+
+
+@register("funnel_view_purchase", _FUNNEL_SQL)
+def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution funnel: purchases with a same-user view in the
+    preceding 30 min, per day.  The correlated EXISTS lowers to a
+    LEFT SEMI join on user_id with the time band as residual — tagged
+    via a semi-join + left join trick so non-converted purchases
+    still count.  Both sides pre-filter to their event type at the
+    scan; the join key (user_id) is the natural even key.  At 100 TB
+    the banded-time variant (operators/timeseries.range_join_pairs)
+    bounds the residual's row explosion; here each user's stream is
+    small, so the semi-join is exact and cheap."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    converted = purchases.join(
+        views,
+        (purchases.user_id == F.col("v_user"))
+        & (F.col("v_ts") <= purchases.ts)
+        & (F.col("v_ts") > purchases.ts - F.expr(f"INTERVAL {_FUNNEL_WINDOW_SEC} SECONDS")),
+        "leftsemi",
+    ).select("event_id")
+    tagged = purchases.join(
+        converted.withColumn("_conv", F.lit(1)), "event_id", "left"
+    )
+    return tagged.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("timestamp").cast("long").alias("day_epoch")
+    ).agg(
+        F.count("*").alias("purchases"),
+        F.sum(F.coalesce(F.col("_conv"), F.lit(0))).cast("long").alias("with_prior_view"),
+    )
