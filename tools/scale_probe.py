@@ -62,6 +62,18 @@ def main(factor: int = 100) -> None:
     sim_ops.ivf_probe_table(spark, idx_path, cents, dq.QUERY_VEC, k=10, nprobe=4).collect()
     print(f"ivf_probe (4/{n_cells} cells, written index) @ {n} rows: {time.perf_counter() - t0:.2f}s")
 
+    from vector_db_handler_spark.operators import quantize as quantize_ops
+
+    sq_path = path + "_ivfsq"
+    if not os.path.exists(os.path.join(sq_path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        quantize_ops.write_ivfsq_index(big, cents, sq_path)
+        print(f"ivfsq build @ {n} rows: {time.perf_counter() - t0:.2f}s")
+    quantize_ops.ivfsq_probe_table(spark, sq_path, cents, dq.QUERY_VEC, k=10, nprobe=4).collect()
+    t0 = time.perf_counter()  # warm
+    quantize_ops.ivfsq_probe_table(spark, sq_path, cents, dq.QUERY_VEC, k=10, nprobe=4).collect()
+    print(f"ivfsq_probe (4/{n_cells} cells, int8) @ {n} rows: {time.perf_counter() - t0:.2f}s")
+
 
 def lsh(factor: int = 100) -> None:
     """Text-dedup twin of the vector probe: build the written LSH index

@@ -167,13 +167,13 @@ def write_ivfsq_index(
 ) -> None:
     """IVF-SQ8: the written ANN index combining cell pruning with int8
     storage — the faiss ``IVF,SQ8`` layout as a partitioned parquet
-    table ``(id, qvec ARRAY<BIGINT>) PARTITIONED BY cell_id``, plus a
-    1-row ``_scale`` sidecar the probe reads back.
+    table ``(id, qvec BINARY) PARTITIONED BY cell_id`` — qvec is dim
+    PACKED int8 bytes — plus a 1-row ``_scale`` sidecar the probe
+    reads back.
 
     Cells prune I/O at PLANNING time (partition filters on the probed
-    ``cell_id`` values); quantization shrinks the surviving bytes ~4×
-    (8× once packed to real int8 at the sink) and makes scoring exact
-    integer math.  The build is ONE fused Arrow-batched pass — assign
+    ``cell_id`` values); the packed bytes shrink the surviving scan 4×
+    vs float32 and scoring is exact integer math.  The build is ONE fused Arrow-batched pass — assign
     + quantize per batch, no shuffle beyond the partitioned write.
     Centroids and the scale are the small side (contractually ≪
     corpus) and ride into the closure, the same pattern as
@@ -194,10 +194,12 @@ def write_ivfsq_index(
         s_val = 1.0
 
     id_field = corpus.schema[id_col]
+    from pyspark.sql.types import BinaryType
+
     out_schema = StructType(
         [
             StructField(id_col, id_field.dataType, id_field.nullable),
-            StructField("qvec", ArrayType(LongType()), False),
+            StructField("qvec", BinaryType(), False),
             StructField("cell_id", LongType(), False),
         ]
     )
@@ -216,11 +218,14 @@ def write_ivfsq_index(
             cells = c_id_sorted[
                 _np.argmax((mat / norms[:, None]) @ c_unit.T, axis=1)
             ].astype(_np.int64)
+            # PACKED int8 bytes: dim bytes/vector — the actual 4×-vs-
+            # float32 storage win (a BIGINT array would be 8 B/elem,
+            # LARGER than the floats it replaces).
             q = _np.clip(
                 _np.floor(127.0 * mat / s_val + 0.5), -127, 127
-            ).astype(_np.int64)
+            ).astype(_np.int8)
             out = pdf[[id_col]].copy()
-            out["qvec"] = list(q)
+            out["qvec"] = [row.tobytes() for row in q]
             out["cell_id"] = cells
             yield out
 
@@ -275,7 +280,9 @@ def ivfsq_probe_table(
 
         if len(qvecs) == 0:
             return _pd.Series(_np.zeros(0, dtype=_np.int64))
-        m = _np.asarray([_np.asarray(v, dtype=_np.int64) for v in qvecs])
+        m = _np.frombuffer(b"".join(qvecs), dtype=_np.int8).reshape(
+            len(qvecs), -1
+        ).astype(_np.int64)
         return _pd.Series(m @ _np.asarray(qq, dtype=_np.int64))
 
     idx = spark.read.parquet(path).filter(F.col("cell_id").isin(probe))
