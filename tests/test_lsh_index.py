@@ -139,3 +139,19 @@ def test_streaming_ingest_maintains_lsh_index(spark, sf_dir, tmp_path):
             for r in dedup_ops.lsh_probe_table(spark, full, queries, _THRESHOLD).collect()}
     assert got == want
     assert any(c >= 300 for _, c in got), "streamed docs must be probe-reachable"
+
+    # Replay safety: re-running the same ingest with a FRESH checkpoint
+    # re-delivers batch ids 0..1; the per-batch markers must make the
+    # re-appends no-ops, or every affected jaccard would double-count.
+    stream_ops.stream_maintain_lsh_index(
+        spark.readStream.schema(stream_ops.DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(ingest)),
+        idx,
+        str(tmp_path / "ckpt2"),
+    )
+    again = {key(r): r["jaccard"]
+             for r in dedup_ops.lsh_probe_table(spark, idx, queries, _THRESHOLD).collect()}
+    assert again == want

@@ -518,6 +518,17 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators so the two engines stay textually in lockstep.
 # ---------------------------------------------------------------------------
 
+def _fixture_tag(sf_dir: str, table: str) -> str:
+    """Scratch-cache key component tied to the fixture FILE, not just
+    its path: regenerated testdata (new size/mtime) must invalidate
+    derived scratch artifacts (indexes, bucketed tables), or cached
+    results silently diverge from the oracle's fresh read."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{os.path.basename(sf_dir.rstrip('/'))}|{st.st_size}|{st.st_mtime_ns}"
+
+
 #: DuckDB twin of functions.text.portable_hash60 / portable_hash28.
 def _sql_hash(expr: str, hex_chars: int, offset: int = 1) -> str:
     return f"CAST('0x' || substr(md5({expr}), {offset}, {hex_chars}) AS BIGINT)"
@@ -686,7 +697,7 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     basis = (
         f"{dedup_ops.N_PERM}|{dedup_ops.N_BANDS}|{dedup_ops.MINHASH_P}|"
-        f"{os.path.basename(sf_dir.rstrip('/'))}"
+        f"{_fixture_tag(sf_dir, 'documents')}"
     )
     path = os.path.join(
         tempfile.gettempdir(), f"vdh_lsh_{hashlib.md5(basis.encode()).hexdigest()[:10]}"
@@ -2197,10 +2208,19 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = hashlib.md5(
+        (_fixture_tag(sf_dir, "lineitem") + _fixture_tag(sf_dir, "orders")).encode()
+    ).hexdigest()[:10]
     li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
     base = os.path.join(tempfile.gettempdir(), f"vdh_bucketed_{tag}")
-    if li_tbl not in [t.name for t in spark.catalog.listTables()]:
+    have = li_tbl in [t.name for t in spark.catalog.listTables()]
+    # a listed table whose backing path was cleaned (e.g. /tmp swept
+    # under a persistent metastore) must be rebuilt, not trusted
+    if have and not os.path.exists(os.path.join(base, "li", "_SUCCESS")):
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        have = False
+    if not have:
         (
             load(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_extendedprice")
@@ -3336,7 +3356,7 @@ def ivfsq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cents = emb.filter(F.expr(_IVF_CENTROID_PRED))
-    basis = f"ivfsq|{_IVF_CENTROID_PRED}|{os.path.basename(sf_dir.rstrip('/'))}"
+    basis = f"ivfsq|{_IVF_CENTROID_PRED}|{_fixture_tag(sf_dir, 'embeddings')}"
     path = os.path.join(
         tempfile.gettempdir(),
         f"vdh_ivfsq_{hashlib.md5(basis.encode()).hexdigest()[:10]}",

@@ -147,15 +147,3 @@ def doc_fingerprint(text: Column, k: int = 3) -> Column:
     local edits, unlike a whole-text hash)."""
     return F.array_min(F.transform(word_shingles(text, k), lambda s: portable_hash60(s)))
 
-
-def word_shingles_all(text: Column, k: int = 3) -> Column:
-    """ALL k-word shingles, duplicates kept, in document order — the
-    multiset ``word_shingles`` collapses.  Needed by within-document
-    repetition stats, where the duplicate count IS the signal."""
-    toks = tokens(text)
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
-    return F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))

@@ -705,6 +705,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter); raise max_iter or "
+            "use large-star/small-star for high-diameter graphs — "
+            "returning partial labels would silently mis-cluster."
+        )
 
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 

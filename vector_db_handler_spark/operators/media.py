@@ -248,9 +248,10 @@ def media_phash(
     """Perceptual-hash-ish 64-bit fingerprint per media item: SimHash
     over character 4-grams of the decoded+normalized signal.  Default
     decode is the deterministic fake (latin-1, lowercased — exactly
-    replayable in SQL); ``decode_fn`` (a self-contained
-    ``bytes -> str`` callable, cloudpickled to executors) swaps in a
-    real codec without touching the fingerprint stage.
+    replayable in SQL); ``decode_fn`` (a self-contained callable
+    returning ``str``, ``bytes``, or a uint8 ndarray — the same
+    contract ``decode_features`` accepts — cloudpickled to executors)
+    swaps in a real codec without touching the fingerprint stage.
 
     Robust to small edits the way a pHash is robust to re-encodes —
     and unlike a real pHash, exactly replayable in SQL, so the driver
@@ -295,6 +296,12 @@ def media_phash(
                     if decode_fn is not None
                     else bytes(blob).decode("latin-1").lower()
                 )
+                if not isinstance(signal, str):
+                    # decode_features-style codec (bytes -> uint8
+                    # ndarray/bytes): same decoder works for both
+                    # operators — map the raw signal bytes to latin-1
+                    # chars so grams stay hashable strings.
+                    signal = bytes(bytearray(signal)).decode("latin-1")
                 if len(signal) < 4:
                     continue
                 counts: dict[str, int] = {}

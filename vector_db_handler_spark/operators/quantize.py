@@ -23,6 +23,15 @@ and the quantization itself is an Arrow-batched numpy pass
 Integer dot scores are exact (|q|≤127, dim 64 ⇒ |score| ≤ 127²·64 ≈
 10⁶ ≪ 2⁵³), so the DuckDB oracle reproduces them to the last bit —
 a quantization pipeline you can hash-check end-to-end.
+
+NOTE the clamp/floor kernel is deliberately INLINED in each executor
+closure instead of shared via a module-level helper: cloudpickle
+serializes module-level functions of this package BY REFERENCE, and a
+driver whose SparkSession was created outside the repo cannot import
+them on executors.  Keep the four copies (quantize_int8 /
+quantized_knn / write_ivfsq_index / quantize_vector) and the SQL
+``_QUANT_CLAMP`` twin textually in lockstep when changing rounding
+semantics.
 """
 
 from __future__ import annotations

@@ -109,6 +109,7 @@ def build_bloom(
     hash_col: str = "text_hash",
     fpp: float = 0.01,
     distributed: bool = False,
+    n_hint: int | None = None,
 ) -> tuple["np.ndarray", int, int] | None:
     """Build the (bits, m, k) Bloom state from a hash relation; ``None``
     when the relation is empty.
@@ -130,7 +131,13 @@ def build_bloom(
       keys.
     """
     if distributed:
-        n = seen_hashes.count()
+        # Sizing needs n before any bit is set; without ``n_hint`` the
+        # relation is scanned twice (count + build).  Callers that know
+        # the ledger size (a table's row count, an upstream aggregate)
+        # pass ``n_hint`` and pay ONE scan — the 100 TB path.  An
+        # over-estimate is safe (lower fpp); an under-estimate raises
+        # the effective fpp above the target.
+        n = int(n_hint) if n_hint is not None else seen_hashes.count()
         if n == 0:
             return None
         m, k = _bloom_params(n, fpp)
@@ -186,6 +193,7 @@ def bloom_maybe_seen(
     fpp: float = 0.01,
     flag_col: str = "maybe_seen",
     distributed: bool = False,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """``new_docs`` + a boolean ``flag_col``: True iff the row's hash
     hits the Bloom filter built from ``seen_hashes``.
@@ -199,7 +207,7 @@ def bloom_maybe_seen(
     membership is checked per Arrow batch in numpy — no shuffle, no
     join; the scan stays embarrassingly parallel.
     """
-    state = build_bloom(seen_hashes, hash_col, fpp, distributed)
+    state = build_bloom(seen_hashes, hash_col, fpp, distributed, n_hint)
     if state is None:
         return new_docs.withColumn(flag_col, F.lit(False))
     bc = new_docs.sparkSession.sparkContext.broadcast(state)
@@ -231,6 +239,7 @@ def dedup_bloom_prefilter(
     hash_col: str = "text_hash",
     fpp: float = 0.01,
     distributed: bool = False,
+    n_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``new_docs`` into ``(definitely_novel, maybe_seen)``.
 
@@ -243,7 +252,7 @@ def dedup_bloom_prefilter(
     :func:`incremental_novel_docs` for the composed exact pipeline.
     """
     flagged = bloom_maybe_seen(
-        new_docs, seen_hashes, hash_col, fpp, "_maybe_seen", distributed
+        new_docs, seen_hashes, hash_col, fpp, "_maybe_seen", distributed, n_hint
     )
     return (
         flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen"),
@@ -257,6 +266,7 @@ def incremental_novel_docs(
     hash_col: str = "text_hash",
     fpp: float = 0.01,
     distributed: bool = False,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """EXACTLY the rows of ``new_docs`` whose hash is absent from
     ``seen_hashes`` — the incremental-ingest novelty gate.
@@ -270,7 +280,7 @@ def incremental_novel_docs(
     driver oracle-check this against ``WHERE NOT EXISTS`` SQL.
     """
     definitely_novel, maybe = dedup_bloom_prefilter(
-        new_docs, seen_hashes, hash_col, fpp, distributed
+        new_docs, seen_hashes, hash_col, fpp, distributed, n_hint
     )
     seen = seen_hashes.select(F.col(hash_col).alias("_seen_h")).distinct()
     rescued = maybe.join(

@@ -48,7 +48,10 @@ def salted_join(
             f"got how={how!r} — right-side replication would duplicate "
             "unmatched right rows under right/full outer shapes"
         )
-    salt = (F.abs(F.hash(*[F.col(c) for c in left.columns])) % n_salts).alias("_salt")
+    # pmod, not abs(hash) % n: hash == Integer.MIN_VALUE survives abs()
+    # (two's complement) and would yield a negative salt matching no
+    # replicated right row — a silently dropped join partner.
+    salt = (F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))).alias("_salt")
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

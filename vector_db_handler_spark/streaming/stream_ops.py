@@ -219,18 +219,36 @@ def stream_maintain_lsh_index(
     build-once/probe-many design.
 
     ``foreachBatch`` is the right operator here, not a stateful
-    aggregation: the index IS the state, it lives in the table (band-
-    partitioned parquet), and the checkpoint gives exactly-once batch
-    replay — a restart re-appends nothing.  Per batch the work is the
-    batch's own shingling + one partitioned append; nothing rescans
-    the existing index, so ingest cost is O(batch), not O(corpus).
+    aggregation: the index IS the state and it lives in the table
+    (band-partitioned parquet).  foreachBatch is AT-LEAST-ONCE — the
+    checkpoint commits after the sink returns, so a crash-restart
+    re-delivers the last batch — and a blind re-append would duplicate
+    shingle rows and corrupt every affected Jaccard (2c/(2n1+n2-2c)).
+    The fold is therefore guarded by a per-batch marker under the
+    index: a replayed batch_id is skipped.  The marker is written
+    immediately after the append's output commit; the remaining
+    crash window is the instant between Spark's job commit and the
+    marker touch (the append itself is protected by the parquet
+    output committer — it lands atomically or not at all).  Per batch
+    the work is the batch's own shingling + one partitioned append;
+    nothing rescans the existing index, so ingest cost is O(batch),
+    not O(corpus).
     """
     from vector_db_handler_spark.operators.dedup import append_lsh_index
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/_applied_batches/{batch_id}"
+        )
+        fs = marker.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return  # checkpoint replay of an already-applied batch
         append_lsh_index(batch_df, index_path)
+        fs.create(marker, True).close()
 
     q = (
         docs_stream.writeStream.foreachBatch(fold)
