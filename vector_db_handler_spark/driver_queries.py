@@ -3435,3 +3435,53 @@ def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("purchases"),
         F.sum(F.coalesce(F.col("_conv"), F.lit(0))).cast("long").alias("with_prior_view"),
     )
+
+
+_DEDUPED_CORPUS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_MINHASH_LSH_SQL})
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1
+),
+keep AS (
+  SELECT doc_id FROM (
+    SELECT d.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM comp c JOIN documents d ON c.node = d.doc_id
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+"""
+
+
+@register("deduped_corpus", _DEDUPED_CORPUS_SQL)
+def deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup pipeline: the corpus with every
+    near-dup cluster collapsed to its canonical survivor — pair
+    generation → transitive closure → survivor choice → semi-join
+    back to the documents.  This is the query a training-data run
+    actually materializes; everything upstream
+    (minhash_lsh_pairs / neardup_components / neardup_canonical_docs)
+    exists to make this row set right."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD)
+    comp = dedup_ops.connected_components(pairs, nodes=docs)
+    keep = dedup_ops.canonical_docs(docs, comp).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    return docs.join(keep, "doc_id", "leftsemi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
