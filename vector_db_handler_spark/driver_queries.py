@@ -3485,3 +3485,60 @@ def deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id", "leftsemi").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Outlier detection with exact moments: per-type mean/std from
+# DECIMAL-accumulated sums (order-independent, so both engines derive
+# the SAME double mean/std and the z-score cut cannot flip a row) —
+# the monitoring twin of the sketch-based accuracy gates.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_Z = 3.0
+
+_VALUE_OUTLIERS_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v2
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       m.n,
+       ROUND(m.sum_v / m.n, 6) AS mean_value,
+       CAST(COUNT(CASE WHEN ABS(e.value - m.sum_v / m.n) >
+            {_OUTLIER_Z} * sqrt(m.sum_v2 / m.n - (m.sum_v / m.n) * (m.sum_v / m.n))
+            THEN 1 END) AS BIGINT) AS n_outliers
+FROM events e JOIN m ON e.event_type = m.event_type
+GROUP BY 1, 2, 3
+"""
+
+
+@register("value_outliers", _VALUE_OUTLIERS_SQL)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ outlier counts per event type.  Mean and variance come from
+    DECIMAL-exact Σv and Σv² (never a streaming stddev, whose float
+    accumulation order differs per engine/partitioning), broadcast
+    back over the events as a tiny per-type relation; the z-cut then
+    compares identical doubles everywhere.  Two scans of events, one
+    shuffle each, both map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_v2"),
+    )
+    mean = F.col("sum_v") / F.col("n")
+    std = F.sqrt(F.col("sum_v2") / F.col("n") - mean * mean)
+    j = ev.join(F.broadcast(m), "event_type")
+    return (
+        j.withColumn(
+            "_is_out",
+            F.when(F.abs(F.col("value") - mean) > _OUTLIER_Z * std, 1),
+        )
+        .groupBy("event_type", "n", F.round(mean, 6).alias("mean_value"))
+        .agg(F.count("_is_out").alias("n_outliers"))
+    )
