@@ -3542,3 +3542,68 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n", F.round(mean, 6).alias("mean_value"))
         .agg(F.count("_is_out").alias("n_outliers"))
     )
+
+
+_MEDIA_NEARDUP_HAMMING = 6
+
+_MEDIA_NEARDUP_SQL = f"""
+WITH media AS (SELECT doc_id AS media_id, lower(text) AS signal FROM documents),
+grams AS (
+  SELECT media_id, unnest(list_transform(
+           generate_series(1, len(signal) - 3),
+           i -> signal[i:i+3])) AS gram
+  FROM media
+),
+counted AS (SELECT media_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+votes AS (SELECT media_id,
+  {_simhash_vote_sql("gram")}
+  FROM counted GROUP BY media_id),
+ph AS (
+  SELECT media_id,
+         {_simhash_bits_sql("hi")} AS phash_hi,
+         {_simhash_bits_sql("lo")} AS phash_lo
+  FROM votes
+)
+SELECT a.media_id AS m1, b.media_id AS m2,
+       CAST(bit_count(CAST(xor(a.phash_hi, b.phash_hi) AS BIGINT))
+          + bit_count(CAST(xor(a.phash_lo, b.phash_lo) AS BIGINT)) AS INTEGER)
+         AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(CAST(xor(a.phash_hi, b.phash_hi) AS BIGINT))
+    + bit_count(CAST(xor(a.phash_lo, b.phash_lo) AS BIGINT))
+    <= {_MEDIA_NEARDUP_HAMMING}
+"""
+
+
+@register("media_neardup_pairs", _MEDIA_NEARDUP_SQL)
+def media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup pairs: perceptual-hash Hamming ≤ 6 over the
+    BINARY media column — the re-encode/resize-robust twin of byte
+    dedup (`media_binary_dedup` catches only exact copies).  The
+    phash rides the same block-combination banding as text SimHash
+    (C(9,6) 21-bit combination keys — complete for r=6 by pigeonhole,
+    so the oracle is EXACT all-pairs), and candidates are verified by
+    popcount only.  One banded equi-join at any corpus size — never
+    an all-pairs scan."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    docs = load(spark, sf_dir, "documents")
+    ph = media_ops.media_phash(media_ops.synthesize_media(docs))
+    sig = ph.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("phash_hi").alias("sim_hi"),
+        F.col("phash_lo").alias("sim_lo"),
+    )
+    cands = dedup_ops.simhash_band_candidates(sig, _MEDIA_NEARDUP_HAMMING)
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sim_hi").alias("hi1"), F.col("sim_lo").alias("lo1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sim_hi").alias("hi2"), F.col("sim_lo").alias("lo2"))
+    hamming = F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2"))) + F.bit_count(
+        F.col("lo1").bitwiseXOR(F.col("lo2"))
+    )
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= _MEDIA_NEARDUP_HAMMING)
+        .select(F.col("d1").alias("m1"), F.col("d2").alias("m2"), "hamming")
+    )
