@@ -3589,11 +3589,14 @@ def media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     ph = media_ops.media_phash(media_ops.synthesize_media(docs))
+    # cache: the signature feeds candidate generation AND both verify
+    # sides — without it the decode+phash pass runs three times
+    # (same pattern as dedup.simhash_neardup_pairs)
     sig = ph.select(
         F.col("media_id").alias("doc_id"),
         F.col("phash_hi").alias("sim_hi"),
         F.col("phash_lo").alias("sim_lo"),
-    )
+    ).cache()
     cands = dedup_ops.simhash_band_candidates(sig, _MEDIA_NEARDUP_HAMMING)
     s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sim_hi").alias("hi1"), F.col("sim_lo").alias("lo1"))
     s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sim_hi").alias("hi2"), F.col("sim_lo").alias("lo2"))
