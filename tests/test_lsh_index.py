@@ -155,3 +155,31 @@ def test_streaming_ingest_maintains_lsh_index(spark, sf_dir, tmp_path):
     again = {key(r): r["jaccard"]
              for r in dedup_ops.lsh_probe_table(spark, idx, queries, _THRESHOLD).collect()}
     assert again == want
+
+
+def test_compaction_restores_single_file_per_band(spark, sf_dir, tmp_path):
+    """After several appends, compaction must shrink each band
+    partition back toward one file WITHOUT changing any probe
+    result."""
+    import glob
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "lsh_c")
+    dedup_ops.write_lsh_index(docs.filter(F.col("doc_id") < 300), idx)
+    dedup_ops.append_lsh_index(docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)), idx)
+    dedup_ops.append_lsh_index(docs.filter(F.col("doc_id") >= 400), idx)
+
+    queries = docs.filter(F.col("doc_id") % 20 == 0)
+    key = lambda r: (r["query_id"], r["corpus_id"])
+    before = {key(r): r["jaccard"]
+              for r in dedup_ops.lsh_probe_table(spark, idx, queries, _THRESHOLD).collect()}
+    files_before = len(glob.glob(f"{idx}/bands/band=0/*.parquet"))
+    assert files_before >= 3  # base + 2 appends
+
+    dedup_ops.compact_lsh_index(spark, idx)
+
+    files_after = len(glob.glob(f"{idx}/bands/band=0/*.parquet"))
+    assert files_after < files_before
+    after = {key(r): r["jaccard"]
+             for r in dedup_ops.lsh_probe_table(spark, idx, queries, _THRESHOLD).collect()}
+    assert after == before

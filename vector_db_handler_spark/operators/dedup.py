@@ -802,3 +802,51 @@ def repetition_stats(
     return docs.select(*carry, text_col).mapInPandas(
         stats, schema=f"{carry_schema}, n_tokens long, n_shingles long, dup_frac double"
     )
+
+
+def compact_lsh_index(spark, path: str, bands: list[int] | None = None) -> None:
+    """Periodic maintenance for an appended LSH index: rewrite band
+    partitions into one sorted file each, restoring the fully-
+    clustered layout ``write_lsh_index`` produces.
+
+    Appends (:func:`append_lsh_index`, streaming ingest) accumulate
+    one file per batch per band; each file is internally sorted so
+    min/max pruning still works, but probe open-file counts grow with
+    batch count.  Compaction is per-PARTITION: only the named bands
+    (default: all) are rewritten, the rest of the index is untouched,
+    and the sidecar shingle table is coalesced the same way.  This is
+    the parquet twin of an LSM minor compaction — run it on whatever
+    cadence keeps files-per-band bounded.
+
+    Uses dynamic partition overwrite so a compaction that dies mid-job
+    leaves the old files in place (Spark commits per partition swap).
+    Reading and overwriting the same path is safe here ONLY because
+    ``repartition`` forces an exchange: the whole input is
+    materialized into shuffle storage before the write stage swaps
+    any partition — do not remove the repartition.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    bands_df = spark.read.parquet(f"{path}/bands")
+    if bands is not None:
+        bands_df = bands_df.filter(F.col("band").isin([int(b) for b in bands]))
+    (
+        bands_df.repartition("band")
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    if bands is None:
+        sh = spark.read.parquet(f"{path}/shingles")
+        sh.coalesce(max(1, sh.rdd.getNumPartitions() // 8)).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/shingles_compact")
+        # swap via overwrite-in-place is not atomic for unpartitioned
+        # tables; keep it simple and correct: rewrite from the compact
+        # copy, then drop it.
+        spark.read.parquet(f"{path}/shingles_compact").write.mode("overwrite").parquet(
+            f"{path}/shingles"
+        )
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/shingles_compact")
+        p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()).delete(p, True)
