@@ -1,0 +1,41 @@
+"""Empty-corpus robustness: operators that collect a 'small side'
+(query batches, centroids, scales) or write partitioned indexes must
+degrade to empty results — not crash — when the corpus is empty.
+Regression set = the five queries that failed the first empty-fixture
+sweep, plus the operator-level edges behind them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark import driver_queries as dq
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("empty_fixture")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ["documents", "embeddings", "events"]:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.filter(F.lit(False)).coalesce(1).write.parquet(str(root / f"{t}.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "cosine_topk_join",
+        "ivf_topk",
+        "ivfsq_probe_topk",
+        "lsh_index_probe",
+        "pipeline_ingest_search",
+        "knn_topk",
+        "dedup_exact",
+        "neardup_components",
+        "quantized_knn_topk",
+        "doc_repetition",
+    ],
+)
+def test_query_survives_empty_corpus(spark, empty_dir, name):
+    assert dq.queries()[name](spark, empty_dir).collect() == []

@@ -1549,7 +1549,12 @@ def pipeline_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             [r["text"] for r in docs],
             [{"DocId": r["doc_id"], "ChunkId": 0, "Title": r["source"]} for r in docs],
         )
-    query_text = load(spark, sf_dir, "documents").orderBy("doc_id").limit(1).collect()[0]["text"]
+    first = load(spark, sf_dir, "documents").orderBy("doc_id").limit(1).collect()
+    if not first:  # empty corpus: nothing ingested, nothing to search
+        return spark.createDataFrame(
+            [], "DocId bigint, ChunkId bigint, Title string, similarity_score double"
+        )
+    query_text = first[0]["text"]
     hits = pipe._search_df("driver", query_text, limit=5, score_threshold=0.0)
     return hits.select(
         F.col("doc_id").alias("DocId"),

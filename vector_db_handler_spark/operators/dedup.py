@@ -396,13 +396,19 @@ def write_lsh_index(
     """
     sh = shingle_index(docs, text_col, id_col, k).cache()
     bands = band_keys(minhash_signatures_from_index(sh), "doc_id")
-    (
-        bands.repartition("band")
-        .sortWithinPartitions("key")
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(f"{path}/bands")
-    )
+    if bands.isEmpty():
+        # An empty corpus writes an UNPARTITIONED empty table: a
+        # partitioned write of zero rows produces no part files and
+        # the directory becomes unreadable (no schema to infer).
+        bands.write.mode("overwrite").parquet(f"{path}/bands")
+    else:
+        (
+            bands.repartition("band")
+            .sortWithinPartitions("key")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(f"{path}/bands")
+        )
     sh.select("doc_id", portable_hash60(F.col("shingle")).alias("h")).write.mode(
         "overwrite"
     ).parquet(f"{path}/shingles")

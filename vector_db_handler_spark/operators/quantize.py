@@ -238,9 +238,13 @@ def write_ivfsq_index(
             out["cell_id"] = cells
             yield out
 
-    corpus.select(id_col, vec_col).mapInPandas(build, out_schema).write.mode(
-        "overwrite"
-    ).partitionBy("cell_id").parquet(path)
+    indexed = corpus.select(id_col, vec_col).mapInPandas(build, out_schema)
+    if indexed.isEmpty():
+        # empty corpus: a partitioned zero-row write leaves no part
+        # files and the path unreadable — write unpartitioned instead
+        indexed.write.mode("overwrite").parquet(path)
+    else:
+        indexed.write.mode("overwrite").partitionBy("cell_id").parquet(path)
     spark = corpus.sparkSession
     spark.createDataFrame([(s_val,)], "s double").write.mode("overwrite").parquet(
         path + "_scale"
@@ -271,11 +275,14 @@ def ivfsq_probe_table(
     from vector_db_handler_spark.operators.similarity import _collect_matrix
 
     c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
-    q = np.asarray([float(v) for v in query_vector], dtype=np.float64)
-    qn = np.sqrt((q * q).sum())
-    scores = c_mat @ (q / qn if qn > 0 else q)
-    order = np.lexsort((np.array(c_ids), -scores))
-    probe = [int(np.array(c_ids)[i]) for i in order[: int(nprobe)]]
+    if not c_ids:  # empty centroid relation: nothing to probe
+        probe = []
+    else:
+        q = np.asarray([float(v) for v in query_vector], dtype=np.float64)
+        qn = np.sqrt((q * q).sum())
+        scores = c_mat @ (q / qn if qn > 0 else q)
+        order = np.lexsort((np.array(c_ids), -scores))
+        probe = [int(np.array(c_ids)[i]) for i in order[: int(nprobe)]]
 
     s_val = float(spark.read.parquet(path + "_scale").collect()[0]["s"])
     qq = quantize_vector(query_vector, s_val)

@@ -46,6 +46,8 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[list, np.
     the side that is orders of magnitude smaller than the corpus."""
     rows = df.select(id_col, vec_col).collect()
     ids = [r[0] for r in rows]
+    if not ids:  # empty side: 2-D empty matrix keeps consumers' numpy shapes valid
+        return ids, np.zeros((0, 0), dtype=np.float64)
     m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
     norms = np.sqrt(np.einsum("ij,ij->i", m, m))
     return ids, m / norms[:, None]
@@ -75,6 +77,7 @@ def cosine_topk_join(
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
     q_id_arr = np.array(q_ids)
     kk = int(k)
+    empty_queries = len(q_ids) == 0
 
     out_schema = T.StructType(
         [
@@ -119,6 +122,13 @@ def cosine_topk_join(
         ]
         yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
 
+    if empty_queries:
+        # no queries ⇒ no rows; keep the exact output schema
+        return (
+            corpus.sparkSession.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1).cast("int"))
+            .limit(0)
+        )
     cands = corpus.mapInPandas(local_topk, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -235,6 +245,10 @@ def assign_cells(
     shuffle at all.  Output: corpus columns + ``cell_id``.
     """
     c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
+    if not c_ids:
+        # no centroids (empty corpus bootstrap): every row → cell -1;
+        # on an empty corpus this is simply an empty result.
+        return corpus.withColumn("cell_id", F.lit(-1).cast("long"))
     # Ties → lowest cell id: argmax returns the FIRST max, so order
     # columns by ascending cell id.
     order = np.argsort(np.array(c_ids), kind="stable")
@@ -291,12 +305,15 @@ def ivf_probe(
     geometry; test it against the brute-force baseline.
     """
     c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
-    q = np.asarray([float(v) for v in query_vector], dtype=np.float64)
-    q = q / np.sqrt((q * q).sum())
-    scores = c_mat @ q
-    # Probe order: score desc, cell id asc (deterministic).
-    order = np.lexsort((np.array(c_ids), -scores))
-    probe = [int(np.array(c_ids)[i]) for i in order[: int(nprobe)]]
+    if not c_ids:  # empty centroid relation: nothing to probe
+        probe = []
+    else:
+        q = np.asarray([float(v) for v in query_vector], dtype=np.float64)
+        q = q / np.sqrt((q * q).sum())
+        scores = c_mat @ q
+        # Probe order: score desc, cell id asc (deterministic).
+        order = np.lexsort((np.array(c_ids), -scores))
+        probe = [int(np.array(c_ids)[i]) for i in order[: int(nprobe)]]
 
     return (
         indexed_corpus.filter(F.col("cell_id").isin(probe))
