@@ -3615,3 +3615,80 @@ def media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _MEDIA_NEARDUP_HAMMING)
         .select(F.col("d1").alias("m1"), F.col("d2").alias("m2"), "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining grouping/window shapes: CUBE (all grouping-set
+# combinations in one pass) and a running cumulative window — the two
+# relational patterns not yet covered by rollup_day_type /
+# top_customers_per_nation.
+# ---------------------------------------------------------------------------
+
+_CUBE_SOURCE_LANG_SQL = """
+SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source_lvl,
+       CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang_lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE(source, lang)
+"""
+
+
+@register("cube_source_lang", _CUBE_SOURCE_LANG_SQL)
+def cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (source, lang): all four grouping sets — detail, per
+    source, per lang, grand total — in ONE pass (Catalyst expands the
+    sets and map-side-combines each level; never four scans).
+    GROUPING() distinguishes subtotal rows from a hypothetical 'ALL'
+    data value, same as rollup_day_type."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+            F.grouping("source").alias("_g_source"),
+            F.grouping("lang").alias("_g_lang"),
+        )
+        .select(
+            F.when(F.col("_g_source") == 1, "ALL").otherwise(F.col("source")).alias("source_lvl"),
+            F.when(F.col("_g_lang") == 1, "ALL").otherwise(F.col("lang")).alias("lang_lvl"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+_RUNNING_USER_VALUE_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_value,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+WHERE user_id < 50
+"""
+
+
+@register("running_user_value", _RUNNING_USER_VALUE_SQL)
+def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total in event order — the cumulative-window
+    shape (sessions budgets, rate limits, account balances).  One
+    shuffle on user_id serves BOTH window functions (same partition +
+    order spec); the running sum accumulates DECIMAL so every prefix
+    is exact in both engines, and (ts, event_id) ordering is total so
+    ties can't reorder prefixes."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+    )
