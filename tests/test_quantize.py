@@ -131,3 +131,29 @@ def test_ivfsq_append_matches_full_rebuild(spark, sf_dir, tmp_path):
     got_appended = {v: s for v, s in got_rows if v >= 300}
     for v, s in got_appended.items():
         assert want_appended.get(v, s) == s
+
+
+def test_batch_probe_equals_per_query_probes(spark, sf_dir, tmp_path):
+    """The batched probe must return exactly what nprobe-identical
+    single-query probes return, per query — the union-of-cells scan
+    plus membership filter is an optimization, not a semantic."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "sq_batch")
+    quantize_ops.write_ivfsq_index(emb, cents, path)
+
+    qids = [1, 7, 42]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    batch = quantize_ops.ivfsq_batch_probe(
+        spark, path, cents, queries, k=5, nprobe=3
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["qscore"]))
+    for qid in qids:
+        vec = emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]
+        single = quantize_ops.ivfsq_probe_table(
+            spark, path, cents, list(vec), k=5, nprobe=3
+        ).collect()
+        want = [(i + 1, r["vec_id"], r["qscore"]) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == sorted(want), f"query {qid}"

@@ -3692,3 +3692,91 @@ def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("running_value"),
         F.row_number().over(w).alias("seq"),
     )
+
+
+_IVFSQ_BATCH_QIDS = (1, 2, 3, 4, 5)
+_IVFSQ_BATCH_K = 5
+
+_IVFSQ_BATCH_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE {_IVF_CENTROID_PRED}
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+asg_scored AS (
+  SELECT corpus.vec_id, cents.cell_id,
+         list_dot_product(corpus.ev, cents.cv) /
+         (sqrt(list_dot_product(corpus.ev, corpus.ev)) *
+          sqrt(list_dot_product(cents.cv, cents.cv))) AS cs
+  FROM corpus CROSS JOIN cents
+),
+asg AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id ASC) AS rn
+    FROM asg_scored
+  ) WHERE rn = 1
+),
+scale AS (
+  SELECT MAX(GREATEST(list_max(ev), -list_min(ev))) AS s FROM corpus
+),
+qsel AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN {_IVFSQ_BATCH_QIDS}
+),
+qprobe AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, c.cell_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, q.qv) /
+               (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv)))
+               DESC, c.cell_id ASC) AS rn
+    FROM qsel q CROSS JOIN cents c
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+qq AS (
+  SELECT query_id, list_transform(qv, x -> {_QUANT_CLAMP}) AS v FROM qsel, scale
+),
+qc AS (
+  SELECT vec_id, list_transform(ev, x -> {_QUANT_CLAMP}) AS v FROM corpus, scale
+),
+scored AS (
+  SELECT qq.query_id, qc.vec_id, CAST(asg.cell_id AS BIGINT) AS cell_id,
+         CAST(list_dot_product(qc.v, qq.v) AS BIGINT) AS qscore
+  FROM qc
+  JOIN asg ON qc.vec_id = asg.vec_id
+  JOIN qprobe p ON asg.cell_id = p.cell_id
+  JOIN qq ON qq.query_id = p.query_id
+)
+SELECT query_id, vec_id, cell_id, qscore, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qscore DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_IVFSQ_BATCH_K}
+"""
+
+
+@register("ivfsq_batch_probe", _IVFSQ_BATCH_SQL)
+def ivfsq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving: 5 query vectors probe the written IVF-SQ8
+    index at once — the union of probed cells is scanned ONCE (static
+    partition filter), every surviving row scores against all queries
+    in one int matmul, and a single window ranks per query.  The
+    production shape for embedding-search request batches."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.expr(_IVF_CENTROID_PRED))
+    basis = f"ivfsq|{_IVF_CENTROID_PRED}|{_fixture_tag(sf_dir, 'embeddings')}"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_ivfsq_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        quantize_ops.write_ivfsq_index(emb, cents, path)
+    queries = emb.filter(F.col("vec_id").isin(list(_IVFSQ_BATCH_QIDS)))
+    return quantize_ops.ivfsq_batch_probe(
+        spark, path, cents, queries, k=_IVFSQ_BATCH_K, nprobe=_IVF_NPROBE,
+        query_id_col="query_id",
+    )

@@ -375,3 +375,136 @@ def append_ivfsq_index(
     new_rows.select(id_col, vec_col).mapInPandas(build, out_schema).write.mode(
         "append"
     ).partitionBy("cell_id").parquet(path)
+
+
+def ivfsq_batch_probe(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch ANN serving against a written IVF-SQ8 index: every query
+    probes its own ``nprobe`` nearest cells, scores the union of
+    touched cells ONCE, and takes a per-query integer top-k →
+    ``(query_id, vec_id, cell_id, qscore, rank)``.
+
+    The query relation is the contractually-small side (same contract
+    as ``similarity.cosine_topk_join``): its matrix ships inside the
+    closure like a broadcast dim.  The scan reads only
+    ``∪(probed cells)`` — a static planning-time partition filter —
+    and each surviving row is scored against ALL queries in one numpy
+    int matmul, then filtered to the rows whose cell is actually in
+    that query's probe list (cell membership, not a distance cut, so
+    results match per-query probing exactly).  One window on
+    query_id ranks the survivors.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.operators.similarity import _collect_matrix
+
+    c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
+    q_rows = queries.select(id_col, vec_col).collect()
+    s_val = float(spark.read.parquet(path + "_scale").collect()[0]["s"])
+    if not c_ids or not q_rows:
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        id_t = queries.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(query_id_col, id_t),
+                    StructField(id_col, spark.read.parquet(path).schema[id_col].dataType),
+                    StructField("cell_id", LongType()),
+                    StructField("qscore", LongType()),
+                    StructField("rank", IntegerType()),
+                ]
+            ),
+        )
+
+    order = np.argsort(np.array(c_ids), kind="stable")
+    c_id_sorted = np.array(c_ids)[order]
+    c_unit = c_mat[order]
+
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    q_norm[q_norm == 0.0] = 1.0
+    # per-query probe cells: score desc, cell id asc — same tie rule
+    # as the single-query probe
+    cell_scores = (q_mat / q_norm[:, None]) @ c_unit.T
+    probe_sets = []
+    for qi in range(len(q_ids)):
+        o = np.lexsort((c_id_sorted, -cell_scores[qi]))
+        probe_sets.append({int(c_id_sorted[i]) for i in o[: int(nprobe)]})
+    union_cells = sorted(set().union(*probe_sets))
+    qq = np.clip(np.floor(127.0 * q_mat / (s_val if s_val > 0 else 1.0) + 0.5), -127, 127).astype(np.int64)
+    q_ids_arr = list(q_ids)
+    probe_lists = [sorted(ps) for ps in probe_sets]
+
+    idx = spark.read.parquet(path).filter(F.col("cell_id").isin(union_cells))
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[id_col].dataType),
+            StructField(id_col, idx.schema[id_col].dataType),
+            StructField("cell_id", LongType()),
+            StructField("qscore", LongType()),
+        ]
+    )
+
+    def score(batches):  # self-contained: cloudpickled to executors
+        import numpy as _np
+        import pandas as _pd
+
+        qq_l = _np.asarray(qq, dtype=_np.int64)
+        probe_l = [set(p) for p in probe_lists]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = _np.frombuffer(b"".join(pdf["qvec"]), dtype=_np.int8).reshape(
+                len(pdf), -1
+            ).astype(_np.int64)
+            scores = m @ qq_l.T  # (rows, Q)
+            cells = pdf["cell_id"].to_numpy()
+            vecs = pdf[pdf.columns[0]].to_numpy()
+            out_q, out_v, out_c, out_s = [], [], [], []
+            for qi, qid in enumerate(q_ids_arr):
+                mask = _np.fromiter(
+                    (int(c) in probe_l[qi] for c in cells), dtype=bool, count=len(cells)
+                )
+                if not mask.any():
+                    continue
+                out_q.extend([qid] * int(mask.sum()))
+                out_v.extend(vecs[mask])
+                out_c.extend(cells[mask].astype(_np.int64))
+                out_s.extend(scores[mask, qi])
+            yield _pd.DataFrame(
+                {
+                    query_id_col: out_q,
+                    pdf.columns[0]: out_v,
+                    "cell_id": out_c,
+                    "qscore": out_s,
+                }
+            )
+
+    scored = idx.select(id_col, "cell_id", "qvec").mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("qscore").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
