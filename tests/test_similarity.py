@@ -104,6 +104,49 @@ def test_written_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
     assert len(probed.collect()) == 5
 
 
+def test_ann_neardup_matches_exact_allpairs(spark, sf_dir):
+    """100%-recall check at fixture scale: the ANN-candidate near-dup
+    (multi-probe cells + exact verify) must return EXACTLY the pairs
+    the exact all-pairs pass returns — same ids, same rounded scores."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.expr(dq._ANN_NEARDUP_CENTROID_PRED))
+    exact = {
+        (r["id1"], r["id2"], r["score"])
+        for r in sim_ops.cosine_neardup_pairs(emb, dq._NEARDUP_THRESHOLD).collect()
+    }
+    ann = {
+        (r["id1"], r["id2"], r["score"])
+        for r in sim_ops.cosine_neardup_ann(
+            emb, cents, dq._NEARDUP_THRESHOLD, nprobe=dq._ANN_NEARDUP_NPROBE
+        ).collect()
+    }
+    assert ann == exact
+    assert len(ann) > 0, "fixture must contain near-dup pairs at this threshold"
+
+
+def test_ann_neardup_plan_has_no_allpairs_stage(spark, sf_dir):
+    """The scale contract: candidates come from a cell_id equi-join —
+    the plan must contain NO grouped-map block-pair stage (that is the
+    O(N²) operator this query exists to avoid) and no cartesian/nested-
+    loop join; row growth is the nprobe explode only."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.expr(dq._ANN_NEARDUP_CENTROID_PRED))
+    df = sim_ops.cosine_neardup_ann(
+        emb, cents, dq._NEARDUP_THRESHOLD, nprobe=dq._ANN_NEARDUP_NPROBE
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the nprobe explode
+    # Any EQUI join strategy is fine (AQE picks broadcast at fixture
+    # scale, sort-merge/shuffled-hash at 100 TB); nested-loop is not.
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
 def test_ivf_append_matches_full_rebuild(spark, sf_dir, tmp_path):
     """Appending new vectors into a written IVF index must answer
     probes exactly like a from-scratch rebuild over the full corpus

@@ -82,12 +82,83 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+#: Driver-evidence rotation. The correctness driver hash-checks only the
+#: FIRST 50 entries of ``queries()`` (insertion order), so which queries
+#: get driver-verified each round is decided here, not by file position.
+#: Names in this list are moved to the front (in list order); everything
+#: else follows in original registration order. Round 4 fronts this
+#: round's new queries plus the 44 queries that had no driver row in
+#: CORRECTNESS_r03 (all round-3 additions + ``upsert_scroll_roundtrip``).
+#: The full verified-ever ledger lives in SURVEY.md §8.
+_DRIVER_FRONT: list[str] = [
+    # new in round 4 — need first-ever driver rows
+    "cosine_neardup_ann",
+    "pipeline_ingest_search_checked",
+    "media_real_decode_stats",
+    "anti_join_novel_docs",
+    "grouped_embedding_norms",
+    "minhash_jaccard_estimate",
+    # no driver row in r03 (registered past slot 50) — rotate in
+    "upsert_scroll_roundtrip",
+    "simhash_neardup_pairs",
+    "json_props_stats",
+    "label_centroids",
+    "scroll_page2",
+    "decontamination_pairs",
+    "bloom_incremental_novel",
+    "salted_join_agg",
+    "bucketed_join_agg",
+    "neardup_components",
+    "neardup_canonical_docs",
+    "deduped_corpus",
+    "sample_stratified_docs",
+    "sample_per_lang_topk",
+    "doc_repetition",
+    "quantized_knn_topk",
+    "ivfsq_probe_topk",
+    "ivfsq_batch_probe",
+    "media_neardup_pairs",
+    "source_quality_report",
+    "user_retention_weekly",
+    "vocab_topk_tokens",
+    "funnel_view_purchase",
+    "value_outliers",
+    "cube_source_lang",
+    "running_user_value",
+    "top_customers_per_nation",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+]
+
+
+def _rotated(entries: dict) -> dict:
+    rank = {n: i for i, n in enumerate(_DRIVER_FRONT)}
+    tail = len(rank)
+    # sorted() is stable: non-fronted names keep registration order.
+    return dict(sorted(entries.items(), key=lambda kv: rank.get(kv[0], tail)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _rotated(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _rotated(_ORACLES)
 
 
 # ---------------------------------------------------------------------------
@@ -986,6 +1057,33 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_neardup_pairs(emb, threshold=_NEARDUP_THRESHOLD)
 
 
+#: ANN dedup centroid rule: a FIXED handful of cells (not scaling with
+#: the corpus like the IVF probe's % 100 rule) — recall of the
+#: candidate stage must hold as N grows, and 3-of-5 probed cells is
+#: empirically complete for the fixture at both sf0.01 and sf0.1
+#: (verified against exact all-pairs; the driver row re-proves it
+#: every round).
+_ANN_NEARDUP_CENTROID_PRED = "vec_id < 5"
+_ANN_NEARDUP_NPROBE = 3
+
+
+@register("cosine_neardup_ann", _COSINE_NEARDUP_SQL)
+def cosine_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup via ANN candidates (threshold 0.45) — the
+    100 TB path that retires exact all-pairs: multi-probe IVF cell
+    assignment generates candidate pairs (equi-join on cell_id, the
+    same banded shape as MinHash-LSH), and only candidates pay the
+    exact cosine verify.  The oracle is EXACT all-pairs, so this row
+    being green is a 100%-recall proof at driver scale."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.expr(_ANN_NEARDUP_CENTROID_PRED))
+    return sim_ops.cosine_neardup_ann(
+        emb, cents, threshold=_NEARDUP_THRESHOLD, nprobe=_ANN_NEARDUP_NPROBE
+    )
+
+
 _IVF_NPROBE = 2
 _IVF_K = 5
 
@@ -1561,6 +1659,118 @@ def pipeline_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_id").alias("ChunkId"),
         F.col("title").alias("Title"),
         F.round("score", 6).alias("similarity_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline end-to-end, HASH-CHECKED: the same embed -> store -> search
+# path (P2 -> H3/H4 -> P10, ref document_ingestor.py:675-731, :89-144,
+# :919-979) but through the SQL-expressible md5 embedder
+# (embedder.md5_embed_expr), so the driver oracle replays the whole
+# pipeline — ingestion included — and hash-verifies the result.
+# ---------------------------------------------------------------------------
+
+_CHECKED_DIM = 8
+
+
+def _md5_comp_sql(expr: str, j: int) -> str:
+    """DuckDB twin of one ``md5_embed_expr`` component: 60-bit md5
+    prefix -> BIGINT -> [-1, 1) double -> float32 rounding."""
+    return (
+        f"CAST(CAST('0x' || substr(md5({expr} || '|{j}'), 1, 15) AS BIGINT)"
+        f" / {float(2**59)!r} - 1.0 AS REAL)"
+    )
+
+
+_CHECKED_Q_COMPS = ", ".join(_md5_comp_sql("qtext", j) for j in range(_CHECKED_DIM))
+_CHECKED_D_COMPS = ", ".join(_md5_comp_sql("text", j) for j in range(_CHECKED_DIM))
+
+_PIPELINE_CHECKED_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 20
+),
+q AS (
+  SELECT CAST([{_CHECKED_Q_COMPS}] AS DOUBLE[]) AS qv
+  FROM (SELECT text AS qtext FROM documents ORDER BY doc_id LIMIT 1)
+),
+emb AS (
+  SELECT doc_id, source, CAST([{_CHECKED_D_COMPS}] AS DOUBLE[]) AS v FROM base
+),
+scored AS (
+  SELECT doc_id, source,
+         list_dot_product(v, q.qv) /
+         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))) AS s
+  FROM emb CROSS JOIN q
+)
+SELECT doc_id AS "DocId", CAST(0 AS BIGINT) AS "ChunkId",
+       source AS "Title", ROUND(s, 6) AS "similarity_score"
+FROM scored WHERE s >= 0.0
+ORDER BY s DESC, doc_id ASC
+LIMIT 5
+"""
+
+
+@register("pipeline_ingest_search_checked", _PIPELINE_CHECKED_SQL)
+def pipeline_ingest_search_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked pipeline e2e: ingest 20 docs through the REAL store
+    write path (insert-only upsert, tenant partition, precomputed
+    norms) with the md5 embedder, then run the reference's P10 search
+    projection.  Every stage — embedding included — is replayed by the
+    DuckDB oracle, closing the one ``no_oracle`` gap the PCG64
+    embedder leaves in ``pipeline_ingest_search``."""
+    import os
+    import tempfile
+
+    from vector_db_handler_spark import embedder as emb_mod
+    from vector_db_handler_spark.functions.vector import cosine_score_precomputed
+    from vector_db_handler_spark.store import PointsStore
+
+    dim = _CHECKED_DIM
+    probe = ",".join(f"{v:.6f}" for v in emb_mod.md5_embed_text("probe", dim))
+    import hashlib as _hl
+
+    from vector_db_handler_spark.store import POINTS_SCHEMA
+
+    tag = _hl.md5(
+        f"checked|{dim}|{POINTS_SCHEMA.simpleString()}|{probe}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_pipeck_{os.path.basename(sf_dir.rstrip('/'))}_{tag}",
+    )
+    store = PointsStore(spark, root, vector_size=dim)
+    if not store.collection_exists("driver"):
+        docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(20).collect()
+        store.ensure_collection("driver")
+        if docs:
+            store.upsert_vectors(
+                "driver",
+                [emb_mod.md5_embed_text(r["text"], dim) for r in docs],
+                [
+                    {"DocId": r["doc_id"], "ChunkId": 0, "Title": r["source"]}
+                    for r in docs
+                ],
+            )
+    first = load(spark, sf_dir, "documents").orderBy("doc_id").limit(1).collect()
+    if not first:
+        return spark.createDataFrame(
+            [], "DocId bigint, ChunkId bigint, Title string, similarity_score double"
+        )
+    qvec = emb_mod.md5_embed_text(first[0]["text"], dim)
+    scored = store.read_tenant("driver").withColumn(
+        "score",
+        cosine_score_precomputed(F.col("embedding"), F.col("embedding_norm"), qvec),
+    )
+    return (
+        scored.filter(F.col("score") >= F.lit(0.0))
+        .orderBy(F.col("score").desc(), F.col("point_id").asc())
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("DocId"),
+            F.col("chunk_id").alias("ChunkId"),
+            F.col("title").alias("Title"),
+            F.round("score", 6).alias("similarity_score"),
+        )
     )
 
 
@@ -2218,13 +2428,20 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:10]
     li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
     base = os.path.join(tempfile.gettempdir(), f"vdh_bucketed_{tag}")
-    have = li_tbl in [t.name for t in spark.catalog.listTables()]
-    # a listed table whose backing path was cleaned (e.g. /tmp swept
-    # under a persistent metastore) must be rebuilt, not trusted
-    if have and not os.path.exists(os.path.join(base, "li", "_SUCCESS")):
+    listed = {t.name for t in spark.catalog.listTables()}
+    # Both catalog entries AND both backing paths must be intact; a
+    # half-present pair (e.g. /tmp swept under a persistent metastore,
+    # or a build that died between the two saves) is rebuilt, not
+    # trusted.
+    have = (
+        li_tbl in listed
+        and o_tbl in listed
+        and os.path.exists(os.path.join(base, "li", "_SUCCESS"))
+        and os.path.exists(os.path.join(base, "o", "_SUCCESS"))
+    )
+    if not have:
         spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
-        have = False
     if not have:
         (
             load(spark, sf_dir, "lineitem")
@@ -3608,13 +3825,21 @@ def media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2"))) + F.bit_count(
         F.col("lo1").bitwiseXOR(F.col("lo2"))
     )
-    return (
+    pairs = (
         cands.join(s1, "d1")
         .join(s2, "d2")
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= _MEDIA_NEARDUP_HAMMING)
         .select(F.col("d1").alias("m1"), F.col("d2").alias("m2"), "hamming")
     )
+    # Eagerly materialize the (small) verified pairs and release the
+    # cached signature so a 90+-query driver session doesn't accumulate
+    # cached relations (localCheckpoint blocks are ContextCleaner-
+    # collected when the result is dropped; CacheManager entries are
+    # not).  Same pattern as dedup.simhash_neardup_pairs.
+    pairs = pairs.localCheckpoint(eager=True)
+    sig.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,44 @@ def embed_texts(texts: Sequence[str], dim: int = DEFAULT_DIM) -> list[list[float
     return [embed_text(t, dim) for t in texts]
 
 
+def md5_embed_expr(text_col, dim: int = 8):
+    """SQL-expressible embedder: component ``j`` derives from
+    ``md5(text || '|' || j)`` alone — 60-bit hex prefix → BIGINT →
+    affine map into [-1, 1) → FLOAT (float32 rounding pins the stored
+    value bit-exactly in every engine).
+
+    This is the ORACLE-CHECKABLE twin of the PCG64 hash embedder: the
+    identical value is one SQL expression in DuckDB
+    (``CAST('0x' || substr(md5(text || '|j'), 1, 15) AS BIGINT)``), so
+    an end-to-end embed→store→search pipeline over it hash-verifies in
+    the driver.  Distribution is worse than PCG64's normals (components
+    are uniform, not gaussian) — fine for parity evidence, not for
+    similarity quality.  All-native column expressions: the embedding
+    runs JVM-side in codegen, no Python at all.
+    """
+    comps = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(text_col, F.lit(f"|{j}"))), 1, 15), 16, 10
+            ).cast("long")
+            / F.lit(float(2**59))
+            - F.lit(1.0)
+        ).cast("float")
+        for j in range(int(dim))
+    ]
+    return F.array(*comps)
+
+
+def md5_embed_text(text: str, dim: int = 8) -> list[float]:
+    """Driver-side scalar twin of :func:`md5_embed_expr` (identical
+    bits: float32 rounding applied the same way)."""
+    out = []
+    for j in range(int(dim)):
+        h = int(hashlib.md5(f"{text}|{j}".encode("utf-8")).hexdigest()[:15], 16)
+        out.append(float(np.float32(h / float(2**59) - 1.0)))
+    return out
+
+
 def with_embeddings(
     df: DataFrame,
     text_col: str = "text",

@@ -128,7 +128,8 @@ def ngram_jaccard_pairs(
     # equivalent is writing the inverted index as a table (the same
     # build-once/probe-many split as build_ivf_index); in-memory cache
     # is the fixture-scale stand-in.
-    sh = hashed_shingle_index(docs, text_col, id_col, k).cache()
+    sh_cached = hashed_shingle_index(docs, text_col, id_col, k).cache()
+    sh = sh_cached
     if max_doc_frac is not None:
         n_docs = docs.select(id_col).distinct().count()
         cutoff = max_doc_frac * n_docs
@@ -149,13 +150,17 @@ def ngram_jaccard_pairs(
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
+    pairs = (
         common.join(s1, "d1")
         .join(s2, "d2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
+    # Eager pairs + release the cached index: see simhash_neardup_pairs.
+    pairs = pairs.localCheckpoint(eager=True)
+    sh_cached.unpersist()
+    return pairs
 
 
 def _simhash_block_plan(max_hamming: int, n_blocks: int | None) -> tuple[list[int], list[int], list[tuple[int, ...]]]:
@@ -209,13 +214,21 @@ def simhash_neardup_pairs(
     hamming = F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2"))) + F.bit_count(
         F.col("lo1").bitwiseXOR(F.col("lo2"))
     )
-    return (
+    pairs = (
         cands.join(s1, "d1")
         .join(s2, "d2")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+    # Materialize the (small) verified pairs eagerly, then release the
+    # cached signature: a long-lived session running many queries must
+    # not accumulate cached signature relations in executor memory.
+    # localCheckpoint blocks are ContextCleaner-collected once the
+    # returned relation is dropped, unlike CacheManager entries.
+    pairs = pairs.localCheckpoint(eager=True)
+    sig.unpersist()
+    return pairs
 
 
 def simhash_band_candidates(
@@ -365,13 +378,17 @@ def minhash_lsh_pairs(
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
+    pairs = (
         common.join(s1, "d1")
         .join(s2, "d2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
+    # Eager pairs + release the cached index: see simhash_neardup_pairs.
+    pairs = pairs.localCheckpoint(eager=True)
+    sh_str.unpersist()
+    return pairs
 
 
 def write_lsh_index(
@@ -438,15 +455,27 @@ def append_lsh_index(
     """
     sh = shingle_index(new_docs, text_col, id_col, k).cache()
     bands = band_keys(minhash_signatures_from_index(sh), "doc_id")
+    # An empty-corpus build wrote an UNPARTITIONED zero-row marker
+    # (see write_lsh_index); appending band= directories next to its
+    # root-level part file would give Spark's partition discovery
+    # conflicting directory structures.  Detect that layout (no 'band'
+    # column in the written schema) and rewrite instead of append.
+    spark = new_docs.sparkSession
+    mode = "append"
+    try:
+        if "band" not in spark.read.parquet(f"{path}/bands").columns:
+            mode = "overwrite"
+    except Exception:
+        pass  # no prior index at path: plain append creates it
     (
         bands.repartition("band")
         .sortWithinPartitions("key")
-        .write.mode("append")
+        .write.mode(mode)
         .partitionBy("band")
         .parquet(f"{path}/bands")
     )
     sh.select("doc_id", portable_hash60(F.col("shingle")).alias("h")).write.mode(
-        "append"
+        "overwrite" if mode == "overwrite" else "append"
     ).parquet(f"{path}/shingles")
     sh.unpersist()
 
@@ -503,6 +532,10 @@ def lsh_probe_table(
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("nq") + F.col("nc") - F.col("n_common"))
+    # Stays LAZY (no checkpoint): the probe plan must keep the pushed
+    # key IN (...) scan filter visible to callers/tests, and the two
+    # cached relations here are micro-batch-sized (the query side), not
+    # corpus signatures.
     return (
         common.join(F.broadcast(q_sizes), "q_id")
         .join(c_sizes.select(F.col("doc_id").alias("c_id"), "nc"), "c_id")
@@ -831,28 +864,43 @@ def compact_lsh_index(spark, path: str, bands: list[int] | None = None) -> None:
     materialized into shuffle storage before the write stage swaps
     any partition — do not remove the repartition.
     """
+    # Scope the dynamic-overwrite mode to this compaction: leaking it
+    # session-wide would make every later whole-table overwrite in the
+    # session silently keep stale partitions.
+    try:
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    except Exception:
+        prev_mode = None
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    bands_df = spark.read.parquet(f"{path}/bands")
-    if bands is not None:
-        bands_df = bands_df.filter(F.col("band").isin([int(b) for b in bands]))
-    (
-        bands_df.repartition("band")
-        .sortWithinPartitions("key")
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(f"{path}/bands")
-    )
-    if bands is None:
-        sh = spark.read.parquet(f"{path}/shingles")
-        sh.coalesce(max(1, sh.rdd.getNumPartitions() // 8)).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/shingles_compact")
-        # swap via overwrite-in-place is not atomic for unpartitioned
-        # tables; keep it simple and correct: rewrite from the compact
-        # copy, then drop it.
-        spark.read.parquet(f"{path}/shingles_compact").write.mode("overwrite").parquet(
-            f"{path}/shingles"
+    try:
+        bands_df = spark.read.parquet(f"{path}/bands")
+        if bands is not None:
+            bands_df = bands_df.filter(F.col("band").isin([int(b) for b in bands]))
+        (
+            bands_df.repartition("band")
+            .sortWithinPartitions("key")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(f"{path}/bands")
         )
-        jvm = spark.sparkContext._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/shingles_compact")
-        p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()).delete(p, True)
+        if bands is None:
+            sh = spark.read.parquet(f"{path}/shingles")
+            sh.coalesce(max(1, sh.rdd.getNumPartitions() // 8)).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/shingles_compact")
+            # swap via overwrite-in-place is not atomic for unpartitioned
+            # tables; keep it simple and correct: rewrite from the compact
+            # copy, then drop it.
+            spark.read.parquet(f"{path}/shingles_compact").write.mode(
+                "overwrite"
+            ).parquet(f"{path}/shingles")
+            jvm = spark.sparkContext._jvm
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/shingles_compact")
+            p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()).delete(
+                p, True
+            )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

@@ -193,6 +193,15 @@ def write_ivfsq_index(
     from vector_db_handler_spark.operators.similarity import _collect_matrix
 
     c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
+    if not c_ids and not corpus.isEmpty():
+        # Fail driver-side with a clear message: an empty centroid
+        # relation makes np.argmax over an (n, 0) score matrix raise
+        # inside the executors for any nonempty corpus.
+        raise ValueError(
+            "write_ivfsq_index: centroid relation is empty but the corpus "
+            "is not — build centroids (e.g. similarity.train_centroids) "
+            "before writing the index"
+        )
     order = np.argsort(np.array(c_ids), kind="stable")
     c_id_sorted = np.array(c_ids)[order]
     c_unit = c_mat[order]
@@ -337,6 +346,11 @@ def append_ivfsq_index(
     spark = new_rows.sparkSession
     s_val = float(spark.read.parquet(path + "_scale").collect()[0]["s"])
     c_ids, c_mat = _collect_matrix(centroids, id_col, vec_col)
+    if not c_ids and not new_rows.isEmpty():
+        raise ValueError(
+            "append_ivfsq_index: centroid relation is empty but the batch "
+            "is not — pass the centroids the index was built with"
+        )
     order = np.argsort(np.array(c_ids), kind="stable")
     c_id_sorted = np.array(c_ids)[order]
     c_unit = c_mat[order]
@@ -372,8 +386,18 @@ def append_ivfsq_index(
             out["cell_id"] = cells
             yield out
 
+    # An empty-corpus build wrote an UNPARTITIONED zero-row marker (see
+    # write_ivfsq_index); appending cell_id= directories next to its
+    # root-level part file would break partition discovery.  Detect
+    # that layout and rewrite instead of append.
+    mode = "append"
+    try:
+        if "cell_id" not in spark.read.parquet(path).columns:
+            mode = "overwrite"
+    except Exception:
+        pass  # no prior index at path: plain append creates it
     new_rows.select(id_col, vec_col).mapInPandas(build, out_schema).write.mode(
-        "append"
+        mode
     ).partitionBy("cell_id").parquet(path)
 
 
