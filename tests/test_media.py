@@ -34,11 +34,71 @@ def test_decode_features_shape_and_determinism(media):
     }
 
 
-def test_real_decode_is_explicit_stub(media):
-    with pytest.raises(NotImplementedError, match="decoder-agnostic"):
-        media_ops.decode_features(media, decode="real")
+def test_real_decode_roundtrips_pgm_and_wav(spark, sf_dir):
+    """decode='real' parses genuine containers: the decoded signal must
+    equal the known body bytes for BOTH the PGM raster and the WAV PCM
+    paths (synthesize_containers wraps the same padded text in each)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    containers = media_ops.synthesize_containers(docs)
+    decoded = {
+        r["media_id"]: (r["modality"], bytes(r["signal"]))
+        for r in media_ops.decode_signal(containers, decode="real").collect()
+    }
+    expected = {
+        r["doc_id"]: bytes(r["body"])
+        for r in docs.select(
+            "doc_id",
+            F.encode(F.rpad(F.substring("text", 1, 256), 256, " "), "UTF-8").alias("body"),
+        ).collect()
+    }
+    mods_seen = set()
+    for mid, (mod, sig) in decoded.items():
+        assert sig == expected[mid], f"decode mismatch for {mid} ({mod})"
+        mods_seen.add(mod)
+    assert mods_seen == set(media_ops.MODALITIES)
+
+
+def test_real_decode_phash_is_container_invariant(spark, sf_dir):
+    """A perceptual hash over the DECODED signal must not see the
+    container: the same payload wrapped as PGM vs WAV must produce the
+    same fingerprint under decode='real'."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    as_image = media_ops.synthesize_containers(docs.withColumn("doc_id", F.col("doc_id") * 3))
+    as_audio = media_ops.synthesize_containers(
+        docs.withColumn("doc_id", F.col("doc_id") * 3 + 1)
+    )
+    assert {r["modality"] for r in as_image.select("modality").distinct().collect()} == {"image"}
+    assert {r["modality"] for r in as_audio.select("modality").distinct().collect()} == {"audio"}
+    ph_img = {
+        r["media_id"] // 3: (r["phash_hi"], r["phash_lo"])
+        for r in media_ops.media_phash(as_image, decode="real").collect()
+    }
+    ph_aud = {
+        (r["media_id"] - 1) // 3: (r["phash_hi"], r["phash_lo"])
+        for r in media_ops.media_phash(as_audio, decode="real").collect()
+    }
+    assert ph_img == ph_aud and len(ph_img) == 10
+
+
+def test_real_decode_features_histogram(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    containers = media_ops.synthesize_containers(docs)
+    feats = media_ops.decode_features(containers, decode="real").collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r["features"]) == media_ops.N_HIST_BUCKETS
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+
+
+def test_decode_rejects_unknown_mode(media):
     with pytest.raises(ValueError):
         media_ops.decode_features(media, decode="typo")
+    with pytest.raises(ValueError):
+        media_ops.decode_signal(media, decode="typo")
 
 
 def test_fixture_is_ascii(media, spark, sf_dir):

@@ -140,6 +140,60 @@ def neardup(n_rows: int = 100_000, n_blocks: int = 32) -> None:
     )
 
 
+def ann_neardup(n_rows: int = 500_000, n_cents: int = 64, nprobe: int = 3) -> None:
+    """Exact-vs-ANN semantic-dedup A/B at scale: a synthetic corpus of
+    distinct pseudo-random vectors with one planted near-dup twin per
+    100 rows (source vector + 1e-3 jitter on dim 0 → cosine ≈ 1).  The
+    scale claim: ANN wall time tracks candidate volume (≈ planted
+    pairs + cell collisions), not N², and planted-pair recall stays
+    100% because a jittered twin lands in its source's probed cells."""
+    spark = get_spark("scale-probe-ann")
+    dims = F.sequence(F.lit(0), F.lit(63))
+    vec = F.transform(
+        dims,
+        lambda i: (
+            F.pmod(F.hash(F.concat(F.col("id").cast("string"), F.lit("-"), i.cast("string"))), F.lit(2001))
+            - 1000
+        ).cast("float")
+        / 1000.0,
+    )
+    base = spark.range(n_rows).select(
+        F.col("id").alias("vec_id"), vec.cast("array<float>").alias("embedding")
+    )
+    twins = base.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + n_rows).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v, i: v + F.when(i == 0, F.lit(1e-3)).otherwise(0.0)
+        ).cast("array<float>").alias("embedding"),
+    )
+    path = os.path.join(tempfile.gettempdir(), f"vdh_annvec_{n_rows}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base.unionByName(twins).repartition(32).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path)
+    n = big.count()
+    n_planted = n_rows // 100
+    print(f"corpus: {n} vectors, {n_planted} planted twin pairs")
+    cents = big.filter(F.col("vec_id") % (n_rows // n_cents) == 0).filter(
+        F.col("vec_id") < n_rows
+    )
+    sim_ops.cosine_neardup_ann(big.limit(1000), cents, 0.98, nprobe=nprobe).count()  # warm
+    t0 = time.perf_counter()
+    ann_pairs = sim_ops.cosine_neardup_ann(big, cents, 0.98, nprobe=nprobe).count()
+    t_ann = time.perf_counter() - t0
+    print(
+        f"cosine_neardup_ann ({n_cents} cells, nprobe={nprobe}) @ {n} rows: "
+        f"{t_ann:.2f}s, {ann_pairs} pairs >= 0.98 "
+        f"(planted recall {ann_pairs / n_planted:.1%} of {n_planted})"
+    )
+    t0 = time.perf_counter()
+    exact_pairs = sim_ops.cosine_neardup_pairs(big, 0.98, n_blocks=32).count()
+    t_exact = time.perf_counter() - t0
+    print(
+        f"cosine_neardup_pairs (exact, B=32) @ {n} rows: "
+        f"{t_exact:.2f}s, {exact_pairs} pairs (ANN speedup {t_exact / t_ann:.1f}x)"
+    )
+
+
 def simhash(n_docs: int = 100_000) -> None:
     """Candidate-volume A/B: naive 4×16 banding (n_blocks=4) vs the
     block-combination scheme (n_blocks=6, 32-bit keys) on a DIVERSE
@@ -223,5 +277,7 @@ if __name__ == "__main__":
             int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
             int(sys.argv[3]) if len(sys.argv) > 3 else 40,
         )
+    elif len(sys.argv) > 1 and sys.argv[1] == "ann":
+        ann_neardup(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000)
     else:
         main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)

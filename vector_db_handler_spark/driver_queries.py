@@ -1287,6 +1287,40 @@ def media_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_ops.modality_stats(_media_df(spark, sf_dir))
 
 
+#: The decoded signal is the 256-byte padded text body regardless of
+#: container (PGM for image/video, WAV for audio), so the oracle can
+#: hash the padded TEXT while Spark hashes the bytes a REAL container
+#: parse produced — a genuine end-to-end decode check. ASCII fixture
+#: assumption shared with the frame-slicing oracle below.
+_MEDIA_REAL_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+       CAST(octet_length(encode(rpad(substr(text, 1, 256), 256, ' '))) AS INTEGER)
+         AS n_bytes,
+       md5(rpad(substr(text, 1, 256), 256, ' ')) AS signal_md5
+FROM documents
+"""
+
+
+@register("media_real_decode_stats", _MEDIA_REAL_DECODE_SQL)
+def media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: wrap each doc's bytes in a valid
+    container (P5 PGM / RIFF WAVE by modality), parse it back with the
+    stdlib codec (``decode='real'`` — header walk, raster/PCM extract),
+    and hash the decoded signal.  Proves the production decode path
+    runs distributed and byte-exact, not just the injected-fake seam."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    containers = media_ops.synthesize_containers(load(spark, sf_dir, "documents"))
+    sig = media_ops.decode_signal(containers, decode="real")
+    return sig.select(
+        "media_id",
+        "modality",
+        F.length("signal").cast("int").alias("n_bytes"),
+        F.md5("signal").alias("signal_md5"),
+    )
+
+
 _MEDIA_DEDUP_SQL = """
 SELECT md5(text) AS media_hash, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1
@@ -4004,4 +4038,193 @@ def ivfsq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_ops.ivfsq_batch_probe(
         spark, path, cents, queries, k=_IVFSQ_BATCH_K, nprobe=_IVF_NPROBE,
         query_id_col="query_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: sketch-accuracy, incremental-novelty baseline, and
+# grouped vector-norm QA — each a training-pipeline pass with a full
+# hash oracle.
+# ---------------------------------------------------------------------------
+
+_MINHASH_EST_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+h AS (SELECT doc_id, {_sql_hash('shingle', 7)} AS h28 FROM sh),
+sig AS (SELECT doc_id,
+  {_MINHASH_TERMS}
+  FROM h GROUP BY doc_id),
+bands AS (
+  {_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+shh AS (SELECT doc_id, {_sql_hash("shingle", 15)} AS hh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+common AS (
+  SELECT c.d1, c.d2, count(*) AS nc
+  FROM cands c
+  JOIN shh a ON c.d1 = a.doc_id
+  JOIN shh b ON c.d2 = b.doc_id AND a.hh = b.hh
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.d1, c.d2,
+         ({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(dedup_ops.N_PERM))})
+           / {float(dedup_ops.N_PERM)!r} AS est_j
+  FROM cands c
+  JOIN sig a ON c.d1 = a.doc_id
+  JOIN sig b ON c.d2 = b.doc_id
+)
+SELECT e.d1, e.d2, ROUND(e.est_j, 6) AS est_jaccard,
+       ROUND(CAST(COALESCE(cm.nc, 0) AS DOUBLE)
+             / (s1.n + s2.n - COALESCE(cm.nc, 0)), 6) AS jaccard
+FROM est e
+JOIN sizes s1 ON e.d1 = s1.doc_id
+JOIN sizes s2 ON e.d2 = s2.doc_id
+LEFT JOIN common cm ON e.d1 = cm.d1 AND e.d2 = cm.d2
+"""
+
+
+@register("minhash_jaccard_estimate", _MINHASH_EST_SQL)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    signature-agreement ESTIMATE of Jaccard next to the exact value —
+    the measurement behind choosing N_PERM/band geometry.  Estimate is
+    one 8-column comparison per pair; exact verify touches candidate
+    docs' shingle rows only (same cost shape as minhash_lsh_pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup_ops.shingle_index(docs).cache()
+    sig = dedup_ops.minhash_signatures_from_index(sh)
+    bands = dedup_ops.band_keys(sig)
+    b1, b2 = bands.alias("x"), bands.alias("y")
+    cands = (
+        b1.join(
+            b2,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(dedup_ops.N_PERM)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(dedup_ops.N_PERM)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(dedup_ops.N_PERM)
+    )
+    est = (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", (agree / F.lit(float(dedup_ops.N_PERM))).alias("est_j"))
+    )
+    shh = sh.select("doc_id", text_fns.portable_hash60(F.col("shingle")).alias("h"))
+    sizes = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shh.alias("a"), shh.alias("b")
+    common = (
+        cands.join(a, cands.d1 == F.col("a.doc_id"))
+        .join(b, (cands.d2 == F.col("b.doc_id")) & (F.col("a.h") == F.col("b.h")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("nc"))
+    )
+    nc = F.coalesce(F.col("nc"), F.lit(0))
+    out = (
+        est.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .join(common, ["d1", "d2"], "left")
+        .select(
+            "d1",
+            "d2",
+            F.round("est_j", 6).alias("est_jaccard"),
+            F.round(nc.cast("double") / (F.col("n1") + F.col("n2") - nc), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
+
+
+#: "Seen" snapshot rule shared with the oracle: every third doc was
+#: already ingested; novelty is by exact text hash (so a re-ingest of
+#: identical content is NOT novel even under a fresh doc_id).
+_ANTI_SEEN_PRED = "doc_id % 3 = 0"
+
+_ANTI_NOVEL_SQL = f"""
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents s
+  WHERE {_ANTI_SEEN_PRED.replace('doc_id', 's.doc_id')} AND md5(s.text) = md5(d.text)
+)
+"""
+
+
+@register("anti_join_novel_docs", _ANTI_NOVEL_SQL)
+def anti_join_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest novelty, EXACT baseline: docs whose content
+    hash is absent from the seen snapshot — one LEFT ANTI hash join on
+    md5(text).  The precise twin of bloom_incremental_novel (which
+    routes through a Bloom prefilter first); at 100 TB the anti join
+    shuffles only 128-bit hashes, map-side-distinct on the seen side."""
+    docs = load(spark, sf_dir, "documents")
+    seen = (
+        docs.filter(F.expr(_ANTI_SEEN_PRED))
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id", "lang", "source", F.md5("text").alias("text_hash"))
+        .join(seen, "text_hash", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+_GROUPED_NORMS_SQL = """
+WITH norms AS (
+  SELECT label,
+         ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM norms GROUP BY label
+"""
+
+
+@register("grouped_embedding_norms", _GROUPED_NORMS_SQL)
+def grouped_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA pass: per-label L2-norm profile (count/avg/min/max)
+    — the sanity scan run before any cosine search ships (zero or
+    wildly-scaled norms break score comparability).  Norms via the
+    sequential-IEEE HOF cold path; the mean accumulates in DECIMAL so
+    partial-aggregation order can't change the hash."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = F.round(l2_norm(F.col("embedding")), 6)
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / F.count("*"),
+                6,
+            ).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
     )
