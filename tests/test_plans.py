@@ -213,3 +213,24 @@ def test_tpch_tail_never_shuffles_big_tables(spark, sf_dir, name, max_exchanges)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= max_exchanges
+
+
+def test_md5_embedder_is_native_codegen(spark, sf_dir):
+    """The SQL-expressible embedder must stay JVM-side: embedding a
+    column adds NO Python eval stage (the whole point vs the PCG64
+    mapInPandas embedder), and its scalar twin returns the same bits."""
+    from vector_db_handler_spark import embedder as emb_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    df = docs.select(
+        "doc_id", emb_mod.md5_embed_expr(F.col("text"), 8).alias("embedding")
+    )
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # '*' prefixes codegen stages in formatted explain: the embedding
+    # Project must be inside whole-stage codegen.
+    assert "* Project" in plan
+    rows = df.collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in rows:
+        assert list(r["embedding"]) == emb_mod.md5_embed_text(texts[r["doc_id"]], 8)

@@ -1766,7 +1766,7 @@ def pipeline_ingest_search_checked(spark: SparkSession, sf_dir: str) -> DataFram
     from vector_db_handler_spark.store import POINTS_SCHEMA
 
     tag = _hl.md5(
-        f"checked|{dim}|{POINTS_SCHEMA.simpleString()}|{probe}".encode()
+        f"checked-bulk|{dim}|{POINTS_SCHEMA.simpleString()}|{probe}".encode()
     ).hexdigest()[:10]
     root = os.path.join(
         tempfile.gettempdir(),
@@ -1774,17 +1774,24 @@ def pipeline_ingest_search_checked(spark: SparkSession, sf_dir: str) -> DataFram
     )
     store = PointsStore(spark, root, vector_size=dim)
     if not store.collection_exists("driver"):
-        docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(20).collect()
+        # DataFrame-first bulk ingest: the embedding is a NATIVE column
+        # expression (md5_embed_expr — codegen, no Python), so the
+        # whole embed→norm→write stage runs distributed; nothing but
+        # the existence check touches the driver.
+        from vector_db_handler_spark.functions.vector import l2_norm as _l2
+
         store.ensure_collection("driver")
-        if docs:
-            store.upsert_vectors(
-                "driver",
-                [emb_mod.md5_embed_text(r["text"], dim) for r in docs],
-                [
-                    {"DocId": r["doc_id"], "ChunkId": 0, "Title": r["source"]}
-                    for r in docs
-                ],
-            )
+        base = load(spark, sf_dir, "documents").orderBy("doc_id").limit(20)
+        pts = base.select(
+            F.expr("uuid()").alias("point_id"),
+            F.lit("driver").alias("user_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(0).cast("long").alias("chunk_id"),
+            F.col("source").alias("title"),
+            F.create_map().cast("map<string,string>").alias("payload"),
+            emb_mod.md5_embed_expr(F.col("text"), dim).alias("embedding"),
+        ).withColumn("embedding_norm", _l2(F.col("embedding")))
+        store.append(pts)
     first = load(spark, sf_dir, "documents").orderBy("doc_id").limit(1).collect()
     if not first:
         return spark.createDataFrame(
