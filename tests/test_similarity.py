@@ -107,21 +107,53 @@ def test_written_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
 def test_ann_neardup_matches_exact_allpairs(spark, sf_dir):
     """100%-recall check at fixture scale: the ANN-candidate near-dup
     (multi-probe cells + exact verify) must return EXACTLY the pairs
-    the exact all-pairs pass returns — same ids, same rounded scores."""
-    emb = _emb(spark, sf_dir)
-    cents = emb.filter(F.expr(dq._ANN_NEARDUP_CENTROID_PRED))
+    the exact all-pairs pass returns — same ids, same rounded scores.
+    The corpus carries planted ~0.999-cosine twins (the fixture's
+    random unit vectors top out near 0.6, below the 0.9 threshold),
+    so the expected pair set is exactly the planted pairs."""
+    corpus, cents = dq._ann_neardup_inputs(spark, sf_dir)
     exact = {
         (r["id1"], r["id2"], r["score"])
-        for r in sim_ops.cosine_neardup_pairs(emb, dq._NEARDUP_THRESHOLD).collect()
+        for r in sim_ops.cosine_neardup_pairs(
+            corpus, dq._ANN_NEARDUP_THRESHOLD
+        ).collect()
     }
     ann = {
         (r["id1"], r["id2"], r["score"])
         for r in sim_ops.cosine_neardup_ann(
-            emb, cents, dq._NEARDUP_THRESHOLD, nprobe=dq._ANN_NEARDUP_NPROBE
+            corpus, cents, dq._ANN_NEARDUP_THRESHOLD, nprobe=dq._ANN_NEARDUP_NPROBE
         ).collect()
     }
     assert ann == exact
     assert len(ann) > 0, "fixture must contain near-dup pairs at this threshold"
+    # Exactly the planted (orig, twin) pairs, nothing natural.
+    assert all(
+        i2 == i1 + dq._ANN_TWIN_OFFSET and i1 % dq._ANN_TWIN_STEP == 0
+        for i1, i2, _ in ann
+    )
+
+
+def test_ann_neardup_candidates_are_sparse(spark, sf_dir):
+    """The point of the ANN path: the candidate stage must be
+    SUB-QUADRATIC, not an obfuscated all-pairs (with K cells and
+    nprobe probes the co-probe fraction is ~nprobe²/K — measured
+    ~12% here, ~0.1% at a production K=4096).  Guard: candidates
+    < 30% of all pairs while recall (previous test) stays 100%."""
+    corpus, cents = dq._ann_neardup_inputs(spark, sf_dir)
+    n = corpus.count()
+    assigned = sim_ops.multi_assign_cells(
+        corpus, cents, nprobe=dq._ANN_NEARDUP_NPROBE
+    )
+    a = assigned.select("cell_id", F.col("vec_id").alias("id1"))
+    b = assigned.select("cell_id", F.col("vec_id").alias("id2"))
+    cands = (
+        a.join(b, ["cell_id"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .count()
+    )
+    assert cands < 0.3 * n * (n - 1) / 2, f"{cands} candidates for n={n}"
 
 
 def test_ann_neardup_plan_has_no_allpairs_stage(spark, sf_dir):
@@ -129,10 +161,9 @@ def test_ann_neardup_plan_has_no_allpairs_stage(spark, sf_dir):
     the plan must contain NO grouped-map block-pair stage (that is the
     O(N²) operator this query exists to avoid) and no cartesian/nested-
     loop join; row growth is the nprobe explode only."""
-    emb = _emb(spark, sf_dir)
-    cents = emb.filter(F.expr(dq._ANN_NEARDUP_CENTROID_PRED))
+    corpus, cents = dq._ann_neardup_inputs(spark, sf_dir)
     df = sim_ops.cosine_neardup_ann(
-        emb, cents, dq._NEARDUP_THRESHOLD, nprobe=dq._ANN_NEARDUP_NPROBE
+        corpus, cents, dq._ANN_NEARDUP_THRESHOLD, nprobe=dq._ANN_NEARDUP_NPROBE
     )
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"

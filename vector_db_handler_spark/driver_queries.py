@@ -1057,30 +1057,83 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_neardup_pairs(emb, threshold=_NEARDUP_THRESHOLD)
 
 
-#: ANN dedup centroid rule: a FIXED handful of cells (not scaling with
-#: the corpus like the IVF probe's % 100 rule) — recall of the
-#: candidate stage must hold as N grows, and 3-of-5 probed cells is
-#: empirically complete for the fixture at both sf0.01 and sf0.1
-#: (verified against exact all-pairs; the driver row re-proves it
-#: every round).
-_ANN_NEARDUP_CENTROID_PRED = "vec_id < 5"
-_ANN_NEARDUP_NPROBE = 3
+#: ANN near-dup scenario.  The fixture embeddings are RANDOM unit
+#: vectors (natural max cosine ~0.5-0.6; pairs at that angle are not
+#: prunable by any spatial partitioning — measured, see PERF.md), so
+#: true semantic duplicates are PLANTED deterministically: every 20th
+#: vector gets a twin (id + 1,000,000) perturbed per-element as
+#: x*0.9 + 0.005 — cosine ~0.999 to its original (a realistic
+#: near-duplicate), while every natural pair stays below 0.61.  The
+#: perturbation is a native column expression in BOTH engines, so the
+#: corpus itself is oracle-reproducible.  At threshold 0.9 the IVF
+#: candidate stage (32 cells, nprobe=2) is genuinely sparse: ~12% of
+#: all pairs co-probe a cell at every fixture scale (fraction scales
+#: as nprobe²/K — ~0.1% at a production K=4096), and recall is 100%
+#: with margin (every planted pair shares a probed cell; 80-92% share
+#: the argmax cell alone).  The EXACT all-pairs oracle re-proves that
+#: recall on every driver round.
+_ANN_TWIN_STEP = 20
+_ANN_TWIN_OFFSET = 1_000_000
+_ANN_TWIN_SCALE = 0.9
+_ANN_TWIN_SHIFT = 0.005
+_ANN_NEARDUP_CENTROID_PRED = "vec_id < 32"
+_ANN_NEARDUP_NPROBE = 2
+_ANN_NEARDUP_THRESHOLD = 0.9
+
+_ANN_NEARDUP_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+twins AS (
+  SELECT vec_id + {_ANN_TWIN_OFFSET} AS vec_id,
+         list_transform(v, x -> x * {_ANN_TWIN_SCALE} + {_ANN_TWIN_SHIFT}) AS v
+  FROM base WHERE vec_id % {_ANN_TWIN_STEP} = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+SELECT a.vec_id AS id1, bb.vec_id AS id2,
+       ROUND(list_dot_product(a.v, bb.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6)
+         AS score
+FROM corpus a JOIN corpus bb ON a.vec_id < bb.vec_id
+WHERE list_dot_product(a.v, bb.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+      >= {_ANN_NEARDUP_THRESHOLD}
+"""
 
 
-@register("cosine_neardup_ann", _COSINE_NEARDUP_SQL)
+def _ann_neardup_inputs(spark: SparkSession, sf_dir: str):
+    """(corpus-with-planted-twins, centroids) shared by the registered
+    query and the recall/sparsity tests."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = base.filter(F.col("vec_id") % _ANN_TWIN_STEP == 0).select(
+        (F.col("vec_id") + F.lit(_ANN_TWIN_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x * F.lit(_ANN_TWIN_SCALE) + F.lit(_ANN_TWIN_SHIFT),
+        ).alias("embedding"),
+    )
+    cents = base.filter(F.expr(_ANN_NEARDUP_CENTROID_PRED))
+    return base.unionAll(twins), cents
+
+
+@register("cosine_neardup_ann", _ANN_NEARDUP_SQL)
 def cosine_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup via ANN candidates (threshold 0.45) — the
-    100 TB path that retires exact all-pairs: multi-probe IVF cell
-    assignment generates candidate pairs (equi-join on cell_id, the
-    same banded shape as MinHash-LSH), and only candidates pay the
-    exact cosine verify.  The oracle is EXACT all-pairs, so this row
-    being green is a 100%-recall proof at driver scale."""
+    """Semantic near-dup via ANN candidates (threshold 0.9 over a
+    corpus with planted ~0.999-cosine twins) — the 100 TB path that
+    retires exact all-pairs: multi-probe IVF cell assignment generates
+    candidate pairs (equi-join on cell_id, the same banded shape as
+    MinHash-LSH; ~12% of all pairs here, ∝ nprobe²/K), and only
+    candidates pay the exact cosine verify.  The oracle is EXACT
+    all-pairs over the same corpus, so this row being green is a
+    100%-recall proof at driver scale."""
     from vector_db_handler_spark.operators import similarity as sim_ops
 
-    emb = load(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.expr(_ANN_NEARDUP_CENTROID_PRED))
+    corpus, cents = _ann_neardup_inputs(spark, sf_dir)
     return sim_ops.cosine_neardup_ann(
-        emb, cents, threshold=_NEARDUP_THRESHOLD, nprobe=_ANN_NEARDUP_NPROBE
+        corpus,
+        cents,
+        threshold=_ANN_NEARDUP_THRESHOLD,
+        nprobe=_ANN_NEARDUP_NPROBE,
     )
 
 
