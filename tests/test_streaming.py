@@ -92,6 +92,60 @@ def test_session_stream_merges_across_batches_and_boundary(spark, tmp_path):
     assert got == {(0, 4), (80, 1)}
 
 
+def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
+    """A view that arrived in an EARLIER micro-batch must still match a
+    purchase arriving later (both inside the watermark horizon) — the
+    buffered-state behavior that makes a stream-stream join different
+    from a per-batch join; pairs outside the 30-minute attribution
+    window never emit."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    mins = 60 * 1_000_000
+    # Event times sit well past epoch 0: the global watermark starts AT
+    # epoch 0, and an event at exactly t=0 is judged against it (and
+    # dropped) before any data has advanced it.
+    base = 1_700_000_000 * 1_000_000
+    b1 = [(100, base + 0 * mins, 1, "view"), (101, base + 5 * mins, 1, "view")]
+    b2 = [
+        (102, base + 40 * mins, 1, "view"),
+        (200, base + 20 * mins, 1, "purchase"),  # matches views 100+101 from b1
+        (201, base + 50 * mins, 1, "purchase"),  # only view 102 is within 30m
+    ]
+    src = str(tmp_path / "ssjoin")
+    for rows in (b1, b2):
+        (
+            spark.createDataFrame(rows, ["event_id", "us", "user_id", "event_type"])
+            .select(
+                "event_id",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id",
+                "event_type",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        # Distinct file mtimes: the file source orders micro-batches by
+        # modification time, so this pins b1 as the FIRST trigger.
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ops.run_to_memory(
+        stream_ops.stream_stream_attribution_join(stream, window_minutes=30),
+        "t_ssjoin",
+        mode="append",
+    )
+    got = {(r["purchase_id"], r["view_id"]) for r in spark.table("t_ssjoin").collect()}
+    assert got == {(200, 100), (200, 101), (201, 102)}
+
+
 def test_streaming_exact_dedup_holds_state_across_batches(spark, sf_dir, tmp_path):
     """The same corpus replayed in TWO micro-batches must emit each
     content hash exactly once (state survives between batches), with

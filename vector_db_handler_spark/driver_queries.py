@@ -1610,6 +1610,34 @@ def streaming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("dq_stream_dedup")
 
 
+_STREAM_STREAM_JOIN_SQL = """
+WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, purchase_id, view_id, p_us, v_us
+FROM p JOIN v ON p.user_id = v.user_id
+             AND v_us <= p_us
+             AND v_us >= p_us - 1800000000
+"""
+
+
+@register("stream_stream_join_attribution", _STREAM_STREAM_JOIN_SQL)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (purchases × same-user views ≤30min
+    earlier) with watermarks on both sides — the row-to-row join class
+    no windowed aggregate expresses; state eviction is derived from
+    the watermark + range predicate (streaming/stream_ops.py).  One
+    availableNow micro-batch over the fixture ⇒ exactly the batch
+    inequality-join oracle."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    joined = stream_ops.stream_stream_attribution_join(ev, window_minutes=30)
+    stream_ops.run_to_memory(joined, "dq_ss_join", mode="append")
+    return spark.table("dq_ss_join")
+
+
 #: The exact aggregates exist only to make the sketch-accuracy claim
 #: oracle-checkable; a 100 TB profiling run executes the approx side
 #: alone.  Both engines' booleans must agree, which pins the sketch

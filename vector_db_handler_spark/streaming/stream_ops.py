@@ -205,6 +205,68 @@ def streaming_exact_dedup(
     )
 
 
+def stream_stream_attribution_join(
+    events: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides: each
+    ``purchase`` event joined to the same user's ``view`` events in the
+    preceding ``window_minutes`` — streaming last-touch attribution.
+
+    This is the operator class the windowed aggregates can't express:
+    two unbounded inputs matched row-to-row.  The time-range predicate
+    plus the two watermarks are what make it runnable forever — Spark
+    derives a state-eviction bound from them (a buffered view can be
+    dropped once the purchase-side watermark passes ``v_ts +
+    window``), so state is O(events inside the watermark horizon), not
+    O(stream).  Both sides come from the SAME source stream (self-join
+    after filters); on a deployment they'd be two Kafka topics and
+    only the ``readStream`` lines change.
+
+    Inner stream-stream joins emit in append mode only; availableNow
+    over the single-file fixture replays as one micro-batch, so the
+    result is exactly the batch inequality join (the registered
+    oracle).  Late-data semantics (a view older than the watermark
+    horizon no longer matches) are cross-batch behavior, pinned in
+    tests/test_streaming.py.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (
+            F.col("v_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {int(window_minutes)} MINUTES")
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.unix_micros(F.col("p_ts")).alias("p_us"),
+        F.unix_micros(F.col("v_ts")).alias("v_us"),
+    )
+
+
 def stream_maintain_lsh_index(
     docs_stream: DataFrame,
     index_path: str,
