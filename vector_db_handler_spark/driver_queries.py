@@ -1638,6 +1638,79 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table("dq_ss_join")
 
 
+# ---------------------------------------------------------------------------
+# JSONL source (sources/jsonl.py) — ingest-edge roundtrip with
+# corrupt-record quarantine, hash-checked against the parquet truth.
+# ---------------------------------------------------------------------------
+
+#: The hand-planted extra JSONL file: one well-formed document plus two
+#: malformed lines.  Deterministic, so the oracle can account for it as
+#: constants on top of the documents view.
+_JSONL_EXTRA_VALID_TEXT = "extra"
+_JSONL_EXTRA_LINES = (
+    '{"doc_id": -1, "text": "extra", "lang": "xx", "source": "manual", "n_chars": 5}\n'
+    '{"doc_id": 13, "text": "unterminated\n'
+    "!!! not json !!!\n"
+)
+
+_JSONL_ROUNDTRIP_SQL = f"""
+SELECT CAST(count(*) + 1 AS BIGINT) AS n_valid,
+       CAST(2 AS BIGINT) AS n_corrupt,
+       CAST(SUM(n_chars) + 5 AS BIGINT) AS sum_chars,
+       CAST(SUM({_sql_hash('text', 15)} % 1000000007)
+            + {_sql_hash("'extra'", 15)} % 1000000007 AS BIGINT) AS text_checksum
+FROM documents
+"""
+
+
+@register("jsonl_roundtrip_stats", _JSONL_ROUNDTRIP_SQL)
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest edge: export documents as JSONL, plant one extra
+    valid line and two malformed lines, read back schema-enforced in
+    PERMISSIVE mode with corrupt-record capture, and aggregate.  The
+    checksum hash-matching the parquet-sourced oracle proves the
+    JSON writer/reader roundtrip is content-lossless AND that exactly
+    the malformed lines were quarantined (not dropped, not parsed)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.sources import jsonl as jsonl_src
+
+    tag = _hl.md5(
+        f"jsonl|{_fixture_tag(sf_dir, 'documents')}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"vdh_jsonl_{tag}")
+    extra = os.path.join(root, "extra-manual.jsonl")
+    if not os.path.exists(extra):
+        jsonl_src.write_documents_jsonl(load(spark, sf_dir, "documents"), root)
+        # Written AFTER the directory commit: its presence is the
+        # build-complete marker for scratch reuse across runs.
+        with open(extra, "w", encoding="utf-8") as fh:
+            fh.write(_JSONL_EXTRA_LINES)
+    df = jsonl_src.read_documents_jsonl(spark, root)
+    # Gate every aggregate on the CAPTURE column, not field nullness:
+    # partial-results parsing (spark.sql.json.enablePartialResults) may
+    # fill leading fields of a malformed line (doc_id=13 here) even
+    # though the record lands in quarantine.
+    valid = F.col(jsonl_src.CORRUPT_COL).isNull()
+    out = df.agg(
+        F.count(F.when(valid, 1)).alias("n_valid"),
+        F.count(jsonl_src.CORRUPT_COL).alias("n_corrupt"),
+        F.sum(F.when(valid, F.col("n_chars"))).alias("sum_chars"),
+        F.sum(
+            F.when(
+                valid, text_fns.portable_hash60(F.col("text")) % F.lit(1000000007)
+            )
+        ).alias("text_checksum"),
+    )
+    # Materialize before unpersisting the one-pass cache the reader
+    # installed (see read_documents_jsonl).
+    out = out.localCheckpoint(eager=True)
+    df.unpersist()
+    return out
+
+
 #: The exact aggregates exist only to make the sketch-accuracy claim
 #: oracle-checkable; a 100 TB profiling run executes the approx side
 #: alone.  Both engines' booleans must agree, which pins the sketch
