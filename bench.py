@@ -45,17 +45,29 @@ def main() -> None:
     spark.range(1000).select(_ident(col("id"))).collect()
     # First broadcast join pays one-time exchange/thread-pool spin-up.
     spark.range(100).join(broadcast(spark.range(10)), "id").collect()
+    # Preload is best-effort: one unreadable fixture must not zero the
+    # whole round's bench evidence (r4 lesson — the events loader crash
+    # here left BENCH_r04.json with no timings at all).
     for t in ("embeddings", "lineitem", "orders", "documents", "events"):
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):
-            dq.load(spark, sf_dir, t).limit(1).collect()
+            try:
+                dq.load(spark, sf_dir, t).limit(1).collect()
+            except Exception as exc:  # noqa: BLE001
+                print(f"preload {t} failed: {exc}", file=sys.stderr)
 
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(dq.queries().items()):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        try:
+            fn(spark, sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"query {name} failed: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 2)
@@ -65,7 +77,13 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(
-            {"value": total, "unit": "sec", "sf": sf_val, "queries": timings},
+            {
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": timings,
+                "errors": errors,
+            },
             f,
             indent=1,
             sort_keys=True,
@@ -88,6 +106,7 @@ def main() -> None:
             "queries": slowest,
             "sf": sf_val,
             "n_queries": len(timings),
+            "n_errors": len(errors),
             "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),

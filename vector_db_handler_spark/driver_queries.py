@@ -86,63 +86,36 @@ def register(name: str, oracle: str | None = None):
 #: FIRST 50 entries of ``queries()`` (insertion order), so which queries
 #: get driver-verified each round is decided here, not by file position.
 #: Names in this list are moved to the front (in list order); everything
-#: else follows in original registration order. Round 4 fronts this
-#: round's new queries plus the 44 queries that had no driver row in
-#: CORRECTNESS_r03 (all round-3 additions + ``upsert_scroll_roundtrip``).
-#: The full verified-ever ledger lives in SURVEY.md §8.
+#: else follows in original registration order. Round 5 fronts the 15
+#: events readers broken by the r4 fixture-vintage change (now fixed by
+#: the dtype-adaptive loader — first driver-green rows post-fix; five of
+#: them, json_props_stats/user_retention_weekly/funnel_view_purchase/
+#: value_outliers/running_user_value, have NEVER been driver-green) plus
+#: the 2 queries that have never been inside the 50-row window
+#: (stream_stream_join_attribution — registered after r4's freeze — and
+#: jsonl_roundtrip_stats). Process rule (SURVEY §8.0): every query added
+#: in a round is fronted in the SAME round. The full verified-ever
+#: ledger lives in SURVEY.md §8.
 _DRIVER_FRONT: list[str] = [
-    # new in round 4 — need first-ever driver rows
-    "cosine_neardup_ann",
-    "pipeline_ingest_search_checked",
-    "media_real_decode_stats",
-    "anti_join_novel_docs",
-    "grouped_embedding_norms",
-    "minhash_jaccard_estimate",
-    # no driver row in r03 (registered past slot 50) — rotate in
-    "upsert_scroll_roundtrip",
-    "simhash_neardup_pairs",
+    # never inside the driver window — first-ever rows
+    "stream_stream_join_attribution",
+    "jsonl_roundtrip_stats",
+    # events readers: erred in r4 (fixture vintage), never driver-green
     "json_props_stats",
-    "label_centroids",
-    "scroll_page2",
-    "decontamination_pairs",
-    "bloom_incremental_novel",
-    "salted_join_agg",
-    "bucketed_join_agg",
-    "neardup_components",
-    "neardup_canonical_docs",
-    "deduped_corpus",
-    "sample_stratified_docs",
-    "sample_per_lang_topk",
-    "doc_repetition",
-    "quantized_knn_topk",
-    "ivfsq_probe_topk",
-    "ivfsq_batch_probe",
-    "media_neardup_pairs",
-    "source_quality_report",
     "user_retention_weekly",
-    "vocab_topk_tokens",
     "funnel_view_purchase",
     "value_outliers",
-    "cube_source_lang",
     "running_user_value",
-    "top_customers_per_nation",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
+    # events readers: green r3, broken r4 — re-prove post-fix
+    "tumbling_events",
+    "sliding_events",
+    "sessionize_events",
+    "asof_join_purchase_view",
+    "range_join_pairs",
+    "rollup_day_type",
+    "tumbling_events_stream",
+    "sliding_events_stream",
+    "sessionize_events_stream",
 ]
 
 

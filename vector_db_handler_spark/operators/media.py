@@ -14,12 +14,16 @@ Design for 100 TB:
 * Exact dedup = md5 over raw bytes: one map-side-combined shuffle on a
   128-bit key; runs at scan speed, no decode.
 * Decode / feature-extract is the ONE Python stage, shaped as
-  ``mapInPandas`` (one Arrow batch of blobs per Python hop).  The real
-  codecs (PIL / soundfile / av) are not in this container, so decode
-  is STUBBED: ``decode='real'`` raises ``NotImplementedError``
-  (documented integration point), ``decode='fake'`` runs a
-  deterministic stand-in (byte histogram), keeping the Spark-side
-  plumbing — schema, batching, UDF signature — real and tested.
+  ``mapInPandas`` (one Arrow batch of blobs per Python hop).  Two
+  decoders ship: ``decode='fake'`` runs a deterministic stand-in
+  (byte histogram), and ``decode='real'`` (``make_stdlib_decoder``)
+  parses actual container formats with the stdlib alone — binary PGM
+  (P5) image headers + pixel planes and RIFF/WAVE PCM audio — emitting
+  per-row dimensions, sample stats, and an md5 of the decoded plane.
+  Heavier codecs (JPEG/PNG via PIL, compressed audio via soundfile/av)
+  are the documented swap-in at the same ``mapInPandas`` seam; the
+  Spark-side plumbing — schema, batching, UDF signature — is identical
+  and fully tested either way.
 * Perceptual near-dup: a SimHash over the decoded signal's character
   4-grams — with a real decoder the signal is the normalized pixel /
   sample sequence and the hashing stage is unchanged.

@@ -27,20 +27,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Fixture schema for the events table; a streaming file source needs
-#: the schema up front (no inference on unbounded input).  ``ts`` is
-#: TIMESTAMP(NANOS) in the fixture parquet, read as LONG
-#: (``nanosAsLong``) and truncated to microseconds like the batch
-#: loader (sources/tables.py).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+#: the schema up front (no inference on unbounded input).  The ``ts``
+#: field's physical type has varied across fixture vintages
+#: (TIMESTAMP(NANOS) read as LONG via ``nanosAsLong``, vs
+#: ``timestamp[us]`` read as TIMESTAMP_NTZ), so ``stream_events``
+#: probes the batch read's dtype once per (path) and builds the stream
+#: schema to match, then normalizes to microsecond TIMESTAMP exactly
+#: like the batch loader (sources/tables.py).
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: Default (legacy nanos-as-long vintage); kept for import compat.
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 #: Fixture schema for the documents table (streaming dedup input).
@@ -65,16 +73,26 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events fixture (file source)."""
+    """Streaming read of the events fixture (file source).
+
+    Dtype-adaptive like the batch loader: one cheap batch schema probe
+    (parquet footer only, no data read) decides whether ``ts`` arrives
+    as LONG (nanos vintage) or TIMESTAMP_NTZ (``timestamp[us]``
+    vintage); the stream schema matches the file and the result is
+    normalized to microsecond TIMESTAMP either way.
+    """
+    from ..sources.tables import _normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     # The streaming file source wants a DIRECTORY; the fixture is a
     # single file, so stream the parent dir with a glob filter.
     df = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(probed))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_events_ts(df)
 
 
 def tumbling_stream(
