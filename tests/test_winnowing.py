@@ -1,0 +1,78 @@
+"""Winnowing (MOSS) fingerprint properties — the SIGMOD'03 guarantee
+and the pair detector's non-degeneracy, on constructed corpora (the
+fixture parity runs automatically in test_oracle_queries.py)."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from vector_db_handler_spark.operators.dedup import (
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+
+K, W = 10, 10
+GUARANTEE = K + W - 1  # any shared substring this long shares a fingerprint
+
+
+def _rand_text(rng: random.Random, n: int) -> str:
+    return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+
+def test_shared_substring_guarantee(spark):
+    """Docs sharing a >= w+k-1 char substring MUST share a fingerprint
+    hash, wherever the substring lands in each doc."""
+    rng = random.Random(7)
+    planted = _rand_text(rng, GUARANTEE)
+    rows = [
+        (1, _rand_text(rng, 80) + planted + _rand_text(rng, 40)),
+        (2, _rand_text(rng, 15) + planted + _rand_text(rng, 100)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=K, w=W).collect()
+    h1 = {r.fp_hash for r in fps if r.doc_id == 1}
+    h2 = {r.fp_hash for r in fps if r.doc_id == 2}
+    assert h1 & h2, "winnowing guarantee violated: no shared fingerprint"
+
+
+def test_unrelated_docs_share_nothing(spark):
+    rng = random.Random(11)
+    rows = [(i, _rand_text(rng, 200)) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_overlap_pairs(docs, min_shared=1, k=K, w=W).collect()
+    assert pairs == []
+
+
+def test_short_docs_drop_out(spark):
+    """Docs shorter than w+k-1 chars have no complete window."""
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "x" * (GUARANTEE - 1)), (3, "y" * 200)],
+        "doc_id long, text string",
+    )
+    ids = {r.doc_id for r in winnow_fingerprints(docs, k=K, w=W).collect()}
+    assert ids == {3}
+
+
+def test_fingerprint_density(spark):
+    """Selected fingerprints are ~2/(w+1) of gram positions (SIGMOD'03
+    density bound for random input) — sanity that winnowing is actually
+    sparsifying, not keeping every gram."""
+    rng = random.Random(13)
+    docs = spark.createDataFrame(
+        [(1, _rand_text(rng, 2000))], "doc_id long, text string"
+    )
+    n_fps = winnow_fingerprints(docs, k=K, w=W).count()
+    n_grams = 2000 - K + 1
+    density = n_fps / n_grams
+    assert 0.1 < density < 0.35, density  # 2/(w+1) = 0.18 expected
+
+
+def test_overlap_pairs_plan_no_cartesian(spark, sf_dir):
+    from vector_db_handler_spark.sources.tables import load_table
+
+    plan = winnow_overlap_pairs(
+        load_table(spark, sf_dir, "documents"), min_shared=8, k=K, w=W
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

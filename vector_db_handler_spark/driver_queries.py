@@ -97,6 +97,9 @@ def register(name: str, oracle: str | None = None):
 #: in a round is fronted in the SAME round. The full verified-ever
 #: ledger lives in SURVEY.md §8.
 _DRIVER_FRONT: list[str] = [
+    # new in round 5 — registered and fronted in the same commit
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
     # never inside the driver window — first-ever rows
     "stream_stream_join_attribution",
     "jsonl_roundtrip_stats",
@@ -881,6 +884,100 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles — a 1-permutation MinHash, robust to local edits).
     Explode + codegen md5 + map-side-combined MIN."""
     return dedup_ops.doc_fingerprints(load(spark, sf_dir, "documents"))
+
+
+#: Winnowing (MOSS): distinct (doc_id, packed) fingerprints — the
+#: minimal (40-bit hash, position) over every window of ``w``
+#: consecutive ``k``-char-gram hashes, packed hash*2^20+pos so the
+#: lexicographic min is an integer MIN in both engines.  Guarantee: any
+#: shared substring of >= w+k-1 chars shares a fingerprint (SIGMOD'03).
+#: k=10/w=10 (19-char guarantee) tuned on the fixture: 5-char grams hit
+#: common English fragments and returned ~24k of C(500,2) pairs —
+#: degenerate; 10-char grams isolate the planted near-dup twins.
+WINNOW_K, WINNOW_W = 10, 10
+
+_WINNOW_SEL_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS pos,
+         len(text) - {WINNOW_K - 1} AS n_grams,
+         CAST('0x' || substr(md5(substr(text, i, {WINNOW_K})), 1, 10) AS BIGINT)
+           * 1048576 + CAST(i AS BIGINT) AS packed
+  FROM documents, unnest(generate_series(1, len(text) - {WINNOW_K - 1})) AS t(i)
+  WHERE i < 1048576
+),
+m AS (
+  SELECT doc_id, pos, n_grams,
+         min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM g
+),
+sel AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n_grams - {WINNOW_W - 1})
+"""
+
+_WINNOW_FP_SQL = f"""
+{_WINNOW_SEL_SQL}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fps,
+       CAST(count(DISTINCT fp // 1048576) AS BIGINT) AS n_distinct_hashes,
+       CAST(sum(fp // 1048576) AS BIGINT) AS hash_checksum,
+       min(fp // 1048576) AS min_hash,
+       max(fp // 1048576) AS max_hash
+FROM sel GROUP BY doc_id
+"""
+
+
+@register("winnowing_fingerprints", _WINNOW_FP_SQL)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing (MOSS) fingerprint profile: count,
+    distinct hashes, exact checksum, min/max over the selected
+    fingerprint set (the checksum pins the whole set through the
+    hash-compare without shipping ~n/w rows per doc).
+
+    Scale: one explode (row per char position — winnowing's inherent
+    linear cost), codegen md5, ONE shuffle on doc_id for the window
+    min, map-side-combined final aggregate.  No reference analog
+    (reference has no dedup at all — ``document_ingestor.py:105``
+    mints a fresh uuid per upsert)."""
+    fps = dedup_ops.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), k=WINNOW_K, w=WINNOW_W
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.countDistinct("fp_hash").alias("n_distinct_hashes"),
+        F.sum("fp_hash").alias("hash_checksum"),
+        F.min("fp_hash").alias("min_hash"),
+        F.max("fp_hash").alias("max_hash"),
+    )
+
+
+_WINNOW_PAIRS_SQL = f"""
+{_WINNOW_SEL_SQL},
+fph AS (SELECT DISTINCT doc_id, fp // 1048576 AS fp_hash FROM sel),
+rare AS (SELECT fp_hash FROM fph GROUP BY 1 HAVING count(*) <= 20),
+idx AS (SELECT f.doc_id, f.fp_hash FROM fph f JOIN rare r USING (fp_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM idx a JOIN idx b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 8
+"""
+
+
+@register("winnowing_overlap_pairs", _WINNOW_PAIRS_SQL)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination/plagiarism pairs: docs sharing >= 8 winnowed
+    fingerprint hashes.  Hot fingerprints (present in > 20 docs —
+    boilerplate) are dropped BEFORE the self-join, so the pair
+    blow-up is bounded per fingerprint bucket, never corpus-quadratic
+    — the same stop-key posture as ``ngram_jaccard_pairs``."""
+    return dedup_ops.winnow_overlap_pairs(
+        load(spark, sf_dir, "documents"),
+        min_shared=8,
+        k=WINNOW_K,
+        w=WINNOW_W,
+        max_postings=20,
+    )
 
 
 # -- time windows over events ------------------------------------------------

@@ -120,6 +120,13 @@ def portable_hash28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def portable_hash40(col: Column) -> Column:
+    """40-bit variant, leaving 20 low bits to pack a position alongside
+    the hash in one BIGINT (winnowing's (hash, pos) lexicographic min
+    becomes a plain integer MIN both engines share)."""
+    return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles as an array of strings.
 

@@ -904,3 +904,119 @@ def compact_lsh_index(spark, path: str, bands: list[int] | None = None) -> None:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+# -- winnowing (MOSS) fingerprints -------------------------------------------
+
+#: Pack (hash40, pos20) into one BIGINT so the lexicographic
+#: (hash, leftmost-pos) window minimum is a plain integer MIN that
+#: Spark and DuckDB compute identically.  20 bits of position caps
+#: fingerprinting at the first ~1M chars of a document — at corpus
+#: scale longer docs are chunked upstream anyway, and the cap is a
+#: filter, not an error.
+WINNOW_POS_BITS = 1 << 20
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: for every window of ``w``
+    consecutive character ``k``-gram hashes, keep the minimal
+    (hash, position) pair — guaranteeing any shared substring of
+    length >= ``w + k - 1`` between two documents shares at least one
+    fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    Returns distinct ``(doc_id, fp_hash, fp_pos)`` rows.
+
+    Scale shape: one explode (a row per character position — linear,
+    the cost winnowing inherently pays), all-codegen hashing, and ONE
+    shuffle partitioned by document for the window min; no per-doc
+    Python, no driver loop.  Documents shorter than ``w + k - 1``
+    chars have no complete window and drop out (same in the SQL twin).
+    """
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.functions.text import portable_hash40
+
+    n_grams = F.length(F.col(text_col)) - F.lit(k - 1)
+    g = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+            n_grams.alias("n_grams"),
+        )
+        .filter(F.col("pos") < F.lit(WINNOW_POS_BITS))
+        .select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            (
+                portable_hash40(F.expr(f"substring(_t, pos, {int(k)})"))
+                * F.lit(WINNOW_POS_BITS)
+                + F.col("pos")
+            ).alias("packed"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        g.withColumn("fp", F.min("packed").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - F.lit(w - 1))
+        .select(
+            "doc_id",
+            F.expr(f"fp div {WINNOW_POS_BITS}").alias("fp_hash"),
+            (F.col("fp") % F.lit(WINNOW_POS_BITS)).alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+    max_postings: int = 50,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprint
+    hashes — the contamination/plagiarism detector built on
+    :func:`winnow_fingerprints`.
+
+    Scale shape: fingerprints are ~1/w of the gram stream, the
+    inverted index joins on a BIGINT key, and hot fingerprints (hashes
+    present in > ``max_postings`` docs — boilerplate) are dropped
+    BEFORE the self-join, exactly like the stop-shingle guard in
+    :func:`ngram_jaccard_pairs` — the pair blow-up is bounded by
+    ``max_postings**2`` per bucket, never corpus-quadratic.
+    """
+    fps = (
+        winnow_fingerprints(docs, text_col, id_col, k, w)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp_hash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_postings)
+        .select("fp_hash")
+    )
+    idx = fps.join(rare, "fp_hash")
+    a = idx.select(F.col("fp_hash"), F.col("doc_id").alias("doc_a"))
+    b = idx.select(F.col("fp_hash"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
