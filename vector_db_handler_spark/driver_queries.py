@@ -100,6 +100,10 @@ _DRIVER_FRONT: list[str] = [
     # new in round 5 — registered and fronted in the same commit
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "winnowing_containment_pairs",
+    "bigram_novelty",
+    "csv_roundtrip_stats",
+    "kmeans_int8_2iter",
     # never inside the driver window — first-ever rows
     "stream_stream_join_attribution",
     "jsonl_roundtrip_stats",
@@ -980,6 +984,44 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_CONTAIN_SQL = f"""
+{_WINNOW_SEL_SQL},
+fph AS (SELECT DISTINCT doc_id, fp // 1048576 AS fp_hash FROM sel),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fph GROUP BY 1),
+rare AS (SELECT fp_hash FROM fph GROUP BY 1 HAVING count(*) <= 20),
+idx AS (SELECT f.doc_id, f.fp_hash FROM fph f JOIN rare r USING (fp_hash)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM idx a JOIN idx b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       sa.n_fp AS n_a, sb.n_fp AS n_b,
+       round(s.n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS containment
+FROM shared s
+JOIN sizes sa ON s.doc_a = sa.doc_id
+JOIN sizes sb ON s.doc_b = sb.doc_id
+WHERE round(s.n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6) >= 0.5
+"""
+
+
+@register("winnowing_containment_pairs", _WINNOW_CONTAIN_SQL)
+def winnowing_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/quote-inclusion detector: shared winnowed fingerprints
+    covering >= 0.5 of the smaller doc's set (asymmetric containment —
+    what Jaccard under-scores when sizes differ).  Fixture
+    distribution is bimodal: the planted twins sit at 0.5-0.8, noise
+    at <= 0.3, so 0.5 is a real separator, not an arbitrary knob."""
+    return dedup_ops.winnow_containment_pairs(
+        load(spark, sf_dir, "documents"),
+        min_containment=0.5,
+        k=WINNOW_K,
+        w=WINNOW_W,
+        max_postings=20,
+    )
+
+
 # -- time windows over events ------------------------------------------------
 
 _TUMBLING_SQL = """
@@ -1776,6 +1818,67 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialize before unpersisting the one-pass cache the reader
     # installed (see read_documents_jsonl).
+    out = out.localCheckpoint(eager=True)
+    df.unpersist()
+    return out
+
+
+#: Planted CSV lines: one valid (doc_id -1, text 'extra'), two
+#: malformed (non-numeric doc_id → type-cast failure; bare garbage →
+#: arity failure).  Mirrors _JSONL_EXTRA_LINES so both interchange
+#: edges prove the same quarantine semantics.
+_CSV_EXTRA_LINES = (
+    "-1,extra,xx,manual,5\n"
+    "notanumber,bad text,xx,manual,7\n"
+    "!!! not csv at all\n"
+)
+
+_CSV_ROUNDTRIP_SQL = f"""
+SELECT CAST(count(*) + 1 AS BIGINT) AS n_valid,
+       CAST(2 AS BIGINT) AS n_corrupt,
+       CAST(SUM(n_chars) + 5 AS BIGINT) AS sum_chars,
+       CAST(SUM({_sql_hash('text', 15)} % 1000000007)
+            + {_sql_hash("'extra'", 15)} % 1000000007 AS BIGINT) AS text_checksum
+FROM documents
+"""
+
+
+@register("csv_roundtrip_stats", _CSV_ROUNDTRIP_SQL)
+def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest edge, the twin of ``jsonl_roundtrip_stats``: export
+    documents as headerless CSV, plant one extra valid row and two
+    malformed rows, read back schema-enforced in PERMISSIVE mode with
+    corrupt capture, and aggregate.  The checksum matching the
+    parquet-sourced oracle proves CSV quoting round-trips the text
+    losslessly AND that exactly the malformed rows were quarantined."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.sources import csv as csv_src
+
+    tag = _hl.md5(
+        f"csv|{_fixture_tag(sf_dir, 'documents')}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"vdh_csv_{tag}")
+    extra = os.path.join(root, "extra-manual.csv")
+    if not os.path.exists(extra):
+        csv_src.write_documents_csv(load(spark, sf_dir, "documents"), root)
+        # Written AFTER the directory commit: build-complete marker.
+        with open(extra, "w", encoding="utf-8") as fh:
+            fh.write(_CSV_EXTRA_LINES)
+    df = csv_src.read_documents_csv(spark, root)
+    valid = F.col(csv_src.CORRUPT_COL).isNull()
+    out = df.agg(
+        F.count(F.when(valid, 1)).alias("n_valid"),
+        F.count(csv_src.CORRUPT_COL).alias("n_corrupt"),
+        F.sum(F.when(valid, F.col("n_chars"))).alias("sum_chars"),
+        F.sum(
+            F.when(
+                valid, text_fns.portable_hash60(F.col("text")) % F.lit(1000000007)
+            )
+        ).alias("text_checksum"),
+    )
     out = out.localCheckpoint(eager=True)
     df.unpersist()
     return out
@@ -3581,15 +3684,139 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_NOVELTY_SQL = f"""
+WITH sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> array_to_string(t[i:i+1], ' ')))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+sh AS (SELECT doc_id, {_sql_hash('shingle', 15)} AS h FROM sh0),
+dfc AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+j AS (SELECT s.doc_id, d.df FROM sh s JOIN dfc d USING (h))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS novelty
+FROM j GROUP BY 1
+"""
+
+
+@register("bigram_novelty", _BIGRAM_NOVELTY_SQL)
+def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus bigram novelty per doc (fraction of its distinct
+    word bigrams with corpus document-frequency 1) — the quality
+    signal CCNet-style pipelines use to separate garbled-unique text
+    from boilerplate.  Integer-exact counts; 60-bit-hash-keyed
+    exchanges; two shuffles, both on the bigram key."""
+    return dedup_ops.bigram_novelty(load(spark, sf_dir, "documents"))
+
+
+#: Exact k-means on the int8 grid (operators/clustering.py): two
+#: unrolled Lloyd iterations.  d² is expanded as a·a − 2a·b + b·b so
+#: DuckDB's list_dot_product does the work; every value stays an exact
+#: integer (≤ 64·254² ≈ 4.1e6, far under double's 2^53), the argmin
+#: tie-breaks by the composite key d²·16+cid, and the centroid
+#: round-half-up uses a non-negative numerator so truncating division
+#: equals floor in both engines.
+_QUANT_CLAMP = (
+    "CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(127.0 * x / s + 0.5))) AS BIGINT)"
+)
+
+_KMEANS_K = 8
+
+_KMEANS_ASSIGN = (
+    "SELECT q.vec_id, min_by(c.cid, CAST(list_dot_product(qd, qd)"
+    " - 2*list_dot_product(qd, cd) + list_dot_product(cd, cd) AS BIGINT)"
+    f" * {_KMEANS_K * 2} + c.cid) AS cluster"
+)
+
+
+def _kmeans_iter_sql(a: str, prev_c: str, sums: str) -> str:
+    """One Lloyd iteration: assignment ``a`` against ``prev_c``, then
+    per-(cluster,pos) integer sums ``sums``."""
+    return f"""
+{a} AS (
+  {_KMEANS_ASSIGN}
+  FROM (SELECT vec_id, v, CAST(v AS DOUBLE[]) AS qd FROM qv) q,
+       (SELECT cid, v, CAST(v AS DOUBLE[]) AS cd FROM {prev_c}) c
+  GROUP BY q.vec_id
+),
+{sums} AS (
+  SELECT a.cluster, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(SUM(q.v[CAST(i AS INTEGER)]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {a} a JOIN qv q USING (vec_id),
+       unnest(generate_series(1, len(q.v))) AS t(i)
+  GROUP BY 1, 2
+)"""
+
+
+_KMEANS_SQL = f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP}) AS v
+  FROM embeddings, scale
+),
+c0 AS (SELECT vec_id AS cid, v FROM qv WHERE vec_id < {_KMEANS_K}),
+{_kmeans_iter_sql('a1', 'c0', 's1')},
+c0pos AS (
+  SELECT c.cid, CAST(t.i AS INTEGER) AS i, c.v[CAST(t.i AS INTEGER)] AS prev
+  FROM c0 c, unnest(generate_series(1, len(c.v))) AS t(i)
+),
+c1v AS (
+  SELECT cp.cid, cp.i,
+         CASE WHEN s.n IS NULL THEN cp.prev
+              ELSE ((s.s + 127*s.n)*2 + s.n) // (2*s.n) - 127 END AS cval
+  FROM c0pos cp LEFT JOIN s1 s ON s.cluster = cp.cid AND s.pos = cp.i - 1
+),
+c1 AS (SELECT cid, list(cval ORDER BY i) AS v FROM c1v GROUP BY cid),
+{_kmeans_iter_sql('a2', 'c1', 's2')},
+c1pos AS (
+  SELECT c.cid, CAST(t.i AS INTEGER) AS i, c.v[CAST(t.i AS INTEGER)] AS prev
+  FROM c1 c, unnest(generate_series(1, len(c.v))) AS t(i)
+)
+SELECT cp.cid AS cluster_id, CAST(cp.i - 1 AS INTEGER) AS pos,
+       CAST(CASE WHEN s.n IS NULL THEN cp.prev
+                 ELSE ((s.s + 127*s.n)*2 + s.n) // (2*s.n) - 127 END
+            AS BIGINT) AS c_val,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members
+FROM c1pos cp
+LEFT JOIN s2 s ON s.cluster = cp.cid AND s.pos = cp.i - 1
+LEFT JOIN (SELECT cluster, MAX(n) AS n FROM s2 GROUP BY 1) m
+  ON m.cluster = cp.cid
+"""
+
+
+@register("kmeans_int8_2iter", _KMEANS_SQL)
+def kmeans_int8_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact Lloyd iterations over int8-quantized embeddings
+    (K=8, seeded with vec_ids 0..7): the iterative-algorithm
+    demonstration — centroids broadcast into an Arrow-batched integer
+    argmin kernel, updates one map-side-combined shuffle of skinny
+    (cluster, pos, val) rows, every iteration hash-identical to the
+    unrolled SQL.  This is the training loop an IVF coarse quantizer
+    runs before ``write_ivfsq_index`` consumes its centroids."""
+    from vector_db_handler_spark.operators.clustering import kmeans_int8_lloyd
+
+    return kmeans_int8_lloyd(
+        load(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Int8 quantized KNN (operators/quantize.py): symmetric max-abs
 # scalar quantization, integer dot scores — exact in both engines, so
 # the whole quantize→score→rank pipeline is hash-checked.
 # ---------------------------------------------------------------------------
 
-_QUANT_CLAMP = (
-    "CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(127.0 * x / s + 0.5))) AS BIGINT)"
-)
+
 
 _QUANTIZED_KNN_SQL = f"""
 WITH scale AS (

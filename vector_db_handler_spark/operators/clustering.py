@@ -1,0 +1,120 @@
+"""Distributed k-means (Lloyd) over int8-quantized embeddings, with
+EXACT integer arithmetic so every iteration hash-matches a SQL oracle.
+
+Why quantized: float k-means can't be oracle-checked bit-for-bit (sum
+order changes low bits and argmin flips on them).  On the int8 grid
+every distance is an exact integer ≤ 64·254² ≈ 4.1e6, centroid
+updates round back onto the grid deterministically, and the argmin is
+identical in any engine — the whole iterative algorithm becomes
+hash-checkable.  (Production pipelines run the same shape in float32
+and accept non-determinism; the grid version is also what an IVF
+coarse quantizer actually trains on.)
+
+Scale shape per iteration (the canonical Lloyd-on-Spark layout):
+
+* centroids are K×dim integers — driver-held and broadcast into the
+  assignment kernel (small-side BY CONSTRUCTION: 8×64 int64 = 4 KB);
+* assignment is ONE Arrow-batched numpy pass (vectorized (x−c)²
+  argmin, no Python per row);
+* the update is ONE map-side-combined groupBy over exploded
+  (cluster, pos, val) rows — a single shuffle of n·dim skinny rows.
+
+Rounding rule (engine-portable): c = ((S + 127·n)·2 + n) div (2·n)
+− 127 — round-half-up computed with a NON-NEGATIVE numerator, because
+truncating division (Spark ``div``, DuckDB ``//``) equals floor only
+for non-negative operands.  Empty clusters keep their previous
+centroid (possible from iteration 2 on; iteration 1 can't empty a
+cluster because each seed is a member of its own cluster at distance
+0, ties broken toward the smaller cluster id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.operators.quantize import quantize_int8
+
+
+def _assign(q: DataFrame, cents: list[list[int]], qvec_col: str, id_col: str) -> DataFrame:
+    """(id, cluster) via exact integer argmin; ties → smallest cluster
+    id (numpy argmin returns the first minimum)."""
+    k = len(cents)
+    flat = [int(v) for c in cents for v in c]
+    dim = len(cents[0])
+    id_type = q.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):  # self-contained: cloudpickled to executors
+        import numpy as np
+
+        cmat = np.asarray(flat, dtype=np.int64).reshape(k, dim)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf[qvec_col]]
+            )
+            d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            out = pdf[[id_col]].copy()
+            out["cluster"] = d2.argmin(axis=1).astype(np.int64)
+            yield out
+
+    return q.mapInPandas(kernel, schema=f"{id_col} {id_type}, cluster long")
+
+
+def _update(
+    q: DataFrame, assigned: DataFrame, cents: list[list[int]], qvec_col: str, id_col: str
+) -> tuple[list[list[int]], dict[int, int]]:
+    """New integer centroids from one grouped pass; empty clusters
+    keep their previous centroid.  The collect is K×dim rows — the
+    broadcast-small side of Lloyd, not a data collect."""
+    sums = (
+        q.join(assigned, id_col)
+        .select("cluster", F.posexplode(F.col(qvec_col)).alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .withColumn("c", F.expr("((s + 127*n)*2 + n) div (2*n) - 127"))
+        .select("cluster", "pos", "c", "n")
+        .collect()
+    )
+    new = [list(c) for c in cents]
+    sizes: dict[int, int] = {}
+    for r in sums:
+        new[r.cluster][r.pos] = int(r.c)
+        sizes[int(r.cluster)] = int(r.n)
+    return new, sizes
+
+
+def kmeans_int8_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``iters`` exact Lloyd iterations on the int8 grid, seeded with
+    the quantized vectors of ids 0..k−1.  Returns the final centroids
+    component-exploded — ``(cluster_id, pos, c_val, n_members)``,
+    K×dim rows — computed from the LAST assignment."""
+    q = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col)
+    q = q.cache()
+    try:
+        seed_rows = (
+            q.filter(F.col(id_col) < k).orderBy(id_col).collect()
+        )  # K rows — seeds, small by construction
+        cents = [[int(v) for v in r.qvec] for r in seed_rows]
+        sizes: dict[int, int] = {}
+        for _ in range(iters):
+            assigned = _assign(q, cents, "qvec", id_col)
+            cents, sizes = _update(q, assigned, cents, "qvec", id_col)
+        rows = [
+            (cid, pos, cents[cid][pos], sizes.get(cid, 0))
+            for cid in range(k)
+            for pos in range(len(cents[cid]))
+        ]
+        spark = emb.sparkSession
+        return spark.createDataFrame(
+            rows, "cluster_id long, pos int, c_val long, n_members long"
+        )
+    finally:
+        q.unpersist()

@@ -1020,3 +1020,94 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_containment_pairs(
+    docs: DataFrame,
+    min_containment: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    w: int = 10,
+    max_postings: int = 20,
+) -> DataFrame:
+    """(Near-)containment detector: pairs where the shared winnowed
+    fingerprints cover >= ``min_containment`` of the SMALLER doc's
+    fingerprint set — catches quote-inclusion / excerpt duplication
+    that symmetric Jaccard under-scores (a 100-char quote inside a
+    10k-char doc is invisible to Jaccard but ~1.0 containment).
+
+    Same inverted-index + stop-fingerprint shape as
+    :func:`winnow_overlap_pairs`; the per-doc set sizes ride along as
+    one extra map-side-combined aggregate and two broadcast-size joins.
+    """
+    fps = (
+        winnow_fingerprints(docs, text_col, id_col, k, w)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    fps.cache()  # feeds sizes, the postings guard, and the self-join
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    rare = (
+        fps.groupBy("fp_hash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_postings)
+        .select("fp_hash")
+    )
+    idx = fps.join(rare, "fp_hash")
+    a = idx.select(F.col("fp_hash"), F.col("doc_id").alias("doc_a"))
+    b = idx.select(F.col("fp_hash"), F.col("doc_id").alias("doc_b"))
+    shared = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    out = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "containment")
+    )
+    return out
+
+
+def bigram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus novelty per document: the fraction of a doc's
+    distinct word bigrams that occur in NO other document (corpus doc
+    frequency 1).  High novelty flags garbled/unique text; ~0 flags
+    boilerplate — the cross-corpus complement of the within-doc
+    ``repetition_stats`` rule.
+
+    All counts are integers and the single ROUND division is the only
+    float, so the result hash-matches any engine exactly.  Scale: the
+    bigram index exchanges 60-bit int keys, document frequency is one
+    map-side-combined groupBy, and the join back is shingle-bucketed —
+    two shuffles total, both on the bigram hash.
+    """
+    sh = hashed_shingle_index(docs, text_col, id_col, k=2)
+    df_counts = sh.groupBy("h").agg(F.count("*").alias("df"))
+    j = sh.join(df_counts, "h")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        F.round(
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("novelty"),
+    )
