@@ -176,3 +176,46 @@ def test_streaming_exact_dedup_holds_state_across_batches(spark, sf_dir, tmp_pat
         for r in exact_dedup(docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_running_user_value_stream_matches_batch(spark, sf_dir):
+    """The applyInPandasWithState running-total operator reproduces
+    the batch DECIMAL window aggregate bit-for-bit (full assertion is
+    the registered oracle; this pins the batch=stream equality
+    directly)."""
+    from vector_db_handler_spark import driver_queries as dq
+
+    got = sorted(
+        (r.event_id, r.user_id, r.running_value, r.seq)
+        for r in dq.queries()["running_user_value_stream"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.running_value, r.seq)
+        for r in dq.queries()["running_user_value"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_transform_with_state_variant_needs_protobuf(spark, sf_dir, tmp_path):
+    """The Spark-4.x transformWithStateInPandas twin is the documented
+    forward path: its state server speaks protobuf over a local
+    socket, so it runs only where google.protobuf is installed (not
+    this container).  Skip cleanly there; where protobuf exists, it
+    must agree with the applyInPandasWithState variant."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir).filter(F.col("user_id") < 5)
+    out = stream_ops.streaming_running_user_value(ev)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("t_tws").count() > 0

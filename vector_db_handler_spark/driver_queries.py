@@ -104,6 +104,7 @@ _DRIVER_FRONT: list[str] = [
     "bigram_novelty",
     "csv_roundtrip_stats",
     "kmeans_int8_2iter",
+    "running_user_value_stream",
     # never inside the driver window — first-ever rows
     "stream_stream_join_attribution",
     "jsonl_roundtrip_stats",
@@ -4409,6 +4410,26 @@ def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("running_value"),
         F.row_number().over(w).alias("seq"),
     )
+
+
+@register("running_user_value_stream", _RUNNING_USER_VALUE_SQL)
+def running_user_value_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``running_user_value`` as a CUSTOM STATEFUL
+    OPERATOR (per-user state carrying exact micro-unit prefix sums
+    that reproduce the batch DECIMAL(18,6) window aggregate
+    bit-for-bit) — hash-checked against the SAME oracle as the batch
+    form: a batch=stream equivalence proof for custom state, not just
+    for built-in windows.  Runs on ``applyInPandasWithState``; the
+    ``transformWithStateInPandas`` twin
+    (``stream_ops.streaming_running_user_value``) is the documented
+    Spark-4.x forward path, gated on ``google.protobuf`` which this
+    container lacks (tests/test_streaming.py skips it cleanly)."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    out = stream_ops.streaming_running_user_value_gs(ev)
+    stream_ops.run_to_memory(out, "dq_running_user_stream", mode="append")
+    return spark.table("dq_running_user_stream")
 
 
 _IVFSQ_BATCH_QIDS = (1, 2, 3, 4, 5)
