@@ -76,3 +76,18 @@ def test_overlap_pairs_plan_no_cartesian(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fingerprints_single_exchange(spark, sf_dir):
+    """The winnowing profile plan has exactly ONE shuffle: the doc_id
+    exchange feeding the window; distinct and the per-doc aggregate
+    reuse that partitioning (doc_id prefixes every downstream key)."""
+    from vector_db_handler_spark import driver_queries as dq
+
+    plan = (
+        dq.queries()["winnowing_fingerprints"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
