@@ -103,18 +103,21 @@ def kmeans_int8_lloyd(
             q.filter(F.col(id_col) < k).orderBy(id_col).collect()
         )  # K rows — seeds, small by construction
         cents = [[int(v) for v in r.qvec] for r in seed_rows]
+        spark = emb.sparkSession
+        out_schema = "cluster_id long, pos int, c_val long, n_members long"
+        if not cents:
+            # Empty corpus (or none of ids 0..k-1 present): no seeds,
+            # no clusters — typed empty, same as the SQL twin.
+            return spark.createDataFrame([], out_schema)
         sizes: dict[int, int] = {}
         for _ in range(iters):
             assigned = _assign(q, cents, "qvec", id_col)
             cents, sizes = _update(q, assigned, cents, "qvec", id_col)
         rows = [
             (cid, pos, cents[cid][pos], sizes.get(cid, 0))
-            for cid in range(k)
+            for cid in range(len(cents))
             for pos in range(len(cents[cid]))
         ]
-        spark = emb.sparkSession
-        return spark.createDataFrame(
-            rows, "cluster_id long, pos int, c_val long, n_members long"
-        )
+        return spark.createDataFrame(rows, out_schema)
     finally:
         q.unpersist()
