@@ -265,6 +265,32 @@ def components(n_docs: int = 1_000_000, chain_len: int = 40) -> None:
     )
 
 
+
+def winnowing(mult: int = 16) -> None:
+    """Winnowing fingerprint cost vs corpus size (documents fixture
+    replicated ``mult``x with shifted ids): expected linear in gram
+    count — the explode is a row per char and the single doc_id
+    exchange serves window+distinct+aggregate (PERF.md round 5:
+    5k/20k/80k docs -> 6.4/12.7/43.7s on local[32])."""
+    from vector_db_handler_spark.operators.dedup import winnow_fingerprints
+
+    spark = get_spark("winnow-probe")
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for m in (1, max(2, mult // 4), mult):
+        big = docs
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            big = docs.crossJoin(reps).select(
+                (F.col("doc_id") * m + F.col("rep")).alias("doc_id"), "text"
+            )
+        n = big.count()
+        t0 = time.perf_counter()
+        c = winnow_fingerprints(big, k=10, w=10).count()
+        print(f"winnowing @ {n} docs: {c} fingerprints, wall {time.perf_counter()-t0:.1f}s")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -277,6 +303,8 @@ if __name__ == "__main__":
             int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
             int(sys.argv[3]) if len(sys.argv) > 3 else 40,
         )
+    elif len(sys.argv) > 1 and sys.argv[1] == "winnowing":
+        winnowing(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ann":
         ann_neardup(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000)
     else:
