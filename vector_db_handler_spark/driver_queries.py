@@ -105,6 +105,7 @@ _DRIVER_FRONT: list[str] = [
     "csv_roundtrip_stats",
     "kmeans_int8_2iter",
     "running_user_value_stream",
+    "orc_roundtrip_stats",
     # never inside the driver window — first-ever rows
     "stream_stream_join_attribution",
     "jsonl_roundtrip_stats",
@@ -1883,6 +1884,54 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     df.unpersist()
     return out
+
+
+_ORC_ROUNDTRIP_SQL = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM({_sql_hash('text', 15)} % 1000000007) AS BIGINT) AS text_checksum
+FROM documents
+WHERE lang IN ('en', 'de')
+GROUP BY lang
+"""
+
+
+@register("orc_roundtrip_stats", _ORC_ROUNDTRIP_SQL)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest edge: export documents as ORC, read back
+    schema-enforced WITH a pushed-down language predicate (the filter
+    reaches the ORC scan — plan-pinned in tests/test_sources.py), and
+    aggregate per language.  The checksum matching the parquet-sourced
+    oracle proves the columnar roundtrip is content-lossless and the
+    pushdown did not drop or duplicate rows."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.sources import orc as orc_src
+
+    tag = _hl.md5(
+        f"orc|{_fixture_tag(sf_dir, 'documents')}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"vdh_orc_{tag}")
+    marker = os.path.join(root, "_vdh_done")
+    if not os.path.exists(marker):
+        orc_src.write_documents_orc(load(spark, sf_dir, "documents"), root)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    df = orc_src.read_documents_orc(spark, root)
+    return (
+        df.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(
+                text_fns.portable_hash60(F.col("text")) % F.lit(1000000007)
+            ).alias("text_checksum"),
+        )
+    )
 
 
 #: The exact aggregates exist only to make the sketch-accuracy claim
