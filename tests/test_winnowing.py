@@ -91,3 +91,23 @@ def test_fingerprints_single_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_planted_substring_property(spark):
+    """Hypothesis-style sweep without the fixture: for a batch of
+    random (position, length>=guarantee) plantings, every pair shares
+    a fingerprint — the guarantee holds wherever the overlap lands."""
+    rng = random.Random(101)
+    rows = []
+    for i in range(8):
+        planted = _rand_text(rng, GUARANTEE + rng.randrange(0, 30))
+        a_pre, b_pre = rng.randrange(0, 120), rng.randrange(0, 120)
+        rows.append((2 * i, _rand_text(rng, a_pre) + planted + _rand_text(rng, 60)))
+        rows.append((2 * i + 1, _rand_text(rng, b_pre) + planted + _rand_text(rng, 60)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=K, w=W).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    for i in range(8):
+        assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares nothing"
