@@ -110,6 +110,7 @@ def with_embeddings(
         import hashlib
 
         import numpy as _np
+        from pandas import isna as _pd_isna
 
         def _embed(t: str) -> list[float]:
             seed = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
@@ -120,7 +121,11 @@ def with_embeddings(
 
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [_embed(t) for t in pdf[text_col].astype(str)]
+            # Null text -> null embedding (same contract as the HTTP
+            # twin): astype(str) would embed the literal 'None'.
+            pdf[out_col] = [
+                None if _pd_isna(t) else _embed(str(t)) for t in pdf[text_col]
+            ]
             yield pdf
 
     return df.mapInPandas(embed_batches, schema=out_schema)

@@ -161,8 +161,16 @@ def with_http_embeddings(
 
         for pdf in batches:
             pdf = pdf.copy()
-            texts = pdf[text_col].astype(str).tolist()
-            pdf[out_col] = _call(texts) if texts else []
+            # Null text -> null embedding, never sent to the service
+            # (astype(str) would ship the literal string 'None' and
+            # get a real vector back for a row that has no text).
+            mask = pdf[text_col].notna()
+            texts = pdf.loc[mask, text_col].astype(str).tolist()
+            vecs = _call(texts) if texts else []
+            out = [None] * len(pdf)
+            for i, v in zip(mask.to_numpy().nonzero()[0], vecs):
+                out[i] = v
+            pdf[out_col] = out
             yield pdf
 
     return df.mapInPandas(embed_batches, schema=out_schema)

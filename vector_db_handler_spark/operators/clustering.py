@@ -93,9 +93,17 @@ def kmeans_int8_lloyd(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """``iters`` exact Lloyd iterations on the int8 grid, seeded with
-    the quantized vectors of ids 0..k−1.  Returns the final centroids
-    component-exploded — ``(cluster_id, pos, c_val, n_members)``,
-    K×dim rows — computed from the LAST assignment."""
+    the quantized vectors of the ids in ``[0, k)`` that are present.
+    Returns the final centroids component-exploded —
+    ``(cluster_id, pos, c_val, n_members)``, K×dim rows — computed
+    from the LAST assignment.
+
+    ``cluster_id`` is the SEED'S id value (not its position in the
+    seed list), matching the SQL oracle's ``c0.cid = vec_id``
+    labeling even when some of the ids 0..k−1 are absent.  Internally
+    clusters are positional (the argmin index); seeds are collected in
+    ascending id order, so the argmin's first-minimum tie-break equals
+    the oracle's smallest-cid tie-break under any seed subset."""
     q = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col)
     q = q.cache()
     try:
@@ -103,6 +111,7 @@ def kmeans_int8_lloyd(
             q.filter(F.col(id_col) < k).orderBy(id_col).collect()
         )  # K rows — seeds, small by construction
         cents = [[int(v) for v in r.qvec] for r in seed_rows]
+        seed_ids = [int(r[id_col]) for r in seed_rows]
         spark = emb.sparkSession
         out_schema = "cluster_id long, pos int, c_val long, n_members long"
         if not cents:
@@ -114,7 +123,7 @@ def kmeans_int8_lloyd(
             assigned = _assign(q, cents, "qvec", id_col)
             cents, sizes = _update(q, assigned, cents, "qvec", id_col)
         rows = [
-            (cid, pos, cents[cid][pos], sizes.get(cid, 0))
+            (seed_ids[cid], pos, cents[cid][pos], sizes.get(cid, 0))
             for cid in range(len(cents))
             for pos in range(len(cents[cid]))
         ]

@@ -668,13 +668,20 @@ def cross_jaccard_pairs(
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
+    pairs = (
         common.join(lsizes.withColumnRenamed("doc_id", "left_id"), "left_id")
         .join(rsizes.withColumnRenamed("doc_id", "right_id"), "right_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
     )
+    # Eager pairs + release both cached shingle indexes (the
+    # ngram_jaccard_pairs pattern) so nothing stays pinned in the
+    # CacheManager after the call returns.
+    pairs = pairs.localCheckpoint(eager=True)
+    lsh.unpersist()
+    rsh.unpersist()
+    return pairs
 
 
 def connected_components(
@@ -1079,6 +1086,12 @@ def winnow_containment_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "containment")
     )
+    # Eager pairs + release the cached fingerprint index (the
+    # ngram_jaccard_pairs pattern): a lazy return would pin the cache
+    # for the whole session, and CacheManager entries are not
+    # ContextCleaner-collected — localCheckpoint blocks are.
+    out = out.localCheckpoint(eager=True)
+    fps.unpersist()
     return out
 
 

@@ -170,7 +170,13 @@ def run_to_memory(
     stream-stream join going 32 → 8.  Size it to data volume, not the
     session default: a 100 TB deployment wants hundreds (state must
     fit per-task memory), a test fixture wants few.  The session conf
-    is restored after the drain; batch queries never see the change.
+    is restored after the drain (the query is STOPPED first if the
+    timeout expires, so a still-running query can never latch a later
+    batch against the restored value).  Caveat: the conf is
+    session-global while the drain runs — a concurrent batch query
+    planned in the same session during that window sees the temporary
+    value; callers needing isolation should drain on a dedicated
+    session (``spark.newSession()``).
     """
     import os
 
@@ -179,6 +185,7 @@ def run_to_memory(
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    q = None
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -187,8 +194,14 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"stream '{name}' did not drain within {timeout_sec}s"
+            )
     finally:
+        if q is not None and q.isActive:
+            q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
@@ -428,7 +441,15 @@ def streaming_running_user_value(events_stream: DataFrame) -> DataFrame:
                 )
                 seq += 1
                 out_ids.append(int(eid))
-                out_vals.append(float(total) / 1e6)
+                out_vals.append(
+                    # Single correctly-rounded int->double step
+                    # (exact Decimal scale, then one float
+                    # conversion) -- matches the batch oracle's
+                    # DECIMAL(18,6)->DOUBLE cast at ANY magnitude;
+                    # float(total)/1e6 would round twice and break
+                    # bit-parity past 2^53 micro-units.
+                    float(Decimal(total).scaleb(-6))
+                )
                 out_seqs.append(seq)
             self._st.update((total, seq))
             yield _pd.DataFrame(
@@ -510,7 +531,15 @@ def streaming_running_user_value_gs(events_stream: DataFrame) -> DataFrame:
             )
             seq += 1
             out_ids.append(int(eid))
-            out_vals.append(float(total) / 1e6)
+            out_vals.append(
+                    # Single correctly-rounded int->double step
+                    # (exact Decimal scale, then one float
+                    # conversion) -- matches the batch oracle's
+                    # DECIMAL(18,6)->DOUBLE cast at ANY magnitude;
+                    # float(total)/1e6 would round twice and break
+                    # bit-parity past 2^53 micro-units.
+                    float(Decimal(total).scaleb(-6))
+                )
             out_seqs.append(seq)
         state.update((total, seq))
         yield _pd.DataFrame(
