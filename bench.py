@@ -19,6 +19,11 @@ are not what we're measuring); the reported timing is the best rep —
 this box is a noisy-neighbor microVM where the same query has measured
 4 s and 40 s idle, and min-of-N reports compute cost, not scheduler
 luck.  Timings are end-to-end ``collect()`` walls.
+
+The sidecar additionally records every rep's wall and a fixed-cost
+contention sentinel timed before each rep (``per_rep``), so a reader
+can attribute an outlier to box contention (sentinel slow too) vs a
+plan regression (sentinel flat) without rerunning anything.
 """
 
 from __future__ import annotations
@@ -65,12 +70,29 @@ def main() -> None:
     # 4 s and 40 s across idle runs.  Best-of-N (default 2) reports the
     # actual compute cost rather than scheduler/GC luck; the rep count
     # is recorded in the JSON so rounds stay comparable.
+    #
+    # Variance attribution (r5 lesson — a 26 s driver-run outlier vs
+    # 5 s idle was unexplainable from the artifact): the sidecar now
+    # records EVERY rep's wall plus a fixed-cost contention SENTINEL
+    # (a constant spark.range aggregate) timed immediately before each
+    # query.  A slow query + slow sentinel = contended window; a slow
+    # query + flat sentinel = a real plan regression.  Sentinel cost
+    # is excluded from all reported timings.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+
+    def sentinel() -> float:
+        t0 = time.perf_counter()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        return round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    rep_detail: dict[str, dict[str, list[float]]] = {}
     for name, fn in sorted(dq.queries().items()):
-        best = None
+        walls: list[float] = []
+        sentinels: list[float] = []
         for _ in range(reps):
+            sentinels.append(sentinel())
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).collect()
@@ -78,10 +100,10 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"query {name} failed: {errors[name]}", file=sys.stderr)
                 break
-            wall = time.perf_counter() - t0
-            best = wall if best is None else min(best, wall)
-        if best is not None:
-            timings[name] = round(best, 4)
+            walls.append(round(time.perf_counter() - t0, 4))
+        rep_detail[name] = {"reps": walls, "sentinel": sentinels}
+        if walls:
+            timings[name] = min(walls)
 
     total = round(sum(timings.values()), 2)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
@@ -98,6 +120,8 @@ def main() -> None:
                 "errors": errors,
                 "reps": reps,
                 "agg": "min",
+                "per_rep": rep_detail,
+                "sentinel_op": "spark.range(1e6).sum() collect, timed before each rep",
             },
             f,
             indent=1,

@@ -219,3 +219,80 @@ def test_transform_with_state_variant_needs_protobuf(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table("t_tws").count() > 0
+
+
+def test_streaming_dedup_ttl_readmits_after_expiry(spark, tmp_path):
+    """ProcessingTimeTimeout eviction: a tombstone with no sighting for
+    ``ttl_ms`` is removed at the next micro-batch, so the SAME hash is
+    re-admitted as new — the bounded-state contract the operator
+    docstring promises at 100 TB.  Within-TTL duplicates stay dropped.
+
+    Three single-batch runs (``trigger(once=True)`` — an availableNow
+    trigger never terminates under ProcessingTimeTimeout, see the
+    operator docstring) share one checkpoint (timeout timestamps live
+    in checkpointed state, so the TTL clock survives restarts):
+    run 1 admits hash A; after sleeping past the TTL, run 2 processes
+    an unrelated hash B — the batch fires A's expired timer and drops
+    its tombstone; run 3 replays A (re-admitted) alongside a fresh B
+    duplicate (still within B's TTL — dropped)."""
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cp = str(tmp_path / "cp")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+
+        def write(rows):
+            spark.createDataFrame(rows, "doc_id long, text_hash long").coalesce(
+                1
+            ).write.mode("append").parquet(str(src))
+
+        def run():
+            stream = spark.readStream.schema("doc_id long, text_hash long").parquet(
+                str(src)
+            )
+            dedup = stream_ops.streaming_exact_dedup(
+                stream, timeout_conf="ProcessingTimeTimeout", ttl_ms=1500
+            )
+            got: list = []
+            q = (
+                dedup.writeStream.foreachBatch(
+                    lambda df, _bid: got.extend(df.collect())
+                )
+                .option("checkpointLocation", cp)
+                .outputMode("append")
+                .trigger(once=True)
+                .start()
+            )
+            finished = q.awaitTermination(120)
+            if not finished:
+                q.stop()
+            assert finished
+            return sorted((r.text_hash, r.doc_id) for r in got)
+
+        write([(1, 100)])
+        assert run() == [(100, 1)]
+
+        time.sleep(2.5)  # > ttl_ms: hash 100's tombstone is now stale
+        write([(50, 200)])
+        # B admitted; processing this batch fires A's expired timer.
+        assert run() == [(200, 50)]
+
+        write([(2, 100), (51, 200)])
+        # A re-admitted (tombstone evicted); B still within TTL: dropped.
+        assert run() == [(100, 2)]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_streaming_dedup_ttl_arg_validation(spark, sf_dir):
+    """ttl_ms and ProcessingTimeTimeout must be passed together."""
+    stream = stream_ops.stream_documents(spark, sf_dir)
+    with pytest.raises(ValueError, match="ttl_ms"):
+        stream_ops.streaming_exact_dedup(stream, ttl_ms=1000)
+    with pytest.raises(ValueError, match="ttl_ms"):
+        stream_ops.streaming_exact_dedup(
+            stream, timeout_conf="ProcessingTimeTimeout"
+        )

@@ -111,3 +111,59 @@ def test_planted_substring_property(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
     for i in range(8):
         assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares nothing"
+
+
+def test_stop_fingerprint_guard_prunes_boilerplate(spark):
+    """The postings guard (``max_postings``) is what keeps the pair
+    join sub-quadratic on real corpora, where boilerplate (headers,
+    licenses, templates) appears in EVERY doc: guard off, a corpus
+    of n docs sharing one paragraph candidates ~C(n,2) pairs per
+    boilerplate fingerprint; guard on, those fingerprints are dropped
+    BEFORE the self-join while a true-overlap pair (unique substring,
+    df=2) survives untouched.  Pins both the candidate-volume
+    reduction and the recall of the planted pair."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(23)
+    n = 40
+    boiler = _rand_text(rng, 120)  # shared by ALL docs -> df = n
+    planted = _rand_text(rng, 120)  # shared by docs 0 and 1 only
+    rows = [
+        (
+            i,
+            boiler
+            + _rand_text(rng, 100)
+            + (planted if i < 2 else ""),
+        )
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Candidate volume = sum C(df, 2) over the (distinct) inverted
+    # index -- computed from doc frequencies, never by materializing
+    # the join (at scale the guard-off join IS the infeasible thing).
+    dfc = (
+        winnow_fingerprints(docs, k=K, w=W)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+    )
+    cand = lambda d: d.select(  # noqa: E731
+        F.coalesce(F.sum(F.col("df") * (F.col("df") - 1) / 2), F.lit(0.0)).alias("c")
+    ).collect()[0]["c"]
+    cand_off = cand(dfc)
+    cand_on = cand(dfc.filter(F.col("df") <= 20))
+    # Boilerplate fingerprints each contribute C(40,2)=780 candidates.
+    assert cand_off >= 780, "corpus failed to produce boilerplate fingerprints"
+    assert cand_on < cand_off / 10, (cand_on, cand_off)
+
+    pairs_on = winnow_overlap_pairs(docs, k=K, w=W, max_postings=20).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs_on}
+    assert (0, 1) in found, "guard dropped the true-overlap pair"
+    # Guard off, every doc pair shares the boilerplate fingerprints.
+    pairs_off = winnow_overlap_pairs(
+        docs, k=K, w=W, max_postings=10**9
+    ).count()
+    assert pairs_off >= n * (n - 1) / 2, pairs_off
+    assert len(pairs_on) < pairs_off / 10

@@ -291,6 +291,134 @@ def winnowing(mult: int = 16) -> None:
         print(f"winnowing @ {n} docs: {c} fingerprints, wall {time.perf_counter()-t0:.1f}s")
 
 
+def r6ops(mult: int = 16) -> None:
+    """Linearity probes for the round-5 operators the winnowing table
+    doesn't cover: ``bigram_novelty`` and ``winnow_containment_pairs``
+    on a replicated documents corpus, and ``kmeans_int8_lloyd`` on a
+    replicated embeddings corpus at two k values.  Expected ~linear
+    wall in corpus size for all three (and ~flat in k for Lloyd's
+    per-iteration shuffle, which moves n·dim skinny rows regardless
+    of k)."""
+    from vector_db_handler_spark.operators.clustering import kmeans_int8_lloyd
+    from vector_db_handler_spark.operators.dedup import (
+        bigram_novelty,
+        winnow_containment_pairs,
+    )
+
+    spark = get_spark("r6ops-probe")
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for m in (1, max(2, mult // 4), mult):
+        big = docs
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            # Suffix-tag replicas: distinct docs, same Zipf token shape.
+            big = docs.crossJoin(reps).select(
+                (F.col("doc_id") * m + F.col("rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+            )
+        n = big.count()
+        t0 = time.perf_counter()
+        c = bigram_novelty(big).count()
+        print(f"bigram_novelty @ {n} docs: {c} rows, wall {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        c = winnow_containment_pairs(big).count()
+        print(
+            f"winnow_containment_pairs @ {n} docs: {c} pairs, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n_base = emb.count()
+    for m in (1, max(2, mult // 4), mult):
+        big = emb
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            big = emb.crossJoin(reps).select(
+                (F.col("vec_id") + F.col("rep") * n_base).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda v, i: v + F.when(i == 0, F.col("rep") * 1e-4).otherwise(0.0),
+                ).cast("array<float>").alias("embedding"),
+            )
+        n = big.count()
+        for k in (8, 32):
+            t0 = time.perf_counter()
+            kmeans_int8_lloyd(big, k=k, iters=2).count()
+            print(
+                f"kmeans_int8_lloyd k={k} iters=2 @ {n} vecs: "
+                f"wall {time.perf_counter()-t0:.1f}s"
+            )
+
+
+def winnow_guard(n_docs: int = 20_000, max_postings: int = 20) -> None:
+    """Skew probe for the stop-fingerprint guard: a synthetic corpus
+    where EVERY doc opens with the same boilerplate paragraph (the
+    100 TB reality: site headers, licenses, templates) plus unique
+    content, and one planted true-overlap pair.  Candidate volume =
+    Σ C(df,2) over the inverted index — computed from doc-frequency
+    counts, NOT by materializing the join (guard-off at 20k docs is
+    ~10⁸ pairs; that being infeasible to materialize is the point).
+    The guard drops fingerprints with df > max_postings BEFORE the
+    self-join, so candidates collapse to the true-overlap tail while
+    the planted pair (unique substring, df=2) survives."""
+    import hashlib
+
+    from vector_db_handler_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    spark = get_spark("winnow-guard-probe")
+    boiler = (
+        "all documents on this site share this exact legal boilerplate "
+        "header paragraph which grants no rights and disclaims all "
+        "warranties express or implied in every jurisdiction. "
+    )
+    planted = (
+        "the quick zebra quantized seventeen parquet partitions before "
+        "the watermark expired and nobody deduplicated the archive. "
+    )
+    uniq = F.md5(F.col("id").cast("string"))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler),
+            uniq, F.lit(" "), F.md5(F.concat(uniq, F.lit("x"))),
+            # plant a shared unique substring in docs 0 and 1 only
+            F.when(F.col("id") < 2, F.lit(" " + planted)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    fps = (
+        winnow_fingerprints(docs, "text", "doc_id", 10, 10)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    df_counts = fps.groupBy("fp_hash").agg(F.count("*").alias("df")).cache()
+    cand_off = df_counts.select(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c")
+    ).collect()[0]["c"]
+    cand_on = (
+        df_counts.filter(F.col("df") <= max_postings)
+        .select(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c"))
+        .collect()[0]["c"]
+    )
+    df_counts.unpersist()
+    print(
+        f"candidates @ {n_docs} docs: guard OFF {int(cand_off):,} -> "
+        f"guard ON (df<={max_postings}) {int(cand_on or 0):,} "
+        f"({cand_off / max(cand_on or 1, 1):,.0f}x reduction)"
+    )
+    t0 = time.perf_counter()
+    pairs = winnow_overlap_pairs(docs, max_postings=max_postings).collect()
+    print(
+        f"winnow_overlap_pairs guard ON: {len(pairs)} pairs, wall "
+        f"{time.perf_counter()-t0:.1f}s; planted (0,1) found: "
+        f"{any(r.doc_a == 0 and r.doc_b == 1 for r in pairs)}"
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -305,6 +433,10 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "winnowing":
         winnowing(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r6ops":
+        r6ops(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+    elif len(sys.argv) > 1 and sys.argv[1] == "winnow_guard":
+        winnow_guard(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "ann":
         ann_neardup(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000)
     else:

@@ -96,35 +96,31 @@ def register(name: str, oracle: str | None = None):
 #: jsonl_roundtrip_stats). Process rule (SURVEY §8.0): every query added
 #: in a round is fronted in the SAME round. The full verified-ever
 #: ledger lives in SURVEY.md §8.
+#:
+#: Round 6 fronts the r6 registrations plus the 14 queries whose last
+#: driver-green row is r3 (the oldest evidence in the registry —
+#: media/IVF/sketches/quality/TPC-H code has changed around them since;
+#: all pass the local oracle replay, this refreshes the driver rows).
+#: The remaining ~35 window slots fall to the earliest-registered
+#: queries, re-confirming the r1–r3 core.
 _DRIVER_FRONT: list[str] = [
-    # new in round 5 — registered and fronted in the same commit
-    "winnowing_fingerprints",
-    "winnowing_overlap_pairs",
-    "winnowing_containment_pairs",
-    "bigram_novelty",
-    "csv_roundtrip_stats",
-    "kmeans_int8_2iter",
-    "running_user_value_stream",
-    "orc_roundtrip_stats",
-    # never inside the driver window — first-ever rows
-    "stream_stream_join_attribution",
-    "jsonl_roundtrip_stats",
-    # events readers: erred in r4 (fixture vintage), never driver-green
-    "json_props_stats",
-    "user_retention_weekly",
-    "funnel_view_purchase",
-    "value_outliers",
-    "running_user_value",
-    # events readers: green r3, broken r4 — re-prove post-fix
-    "tumbling_events",
-    "sliding_events",
-    "sessionize_events",
-    "asof_join_purchase_view",
-    "range_join_pairs",
-    "rollup_day_type",
-    "tumbling_events_stream",
-    "sliding_events_stream",
-    "sessionize_events_stream",
+    # new in round 6 — registered and fronted in the same commit
+    "ivfsq_int8_train_probe",
+    # last driver-green in r3 — refresh the evidence
+    "cosine_neardup_pairs",
+    "cosine_topk_join",
+    "ivf_topk",
+    "media_binary_dedup",
+    "media_frame_stats",
+    "media_modality_stats",
+    "media_phash",
+    "media_resize_fingerprint",
+    "sketch_accuracy_by_lang",
+    "streaming_dedup_first",
+    "text_quality",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
 ]
 
 
@@ -3803,7 +3799,13 @@ def _kmeans_iter_sql(a: str, prev_c: str, sums: str) -> str:
 )"""
 
 
-_KMEANS_SQL = f"""
+#: Shared CTE chain: quantized corpus ``qv`` (+ ``scale``), seeds
+#: ``c0``, two unrolled Lloyd iterations (``a1``/``s1`` → ``c1``,
+#: ``a2``/``s2``) ending at ``c1pos`` — reused verbatim by the
+#: ``kmeans_int8_2iter`` oracle (exploded-centroid SELECT) and the
+#: ``ivfsq_int8_train_probe`` oracle (which keeps composing: final
+#: centroids → IVF cell assignment → SQ8 probe).
+_KMEANS_CTES = f"""
 WITH scale AS (
   SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
                       -list_min(CAST(embedding AS DOUBLE[])))) AS s
@@ -3831,7 +3833,9 @@ c1 AS (SELECT cid, list(cval ORDER BY i) AS v FROM c1v GROUP BY cid),
 c1pos AS (
   SELECT c.cid, CAST(t.i AS INTEGER) AS i, c.v[CAST(t.i AS INTEGER)] AS prev
   FROM c1 c, unnest(generate_series(1, len(c.v))) AS t(i)
-)
+)"""
+
+_KMEANS_SQL = f"""{_KMEANS_CTES}
 SELECT cp.cid AS cluster_id, CAST(cp.i - 1 AS INTEGER) AS pos,
        CAST(CASE WHEN s.n IS NULL THEN cp.prev
                  ELSE ((s.s + 127*s.n)*2 + s.n) // (2*s.n) - 127 END
@@ -3857,6 +3861,122 @@ def kmeans_int8_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmeans_int8_lloyd(
         load(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full index lifecycle from first principles: the exact int8 Lloyd
+# TRAINS the coarse quantizer, its centroids BUILD the written
+# IVF-SQ8 index, and the probe runs against that index — one oracle
+# hash-checks training, cell assignment, SQ8 quantization, partition-
+# pruned probing, and integer ranking end to end.  (ivfsq_probe_topk
+# covers the same build/probe machinery but takes its centroids as
+# given rows; this closes the loop through the trainer.)
+# ---------------------------------------------------------------------------
+
+_IVFSQ_INT8_K = 10
+_IVFSQ_INT8_NPROBE = 2
+
+_IVFSQ_INT8_SQL = f"""{_KMEANS_CTES},
+c2v AS (
+  SELECT cp.cid, cp.i,
+         CASE WHEN s.n IS NULL THEN cp.prev
+              ELSE ((s.s + 127*s.n)*2 + s.n) // (2*s.n) - 127 END AS cval
+  FROM c1pos cp LEFT JOIN s2 s ON s.cluster = cp.cid AND s.pos = cp.i - 1
+),
+c2 AS (SELECT cid, list(cval ORDER BY i) AS v FROM c2v GROUP BY cid),
+cents AS (
+  SELECT cid AS cell_id, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+  FROM c2
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+asg_scored AS (
+  SELECT corpus.vec_id, cents.cell_id,
+         list_dot_product(corpus.ev, cents.cv) /
+         (sqrt(list_dot_product(corpus.ev, corpus.ev)) *
+          sqrt(list_dot_product(cents.cv, cents.cv))) AS cs
+  FROM corpus CROSS JOIN cents
+),
+asg AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id ASC) AS rn
+    FROM asg_scored
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT cell_id,
+           row_number() OVER (ORDER BY list_dot_product(cv, {_Q_SQL}) /
+             (sqrt(list_dot_product(cv, cv)) * {QUERY_VEC_NORM!r}) DESC, cell_id ASC) AS rn
+    FROM cents
+  ) WHERE rn <= {_IVFSQ_INT8_NPROBE}
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+)
+SELECT qv.vec_id, CAST(asg.cell_id AS BIGINT) AS cell_id,
+       CAST(list_dot_product(qv.v, (SELECT v FROM qq)) AS BIGINT) AS qscore
+FROM qv
+JOIN asg ON qv.vec_id = asg.vec_id
+JOIN probe ON asg.cell_id = probe.cell_id
+ORDER BY qscore DESC, qv.vec_id ASC
+LIMIT {_IVFSQ_INT8_K}
+"""
+
+
+@register("ivfsq_int8_train_probe", _IVFSQ_INT8_SQL)
+def ivfsq_int8_train_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→build→probe with NOTHING taken as given: centroids come
+    from the exact int8 Lloyd (``kmeans_int8_lloyd``, K=8, 2
+    iterations), the IVF-SQ8 index is written from those centroids
+    into a scratch path, and the probe partition-prunes to the
+    ``nprobe`` nearest cells with exact integer scoring.  The oracle
+    replays the whole lifecycle from first principles, so a green row
+    certifies the trainer, the cell assignment, the SQ8 codes, and
+    the probe ranking TOGETHER.
+
+    Scale notes: the trainer's centroid round-trip is K×dim rows
+    (4 KB); cell assignment in the build is cosine against the
+    integer centroid components used AS floats — cosine is
+    scale-invariant, so skipping dequantization changes nothing while
+    keeping the oracle integer-exact; everything else is the
+    ``ivfsq_probe_topk`` machinery (fused assign+quantize build pass,
+    planning-time partition pruning, Arrow-batched integer dots)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.operators.clustering import kmeans_int8_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    kc = kmeans_int8_lloyd(emb, k=_KMEANS_K, iters=2)
+    cents = (
+        kc.groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c_val"))).alias("pv"))
+        .select(
+            F.col("cluster_id").alias("vec_id"),
+            F.expr("transform(pv, s -> CAST(s.c_val AS DOUBLE))").alias(
+                "embedding"
+            ),
+        )
+    )
+    basis = (
+        f"ivfsq_int8|k{_KMEANS_K}i2|{_IVFSQ_INT8_NPROBE}"
+        f"|{_fixture_tag(sf_dir, 'embeddings')}"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_ivfsq8l_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        quantize_ops.write_ivfsq_index(emb, cents, path)
+    return quantize_ops.ivfsq_probe_table(
+        spark,
+        path,
+        cents,
+        QUERY_VEC,
+        k=_IVFSQ_INT8_K,
+        nprobe=_IVFSQ_INT8_NPROBE,
     )
 
 

@@ -209,6 +209,7 @@ def streaming_exact_dedup(
     docs_stream: DataFrame,
     hash_col: str = "text_hash",
     timeout_conf: str = "NoTimeout",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator: first-occurrence dedup across a
     stream — emit a doc only the first time its content hash appears;
@@ -218,11 +219,40 @@ def streaming_exact_dedup(
     boolean "seen" state per key.  This is the streaming twin of
     ``dedup.exact_dedup``'s keep-first semantics, and the template for
     any custom stateful operator (the reference has none — SURVEY
-    §2.4).  State is one tombstone per distinct hash; at 100 TB pair
-    it with a TTL timeout or an upstream bloom pre-filter to bound the
-    store.
+    §2.4).
+
+    State is one tombstone per distinct hash.  With the default
+    ``NoTimeout`` the store grows with distinct-hash cardinality —
+    exact forever, unbounded.  At 100 TB pass
+    ``timeout_conf='ProcessingTimeTimeout'`` with a ``ttl_ms``: each
+    tombstone is EVICTED after ``ttl_ms`` without a sighting (every
+    sighting — kept or dropped — renews the clock), so state is
+    bounded by the hashes active inside one TTL window and a hash
+    recurring after a quiet TTL is re-admitted as new.  That trades
+    exactness for a bound the same way a dedup cache does; an
+    upstream bloom pre-filter recovers most of the difference.
+    Timeouts fire at the first micro-batch AFTER expiry (engine
+    contract: no eviction while the query is idle), and the absolute
+    expiry timestamp lives in the checkpointed state, so the TTL
+    survives query restarts.
+
+    Trigger caveat (observed on this Spark): under
+    ``ProcessingTimeTimeout`` an ``availableNow`` query does NOT
+    terminate after draining its input — the engine keeps scheduling
+    "no new data but cleaning up state" micro-batches while timers
+    exist, and admitted keys always hold a live timer.  Use a
+    continuous trigger (production) or ``trigger(once=True)`` per
+    drain (tests/backfills); checkpointed state carries the TTL clock
+    across runs either way.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if (timeout_conf == "ProcessingTimeTimeout") != (ttl_ms is not None):
+        raise ValueError(
+            "ttl_ms must be given exactly when "
+            "timeout_conf='ProcessingTimeTimeout' "
+            f"(got timeout_conf={timeout_conf!r}, ttl_ms={ttl_ms!r})"
+        )
 
     out_schema = T.StructType(
         [
@@ -235,10 +265,19 @@ def streaming_exact_dedup(
     def keep_first(key, pdfs, state):
         import pandas as _pd
 
+        if state.hasTimedOut:
+            # TTL expired with no sighting inside the window: drop the
+            # tombstone so the next occurrence is admitted as new.
+            state.remove()
+            return
         if state.exists:
             # Hash already emitted in an earlier batch: drain and drop.
             for _ in pdfs:
                 pass
+            if ttl_ms is not None:
+                # A set timeout is cleared on every invocation for the
+                # key, so renew it: TTL counts from the LAST sighting.
+                state.setTimeoutDuration(ttl_ms)
             return
         best = None
         for pdf in pdfs:
@@ -247,6 +286,8 @@ def streaming_exact_dedup(
             m = pdf["doc_id"].min()
             best = m if best is None else min(best, m)
         state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if best is not None:
             yield _pd.DataFrame({"text_hash": [key[0]], "doc_id": [best]})
 
