@@ -234,3 +234,28 @@ def test_md5_embedder_is_native_codegen(spark, sf_dir):
     texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
     for r in rows:
         assert list(r["embedding"]) == emb_mod.md5_embed_text(texts[r["doc_id"]], 8)
+
+
+def test_gopher_flags_zero_shuffle(spark, sf_dir):
+    """The whole Gopher rule battery is one narrow scan-fused pass —
+    any Exchange here would mean a rule leaked into an aggregate."""
+    plan = _plan(dq.gopher_quality_flags(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_span_dedup_two_shuffles_no_cartesian(spark, sf_dir):
+    """Span dedup moves data twice (span-hash census — reused by the
+    join-back — and doc reassembly); the size joins must ride
+    broadcasts, and nothing may degrade to cartesian/nested-loop."""
+    plan = _plan(dq.span_dedup_corpus(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_broadcasts_corpus_size(spark, sf_dir):
+    """The corpus-size scalar joins in as a broadcast (1-row
+    relation), never a shuffled join or a driver-collected literal."""
+    plan = _plan(dq.tfidf_topk_terms(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

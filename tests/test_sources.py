@@ -49,3 +49,78 @@ def test_csv_quarantine_splits_exactly(spark, tmp_path):
     raw = sorted(r[csv_src.CORRUPT_COL] for r in corrupt.collect())
     assert raw == ["!!!", "oops,bad,en,web,3"]
     df.unpersist()
+
+
+# -- Avro OCF edge (sources/avro.py: pure-stdlib codec) ----------------------
+
+
+def test_avro_roundtrip_lossless(spark, sf_dir, tmp_path):
+    """Full-corpus write→read through the stdlib OCF codec preserves
+    every row and value (including multi-partition layouts: one file
+    per partition)."""
+    from vector_db_handler_spark.sources import avro as avro_src
+
+    docs = load_table(spark, sf_dir, "documents").repartition(3)
+    path = str(tmp_path / "avro")
+    n = avro_src.write_documents_avro(docs, path)
+    back = avro_src.read_documents_avro(spark, path)
+    assert n == docs.count() == back.count()
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.select(*docs.columns).collect()))
+    assert a == b
+
+
+def test_avro_nulls_roundtrip(spark, tmp_path):
+    """Nullable union encoding: null fields come back as nulls, not
+    'None' strings or zeros."""
+    from vector_db_handler_spark.sources import avro as avro_src
+
+    rows = [(1, None, "en", None, 5), (2, "text", None, "s", None)]
+    df = spark.createDataFrame(rows, avro_src.DOCUMENTS_DDL)
+    path = str(tmp_path / "nulls")
+    avro_src.write_documents_avro(df, path)
+    got = sorted(map(tuple, avro_src.read_documents_avro(spark, path).collect()))
+    assert got == sorted(rows)
+
+
+def test_avro_torn_file_fails_loudly(tmp_path):
+    """A truncated block or corrupted sync marker raises instead of
+    yielding a silent row prefix — the property that matters when a
+    writer died mid-file."""
+    import pytest
+
+    from vector_db_handler_spark.sources import avro as avro_src
+
+    blob = avro_src.encode_ocf([(1, "a", "en", "s", 1), (2, "b", "de", "s", 1)])
+    with pytest.raises((ValueError, IndexError)):
+        avro_src.decode_ocf(blob[:-8])  # truncated sync
+    corrupted = blob[:-16] + bytes(16)  # wrong sync marker
+    with pytest.raises(ValueError, match="sync"):
+        avro_src.decode_ocf(corrupted)
+    with pytest.raises(ValueError, match="magic"):
+        avro_src.decode_ocf(b"PAR1" + blob[4:])
+
+
+def test_avro_foreign_schema_rejected():
+    """An OCF whose schema declares different field names fails the
+    schema check instead of mis-mapping columns.  (The swap keeps the
+    JSON byte length identical so the metadata map's length prefix
+    stays valid — only the declared name changes.)"""
+    import pytest
+
+    from vector_db_handler_spark.sources import avro as avro_src
+
+    blob = avro_src.encode_ocf([(1, "a", "en", "s", 1)])
+    assert b'"doc_id"' in blob
+    with pytest.raises(ValueError, match="schema fields"):
+        avro_src.decode_ocf(blob.replace(b'"doc_id"', b'"dog_id"'))
+
+
+def test_avro_deflate_codec_decodes():
+    """Reader accepts spec deflate-coded blocks (raw DEFLATE, no zlib
+    wrapper) even though our writer emits null-codec files."""
+    from vector_db_handler_spark.sources import avro as avro_src
+
+    rows = [(7, "x y z", "en", "s0", 5), (8, None, "de", "s1", 0)]
+    blob = avro_src.encode_ocf(rows, codec="deflate")
+    assert avro_src.decode_ocf(blob) == [list(r) for r in rows]

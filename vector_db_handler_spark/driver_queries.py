@@ -106,6 +106,11 @@ def register(name: str, oracle: str | None = None):
 _DRIVER_FRONT: list[str] = [
     # new in round 6 — registered and fronted in the same commit
     "ivfsq_int8_train_probe",
+    "span_dedup_corpus",
+    "pack_sequences",
+    "tfidf_topk_terms",
+    "gopher_quality_flags",
+    "avro_roundtrip_stats",
     # last driver-green in r3 — refresh the evidence
     "cosine_neardup_pairs",
     "cosine_topk_join",
@@ -1930,6 +1935,50 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AVRO_ROUNDTRIP_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM({_sql_hash('text', 15)} % 1000000007) AS BIGINT) AS text_checksum
+FROM documents
+"""
+
+
+@register("avro_roundtrip_stats", _AVRO_ROUNDTRIP_SQL)
+def avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF ingest edge (``sources/avro.py`` — pure-stdlib codec;
+    the container has no spark-avro jar): export documents as one OCF
+    per partition from the executors, read back via a distributed
+    ``binaryFile`` scan + Arrow-batched block decode, and aggregate.
+    The checksum matching the parquet-sourced oracle proves the
+    zigzag-varint encode→decode roundtrip is content-lossless across
+    the whole corpus."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.sources import avro as avro_src
+
+    tag = _hl.md5(
+        f"avro|{_fixture_tag(sf_dir, 'documents')}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"vdh_avro_{tag}")
+    marker = os.path.join(root, "_vdh_done")
+    if not os.path.exists(marker):
+        avro_src.write_documents_avro(load(spark, sf_dir, "documents"), root)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    df = avro_src.read_documents_avro(spark, root)
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            text_fns.portable_hash60(F.col("text")) % F.lit(1000000007)
+        ).alias("text_checksum"),
+    )
+
+
 #: The exact aggregates exist only to make the sketch-accuracy claim
 #: oracle-checkable; a 100 TB profiling run executes the approx side
 #: alone.  Both engines' booleans must agree, which pins the sketch
@@ -2003,6 +2052,79 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.round(ttr, 6).alias("ttr"),
         ((n_tokens >= 30) & (ttr >= 0.3)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Table A1) — the full
+# heuristic battery a pretraining pipeline applies before dedup, as
+# one zero-shuffle narrow pass: word count bounds, mean word length
+# bounds, alphabetic-word fraction, symbol-to-word ratio, stop-word
+# floor.  Every ratio is a SINGLE correctly-rounded division of
+# integer counts, so the flags hash-match across engines.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         CAST(len(array_to_string(t, '')) AS BIGINT) AS sum_word_len,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(t, x -> x IN {_GOPHER_STOPS})) AS n_stop,
+         len(list_filter(t, x -> x = '#' OR x = '...')) AS n_symbol
+  FROM toks
+)
+SELECT doc_id, n_words,
+       ROUND(CAST(sum_word_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+       ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) AS frac_alpha,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       ROUND(CAST(n_symbol AS DOUBLE) / n_words, 6) AS symbol_ratio,
+       (n_words BETWEEN 30 AND 100000
+        AND CAST(sum_word_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+        AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+        AND CAST(n_symbol AS DOUBLE) / n_words <= 0.1
+        AND n_stop >= 2) AS gopher_keep
+FROM m
+"""
+
+
+@register("gopher_quality_flags", _GOPHER_SQL)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery per doc (word-count bounds, mean word
+    length 3–10, ≥80% alphabetic words, ≤10% symbol words, ≥2 stop
+    words) → per-rule metrics + one keep flag.  All in-row array
+    expressions over one tokenization — zero shuffle, scan-fused;
+    the word-count floor is 30 to fit the fixture's ~40-token docs
+    (Gopher's corpus floor is 50 — a config constant, not a shape
+    change)."""
+    t = F.split(F.col("text"), " ", -1)
+    n_words = F.size(t)
+    sum_len = F.length(F.array_join(t, ""))
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*_GOPHER_STOPS)))
+    n_symbol = F.size(F.filter(t, lambda x: (x == "#") | (x == "...")))
+    mean_len = sum_len.cast("double") / n_words
+    frac_alpha = n_alpha.cast("double") / n_words
+    sym_ratio = n_symbol.cast("double") / n_words
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(frac_alpha, 6).alias("frac_alpha"),
+        n_stop.cast("long").alias("n_stop"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        (
+            n_words.between(30, 100000)
+            & mean_len.between(3, 10)
+            & (frac_alpha >= 0.8)
+            & (sym_ratio <= 0.1)
+            & (n_stop >= 2)
+        ).alias("gopher_keep"),
     )
 
 
@@ -3757,6 +3879,181 @@ def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boilerplate.  Integer-exact counts; 60-bit-hash-keyed
     exchanges; two shuffles, both on the bigram key."""
     return dedup_ops.bigram_novelty(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# C4-style span-level dedup (operators/dedup.py span_dedup_corpus):
+# of all occurrences of an identical 10-token span across the corpus,
+# exactly one (smallest (doc_id, span_idx)) survives — the
+# inside-document boilerplate stripper doc-level dedup can't express.
+# The keeper key is packed doc_id·10⁶+span_idx in the oracle (docs
+# here are ≤ ~60 spans; the Spark side uses a struct MIN with no
+# magnitude assumption).
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 10
+
+_SPAN_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(g.i AS INTEGER) AS span_idx,
+         array_to_string(t[(g.i*{_SPAN_N}+1):(g.i*{_SPAN_N}+{_SPAN_N})], ' ') AS span_text
+  FROM toks, unnest(generate_series(0, CAST(ceil(len(t)/{_SPAN_N}.0) AS BIGINT) - 1)) AS g(i)
+),
+hs AS (
+  SELECT doc_id, span_idx, span_text,
+         CAST('0x' || substr(md5(span_text), 1, 15) AS BIGINT) AS h
+  FROM spans
+),
+census AS (
+  SELECT h, COUNT(*) AS occ,
+         MIN(doc_id * 1000000 + span_idx) AS keeper
+  FROM hs GROUP BY h
+),
+kept AS (
+  SELECT s.doc_id, s.span_idx, s.span_text
+  FROM hs s JOIN census c USING (h)
+  WHERE c.occ = 1 OR s.doc_id * 1000000 + s.span_idx = c.keeper
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(span_text, ' ' ORDER BY span_idx) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(ceil(len(t.t)/{_SPAN_N}.0) AS INTEGER) AS n_spans,
+       agg.n_kept, agg.kept_text
+FROM toks t JOIN agg USING (doc_id)
+"""
+
+
+@register("span_dedup_corpus", _SPAN_DEDUP_SQL)
+def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (C4 §2.2) dedup over the documents corpus: each
+    10-token span occurring more than once corpus-wide survives only
+    at its first (doc_id, span_idx) site; docs are reassembled from
+    their surviving spans.  In-row span slicing (no token explode),
+    then two skinny-keyed shuffles (the census exchange is reused by
+    the join-back): span-hash census, doc reassembly; size joins are
+    broadcasts."""
+    return dedup_ops.span_dedup_corpus(
+        load(spark, sf_dir, "documents"), span_tokens=_SPAN_N
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): concat-and-chunk layout for
+# LLM pretraining — per-shard running token sums, integer-exact
+# boundaries.  Packing within the shard key is the scale design: a
+# global running sum would serialize the corpus through one task.
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 256  # fixture docs are ~40 tokens; 256 gives multi-doc sequences
+
+_PACK_SQL = f"""
+WITH n AS (
+  SELECT doc_id, source AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS start_tok
+  FROM n
+)
+SELECT doc_id, shard, n_tokens,
+       start_tok // {_PACK_LEN} AS start_seq,
+       start_tok % {_PACK_LEN} AS start_offset,
+       (start_tok + n_tokens - 1) // {_PACK_LEN} AS end_seq
+FROM c
+"""
+
+
+@register("pack_sequences", _PACK_SQL)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout: every doc's (start_seq,
+    start_offset, end_seq) in its shard's packed token stream —
+    computed with one shuffle on the shard key and a per-shard
+    running-sum window, integer `div` boundaries (exact at any
+    stream length)."""
+    from vector_db_handler_spark.operators.packing import pack_sequences as pack
+
+    return pack(load(spark, sf_dir, "documents"), seq_len=_PACK_LEN)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (keyword extraction, the per-doc twin
+# of vocab_topk_tokens).  IDF is the LINEAR variant N/df, not
+# ln(N/df): a single IEEE division is correctly rounded and therefore
+# engine-identical, while ln() makes no cross-engine bit guarantee —
+# ranking by tf·N/df orders identically to tf·ln(N/df) whenever df
+# ties break the same way, and the tie-break here is explicit
+# (score DESC, term ASC).
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  ) AS rn
+  FROM scored
+) WHERE rn <= {_TFIDF_K}
+"""
+
+
+@register("tfidf_topk_terms", _TFIDF_SQL)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per doc (linear idf N/df — engine-exact; see
+    the oracle comment).  Shuffle profile: term-frequency groupBy on
+    (doc_id, term), document-frequency groupBy on term (map-side
+    combined against Zipf skew), corpus size as a 1-row broadcast
+    (never a driver scalar), one ranking window on doc_id."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
 
 
 #: Exact k-means on the int8 grid (operators/clustering.py): two
