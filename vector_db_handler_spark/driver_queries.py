@@ -111,6 +111,8 @@ _DRIVER_FRONT: list[str] = [
     "tfidf_topk_terms",
     "gopher_quality_flags",
     "avro_roundtrip_stats",
+    "pq_train_codebooks",
+    "pq_adc_topk",
     # last driver-green in r3 — refresh the evidence
     "cosine_neardup_pairs",
     "cosine_topk_join",
@@ -4275,6 +4277,157 @@ def ivfsq_int8_train_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_IVFSQ_INT8_K,
         nprobe=_IVFSQ_INT8_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (operators/pq.py): per-subspace exact Lloyd →
+# M-code encoding → integer ADC scoring.  The oracle runs the SAME
+# subspace-dimensioned dataflow in SQL — the subspace is a grouping
+# column, never M separate queries — so training, encoding, and the
+# ADC ranking hash-check in one statement.  Composite argmin key
+# d²·2K+cid (d² ≤ 16·254² ≈ 1.03e6, cid < 2K=16: no overflow, exact
+# tie-break to the smaller seed id, same rule as the flat k-means).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_DSUB = 16  # 64-dim fixture / M
+_PQ_TOPK = 10
+
+_PQ_SUBS = "[" + ", ".join(str(s) for s in range(_PQ_M)) + "]"
+
+_PQ_ASSIGN = (
+    "SELECT q.vec_id, q.sub, min_by(c.cid,"
+    " CAST(list_dot_product(qd, qd) - 2*list_dot_product(qd, cd)"
+    f" + list_dot_product(cd, cd) AS BIGINT) * {_PQ_K * 2} + c.cid) AS code"
+)
+
+
+def _pq_iter_sql(a: str, prev_c: str, sums: str) -> str:
+    """One per-subspace Lloyd iteration: assignment ``a`` against
+    ``prev_c``, then (sub, code, pos) integer sums ``sums``."""
+    return f"""
+{a} AS (
+  {_PQ_ASSIGN}
+  FROM (SELECT vec_id, sub, sv, CAST(sv AS DOUBLE[]) AS qd FROM sv) q
+  JOIN (SELECT sub, cid, v, CAST(v AS DOUBLE[]) AS cd FROM {prev_c}) c USING (sub)
+  GROUP BY q.vec_id, q.sub
+),
+{sums} AS (
+  SELECT a.sub, a.code, CAST(t.i - 1 AS INTEGER) AS pos,
+         CAST(SUM(q.sv[CAST(t.i AS INTEGER)]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {a} a JOIN sv q ON q.vec_id = a.vec_id AND q.sub = a.sub,
+       unnest(generate_series(1, {_PQ_DSUB})) AS t(i)
+  GROUP BY 1, 2, 3
+)"""
+
+
+def _pq_next_c(prev_c: str, sums: str, out: str) -> str:
+    """Fold ``sums`` into ``prev_c`` → ``out`` (empty clusters keep
+    their previous codeword; shared round-half-up rule)."""
+    return f"""
+{out}pos AS (
+  SELECT c.sub, c.cid, CAST(t.i AS INTEGER) AS i, c.v[CAST(t.i AS INTEGER)] AS prev
+  FROM {prev_c} c, unnest(generate_series(1, {_PQ_DSUB})) AS t(i)
+),
+{out}v AS (
+  SELECT cp.sub, cp.cid, cp.i,
+         CASE WHEN s.n IS NULL THEN cp.prev
+              ELSE ((s.s + 127*s.n)*2 + s.n) // (2*s.n) - 127 END AS cval
+  FROM {out}pos cp
+  LEFT JOIN {sums} s ON s.sub = cp.sub AND s.code = cp.cid AND s.pos = cp.i - 1
+),
+{out} AS (SELECT sub, cid, list(cval ORDER BY i) AS v FROM {out}v GROUP BY sub, cid)"""
+
+
+_PQ_CTES = f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP}) AS v
+  FROM embeddings, scale
+),
+sv AS (
+  SELECT vec_id, CAST(t.s AS INTEGER) AS sub,
+         v[(t.s*{_PQ_DSUB}+1):(t.s*{_PQ_DSUB}+{_PQ_DSUB})] AS sv
+  FROM qv, unnest({_PQ_SUBS}) AS t(s)
+),
+c0 AS (SELECT sub, vec_id AS cid, sv AS v FROM sv WHERE vec_id < {_PQ_K}),
+{_pq_iter_sql('a1', 'c0', 's1')},
+{_pq_next_c('c0', 's1', 'c1')},
+{_pq_iter_sql('a2', 'c1', 's2')},
+{_pq_next_c('c1', 's2', 'c2')}"""
+
+
+_PQ_TRAIN_SQL = f"""{_PQ_CTES}
+SELECT c2v.sub, CAST(c2v.cid AS BIGINT) AS cluster_id,
+       CAST(c2v.i - 1 AS INTEGER) AS pos, CAST(c2v.cval AS BIGINT) AS c_val,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members
+FROM c2v
+LEFT JOIN (SELECT sub, code, MAX(n) AS n FROM s2 GROUP BY 1, 2) m
+  ON m.sub = c2v.sub AND m.code = c2v.cid
+"""
+
+
+@register("pq_train_codebooks", _PQ_TRAIN_SQL)
+def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook training: M=4 subspaces × K=8 codewords, two exact
+    Lloyd iterations, ALL subspaces in one dataflow (subspace is a
+    column, the assignment one Arrow pass against the broadcast
+    codebook tensor, the update one map-side-combined shuffle of
+    (sub, code, pos) rows).  Hash-identical to the unrolled SQL."""
+    from vector_db_handler_spark.operators.pq import train_pq_codebooks
+
+    return train_pq_codebooks(
+        load(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K, iters=2
+    )
+
+
+_PQ_ADC_SQL = f"""{_PQ_CTES},
+{_pq_iter_sql('a3', 'c2', 's3')},
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+),
+qsub AS (
+  SELECT CAST(t.s AS INTEGER) AS sub,
+         v[(t.s*{_PQ_DSUB}+1):(t.s*{_PQ_DSUB}+{_PQ_DSUB})] AS sv
+  FROM qq, unnest({_PQ_SUBS}) AS t(s)
+),
+lut AS (
+  SELECT c.sub, c.cid AS code,
+         CAST(list_dot_product(CAST(c.v AS DOUBLE[]), CAST(q.sv AS DOUBLE[]))
+              AS BIGINT) AS dot
+  FROM c2 c JOIN qsub q USING (sub)
+)
+SELECT a3.vec_id, CAST(SUM(lut.dot) AS BIGINT) AS qscore
+FROM a3 JOIN lut ON lut.sub = a3.sub AND lut.code = a3.code
+GROUP BY a3.vec_id
+ORDER BY qscore DESC, a3.vec_id ASC
+LIMIT {_PQ_TOPK}
+"""
+
+
+@register("pq_adc_topk", _PQ_ADC_SQL)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-10: train codebooks (2 Lloyd iterations), encode
+    every vector as M=4 codes against the FINAL codebooks, score via
+    the integer lookup table Σ_m LUT[m][code_m], rank with ties to
+    the smaller id.  The oracle replays training + encoding + the
+    table + the ranking in one statement — the full PQ pipeline is
+    hash-certified, not just the scorer."""
+    from vector_db_handler_spark.operators.pq import (
+        pq_adc_topk as adc,
+        train_pq_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    return adc(emb, books, QUERY_VEC, k=_PQ_TOPK)
 
 
 # ---------------------------------------------------------------------------
