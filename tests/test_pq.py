@@ -84,3 +84,62 @@ def test_empty_and_bad_dim(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         train_pq_codebooks(bad, m=4, k=2)
+
+
+def test_ivfpq_probe_prunes_partitions_and_reads_codes_only(spark, sf_dir, tmp_path):
+    """The IVF-PQ probe must (a) prune cell partitions at planning
+    time, (b) read ONLY the M-byte codes column from the surviving
+    scan, (c) lower the top-k to TakeOrderedAndProject, and (d) track
+    its OWN exactness target: the ADC approximates the SQ8 integer-dot
+    ranking (same quantized query, same grid), so the fidelity
+    baseline is ``quantized_knn``'s top-k — not the cosine top-k,
+    which ranks by a different (normalized) score.  At M=16 sub-spaces
+    (4 dims each) the overlap is 5/10 on this fixture,
+    deterministically; 12-bit codes (M=4, K=8 — the oracle's params,
+    chosen for one-statement SQL) are too coarse for ranking fidelity
+    and exist to certify pipeline CORRECTNESS, which the driver hash
+    row does."""
+    from vector_db_handler_spark import driver_queries as dq
+    from vector_db_handler_spark.operators import quantize as qz
+    from vector_db_handler_spark.operators.pq import (
+        ivfpq_probe_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 100 == 0)
+    books = train_pq_codebooks(emb, m=16, k=8, iters=2)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, cents, books, path)
+
+    df = ivfpq_probe_topk(spark, path, cents, dq.QUERY_VEC, k=10, nprobe=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "cell_id" in plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "TakeOrderedAndProject" in plan
+    scan_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "codes" in scan_schema and "embedding" not in scan_schema
+
+    # Fidelity (no cell pruning, to isolate PQ error): ADC top-10 vs
+    # the SQ8 integer-dot top-10.
+    adc = {
+        r["vec_id"]
+        for r in pq_adc_topk(emb, books, dq.QUERY_VEC, k=10).collect()
+    }
+    sq8 = {r["vec_id"] for r in qz.quantized_knn(emb, dq.QUERY_VEC, k=10).collect()}
+    assert len(adc & sq8) >= 4, (adc, sq8)
+
+
+def test_ivfpq_empty_corpus(spark, tmp_path):
+    from vector_db_handler_spark.operators.pq import (
+        ivfpq_probe_topk,
+        write_ivfpq_index,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    books = train_pq_codebooks(empty)
+    path = str(tmp_path / "ivfpq_empty")
+    write_ivfpq_index(empty, empty, books, path)
+    assert ivfpq_probe_topk(spark, path, empty, [0.0] * 64).count() == 0

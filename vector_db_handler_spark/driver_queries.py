@@ -113,6 +113,7 @@ _DRIVER_FRONT: list[str] = [
     "avro_roundtrip_stats",
     "pq_train_codebooks",
     "pq_adc_topk",
+    "ivfpq_probe_topk",
     # last driver-green in r3 — refresh the evidence
     "cosine_neardup_pairs",
     "cosine_topk_join",
@@ -4428,6 +4429,94 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(emb, m=_PQ_M, k=_PQ_K, iters=2)
     return adc(emb, books, QUERY_VEC, k=_PQ_TOPK)
+
+
+_IVFPQ_SQL = f"""{_PQ_CTES},
+{_pq_iter_sql('a3', 'c2', 's3')},
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+),
+qsub AS (
+  SELECT CAST(t.s AS INTEGER) AS sub,
+         v[(t.s*{_PQ_DSUB}+1):(t.s*{_PQ_DSUB}+{_PQ_DSUB})] AS sv
+  FROM qq, unnest({_PQ_SUBS}) AS t(s)
+),
+lut AS (
+  SELECT c.sub, c.cid AS code,
+         CAST(list_dot_product(CAST(c.v AS DOUBLE[]), CAST(q.sv AS DOUBLE[]))
+              AS BIGINT) AS dot
+  FROM c2 c JOIN qsub q USING (sub)
+),
+cells AS (
+  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE {_IVF_CENTROID_PRED}
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+asg AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT corpus.vec_id, cells.cell_id,
+           row_number() OVER (
+             PARTITION BY corpus.vec_id
+             ORDER BY list_dot_product(corpus.ev, cells.cv) /
+               (sqrt(list_dot_product(corpus.ev, corpus.ev)) *
+                sqrt(list_dot_product(cells.cv, cells.cv))) DESC,
+               cells.cell_id ASC
+           ) AS rn
+    FROM corpus CROSS JOIN cells
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT cell_id,
+           row_number() OVER (ORDER BY list_dot_product(cv, {_Q_SQL}) /
+             (sqrt(list_dot_product(cv, cv)) * {QUERY_VEC_NORM!r}) DESC,
+             cell_id ASC) AS rn
+    FROM cells
+  ) WHERE rn <= {_IVF_NPROBE}
+)
+SELECT a3.vec_id, CAST(asg.cell_id AS BIGINT) AS cell_id,
+       CAST(SUM(lut.dot) AS BIGINT) AS qscore
+FROM a3
+JOIN lut ON lut.sub = a3.sub AND lut.code = a3.code
+JOIN asg ON asg.vec_id = a3.vec_id
+JOIN probe ON probe.cell_id = asg.cell_id
+GROUP BY a3.vec_id, asg.cell_id
+ORDER BY qscore DESC, a3.vec_id ASC
+LIMIT {_PQ_TOPK}
+"""
+
+
+@register("ivfpq_probe_topk", _IVFPQ_SQL)
+def ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a WRITTEN IVF-PQ index — the faiss production layout:
+    coarse cells prune partitions at planning time, the surviving
+    scan reads ONLY the M-byte codes column, scoring is the integer
+    ADC table gather.  Codebooks come from the exact PQ trainer, so
+    the oracle replays training + cell assignment + encoding + the
+    LUT ranking in one statement — every stage of the compressed ANN
+    index is hash-certified."""
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.operators import pq as pq_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.expr(_IVF_CENTROID_PRED))
+    basis = (
+        f"ivfpq|{_IVF_CENTROID_PRED}|m{_PQ_M}k{_PQ_K}i2"
+        f"|{_fixture_tag(sf_dir, 'embeddings')}"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_ivfpq_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        books = pq_ops.train_pq_codebooks(emb, m=_PQ_M, k=_PQ_K, iters=2)
+        pq_ops.write_ivfpq_index(emb, cents, books, path)
+    return pq_ops.ivfpq_probe_topk(
+        spark, path, cents, QUERY_VEC, k=_PQ_TOPK, nprobe=_IVF_NPROBE
+    )
 
 
 # ---------------------------------------------------------------------------
