@@ -42,6 +42,10 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "winnowing_containment_pairs",
         "bigram_novelty",
         "running_user_value_stream",
+        # round 6 additions
+        "srp_neardup_pairs",
+        "semdedup_survivors",
+        "bm25_topk_docs",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):

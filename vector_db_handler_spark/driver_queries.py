@@ -36,6 +36,7 @@ from vector_db_handler_spark.operators import dedup as dedup_ops
 from vector_db_handler_spark.operators import knn as knn_ops
 from vector_db_handler_spark.operators import quantize as quantize_ops
 from vector_db_handler_spark.operators import sampling as sampling_ops
+from vector_db_handler_spark.operators import srp as srp_ops
 from vector_db_handler_spark.operators import windows as window_ops
 from vector_db_handler_spark.sources.tables import load_table
 
@@ -105,6 +106,9 @@ def register(name: str, oracle: str | None = None):
 #: queries, re-confirming the r1–r3 core.
 _DRIVER_FRONT: list[str] = [
     # new in round 6 — registered and fronted in the same commit
+    "srp_neardup_pairs",
+    "semdedup_survivors",
+    "bm25_topk_docs",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -5415,3 +5419,209 @@ def grouped_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH embedding near-dup (operators/srp.py): the LSH-bucketed ANN
+# family the IVF path doesn't cover.  The oracle REPLAYS the algorithm
+# (±1-plane signatures → 4-bit bands → hot-bucket guard → exact
+# integer verify) — every intermediate an exact integer, so the green
+# row proves the whole pipeline, not just the verified survivors.
+# ---------------------------------------------------------------------------
+
+_SRP_SEED = 7
+_SRP_PLANES = srp_ops.srp_planes(64, srp_ops.N_BITS, _SRP_SEED)
+_SRP_PLANES_SQL = ",\n    ".join(
+    "({b}, CAST([{vals}] AS BIGINT[]))".format(
+        b=b, vals=", ".join(str(v) for v in plane)
+    )
+    for b, plane in enumerate(_SRP_PLANES)
+)
+#: threshold 9/20 = 0.45 (matches cosine_neardup_pairs); guard 200.
+_SRP_SQL = f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP}) AS v
+  FROM embeddings, scale
+),
+qvn AS (
+  SELECT vec_id, v,
+         CAST(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) AS BIGINT)
+           AS norm2
+  FROM qv
+),
+planes(b, p) AS (VALUES
+    {_SRP_PLANES_SQL}
+),
+bits AS (
+  SELECT q.vec_id, p.b,
+         CASE WHEN list_dot_product(CAST(q.v AS DOUBLE[]), CAST(p.p AS DOUBLE[])) >= 0
+              THEN CAST(1 AS BIGINT) << p.b ELSE CAST(0 AS BIGINT) END AS bit
+  FROM qv q, planes p
+),
+sigs AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id),
+bands AS (
+  SELECT s.vec_id, b.band_idx, (s.sig >> (b.band_idx * 4)) & 15 AS band_val
+  FROM sigs s,
+       (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band_idx)
+),
+census AS (
+  SELECT band_idx, band_val FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 200
+),
+kept AS (SELECT bands.* FROM bands JOIN census USING (band_idx, band_val)),
+cands AS (
+  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+  FROM kept x JOIN kept y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.vec_id < y.vec_id
+),
+dots AS (
+  SELECT c.id1, c.id2, q1.norm2 AS n1, q2.norm2 AS n2,
+         CAST(list_dot_product(CAST(q1.v AS DOUBLE[]), CAST(q2.v AS DOUBLE[]))
+              AS BIGINT) AS dot
+  FROM cands c
+  JOIN qvn q1 ON q1.vec_id = c.id1
+  JOIN qvn q2 ON q2.vec_id = c.id2
+)
+SELECT id1, id2,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(n1 AS DOUBLE)) * SQRT(CAST(n2 AS DOUBLE))), 6) AS score
+FROM dots
+WHERE dot > 0 AND 400 * dot * dot >= 81 * n1 * n2
+"""
+
+
+@register("srp_neardup_pairs", _SRP_SQL)
+def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SRP) LSH near-dup over embeddings — the
+    banded-signature ANN family (Charikar 2002), complementing the
+    IVF-cell family.  ±1 integer planes on the int8 grid keep every
+    sign bit exact; candidates come from a 4-band equi-join behind a
+    hot-bucket guard; the verify is the rational-threshold integer
+    cosine test.  All native HOF expressions — no Python after
+    quantization."""
+    from vector_db_handler_spark.operators.srp import srp_neardup_pairs as srp
+
+    emb = load(spark, sf_dir, "embeddings")
+    return srp(
+        emb,
+        threshold_num=9,
+        threshold_den=20,
+        seed=_SRP_SEED,
+        max_bucket=200,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (operators/clustering.py): cluster-then-prune semantic
+# dedup (Abbas et al. 2023).  The oracle COMPOSES the verified k-means
+# CTE chain (same seeds, same 1 Lloyd update, same assignment a2) with
+# the integer-cosine pair test — the whole cluster-then-prune pipeline
+# replayed from first principles.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_SQL = f"""{_KMEANS_CTES},
+qvn2 AS (
+  SELECT vec_id, v,
+         CAST(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) AS BIGINT)
+           AS norm2
+  FROM qv
+),
+asg AS (
+  SELECT a.vec_id, a.cluster, q.v, q.norm2
+  FROM a2 a JOIN qvn2 q USING (vec_id)
+),
+sd_dots AS (
+  SELECT x.vec_id AS i, x.norm2 AS ni, y.norm2 AS nj,
+         CAST(list_dot_product(CAST(x.v AS DOUBLE[]), CAST(y.v AS DOUBLE[]))
+              AS BIGINT) AS dot
+  FROM asg x JOIN asg y
+    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+),
+sd_dups AS (
+  SELECT DISTINCT i AS vec_id FROM sd_dots
+  WHERE dot > 0 AND 400 * dot * dot >= 81 * ni * nj
+)
+SELECT a.vec_id, a.cluster AS cluster_id, (d.vec_id IS NULL) AS kept
+FROM asg a LEFT JOIN sd_dups d ON d.vec_id = a.vec_id
+"""
+
+
+@register("semdedup_survivors", _SEMDEDUP_SQL)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: int8-k-means cluster assignment (2 Lloyd steps, the
+    verified kmeans chain) then per-cluster integer-cosine pruning at
+    threshold 9/20 — quadratic work confined to clusters (K ~ √N at
+    scale), never the corpus.  Output (vec_id, cluster_id, kept) for
+    every row; kept=false means a lower-id same-cluster near-dup
+    exists."""
+    from vector_db_handler_spark.operators.clustering import semdedup_survivors as sd
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sd(emb, k=_KMEANS_K, iters=2, threshold_num=9, threshold_den=20)
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k (operators/retrieval.py): the lexical-retrieval rail.
+# k1 = 6/5, b = 3/4 cleared to one integer ratio per (doc, term);
+# micro-unit round-half-up division; BIGINT per-doc sum (order-proof);
+# one final correctly-rounded /10⁶.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "vector", "window")
+_BM25_K = 10
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         (2 * SUM(dl) + COUNT(*)) // (2 * COUNT(*)) AS avg_dl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         22 * tf.tf * s.avg_dl * (2 * s.n_docs - 2 * dfc.df + 1) AS num,
+         (10 * s.avg_dl * tf.tf + 3 * s.avg_dl + 9 * dl.dl) * (2 * dfc.df + 1) AS den
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM((2 * num * 1000000 + den) // (2 * den)) AS DOUBLE) / 1000000.0
+           AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM per_doc
+ORDER BY score DESC, doc_id ASC
+LIMIT {_BM25_K}
+"""
+
+
+@register("bm25_topk_docs", _BM25_SQL)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer BM25 top-10 for the fixed query {dup, vector,
+    window} — the inverted-index lexical rail next to the vector KNN
+    rail.  Postings pruned to query terms BEFORE the tf shuffle; df
+    and corpus stats ride 1-row broadcasts; top-k lowers to
+    TakeOrderedAndProject (no global sort)."""
+    from vector_db_handler_spark.operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k=_BM25_K)

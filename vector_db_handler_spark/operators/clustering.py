@@ -130,3 +130,112 @@ def kmeans_int8_lloyd(
         return spark.createDataFrame(rows, out_schema)
     finally:
         q.unpersist()
+
+
+def kmeans_int8_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ASSIGNMENT twin of :func:`kmeans_int8_lloyd`: run
+    ``iters − 1`` exact Lloyd updates from the id-``[0, k)`` seeds,
+    then return the final assignment ``(id, qvec, cluster)`` against
+    those centroids — i.e. the oracle chain's ``a2`` when
+    ``iters = 2``.  ``cluster`` is labeled by the SEED's id (see the
+    labeling note on :func:`kmeans_int8_lloyd`); ``qvec`` rides along
+    so consumers (SemDeDup) need no second quantization pass.
+
+    The returned frame is eagerly localCheckpoint-ed: the cached
+    quantized corpus is released before returning (cache-hygiene rule:
+    no cache outlives its operator)."""
+    q = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col)
+    q = q.cache()
+    try:
+        seed_rows = q.filter(F.col(id_col) < k).orderBy(id_col).collect()
+        cents = [[int(v) for v in r.qvec] for r in seed_rows]
+        seed_ids = [int(r[id_col]) for r in seed_rows]
+        spark = emb.sparkSession
+        id_type = q.schema[id_col].dataType.simpleString()
+        if not cents:
+            return spark.createDataFrame(
+                [], f"{id_col} {id_type}, qvec array<bigint>, cluster long"
+            )
+        for _ in range(max(0, int(iters) - 1)):
+            assigned = _assign(q, cents, "qvec", id_col)
+            cents, _ = _update(q, assigned, cents, "qvec", id_col)
+        final = _assign(q, cents, "qvec", id_col)
+        seed_arr = F.array(*[F.lit(s) for s in seed_ids])
+        out = (
+            q.join(final, id_col)
+            .select(
+                id_col,
+                "qvec",
+                F.element_at(seed_arr, F.col("cluster").cast("int") + 1).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        q.unpersist()
+
+
+def semdedup_survivors(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    drop rows that have a semantically-near-identical lower-id
+    neighbor WITHIN their cluster — the scale trick being that the
+    quadratic near-dup test runs per cluster, never across the corpus.
+    Output ``(vec_id, cluster_id, kept)`` for every input row.
+
+    Exactness: clustering is the int8 Lloyd assignment
+    (:func:`kmeans_int8_assign` — every step integer-exact), and the
+    near-dup test is the rational-threshold integer cosine
+    ``dot > 0 AND den²·dot² ≥ num²·‖u‖²·‖v‖²`` — no floating point
+    anywhere, so the whole pipeline hash-matches a SQL replay.
+
+    Scale shape: one quantize scan + (iters−1) Lloyd shuffles + one
+    assignment pass, then ONE ``applyInPandas`` over clusters whose
+    kernel is an integer Gram matrix — cost Σ n_c²·dim, bounded by the
+    largest cluster.  The K dial IS the skew guard: at 100 TB you run
+    K ~ √N clusters (the paper's regime) so n_c stays ~√N; a hot
+    cluster (mass near one centroid) is visible in the assignment
+    census before the quadratic step runs.  Zero-norm rows are never
+    duplicates (the ``dot > 0`` guard), matching the oracle.
+    """
+    assigned = kmeans_int8_assign(emb, k, iters, embedding_col, id_col)
+    num, den = int(threshold_num), int(threshold_den)
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cluster_id long, kept boolean"
+
+    def cluster_kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pd.DataFrame({id_col: [], "cluster_id": [], "kept": []})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        x = np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
+        )[order]
+        g = x @ x.T  # exact int64 Gram: |dot| ≤ dim·127² ≈ 1.03e6
+        n2 = np.diag(g).copy()
+        lhs = (den * den) * g * g  # ≤ 100·1.06e12 ≈ 1.1e14 — int64-safe
+        rhs = (num * num) * np.outer(n2, n2)
+        near = (g > 0) & (lhs >= rhs)
+        # strictly-lower triangle: j < i in id order ⇒ i is the dup
+        dup = np.tril(near, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {id_col: ids, "cluster_id": int(key[0]), "kept": ~dup}
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(cluster_kernel, schema=out_schema)

@@ -1,0 +1,100 @@
+"""Lexical retrieval: BM25 top-k over an inverted term index.
+
+The reference's retrieval surface is purely vector KNN
+(``document_ingestor.py:332-364``); a corpus engine at 100 TB also
+needs the LEXICAL rail — BM25 is the standard scoring function, and
+its dataflow (term postings → per-doc partial scores → top-k) is the
+canonical inverted-index shape: tf/df aggregates are map-side
+combined, corpus constants ride a 1-row broadcast, and only docs
+containing ≥ 1 query term ever appear downstream (the postings join
+is the filter).
+
+Exactness design (cross-engine hash parity): BM25 with k1 = 6/5 and
+b = 3/4 clears algebraically to ONE integer ratio per (doc, term) —
+
+    score_t = 22·tf·A·(2N − 2df + 1)
+              ─────────────────────────────────
+              (10·A·tf + 3·A + 9·dl)·(2df + 1)
+
+where A = round(avgdl) (round-half-up integer), dl = doc length, and
+the classic +0.5 idf smoothing becomes the integer (2N−2df+1)/(2df+1).
+Each term score is lowered to micro-units with the repo's
+round-half-up integer division ((2·num·10⁶ + den) div (2·den)), the
+per-doc sum accumulates in BIGINT (order-independent — the one place
+float BM25 implementations diverge run-to-run), and the final
+score = sum/10⁶ is a single correctly-rounded division.  Exact while
+22·tf·A·2N·10⁶ < 2⁶³ — holds past 10⁹ docs at web-scale A ≈ 500;
+beyond that, swap the micro-unit step to double (every op still IEEE
+correctly-rounded; only half-way micro-unit boundaries could differ).
+
+Scale shape: tokenize scan (narrow; each token carries its doc's
+length, so tf AND dl come out of one groupBy — no corpus-sized doc_id
+join) → tf groupBy (map-side combined, postings for QUERY terms only —
+the isin prunes before the shuffle) → df from tf (tiny: ≤ |query|
+rows, broadcast back) → constants on a 1-row broadcast → global top-k
+via TakeOrderedAndProject (no full sort).  Zipf skew on hot query
+terms is absorbed by the partial aggregation; no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` docs by exact-integer BM25 (k1 = 1.2, b = 0.75)
+    against ``query_terms``.  Output ``(doc_id, score, rank)``, ranked
+    score DESC then doc_id ASC."""
+    terms = [str(t) for t in query_terms]
+    # Per-doc length rides WITH each exploded token, so tf and dl come
+    # out of ONE groupBy — no corpus-sized doc_id join downstream.
+    dl_col = F.size(F.split(F.col(text_col), " ", -1)).cast("long")
+    toks = docs.select(
+        F.col(id_col),
+        dl_col.alias("dl"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
+    )
+    stats = docs.select(dl_col.alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    ).select(
+        "n_docs",
+        # A = round-half-up(total/N) via non-negative integer division
+        F.expr("(2*total_len + n_docs) div (2*n_docs)").alias("avg_dl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "num", F.expr("22 * tf * avg_dl * (2*n_docs - 2*df + 1)")
+        )
+        .withColumn(
+            "den", F.expr("(10*avg_dl*tf + 3*avg_dl + 9*dl) * (2*df + 1)")
+        )
+        .withColumn("u", F.expr("(2*num*1000000 + den) div (2*den)"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        (F.sum("u").cast("double") / F.lit(1000000.0)).alias("score")
+    )
+    # Global top-k FIRST (lowers to TakeOrderedAndProject — per-partition
+    # heaps, no full sort/single-partition shuffle), THEN rank the k
+    # survivors with a window that only ever sees k rows.
+    topk = per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(int(k))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
+    )

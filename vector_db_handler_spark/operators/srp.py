@@ -1,0 +1,215 @@
+"""Signed-Random-Projection LSH (SRP / random-hyperplane hashing) for
+embedding near-dup — the LSH-bucketed ANN family, complementing the
+IVF-cell family (``similarity.cosine_neardup_ann``).
+
+Reference context: the reference's only ANN path is Qdrant's HNSW
+(``document_ingestor.py:356-363``), which is neither deterministic nor
+batch-oriented; SRP is the classic *distributed* alternative (Charikar
+2002): ``h(v) = sign(v·r)`` per random hyperplane ``r``, so
+``P[h_i(u) = h_i(v)] = 1 − θ(u,v)/π`` — cosine-close vectors agree on
+most bits, and banding the bit signature turns near-dup search into an
+equi-join, exactly the MinHash-LSH shape already used for text
+(``dedup.minhash_lsh_pairs``).
+
+Exactness design (what makes this oracle-checkable where float SRP is
+not): hyperplanes are **±1 integer** vectors (Achlioptas-style sparse
+projections) applied to the **int8-quantized** corpus
+(``quantize.quantize_int8``), so every projection is an exact integer
+in [−64·127, 64·127] and the sign bit can never flip on a last-ulp
+summation difference between engines.  The verify step is the exact
+integer cosine test ``dot > 0 AND den²·dot² ≥ num²·|u|²·|v|²`` for a
+rational threshold ``num/den`` — no floating point until the final
+reported score (one sqrt·sqrt·divide chain, every op IEEE
+correctly-rounded, hence engine-identical).
+
+Scale design (100 TB posture):
+
+* signatures are ONE narrow zero-shuffle pass — 16 integer
+  dot-products per row, all native HOF expressions (``zip_with`` +
+  ``aggregate``), no Python, inside whole-stage codegen;
+* candidates come from a BANDED equi-join on ``(band_idx, band_val)``
+  — shuffle volume is N·n_bands skinny rows, never the N² pair
+  product; a pair is verified at most once (``dropDuplicates`` on the
+  id pair before the cheap test);
+* hot buckets (the all-zeros signature of near-zero vectors, or any
+  degenerate band) are bounded by ``max_bucket``: bucket census →
+  drop buckets with more than ``max_bucket`` members — the SRP twin
+  of the winnowing stop-fingerprint guard, same falsifiability probe;
+* verification touches candidates only — cost ∝ collision volume
+  (tunable via bands×bits), not corpus².
+
+Recall is probabilistic (a pair agreeing on no band is missed) — the
+registered driver query's oracle REPLAYS the algorithm (signatures →
+bands → verify) rather than asserting all-pairs recall, and
+``tests/test_srp.py`` measures recall against the exact baseline
+separately.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.operators.quantize import quantize_int8
+
+#: Default geometry: 32 bits in 8 bands of 4.  For cosine ≥ 0.9
+#: (θ ≤ 0.451 rad, per-bit agreement p ≈ 0.856), band-hit probability
+#: is 1−(1−p⁴)⁸ ≈ 0.994 per pair — and even at the borderline
+#: cosine-0.45 regime (p ≈ 0.649, band hit 0.177) eight bands recall
+#: ~81% of threshold-grazing pairs.  Cost of widening is linear
+#: (N·n_bands banded rows), never quadratic.
+N_BITS = 32
+N_BANDS = 8
+
+
+def srp_planes(dim: int, n_bits: int = N_BITS, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix (n_bits × dim), from a seeded
+    PCG64 stream.  Shared verbatim by the Spark expressions and the SQL
+    oracle (both sides format THESE integers as literals), so the two
+    engines hash the same geometry by construction."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    signs = rng.integers(0, 2, size=(n_bits, dim)) * 2 - 1
+    return [[int(v) for v in row] for row in signs]
+
+
+def _int_dot(vec_col, plane: list[int]):
+    """Exact integer dot of a BIGINT array column against a literal
+    plane — native HOFs (JVM-side, no Python)."""
+    lit = F.array(*[F.lit(int(v)) for v in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def srp_signatures(
+    emb: DataFrame,
+    planes: list[list[int]],
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, qvec, norm2, sig): int8 quantization + the packed SRP bit
+    signature (bit b set ⟺ qvec·plane_b ≥ 0) + the exact squared norm
+    (carried so the verify step needs no second corpus pass).
+
+    One zero-shuffle narrow pass after quantization; every expression
+    is a native HOF on integers."""
+    q = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col)
+    sig = None
+    for b, plane in enumerate(planes):
+        bit = F.when(_int_dot(F.col("qvec"), plane) >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    norm2 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("qvec"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return q.select(id_col, "qvec", norm2.alias("norm2"), sig.alias("sig"))
+
+
+def srp_neardup_pairs(
+    emb: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    n_bits: int = N_BITS,
+    n_bands: int = N_BANDS,
+    seed: int = 7,
+    max_bucket: int = 200,
+    dim: int = 64,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All candidate pairs (i < j) sharing ≥ 1 SRP band whose exact
+    int8 cosine ≥ threshold_num/threshold_den.  Output
+    ``(id1, id2, score)`` with score = the correctly-rounded double
+    cosine of the quantized vectors.
+
+    Shuffle ledger: quantize scan → signature pass (narrow) →
+    explode n_bands rows/vector → bucket-census join (guard) →
+    band equi-join → dropDuplicates on the pair key → native integer
+    verify.  Nothing is collected; no Python runs after quantization.
+    """
+    if n_bits % n_bands:
+        raise ValueError("n_bands must divide n_bits")
+    bpb = n_bits // n_bands
+    mask = (1 << bpb) - 1
+    planes = srp_planes(dim, n_bits, seed)
+
+    sigs = srp_signatures(emb, planes, embedding_col, id_col)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("sig"), b * bpb)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        id_col, "qvec", "norm2", F.explode(bands_arr).alias("bv")
+    ).select(id_col, "qvec", "norm2", F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val"))
+    # The banded relation feeds THREE consumers (census, join side a,
+    # join side b); uncached, Spark re-executes the quantize+signature
+    # scan once per branch — a 4× corpus read through Python at scale.
+    # Cache it, materialize the verified result eagerly, release the
+    # cache before returning (the repo's cache-hygiene rule).
+    banded = banded.cache()
+    # Hot-bucket guard: a census over (band_idx, band_val); buckets
+    # larger than max_bucket are dropped BEFORE the pair join (the
+    # stop-fingerprint pattern).  At the default geometry a degenerate
+    # bucket would otherwise go quadratic on template/zero vectors.
+    census = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= int(max_bucket))
+        .select("band_idx", "band_val")
+    )
+    kept = banded.join(census, ["band_idx", "band_val"])
+
+    a = kept.select(
+        "band_idx",
+        "band_val",
+        F.col(id_col).alias("id1"),
+        F.col("qvec").alias("q1"),
+        F.col("norm2").alias("n1"),
+    )
+    b = kept.select(
+        "band_idx",
+        "band_val",
+        F.col(id_col).alias("id2"),
+        F.col("qvec").alias("q2"),
+        F.col("norm2").alias("n2"),
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "q1", "n1", "id2", "q2", "n2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q1"), F.col("q2"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    num, den = int(threshold_num), int(threshold_den)
+    verified = cands.withColumn("dot", dot).filter(
+        (F.col("dot") > 0)
+        & (
+            F.lit(den * den) * F.col("dot") * F.col("dot")
+            >= F.lit(num * num) * F.col("n1") * F.col("n2")
+        )
+    )
+    score = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double"))),
+        6,
+    )
+    out = verified.select("id1", "id2", score.alias("score")).localCheckpoint(eager=True)
+    banded.unpersist()
+    return out
