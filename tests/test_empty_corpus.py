@@ -46,6 +46,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "srp_neardup_pairs",
         "semdedup_survivors",
         "bm25_topk_docs",
+        "embedding_dispersion",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):

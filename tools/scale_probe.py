@@ -352,6 +352,77 @@ def r6ops(mult: int = 16) -> None:
             )
 
 
+def r6b(mult: int = 16) -> None:
+    """Linearity probes for the round-6 additions: SRP-LSH pairs and
+    SemDeDup on replicated embeddings, BM25 on replicated documents.
+
+    Replication decorrelates replicas by sign-flipping a rep-keyed
+    third of the components (pattern period > mult, so no two replicas
+    share a flip mask): norms — and therefore the int8 scale — are
+    unchanged, while replica-replica cosine drops to ~1/3, below the
+    0.45 probe threshold.  Expected shapes: SRP ~linear (N·n_bands
+    banded rows + candidate-bounded verify); SemDeDup at fixed K grows
+    ~quadratically per cluster (that is the point of the K dial — the
+    sqrt-K row shows the paper's regime staying ~N^1.5/K flat-ish);
+    BM25 ~linear (postings of 3 query terms)."""
+    from vector_db_handler_spark.operators.clustering import semdedup_survivors
+    from vector_db_handler_spark.operators.retrieval import bm25_topk
+    from vector_db_handler_spark.operators.srp import srp_neardup_pairs
+
+    spark = get_spark("r6b-probe")
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n_base = emb.count()
+    period = mult + 3
+
+    def replicate(df, m):
+        if m == 1:
+            return df
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return df.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * n_base).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda v, i: v
+                * F.when(((i + 1) * (F.col("rep") + 2)) % period < period // 3, -1.0)
+                .otherwise(1.0),
+            ).cast("array<float>").alias("embedding"),
+        )
+
+    for m in (1, max(2, mult // 4), mult):
+        big = replicate(emb, m)
+        n = big.count()
+        t0 = time.perf_counter()
+        c = srp_neardup_pairs(big, threshold_num=9, threshold_den=20).count()
+        print(f"srp_neardup_pairs @ {n} vecs: {c} pairs, wall {time.perf_counter()-t0:.1f}s")
+        for k in (8, max(8, int(n**0.5))):
+            t0 = time.perf_counter()
+            kept = (
+                semdedup_survivors(big, k=k, iters=2)
+                .filter(F.col("kept"))
+                .count()
+            )
+            print(
+                f"semdedup_survivors k={k} @ {n} vecs: {kept} kept, "
+                f"wall {time.perf_counter()-t0:.1f}s"
+            )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for m in (1, max(2, mult // 4), mult):
+        big = docs
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            big = docs.crossJoin(reps).select(
+                (F.col("doc_id") * m + F.col("rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+            )
+        n = big.count()
+        t0 = time.perf_counter()
+        bm25_topk(big, ["dup", "vector", "window"], k=10).count()
+        print(f"bm25_topk @ {n} docs: wall {time.perf_counter()-t0:.1f}s")
+
+
 def winnow_guard(n_docs: int = 20_000, max_postings: int = 20) -> None:
     """Skew probe for the stop-fingerprint guard: a synthetic corpus
     where EVERY doc opens with the same boilerplate paragraph (the
@@ -435,6 +506,8 @@ if __name__ == "__main__":
         winnowing(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "r6ops":
         r6ops(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r6b":
+        r6b(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "winnow_guard":
         winnow_guard(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "ann":

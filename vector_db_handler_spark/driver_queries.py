@@ -109,6 +109,8 @@ _DRIVER_FRONT: list[str] = [
     "srp_neardup_pairs",
     "semdedup_survivors",
     "bm25_topk_docs",
+    "zorder_orders_layout",
+    "embedding_dispersion",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -5625,3 +5627,153 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bm25_topk(docs, list(_BM25_TERMS), k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py): the data-layout rail for scan
+# pruning at 100 TB.  The z-value generator emits the SAME bit algebra
+# for Spark and DuckDB (only the shift spelling differs), so parity
+# holds by construction; the per-bucket min/max rectangle result IS
+# the skipping evidence (each bucket ≈ one output file's stats).
+# ---------------------------------------------------------------------------
+
+_Z_BUCKET_SHIFT = 18
+
+from vector_db_handler_spark.operators.layout import z_expr_sql as _z_expr_sql  # noqa: E402
+
+_ZORDER_SQL = f"""
+WITH src AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS days
+  FROM orders
+),
+zed AS (
+  SELECT o_custkey, days,
+         {_z_expr_sql("o_custkey", "days", dialect="duckdb")} AS z
+  FROM src
+)
+SELECT z >> {_Z_BUCKET_SHIFT} AS zb,
+       COUNT(*) AS n_rows,
+       MIN(o_custkey) AS x_min, MAX(o_custkey) AS x_max,
+       MIN(days) AS y_min, MAX(days) AS y_max
+FROM zed GROUP BY 1
+"""
+
+
+@register("zorder_orders_layout", _ZORDER_SQL)
+def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleave (o_custkey, order-date-days) and profile each
+    z-bucket's bounding rectangle — the layout Delta's OPTIMIZE ZORDER
+    BY / Iceberg sort orders produce, where every output file covers a
+    SMALL range of BOTH filter columns so parquet min/max stats prune
+    scans on either.  Pure integer bit algebra (engine-identical), one
+    map-side-combined shuffle on the bucket key; the written-layout
+    twin (`write_zordered`) and the file-disjointness proof live in
+    tests/test_layout.py."""
+    from vector_db_handler_spark.operators.layout import zorder_layout_stats
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    return zorder_layout_stats(
+        orders, "o_custkey", "days", bucket_shift=_Z_BUCKET_SHIFT
+    ).select(
+        "zb",
+        "n_rows",
+        F.col("x_min").cast("long").alias("x_min"),
+        F.col("x_max").cast("long").alias("x_max"),
+        F.col("y_min").cast("long").alias("y_min"),
+        F.col("y_max").cast("long").alias("y_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dispersion: corpus diversity in ONE pass via
+# E‖x−y‖² = 2·(E‖x‖² − ‖E x‖²) — the O(N) identity that replaces the
+# O(N²) mean-pairwise-distance a naive diversity metric would compute.
+# Components pre-rounded to 6 dp and accumulated in DECIMAL (exact,
+# order-independent); per-dimension mean-squares lowered to micro-
+# units (×10¹²) BIGINTs so the 64-term sum is exact too; the only
+# doubles are the final correctly-rounded divisions.
+# ---------------------------------------------------------------------------
+
+_DISPERSION_SQL = """
+WITH comp AS (
+  SELECT e.vec_id, CAST(t.i AS INTEGER) AS pos,
+         CAST(ROUND(CAST(e.embedding AS DOUBLE[])[CAST(t.i AS INTEGER)], 6)
+              AS DECIMAL(18,6)) AS q
+  FROM embeddings e,
+       unnest(generate_series(1, len(e.embedding))) AS t(i)
+),
+n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+dims AS (
+  SELECT pos, SUM(q) AS s, SUM(CAST(q * q AS DECIMAL(38,12))) AS s2
+  FROM comp GROUP BY pos
+),
+folded AS (
+  SELECT
+    SUM(CAST(FLOOR((CAST(s AS DOUBLE) / n.n_vecs) * (CAST(s AS DOUBLE) / n.n_vecs)
+                   * 1000000000000.0 + 0.5) AS BIGINT)) AS center_u,
+    CAST(SUM(s2) AS DOUBLE) AS total_s2,
+    MAX(n.n_vecs) AS n_vecs
+  FROM dims, n
+)
+SELECT n_vecs,
+       ROUND(total_s2 / n_vecs, 6) AS mean_norm2,
+       ROUND(CAST(center_u AS DOUBLE) / 1000000000000.0, 6) AS center_norm2,
+       ROUND(2.0 * (total_s2 / n_vecs
+                    - CAST(center_u AS DOUBLE) / 1000000000000.0), 6)
+         AS dispersion
+FROM folded
+WHERE n_vecs > 0
+"""
+
+
+@register("embedding_dispersion", _DISPERSION_SQL)
+def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity QA in one scan: expected pairwise squared
+    distance via 2·(E‖x‖² − ‖Ex‖²) — no pair join exists anywhere in
+    the plan.  Shuffle ledger: one posexplode + groupBy(pos) (64 keys,
+    map-side combined), then a 1-row fold; DECIMAL/BIGINT accumulation
+    makes the hash partition-order-proof."""
+    emb = load(spark, sf_dir, "embeddings")
+    per = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    ).select(F.round(F.col("v"), 6).cast("decimal(18,6)").alias("q"), "pos")
+    n = emb.agg(F.count("*").alias("n_vecs"))
+    dims = per.groupBy("pos").agg(
+        F.sum("q").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,12)")).alias("s2"),
+    )
+    mu = F.col("s").cast("double") / F.col("n_vecs")
+    folded = (
+        dims.crossJoin(F.broadcast(n))
+        .select(
+            F.floor(mu * mu * F.lit(1000000000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("u"),
+            "s2",
+            "n_vecs",
+        )
+        .agg(
+            F.sum("u").alias("center_u"),
+            F.sum("s2").cast("double").alias("total_s2"),
+            F.max("n_vecs").alias("n_vecs"),
+        )
+    )
+    total_s2 = F.col("total_s2")
+    center = F.col("center_u").cast("double") / F.lit(1000000000000.0)
+    return folded.filter(F.col("n_vecs") > 0).select(
+        "n_vecs",
+        F.round(total_s2 / F.col("n_vecs"), 6).alias("mean_norm2"),
+        F.round(center, 6).alias("center_norm2"),
+        F.round(
+            F.lit(2.0) * (total_s2 / F.col("n_vecs") - center), 6
+        ).alias("dispersion"),
+    )
