@@ -47,6 +47,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "semdedup_survivors",
         "bm25_topk_docs",
         "embedding_dispersion",
+        "value_percentiles_by_type",
+        "trending_types_stream",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):

@@ -111,6 +111,8 @@ _DRIVER_FRONT: list[str] = [
     "bm25_topk_docs",
     "zorder_orders_layout",
     "embedding_dispersion",
+    "value_percentiles_by_type",
+    "trending_types_stream",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -5776,4 +5778,106 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(2.0) * (total_s2 / F.col("n_vecs") - center), 6
         ).alias("dispersion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete percentiles per event type.  Both engines compute the
+# IDENTICAL order-statistic formula — rn == ceil(p·n/100) over a
+# fully-deterministic ordering (value, event_id) — so no interpolation
+# semantics or float arithmetic can diverge: the answer is a raw data
+# value.  At 100 TB this is the oracle baseline for percentile_approx
+# (order-free sketch); the exact form costs one hash-partition on the
+# key + per-partition sort, which is inherent to exact order stats.
+# ---------------------------------------------------------------------------
+
+_PCTL_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+       MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS p90,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+FROM ranked GROUP BY event_type
+"""
+
+
+@register("value_percentiles_by_type", _PCTL_SQL)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per type, DISCRETE (an actual data
+    value at rank ceil(p·n/100) under a total order) — engine-exact
+    where interpolated percentiles are not."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wc = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wc)
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"({p} * n + 99) div 100"), F.col("value"))
+    ).alias(f"p{p}")
+    return ranked.groupBy("event_type").agg(pick(50), pick(90), pick(99))
+
+
+# ---------------------------------------------------------------------------
+# Streaming trending event types: daily tumbling counts maintained by
+# the watermarked stream, top-3 ranking applied over the sink — the
+# standard serving-view-over-streaming-sink split (rank is not a
+# streaming-supported operator, and does not need to be: the sink
+# holds closed windows).
+# ---------------------------------------------------------------------------
+
+_TRENDING_K = 3
+
+_TRENDING_SQL = f"""
+WITH counts AS (
+  SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS window_start_epoch,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start_epoch, event_type, n_events, rnk FROM (
+  SELECT window_start_epoch, event_type, n_events,
+         CAST(row_number() OVER (
+           PARTITION BY window_start_epoch
+           ORDER BY n_events DESC, event_type ASC
+         ) AS INTEGER) AS rnk
+  FROM counts
+) WHERE rnk <= {_TRENDING_K}
+"""
+
+
+@register("trending_types_stream", _TRENDING_SQL)
+def trending_types_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily top-{k} trending event types off a watermarked streaming
+    tumbling aggregate (availableNow replay), ranked over the sink
+    table; hash-matches the batch daily-counts oracle."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    stream_ops.run_to_memory(
+        stream_ops.tumbling_stream(ev, width="1 day"), "dq_trending_stream"
+    )
+    counts = spark.table("dq_trending_stream").select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+    )
+    w = Window.partitionBy("window_start_epoch").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TRENDING_K)
+        .select("window_start_epoch", "event_type", "n_events", "rnk")
     )
