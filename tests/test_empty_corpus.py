@@ -49,6 +49,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "embedding_dispersion",
         "value_percentiles_by_type",
         "trending_types_stream",
+        "dataset_split_counts",
+        "phrase_search_docs",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):

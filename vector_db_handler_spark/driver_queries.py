@@ -113,6 +113,8 @@ _DRIVER_FRONT: list[str] = [
     "embedding_dispersion",
     "value_percentiles_by_type",
     "trending_types_stream",
+    "dataset_split_counts",
+    "phrase_search_docs",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -5880,4 +5882,97 @@ def trending_types_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TRENDING_K)
         .select("window_start_epoch", "event_type", "n_events", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: assignment is a pure function of
+# the doc's CONTENT hash (not doc_id, not RNG state), so re-runs,
+# re-shards, and late-arriving replicas of the same document land in
+# the same split on any engine — the property a 100 TB pipeline needs
+# to keep eval uncontaminated across incremental rebuilds.  80/10/10
+# by two decimal digits of the md5-derived 60-bit hash.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN h % 100 < 80 THEN 'train'
+              WHEN h % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+    FROM documents
+  )
+)
+SELECT split, lang, COUNT(*) AS n_docs
+FROM assigned GROUP BY split, lang
+"""
+
+
+@register("dataset_split_counts", _SPLIT_SQL)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash 80/10/10 split census per language — one narrow
+    projection plus one map-side-combined shuffle on (split, lang)."""
+    docs = load(spark, sf_dir, "documents")
+    h = text_fns.portable_hash60(F.col("text"))
+    split = (
+        F.when(h % 100 < 80, F.lit("train"))
+        .when(h % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phrase search via the positional inverted index — the scalable path
+# (token-position equi-join: postings of the FIRST phrase token join
+# postings of the second at pos+1; cost ∝ the rarer token's postings,
+# never a full-text scan).  The oracle takes the opposite, brute-force
+# route (substring containment over single-spaced text) — two
+# different algorithms agreeing on the same rows is the strongest
+# parity evidence in the registry.
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("vector", "join")
+
+_PHRASE_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ' ' || text || ' ' LIKE '% {' '.join(_PHRASE)} %'
+"""
+
+
+@register("phrase_search_docs", _PHRASE_SQL)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing the exact phrase 'vector join' (adjacent
+    tokens), answered from a positional index: postings('dup') ⋈
+    postings('vector') ON same doc AND pos+1.  At 100 TB the postings
+    are pre-materialized and the join touches only the two tokens'
+    lists — the LIKE scan the oracle runs would read every byte."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos", "term"),
+    )
+    first = toks.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", "lang", F.col("pos").alias("p0")
+    )
+    second = toks.filter(F.col("term") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("p1")
+    )
+    return (
+        first.join(
+            second,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("p1") == F.col("p0") + 1),
+        )
+        .select("doc_id", "lang")
+        .distinct()
     )
