@@ -51,6 +51,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "trending_types_stream",
         "dataset_split_counts",
         "phrase_search_docs",
+        "hybrid_search_rerank",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):

@@ -115,6 +115,7 @@ _DRIVER_FRONT: list[str] = [
     "trending_types_stream",
     "dataset_split_counts",
     "phrase_search_docs",
+    "hybrid_search_rerank",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -5583,7 +5584,9 @@ _BM25_TERMS = ("dup", "vector", "window")
 _BM25_K = 10
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-_BM25_SQL = f"""
+#: CTE chain shared by the pure-BM25 oracle and the hybrid-rerank
+#: oracle: everything up to the ranked per-doc lexical score.
+_BM25_CTES = f"""
 WITH dl AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
   FROM documents
@@ -5611,7 +5614,9 @@ per_doc AS (
          CAST(SUM((2 * num * 1000000 + den) // (2 * den)) AS DOUBLE) / 1000000.0
            AS score
   FROM scored GROUP BY doc_id
-)
+)"""
+
+_BM25_SQL = f"""{_BM25_CTES}
 SELECT doc_id, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
 FROM per_doc
@@ -5975,4 +5980,72 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical candidates re-ranked by embedding
+# cosine — the two-stage pipeline a production vector-db front-end
+# actually serves (cheap inverted-index recall, expensive semantic
+# precision only over the candidate set).  The fixtures are 1:1 by id
+# (doc_id == vec_id at every sf), so the stage-2 join is exact.
+# ---------------------------------------------------------------------------
+
+_HYBRID_CAND_K = 50
+_HYBRID_K = 10
+
+_HYBRID_SQL = f"""{_BM25_CTES},
+cands AS (
+  SELECT doc_id, score AS bm25
+  FROM per_doc
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {_HYBRID_CAND_K}
+),
+reranked AS (
+  SELECT c.doc_id, c.bm25, ROUND({_SCORE}, 6) AS cosine
+  FROM cands c JOIN embeddings e ON e.vec_id = c.doc_id
+)
+SELECT doc_id, bm25, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM reranked
+ORDER BY cosine DESC, doc_id ASC
+LIMIT {_HYBRID_K}
+"""
+
+
+@register("hybrid_search_rerank", _HYBRID_SQL)
+def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid search: BM25 top-{cand_k} lexical candidates
+    (inverted-index recall) re-ranked by exact cosine against the
+    fixed query vector (semantic precision), final top-{k}.
+
+    100 TB shape: stage 1 never scans more than the query terms'
+    postings; stage 2's expensive vector math touches exactly
+    {cand_k} rows — the candidate set is BROADCAST into the embedding
+    scan (a 50-row build side), so no shuffle of the corpus happens
+    in either stage."""
+    from vector_db_handler_spark.functions.vector import cosine_score
+    from vector_db_handler_spark.operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    cands = bm25_topk(docs, list(_BM25_TERMS), k=_HYBRID_CAND_K).select(
+        "doc_id", F.col("score").alias("bm25")
+    )
+    reranked = emb.join(
+        F.broadcast(cands), emb.vec_id == cands.doc_id
+    ).select(
+        "doc_id",
+        "bm25",
+        F.round(cosine_score(F.col("embedding"), QUERY_VEC), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    topk = reranked.orderBy(F.col("cosine").desc(), F.col("doc_id").asc()).limit(
+        _HYBRID_K
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "bm25", "cosine", "rank"
     )
