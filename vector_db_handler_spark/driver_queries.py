@@ -116,6 +116,7 @@ _DRIVER_FRONT: list[str] = [
     "dataset_split_counts",
     "phrase_search_docs",
     "hybrid_search_rerank",
+    "tpch_q12",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -6048,4 +6049,52 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "bm25", "cosine", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape (shipping-mode priority audit), adapted to the
+# fixture schema: l_returnflag stands in for l_shipmode and
+# shipdate-vs-orderdate lateness for the receipt/commit comparison
+# (the fixture carries no shipmode/commitdate/receiptdate columns).
+# Completes the 22-query TPC-H shape set.
+# ---------------------------------------------------------------------------
+
+_TPCH_Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("tpch_q12", _TPCH_Q12_SQL)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late lines bucketed by priority class per
+    return flag.  Date range pushed to the orders scan, the lateness
+    predicate evaluated as a join residual, counts map-side combined —
+    one shuffle join on orderkey plus one 3-key aggregate."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 45 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
     )
