@@ -52,6 +52,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "dataset_split_counts",
         "phrase_search_docs",
         "hybrid_search_rerank",
+        "incremental_rollup_merge",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):

@@ -117,6 +117,7 @@ _DRIVER_FRONT: list[str] = [
     "phrase_search_docs",
     "hybrid_search_rerank",
     "tpch_q12",
+    "incremental_rollup_merge",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -6096,5 +6097,82 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (IVM): the base corpus's daily rollup
+# is MERGED with a delta batch's rollup instead of recomputing over
+# base ∪ delta — the only affordable shape at 100 TB, where the base
+# aggregate is a stored artifact and each ingest touches only its own
+# keys.  The oracle computes the rollup DIRECTLY over all events; the
+# Spark side takes the incremental route (base rollup ⟂ delta rollup →
+# full-outer key merge → DECIMAL re-sum).  Agreement is a
+# cross-algorithm proof that the merge is lossless — which it is
+# exactly BECAUSE the partial sums accumulate in DECIMAL (associative
+# on any grouping), the property a float rollup cannot offer.
+# ---------------------------------------------------------------------------
+
+#: the delta batch: every 5th event arrives "today".
+_IVM_DELTA_PRED = "event_id % 5 = 0"
+
+_IVM_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("incremental_rollup_merge", _IVM_SQL)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily (day, type) rollup maintained incrementally: rollup(base)
+    full-outer-merged with rollup(delta), summing DECIMAL partials —
+    never re-reading the base events.  Must equal the oracle's direct
+    rollup over everything (it does: DECIMAL partial aggregation is
+    exactly associative).  At 100 TB the base side is a stored
+    aggregate ~10⁶× smaller than the event log; the merge join runs on
+    rollup keys, so maintenance cost tracks the DELTA, not history."""
+    ev = load(spark, sf_dir, "events")
+    base, delta = (
+        ev.filter(~F.expr(_IVM_DELTA_PRED)),
+        ev.filter(F.expr(_IVM_DELTA_PRED)),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                (
+                    F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+                ).alias("day_epoch"),
+                "event_type",
+            ).agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            )
+        )
+
+    b = rollup(base).select(
+        "day_epoch", "event_type", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    d = rollup(delta).select(
+        "day_epoch", "event_type", F.col("n").alias("n_d"), F.col("s").alias("s_d")
+    )
+    zero_n = F.lit(0).cast("long")
+    zero_s = F.lit(0).cast("decimal(18,6)")
+    return (
+        b.join(d, ["day_epoch", "event_type"], "full_outer")
+        .select(
+            "day_epoch",
+            "event_type",
+            (F.coalesce(F.col("n_b"), zero_n) + F.coalesce(F.col("n_d"), zero_n)).alias(
+                "n_events"
+            ),
+            (F.coalesce(F.col("s_b"), zero_s) + F.coalesce(F.col("s_d"), zero_s))
+            .cast("double")
+            .alias("sum_value"),
         )
     )
