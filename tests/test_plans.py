@@ -259,3 +259,64 @@ def test_tfidf_broadcasts_corpus_size(spark, sf_dir):
     plan = _plan(dq.tfidf_topk_terms(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round 6: SRP / BM25 / hybrid / layout / phrase / IVM shapes -----------
+
+
+def test_bm25_lowers_to_take_ordered_no_smj(spark, sf_dir):
+    plan = _plan(dq.bm25_topk_docs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "BM25 top-k must not globally sort"
+    assert "SortMergeJoin" not in plan, "df/stats must ride broadcasts"
+    assert "CartesianProduct" not in plan
+
+
+def test_srp_banded_join_no_cartesian(spark, sf_dir):
+    plan = _plan(dq.srp_neardup_pairs(spark, sf_dir))
+    # The checkpointed result hides upstream, so pin the builder's plan
+    # instead: candidates must come from an equi-join, never a product.
+    from vector_db_handler_spark.operators import srp as srp_ops
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = srp_ops.srp_planes(64, srp_ops.N_BITS, 7)
+    sigs = srp_ops.srp_signatures(emb, planes)
+    # executedPlan().toString() lists each node exactly once (the
+    # "formatted" explain repeats nodes in its details section).
+    sig_plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in sig_plan
+    # exactly ONE Python stage: the quantize hop; the 32 signature
+    # dots + norm are native HOFs
+    assert sig_plan.count("MapInPandas") == 1
+
+
+def test_hybrid_broadcasts_candidates(spark, sf_dir):
+    plan = _plan(dq.hybrid_search_rerank(spark, sf_dir))
+    # the 50-row candidate set must be the build side of a broadcast
+    # join against the embedding scan — never a shuffle of embeddings
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_phrase_search_prunes_postings(spark, sf_dir):
+    plan = _plan(dq.phrase_search_docs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # both posting lists are term-filtered BEFORE the join
+    assert plan.count("Filter") >= 2
+
+
+def test_zorder_stats_single_shuffle(spark, sf_dir):
+    df = dq.zorder_orders_layout(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one partial+final aggregate pair over one exchange; the z
+    # expression itself is narrow (no join, no extra exchange)
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_ivm_merge_joins_rollups_not_events(spark, sf_dir):
+    plan = _plan(dq.incremental_rollup_merge(spark, sf_dir))
+    # the full-outer merge must join AGGREGATED relations: both join
+    # inputs are HashAggregate subtrees, so the join key cardinality is
+    # rollup-sized, never event-sized
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
