@@ -296,3 +296,84 @@ def test_streaming_dedup_ttl_arg_validation(spark, sf_dir):
         stream_ops.streaming_exact_dedup(
             stream, timeout_conf="ProcessingTimeTimeout"
         )
+
+
+def test_native_dedup_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    """dropDuplicates (built-in) must hold state across micro-batches
+    exactly like the custom operator; survivor CHOICE within a batch is
+    engine-picked, so assert set semantics (one row per distinct hash,
+    carrying a doc_id that really has that hash)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.functions.text import portable_hash60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = docs.select("doc_id", portable_hash60(F.col("text")).alias("text_hash"))
+    src = str(tmp_path / "replay_native")
+    hashed.coalesce(1).write.mode("append").parquet(src)
+    hashed.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text_hash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ops.run_to_memory(
+        stream_ops.streaming_native_dedup(stream), "t_native_dedup", mode="append"
+    )
+    got = spark.table("t_native_dedup").collect()
+    valid = {(r.doc_id, r.text_hash) for r in hashed.collect()}
+    hashes = [r.text_hash for r in got]
+    assert len(hashes) == len(set(hashes)), "a hash was emitted twice"
+    assert set(hashes) == {h for _, h in valid}
+    assert all((r.doc_id, r.text_hash) in valid for r in got)
+
+
+def test_native_dedup_within_watermark_readmits_after_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate inside the horizon is
+    dropped; one arriving after the watermark passed its key's state is
+    re-emitted — the native analog of the custom TTL path."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    import time
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "wm_replay")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [Row(doc_id=i, text_hash=h, ts=ts) for i, h, ts in rows],
+            "doc_id long, text_hash long, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+        # The file source replays in modification-time order; space the
+        # batches out so that order is the intended one.
+        time.sleep(1.2)
+
+    # batch 1: hash 7 first seen; batch 2: in-horizon duplicate
+    # (dropped); batches 3-4: fresh hashes drag the watermark hours
+    # past hash 7's state — eviction happens at batch COMMIT, so two
+    # advancing batches guarantee the tombstone is gone; batch 5:
+    # hash 7 again — re-emitted.
+    write_batch([(1, 7, t0)])
+    write_batch([(2, 7, t0 + dt.timedelta(minutes=1))])
+    write_batch([(3, 99, t0 + dt.timedelta(hours=6))])
+    write_batch([(4, 98, t0 + dt.timedelta(hours=6, minutes=1))])
+    write_batch([(5, 7, t0 + dt.timedelta(hours=6, minutes=2))])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text_hash long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ops.run_to_memory(
+        stream_ops.streaming_native_dedup(stream, ts_col="ts", watermark="10 minutes"),
+        "t_wm_dedup",
+        mode="append",
+    )
+    got = sorted(r.doc_id for r in spark.table("t_wm_dedup").collect())
+    # 1 (first sight), 3 and 4 (new hashes); 2 dropped (in-horizon
+    # dup); 5 re-emitted (hash-7 tombstone evicted once the watermark
+    # passed it) — the native analog of the custom TTL re-admission
+    assert got == [1, 3, 4, 5]

@@ -603,3 +603,37 @@ def streaming_running_user_value_gs(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_native_dedup(
+    docs_stream: DataFrame,
+    hash_col: str = "text_hash",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The BUILT-IN twin of :func:`streaming_exact_dedup` — prefer it
+    whenever its semantics fit (built-ins run in the JVM state store
+    with RocksDB spill support; the custom operator pays an Arrow hop
+    per micro-batch).
+
+    * ``ts_col=None`` → ``dropDuplicates`` on the hash: exact forever,
+      state unbounded — the ``NoTimeout`` analog.
+    * ``ts_col`` given → ``dropDuplicatesWithinWatermark``: state for
+      a hash is kept only while it is within the watermark horizon —
+      the native TTL analog, with the SAME re-admission caveat as the
+      custom ``ProcessingTimeTimeout`` path (a duplicate arriving
+      after eviction is re-emitted; downstream exact consumers need an
+      idempotent sink or a batch reconcile).
+
+    Semantics difference worth knowing: when one micro-batch contains
+    several rows of the same hash, the built-ins keep an ARBITRARY one
+    (whichever the partition scan yields first), while
+    :func:`streaming_exact_dedup` keeps the minimum id.  Use the
+    custom operator when the canonical-survivor choice matters;
+    use the built-in when any single representative will do.
+    """
+    if ts_col is None:
+        return docs_stream.dropDuplicates([hash_col])
+    return docs_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [hash_col]
+    )
