@@ -118,6 +118,7 @@ _DRIVER_FRONT: list[str] = [
     "hybrid_search_rerank",
     "tpch_q12",
     "incremental_rollup_merge",
+    "enriched_stream_by_nation",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -6174,5 +6175,48 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("s_b"), zero_s) + F.coalesce(F.col("s_d"), zero_s))
             .cast("double")
             .alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment: events stream ⋈ broadcast customer dim →
+# per-nation spend rollup.  The stateless streaming join pattern
+# (lookup enrichment) next to the stateful stream-stream attribution
+# join; the dim is re-broadcast per micro-batch, so dim refreshes are
+# picked up at trigger granularity.
+# ---------------------------------------------------------------------------
+
+_ENRICHED_STREAM_SQL = """
+SELECT c.c_nationkey AS nationkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+"""
+
+
+@register("enriched_stream_by_nation", _ENRICHED_STREAM_SQL)
+def enriched_stream_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched with the static customer dim
+    (broadcast, stateless) then rolled up per nation over the sink —
+    hash-matches the batch join+agg oracle.  DECIMAL partials keep the
+    sum identical under any micro-batch split."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    enriched = stream_ops.enrich_stream_with_dim(ev, dim).filter(
+        F.col("c_custkey").isNotNull()
+    )
+    stream_ops.run_to_memory(
+        enriched.select("c_nationkey", "value"), "dq_enriched_stream", mode="append"
+    )
+    return (
+        spark.table("dq_enriched_stream")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )

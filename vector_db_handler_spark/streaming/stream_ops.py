@@ -637,3 +637,26 @@ def streaming_native_dedup(
     return docs_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [hash_col]
     )
+
+
+def enrich_stream_with_dim(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-STATIC enrichment join — the remaining streaming join
+    pattern next to the stream-stream attribution join: every
+    micro-batch hash-joins against a broadcast copy of the (small,
+    slowly-changing) dimension, no state store involved at all.
+
+    At 100 TB of stream this is the canonical lookup shape: the dim
+    rides a broadcast (re-resolved per micro-batch, so a dim refresh
+    is picked up on the next trigger), the stream side never
+    shuffles, and late data needs no special handling because the
+    join is stateless."""
+    from pyspark.sql import functions as F
+
+    return events_stream.join(
+        F.broadcast(dim), events_stream[stream_key] == dim[dim_key], "left"
+    )
