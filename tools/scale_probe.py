@@ -423,6 +423,88 @@ def r6b(mult: int = 16) -> None:
         print(f"bm25_topk @ {n} docs: wall {time.perf_counter()-t0:.1f}s")
 
 
+def srp_guard(n_vecs: int = 20_000, max_bucket: int = 200) -> None:
+    """Skew probe for the SRP hot-bucket guard: 30% of the corpus is
+    one template direction (the 100 TB reality — embedding models
+    collapse boilerplate/empty docs onto a few directions), so every
+    band bucket holding the template cluster goes quadratic without a
+    guard.  One true near-dup pair is planted among the unique tail.
+    Candidate volume = Σ C(bucket_size, 2) over (band, value) buckets,
+    computed from the census — never by materializing the join.
+
+    Geometry lesson this probe measured: the fixture default (4-bit
+    bands, 16 values) SATURATES at this corpus size — every bucket
+    holds ~N/16 rows and the guard drops all of them.  The probe
+    therefore runs the production geometry (60 bits, 4 bands of 15 →
+    32 768 values per band): unique-tail buckets stay tiny, only the
+    template cluster's buckets trip the guard."""
+    import numpy as np
+
+    from vector_db_handler_spark.operators import srp as srp_ops
+
+    n_bits, n_bands = 60, 4
+    spark = get_spark("srp-guard-probe")
+    rng = np.random.Generator(np.random.PCG64(11))
+    n_hot = int(n_vecs * 0.3)
+    template = rng.normal(size=64)
+    rows = []
+    for i in range(n_hot):  # hot cluster: template + tiny jitter
+        rows.append((i, [float(v) for v in template + 1e-4 * rng.normal(size=64)]))
+    for i in range(n_hot, n_vecs - 2):  # unique tail
+        rows.append((i, [float(v) for v in rng.normal(size=64)]))
+    planted = [float(v) for v in rng.normal(size=64)]
+    rows.append((n_vecs - 2, planted))
+    rows.append((n_vecs - 1, [v * 1.001 for v in planted]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    planes = srp_ops.srp_planes(64, n_bits, 7)
+    sigs = srp_ops.srp_signatures(emb, planes)
+    bpb = n_bits // n_bands
+    mask = (1 << bpb) - 1
+    census = (
+        sigs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.shiftright(F.col("sig"), b * bpb)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bv")
+        )
+        .groupBy("bv.band_idx", "bv.band_val")
+        .agg(F.count("*").alias("n"))
+    )
+    vol = census.select(
+        F.sum(F.expr("n * (n - 1) / 2")).alias("all"),
+        F.sum(F.expr(f"CASE WHEN n <= {max_bucket} THEN n * (n - 1) / 2 ELSE 0 END")).alias(
+            "guarded"
+        ),
+    ).collect()[0]
+    print(
+        f"candidate volume: guard OFF {int(vol['all']):,} / "
+        f"guard ON (bucket<={max_bucket}) {int(vol['guarded']):,} "
+        f"({vol['all'] / max(vol['guarded'], 1):,.0f}x reduction)"
+    )
+    t0 = time.perf_counter()
+    pairs = srp_ops.srp_neardup_pairs(
+        emb, threshold_num=9, threshold_den=10,
+        n_bits=n_bits, n_bands=n_bands, max_bucket=max_bucket,
+    ).collect()
+    found = any(
+        {int(r.id1), int(r.id2)} == {n_vecs - 2, n_vecs - 1} for r in pairs
+    )
+    print(
+        f"srp_neardup_pairs guard ON: {len(pairs)} pairs, wall "
+        f"{time.perf_counter()-t0:.1f}s; planted pair found: {found}"
+    )
+
+
 def winnow_guard(n_docs: int = 20_000, max_postings: int = 20) -> None:
     """Skew probe for the stop-fingerprint guard: a synthetic corpus
     where EVERY doc opens with the same boilerplate paragraph (the
@@ -508,6 +590,8 @@ if __name__ == "__main__":
         r6ops(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "r6b":
         r6b(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+    elif len(sys.argv) > 1 and sys.argv[1] == "srp_guard":
+        srp_guard(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "winnow_guard":
         winnow_guard(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "ann":

@@ -59,6 +59,16 @@ from vector_db_handler_spark.operators.quantize import quantize_int8
 #: cosine-0.45 regime (p ≈ 0.649, band hit 0.177) eight bands recall
 #: ~81% of threshold-grazing pairs.  Cost of widening is linear
 #: (N·n_bands banded rows), never quadratic.
+#:
+#: SIZE THE BAND-VALUE SPACE TO THE CORPUS: a band of b bits has only
+#: 2ᵇ buckets, so expected bucket size is N/2ᵇ — once that crosses
+#: ``max_bucket`` the guard drops EVERYTHING (measured in the
+#: tools/scale_probe.py ``srp_guard`` run: 4-bit bands saturate at
+#: ~20k vectors).  Rule: choose bits-per-band so N/2ᵇ ≪ max_bucket —
+#: 15-bit bands (n_bits=60, n_bands=4) carry 32 768 buckets per band
+#: and hold to ~10⁶–10⁷ rows; beyond that, band on (band_idx,
+#: band_val) PAIRS of two such signatures.  The signature packs into
+#: one BIGINT, which caps n_bits at 63 (bit 63 is the sign).
 N_BITS = 32
 N_BANDS = 8
 
@@ -68,6 +78,8 @@ def srp_planes(dim: int, n_bits: int = N_BITS, seed: int = 7) -> list[list[int]]
     PCG64 stream.  Shared verbatim by the Spark expressions and the SQL
     oracle (both sides format THESE integers as literals), so the two
     engines hash the same geometry by construction."""
+    if n_bits > 63:
+        raise ValueError("n_bits must be <= 63 (signature packs into one signed BIGINT)")
     rng = np.random.Generator(np.random.PCG64(seed))
     signs = rng.integers(0, 2, size=(n_bits, dim)) * 2 - 1
     return [[int(v) for v in row] for row in signs]
