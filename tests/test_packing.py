@@ -100,3 +100,35 @@ def test_span_dedup_intra_doc_repeats_collapse(spark):
     )
     [row] = span_dedup_corpus(docs, span_tokens=10).collect()
     assert (row.n_spans, row.n_kept, row.kept_text) == (2, 1, span)
+
+
+def test_write_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
+    from vector_db_handler_spark.operators.packing import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "shards")
+    manifest = {r.shard: (r.n_docs, r.n_tokens) for r in
+                write_training_shards(docs, out).collect()}
+    back = spark.read.parquet(out)
+    # every doc present exactly once, carried token counts correct
+    assert back.count() == docs.count()
+    per_shard = {
+        r.shard: (r.n, r.t)
+        for r in back.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert per_shard == manifest
+    # one file per shard (loader-independent units)
+    import glob as _glob
+    import os as _os
+
+    shard_dirs = [d for d in _os.listdir(out) if d.startswith("shard=")]
+    assert len(shard_dirs) == len(manifest)
+    for d in shard_dirs:
+        files = _glob.glob(f"{out}/{d}/*.parquet")
+        assert len(files) == 1, f"{d} fragmented: {files}"
+    # rows inside a shard file are in packing order (ascending doc_id)
+    one = sorted(manifest)[0]
+    ids = [r.doc_id for r in spark.read.parquet(f"{out}/shard={one}").collect()]
+    assert ids == sorted(ids)

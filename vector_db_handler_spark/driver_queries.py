@@ -119,6 +119,7 @@ _DRIVER_FRONT: list[str] = [
     "tpch_q12",
     "incremental_rollup_merge",
     "enriched_stream_by_nation",
+    "training_shard_manifest",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -6220,3 +6221,37 @@ def enriched_stream_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export manifest: the end of the pipeline — write one
+# parquet file per shard in packing order and return the manifest a
+# data loader plans epochs from.  The write is exercised for real
+# (temp dir keyed to the corpus); the manifest is the hash-checked
+# surface.
+# ---------------------------------------------------------------------------
+
+_SHARD_MANIFEST_SQL = """
+SELECT source AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1
+"""
+
+
+@register("training_shard_manifest", _SHARD_MANIFEST_SQL)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize per-shard training files (one file per shard,
+    packing order) into a corpus-keyed temp dir and return the
+    manifest (shard, n_docs, n_tokens) — two jobs total: one
+    repartition-on-shard write, one map-side-combined aggregate."""
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.operators.packing import write_training_shards
+
+    docs = load(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"vdh_shards_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    return write_training_shards(docs, out)

@@ -75,3 +75,46 @@ def pack_sequences(
             ).alias("end_seq"),
         )
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end of the pipeline: materialize the training corpus as one
+    parquet file per shard (docs in packing order — ascending id
+    within shard, matching :func:`pack_sequences`' layout) and return
+    the MANIFEST: ``(shard, n_docs, n_tokens)``.
+
+    A trainer's data loader consumes exactly this shape — per-shard
+    files it can open independently, plus a manifest to plan epochs
+    and to resume from (shard, offset) checkpoints without listing the
+    filesystem.  Writing is ONE repartition on the shard key (each
+    shard's rows land in one task → one file via write-time
+    partitionBy); the manifest is a map-side-combined aggregate over
+    the same scan, so the whole export is two jobs regardless of
+    corpus size.  At 100 TB, ``shard_col`` is a composite
+    (source, bucket) key sized so a shard fits a loader worker."""
+    data = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).alias("shard"),
+        F.col(text_col).alias("text"),
+        F.size(F.split(F.col(text_col), " ", -1)).cast("long").alias("n_tokens"),
+    )
+    (
+        data.repartition("shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return (
+        data.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
