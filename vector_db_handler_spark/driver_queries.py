@@ -98,12 +98,15 @@ def register(name: str, oracle: str | None = None):
 #: in a round is fronted in the SAME round. The full verified-ever
 #: ledger lives in SURVEY.md §8.
 #:
-#: Round 6 fronts the r6 registrations plus the 14 queries whose last
-#: driver-green row is r3 (the oldest evidence in the registry —
-#: media/IVF/sketches/quality/TPC-H code has changed around them since;
-#: all pass the local oracle replay, this refreshes the driver rows).
-#: The remaining ~35 window slots fall to the earliest-registered
-#: queries, re-confirming the r1–r3 core.
+#: Round 6 fronts all 23 r6 registrations (9 from the first half of
+#: the round — trained-IVF lifecycle, span dedup, packing, TF-IDF,
+#: Gopher, Avro, PQ×2, IVF-PQ — and 14 from the second half — SRP,
+#: SemDeDup, BM25, z-order, dispersion, percentiles, trending stream,
+#: splits, phrase, hybrid, Q12, IVM merge, stream-static enrichment,
+#: shard manifest) plus the 14 queries whose last driver-green row is
+#: r3 (the oldest evidence in the registry — all pass the local
+#: oracle replay, this refreshes the driver rows).  The remaining ~13
+#: window slots fall to the earliest-registered queries.
 _DRIVER_FRONT: list[str] = [
     # new in round 6 — registered and fronted in the same commit
     "srp_neardup_pairs",
