@@ -53,6 +53,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "phrase_search_docs",
         "hybrid_search_rerank",
         "incremental_rollup_merge",
+        "binary_hamming_topk",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):

@@ -123,6 +123,7 @@ _DRIVER_FRONT: list[str] = [
     "incremental_rollup_merge",
     "enriched_stream_by_nation",
     "training_shard_manifest",
+    "binary_hamming_topk",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -6258,3 +6259,96 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"vdh_shards_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     return write_training_shards(docs, out)
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization + Hamming KNN: the third quantization tier
+# (SQ8 → PQ → 1-bit).  Codes are 60-bit SRP sign signatures; distance
+# is popcount(xor) — pure integer bit ops, identical in any engine;
+# ranking lowers to TakeOrderedAndProject.  At 100 TB this is the
+# cheapest rerank-candidate generator there is: 60 bits/vector
+# (~100× smaller than float32) scanned with two native instructions
+# per comparison.
+# ---------------------------------------------------------------------------
+
+_BQ_BITS = 60
+_BQ_PLANES = srp_ops.srp_planes(64, _BQ_BITS, _SRP_SEED)
+_BQ_PLANES_SQL = ",\n    ".join(
+    "({b}, CAST([{vals}] AS BIGINT[]))".format(
+        b=b, vals=", ".join(str(v) for v in plane)
+    )
+    for b, plane in enumerate(_BQ_PLANES)
+)
+_BQ_K = 10
+
+_BQ_SQL = f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP}) AS v
+  FROM embeddings, scale
+),
+planes(b, p) AS (VALUES
+    {_BQ_PLANES_SQL}
+),
+sigs AS (
+  SELECT q.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(CAST(q.v AS DOUBLE[]),
+                                             CAST(p.p AS DOUBLE[])) >= 0
+                       THEN CAST(1 AS BIGINT) << p.b
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+  FROM qv q, planes p GROUP BY q.vec_id
+),
+qx AS (
+  SELECT list_transform(CAST({{qvec}} AS DOUBLE[]), x -> {_QUANT_CLAMP}) AS v
+  FROM scale
+),
+qsig AS (
+  SELECT CAST(SUM(CASE WHEN list_dot_product(CAST(q.v AS DOUBLE[]),
+                                             CAST(p.p AS DOUBLE[])) >= 0
+                       THEN CAST(1 AS BIGINT) << p.b
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s
+  FROM qx q, planes p
+)
+SELECT vec_id, CAST(bit_count(xor(sig, qsig.s)) AS INTEGER) AS hamming
+FROM sigs, qsig
+ORDER BY hamming ASC, vec_id ASC
+LIMIT {_BQ_K}
+""".replace("{qvec}", _sql_vec(QUERY_VEC))
+
+
+@register("binary_hamming_topk", _BQ_SQL)
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by Hamming distance between 60-bit binary (SRP sign)
+    codes of corpus and query — the 1-bit quantization tier.  The
+    query is coded THROUGH the corpus scale (same clamp expression),
+    so both engines derive every bit identically; the scan is
+    popcount(xor) per row and the top-k lowers to
+    TakeOrderedAndProject."""
+    from vector_db_handler_spark.operators.quantize import quantize_vector
+    from vector_db_handler_spark.operators.srp import srp_signatures
+
+    emb = load(spark, sf_dir, "embeddings")
+    sigs = srp_signatures(emb, _BQ_PLANES)
+    s_row = quantize_ops.max_abs_scale(emb).collect()
+    s = float(s_row[0]["s"]) if s_row and s_row[0]["s"] is not None else 1.0
+    qv = quantize_vector(QUERY_VEC, s)
+    qsig = 0
+    for b, plane in enumerate(_BQ_PLANES):
+        dot = sum(int(x) * int(y) for x, y in zip(qv, plane))
+        if dot >= 0:
+            qsig |= 1 << b
+    return (
+        sigs.select(
+            "vec_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(_BQ_K)
+    )
