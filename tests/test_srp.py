@@ -98,3 +98,88 @@ def test_empty_corpus(spark):
     out = srp_ops.srp_neardup_pairs(emb)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id1", "id2", "score"]
+
+
+def _query_sig(planes, qv):
+    sig = 0
+    for b, plane in enumerate(planes):
+        if sum(int(x) * int(y) for x, y in zip(qv, plane)) >= 0:
+            sig |= 1 << b
+    return sig
+
+
+def test_binary_hamming_finds_planted_near_dup(spark, sf_dir):
+    """The regime binary codes are FOR: a true near-dup (cosine ≈ 1)
+    of the query must rank first by Hamming — 60 sign bits nearly all
+    agree, far from the ~30/60 random-pair baseline."""
+    from pyspark.sql import functions as _F
+
+    from vector_db_handler_spark import driver_queries as dq
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_vector,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    twin = [v * 1.001 for v in dq.QUERY_VEC]
+    emb = emb.unionByName(
+        spark.createDataFrame(
+            [(999_999, twin, 0)], "vec_id long, embedding array<double>, label long"
+        ).select(
+            "vec_id", _F.col("embedding").cast("array<float>").alias("embedding"), "label"
+        )
+    )
+    planes = srp_ops.srp_planes(64, 60, 7)
+    sigs = srp_ops.srp_signatures(emb, planes)
+    s = float(max_abs_scale(emb).collect()[0]["s"])
+    qsig = _query_sig(planes, quantize_vector(dq.QUERY_VEC, s))
+    top = (
+        sigs.select(
+            "vec_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))).alias("h"),
+        )
+        .orderBy(F.col("h").asc(), F.col("vec_id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert top.vec_id == 999_999
+    assert top.h <= 5, f"near-dup Hamming should be ~0, got {top.h}"
+
+
+def test_binary_hamming_candidate_recall_weak_regime(spark, sf_dir):
+    """The fixture's exact top-10 neighbors sit at cosine ≤ 0.45 —
+    binary quantization's WORST regime (sign agreement barely above
+    the random 30/60 baseline).  Pin the measured candidate-recall
+    curve so a regression is loud, and document the honest number:
+    recall@100-of-500 = 0.5 here, vs rank-1 retrieval of true
+    near-dups in the planted test above."""
+    from vector_db_handler_spark import driver_queries as dq
+    from vector_db_handler_spark.operators import knn as knn_ops
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_vector,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        r.vec_id
+        for r in knn_ops.knn(
+            emb, dq.QUERY_VEC, k=10, tie_break_col="vec_id"
+        ).collect()
+    }
+    planes = srp_ops.srp_planes(64, 60, 7)
+    sigs = srp_ops.srp_signatures(emb, planes)
+    s = float(max_abs_scale(emb).collect()[0]["s"])
+    qsig = _query_sig(planes, quantize_vector(dq.QUERY_VEC, s))
+    cand = {
+        r.vec_id
+        for r in sigs.select(
+            "vec_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))).alias("h"),
+        )
+        .orderBy(F.col("h").asc(), F.col("vec_id").asc())
+        .limit(100)
+        .collect()
+    }
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.5, f"weak-regime candidate recall regressed: {recall}"
