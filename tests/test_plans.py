@@ -320,3 +320,34 @@ def test_ivm_merge_joins_rollups_not_events(spark, sf_dir):
     # rollup-sized, never event-sized
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_percentile_approx_tracks_exact(spark, sf_dir):
+    """The documented 100 TB path for value_percentiles_by_type is the
+    order-free percentile_approx sketch; pin that at high accuracy it
+    lands within the neighborhood of the exact discrete answer on the
+    fixture (so recommending it is backed by a measurement)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark import driver_queries as dq
+
+    exact = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in dq.value_percentiles_by_type(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    approx = {
+        r.event_type: (r.a50, r.a90, r.a99)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("a50"),
+            F.percentile_approx("value", 0.9, 10000).alias("a90"),
+            F.percentile_approx("value", 0.99, 10000).alias("a99"),
+        )
+        .collect()
+    }
+    for t, (p50, p90, p99) in exact.items():
+        a50, a90, a99 = approx[t]
+        assert abs(a50 - p50) <= max(0.05 * p50, 0.5), (t, a50, p50)
+        assert abs(a90 - p90) <= max(0.05 * p90, 0.5), (t, a90, p90)
+        assert abs(a99 - p99) <= max(0.10 * p99, 1.0), (t, a99, p99)

@@ -118,3 +118,64 @@ def test_semdedup_matches_bruteforce(spark, vecs):
                 break
         want[i] = (c, not dup)
     assert got == want
+
+
+_SVEC = st.lists(st.integers(min_value=-2, max_value=2), min_size=4, max_size=4)
+_SEMB = st.lists(_SVEC, min_size=1, max_size=7)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=_SEMB)
+def test_srp_matches_full_replay(spark, vecs):
+    """The whole SRP pipeline (quantize → ±1-plane sign bits → band
+    keys → hot-bucket guard → integer-cosine verify) against a
+    driver-side numpy replay on arbitrary tiny corpora — zero vectors
+    and exact duplicates included."""
+    from vector_db_handler_spark.operators import srp as srp_ops
+    from vector_db_handler_spark.operators.quantize import quantize_int8
+
+    n_bits, n_bands, max_bucket = 8, 2, 3
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id1, r.id2)
+        for r in srp_ops.srp_neardup_pairs(
+            emb,
+            threshold_num=1,
+            threshold_den=2,
+            n_bits=n_bits,
+            n_bands=n_bands,
+            dim=4,
+            max_bucket=max_bucket,
+        ).collect()
+    }
+
+    q = {r.vec_id: np.array(r.qvec, dtype=np.int64)
+         for r in quantize_int8(emb).collect()}
+    planes = np.array(srp_ops.srp_planes(4, n_bits, 7), dtype=np.int64)
+    sigs = {}
+    for i, v in q.items():
+        dots = planes @ v
+        sigs[i] = sum(1 << b for b in range(n_bits) if dots[b] >= 0)
+    bpb = n_bits // n_bands
+    mask = (1 << bpb) - 1
+    buckets: dict[tuple, list] = {}
+    for i, s in sigs.items():
+        for b in range(n_bands):
+            buckets.setdefault((b, (s >> (b * bpb)) & mask), []).append(i)
+    cands = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        for a in members:
+            for c in members:
+                if a < c:
+                    cands.add((a, c))
+    want = set()
+    for a, c in cands:
+        dot = int(q[a] @ q[c])
+        if dot > 0 and 4 * dot * dot >= 1 * int(q[a] @ q[a]) * int(q[c] @ q[c]):
+            want.add((a, c))
+    assert got == want
