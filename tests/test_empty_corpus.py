@@ -54,6 +54,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "hybrid_search_rerank",
         "incremental_rollup_merge",
         "binary_hamming_topk",
+        "srp_multiprobe_pairs",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):

@@ -183,3 +183,27 @@ def test_binary_hamming_candidate_recall_weak_regime(spark, sf_dir):
     }
     recall = len(exact & cand) / len(exact)
     assert recall >= 0.5, f"weak-regime candidate recall regressed: {recall}"
+
+
+def test_multiprobe_recall_dominates_exact_banding(spark, emb):
+    """Multi-probe must (a) stay sound, (b) find a strict superset of
+    the exact-band pairs, (c) reach near-total recall of the exact
+    ground truth at the borderline threshold where plain banding
+    plateaus around 80%."""
+    exact = _exact_int8_pairs(spark, emb)
+    plain = {
+        (r.id1, r.id2)
+        for r in srp_ops.srp_neardup_pairs(
+            emb, threshold_num=NUM, threshold_den=DEN
+        ).collect()
+    }
+    multi = {
+        (r.id1, r.id2)
+        for r in srp_ops.srp_multiprobe_pairs(
+            emb, threshold_num=NUM, threshold_den=DEN
+        ).collect()
+    }
+    assert multi <= exact  # soundness: exact verify can't false-positive
+    assert plain <= multi  # 1-bit probing only ADDs candidates
+    if exact:
+        assert len(multi) / len(exact) >= 0.9

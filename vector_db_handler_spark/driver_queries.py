@@ -124,6 +124,7 @@ _DRIVER_FRONT: list[str] = [
     "enriched_stream_by_nation",
     "training_shard_manifest",
     "binary_hamming_topk",
+    "srp_multiprobe_pairs",
     "ivfsq_int8_train_probe",
     "span_dedup_corpus",
     "pack_sequences",
@@ -6352,3 +6353,89 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
         .limit(_BQ_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe SRP (Lv et al. 2007): the probe side also carries each
+# band key with ONE bit flipped, so pairs whose band values differ by
+# ≤1 bit collide — recall at the borderline threshold jumps from ~81%
+# to ~99.9% at the SAME band geometry, for a linear (×5 probe rows)
+# cost.  Oracle replays the flips with xor() literals.
+# ---------------------------------------------------------------------------
+
+_SRP_MP_SQL = f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP}) AS v
+  FROM embeddings, scale
+),
+qvn AS (
+  SELECT vec_id, v,
+         CAST(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) AS BIGINT)
+           AS norm2
+  FROM qv
+),
+planes(b, p) AS (VALUES
+    {_SRP_PLANES_SQL}
+),
+bits AS (
+  SELECT q.vec_id, p.b,
+         CASE WHEN list_dot_product(CAST(q.v AS DOUBLE[]), CAST(p.p AS DOUBLE[])) >= 0
+              THEN CAST(1 AS BIGINT) << p.b ELSE CAST(0 AS BIGINT) END AS bit
+  FROM qv q, planes p
+),
+sigs AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id),
+bands AS (
+  SELECT s.vec_id, b.band_idx, (s.sig >> (b.band_idx * 4)) & 15 AS band_val
+  FROM sigs s,
+       (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band_idx)
+),
+census AS (
+  SELECT band_idx, band_val FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 200
+),
+kept AS (SELECT bands.* FROM bands JOIN census USING (band_idx, band_val)),
+probe AS (
+  SELECT b.vec_id, b.band_idx, f.v AS band_val
+  FROM bands b,
+       unnest([b.band_val, xor(b.band_val, 1), xor(b.band_val, 2),
+               xor(b.band_val, 4), xor(b.band_val, 8)]) AS f(v)
+),
+kept_probe AS (SELECT p.* FROM probe p JOIN census USING (band_idx, band_val)),
+cands AS (
+  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+  FROM kept_probe x JOIN kept y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.vec_id < y.vec_id
+),
+dots AS (
+  SELECT c.id1, c.id2, q1.norm2 AS n1, q2.norm2 AS n2,
+         CAST(list_dot_product(CAST(q1.v AS DOUBLE[]), CAST(q2.v AS DOUBLE[]))
+              AS BIGINT) AS dot
+  FROM cands c
+  JOIN qvn q1 ON q1.vec_id = c.id1
+  JOIN qvn q2 ON q2.vec_id = c.id2
+)
+SELECT id1, id2,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(n1 AS DOUBLE)) * SQRT(CAST(n2 AS DOUBLE))), 6) AS score
+FROM dots
+WHERE dot > 0 AND 400 * dot * dot >= 81 * n1 * n2
+"""
+
+
+@register("srp_multiprobe_pairs", _SRP_MP_SQL)
+def srp_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP near-dup: probe keys include every 1-bit flip
+    of each band value, lifting borderline-pair recall from ~81% to
+    ~99.9% at the same 8×4-bit geometry for a ×5 (linear) probe-row
+    cost — the recall dial that does NOT add bands or shuffle volume
+    quadratically."""
+    from vector_db_handler_spark.operators.srp import srp_multiprobe_pairs as mp
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mp(emb, threshold_num=9, threshold_den=20, seed=_SRP_SEED, max_bucket=200)
