@@ -90,3 +90,27 @@ def test_stratified_sample_works_unchanged_on_a_stream(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM sample_stream").collect()}
     assert got == want
+
+
+def test_temperature_weights_rebalance_toward_sqrt_mass(spark, sf_dir):
+    """T=2 weights: the rarest stratum gets exactly 1.0, every weight is
+    in (0, 1], and expected sampled mass n_l * w_l is proportional to
+    sqrt(n_l) (checked pairwise to 1e-4 after the 6-decimal rounding)."""
+    rows = sampling_ops.temperature_weights(
+        _docs(spark, sf_dir), "lang", temperature=2.0
+    ).collect()
+    n_min = min(r.n_docs for r in rows)
+    ratios = []
+    for r in rows:
+        assert 0.0 < r.doc_weight <= 1.0
+        if r.n_docs == n_min:
+            assert r.doc_weight == 1.0
+        ratios.append((r.n_docs * r.doc_weight) / (r.n_docs**0.5))
+    assert max(ratios) - min(ratios) < 1e-3 * max(ratios)
+
+
+def test_temperature_one_is_natural_distribution(spark, sf_dir):
+    rows = sampling_ops.temperature_weights(
+        _docs(spark, sf_dir), "lang", temperature=1.0
+    ).collect()
+    assert all(r.doc_weight == 1.0 for r in rows)

@@ -87,3 +87,37 @@ def test_incremental_novel_docs_exact_even_at_high_fpp(spark, sf_dir):
         assert {r["doc_id"] for r in got.collect()} == {
             r["doc_id"] for r in expect.collect()
         }
+
+
+def test_kmv_estimate_within_expected_error(spark, sf_dir):
+    """KMV relative error is ~1/sqrt(k-2); with k=64 a 3-sigma bound is
+    ~38%.  Assert each group's estimate lands within 40% of the exact
+    distinct count (deterministic fixtures -> deterministic margin)."""
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: (r.n_kept, r.distinct_est)
+        for r in sketches.kmv_distinct_by(ev, "event_type", "user_id", k=64).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for etype, (n_kept, est) in got.items():
+        if n_kept < 64:
+            assert est == exact[etype], f"{etype}: sub-k group must be exact"
+        else:
+            rel = abs(est - exact[etype]) / exact[etype]
+            assert rel < 0.40, f"{etype}: est={est} exact={exact[etype]} rel={rel:.2f}"
+
+
+def test_kmv_salted_two_pass_matches_naive_single_window(spark, sf_dir):
+    """The fanout-salted two-pass top-k must select EXACTLY the rows a
+    single per-group window would (the oracle's plan) — for any fanout."""
+    ev = load_table(spark, sf_dir, "events")
+    base = sketches.kmv_distinct_by(ev, "event_type", "user_id", k=32, fanout=1)
+    for fanout in (4, 64):
+        alt = sketches.kmv_distinct_by(ev, "event_type", "user_id", k=32, fanout=fanout)
+        assert sorted(map(tuple, base.collect())) == sorted(map(tuple, alt.collect()))

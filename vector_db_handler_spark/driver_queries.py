@@ -6439,3 +6439,169 @@ def srp_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return mp(emb, threshold_num=9, threshold_den=20, seed=_SRP_SEED, max_bucket=200)
+
+
+# ---------------------------------------------------------------------------
+# round 6 (continued): deterministic sketches + corpus mixing
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h
+)
+SELECT event_type,
+       COUNT(*) AS n_kept,
+       MAX(hv) AS kth_hash,
+       ROUND(CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float(_KMV_K - 1)!r} * 1152921504606846976.0
+                       / CAST(MAX(hv) AS DOUBLE) END,
+             6) AS distinct_est
+FROM r
+WHERE rk <= {_KMV_K}
+GROUP BY event_type
+"""
+
+
+@register("kmv_distinct_users_by_type", _KMV_SQL)
+def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the K-Minimum-Values sketch —
+    the deterministic (hash-checkable) counterpart of HLL++
+    `approx_count_distinct`.  The Spark side selects the k smallest
+    hashes with a salted two-pass window (no unbounded per-group sort
+    partition at scale); the oracle takes the naive single-window
+    route — same rows, different physical plan."""
+    from vector_db_handler_spark.operators.sketches import kmv_distinct_by
+
+    return kmv_distinct_by(
+        load(spark, sf_dir, "events"), "event_type", "user_id", k=_KMV_K
+    )
+
+
+_TEMP_WEIGHTS_SQL = """
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+SELECT lang, n_docs,
+       ROUND(SQRT(CAST(MIN(n_docs) OVER () AS DOUBLE)
+                  / CAST(n_docs AS DOUBLE)), 6) AS doc_weight
+FROM c
+"""
+
+
+@register("lang_temperature_weights", _TEMP_WEIGHTS_SQL)
+def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-2 (UniMax-style) per-language document sampling
+    weights: rarest language's docs get weight 1.0, head languages get
+    sqrt(n_min/n_l) — expected sampled mass ∝ sqrt(n_l).  Only divide
+    and sqrt (both IEEE correctly-rounded) touch doubles, so the hash
+    check needs no tolerance."""
+    return sampling_ops.temperature_weights(
+        load(spark, sf_dir, "documents"), "lang", temperature=2.0
+    )
+
+
+_SCD2_SQL = """
+WITH dim AS (
+  SELECT c_custkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+         c_mktsegment AS segment,
+         DATE '2024-01-01' AS vf,
+         CAST(NULL AS DATE) AS vt
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2))
+              + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS acctbal,
+         c_mktsegment AS segment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, CAST('0.00' AS DECIMAL(18,2)), 'NEW'
+  FROM customer WHERE c_custkey % 97 = 0
+),
+j AS (
+  SELECT d.c_custkey AS dk, d.acctbal AS da, d.segment AS ds, d.vf, d.vt,
+         u.c_custkey AS uk, u.acctbal AS ua, u.segment AS us,
+         (d.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+          AND (d.acctbal <> u.acctbal OR d.segment <> u.segment)) AS chg
+  FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
+)
+SELECT dk AS c_custkey, CAST(da AS DOUBLE) AS acctbal, ds AS segment,
+       CAST(vf AS VARCHAR) AS valid_from,
+       COALESCE(CAST(vt AS VARCHAR), '9999-12-31') AS valid_to,
+       TRUE AS is_current
+FROM j WHERE dk IS NOT NULL AND NOT chg
+UNION ALL
+SELECT dk, CAST(da AS DOUBLE), ds, CAST(vf AS VARCHAR), '2024-06-01', FALSE
+FROM j WHERE chg
+UNION ALL
+SELECT uk, CAST(ua AS DOUBLE), us, '2024-06-01', '9999-12-31', TRUE
+FROM j WHERE chg OR dk IS NULL
+"""
+
+
+@register("scd2_customer_merge", _SCD2_SQL)
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 MERGE: reconcile a deterministic change batch (every
+    7th customer gets +100.00 acctbal; every 97th key reappears shifted
+    +1,000,000 as a brand-new customer) against the customer dimension
+    snapshot.  Changed rows are closed out AND re-opened at the batch
+    date; unchanged and historical rows are carried; new keys insert.
+    One broadcast outer join + three unioned projections — the logical
+    plan a lakehouse MERGE INTO compiles to, minus the transaction
+    log (see operators/merge.py module docstring).  Open intervals are
+    emitted with the conventional '9999-12-31' sentinel instead of
+    NULL so the driver's value compare never sees a NULL cell."""
+    from vector_db_handler_spark.operators.merge import scd2_merge
+
+    cust = load(spark, sf_dir, "customer")
+    dec = "decimal(18,2)"
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast(dec).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("2024-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal").cast(dec) + F.lit(100).cast(dec))
+            .cast(dec)
+            .alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("0.00").cast(dec).alias("acctbal"),
+                F.lit("NEW").alias("segment"),
+            )
+        )
+    )
+    merged = scd2_merge(
+        dim,
+        F.broadcast(updates),
+        "c_custkey",
+        ["acctbal", "segment"],
+        "2024-06-01",
+    )
+    return merged.select(
+        "c_custkey",
+        F.col("acctbal").cast("double").alias("acctbal"),
+        "segment",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.coalesce(F.col("valid_to").cast("string"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        "is_current",
+    )

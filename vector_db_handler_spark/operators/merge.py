@@ -1,0 +1,111 @@
+"""MERGE / upsert semantics on immutable storage: SCD Type-2 history.
+
+Not present in the reference (its store mutates qdrant points in
+place, `app/database_handler.py` upsert/update paths); mandated by the
+extension brief's 100 TB mutation story.  On an object store you never
+update a row — you rewrite the affected files.  The two standard
+shapes are:
+
+* filter-delete / truncate — already covered by the store's staged
+  partition rewrite (``store.py`` delete family);
+* MERGE — reconcile a (small) change batch against a (huge) dimension
+  snapshot.  Delta Lake / Iceberg implement it as: join the batch to
+  the snapshot to find touched files, rewrite only those, keep
+  history.  ``scd2_merge`` expresses the Type-2 flavor (full row
+  history with validity intervals) as ONE outer join + unions — the
+  exact logical plan a lakehouse MERGE compiles to, minus the
+  file-level transaction log.
+
+Scale shape: the dimension side streams through untouched except for
+the join; the change batch is typically ≤ a few million rows → Spark
+broadcasts it (AQE does this automatically under the threshold, and
+callers can force it with ``F.broadcast``).  The three output legs
+(carried rows, closed-out versions, new versions) are unions of
+projections over the SAME join result, so Catalyst reuses one
+exchange.  Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    tracked_cols: list[str],
+    batch_date: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Apply a change batch to an SCD Type-2 dimension.
+
+    ``dim`` carries ``key_col``, ``tracked_cols``, ``valid_from``
+    (date), ``valid_to`` (date, NULL while open) and ``current_flag``.
+    ``updates`` carries ``key_col`` + ``tracked_cols`` — the desired
+    current attribute values as of ``batch_date``.
+
+    Row fates:
+
+    * historical rows (``is_current = false``) — carried unchanged;
+    * current rows with no matching update — carried unchanged;
+    * current rows whose update matches every tracked value — carried
+      unchanged (idempotent no-op, the property that makes replaying a
+      batch safe);
+    * current rows with a differing update — emitted TWICE: the old
+      version closed out (``valid_to = batch_date``, flag false) and a
+      new open version with the update's values;
+    * update keys absent from the dimension — inserted as new open
+      rows.
+
+    One equi-join on the key + three projections unioned; the join is
+    broadcast when ``updates`` is small (the normal case — pass
+    ``F.broadcast(updates)`` to force it)."""
+    bdate = F.to_date(F.lit(batch_date))
+    u_cols = [key_col, *tracked_cols]
+    upd = updates.select(*[F.col(c).alias(f"_u_{c}") for c in u_cols])
+
+    current = dim.filter(F.col(current_flag))
+    history = dim.filter(~F.col(current_flag))
+
+    joined = current.join(
+        upd, current[key_col] == upd[f"_u_{key_col}"], "full_outer"
+    )
+    matched = F.col(key_col).isNotNull() & F.col(f"_u_{key_col}").isNotNull()
+    differs = matched & ~F.struct(*[F.col(c) for c in tracked_cols]).eqNullSafe(
+        F.struct(*[F.col(f"_u_{c}") for c in tracked_cols])
+    )
+
+    dim_schema = [key_col, *tracked_cols, valid_from, valid_to, current_flag]
+
+    # Leg 1: current rows carried unchanged (no update, or a no-op one).
+    carried = joined.filter(
+        F.col(key_col).isNotNull() & ~differs
+    ).select(*dim_schema)
+
+    # Leg 2: closed-out versions of changed rows.
+    closed = joined.filter(differs).select(
+        F.col(key_col),
+        *[F.col(c) for c in tracked_cols],
+        F.col(valid_from),
+        bdate.alias(valid_to),
+        F.lit(False).alias(current_flag),
+    )
+
+    # Leg 3: new open versions — changed rows and brand-new keys.
+    fresh = joined.filter(
+        differs | F.col(key_col).isNull()
+    ).select(
+        F.col(f"_u_{key_col}").alias(key_col),
+        *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
+        bdate.alias(valid_from),
+        F.lit(None).cast("date").alias(valid_to),
+        F.lit(True).alias(current_flag),
+    )
+
+    return history.select(*dim_schema).unionByName(carried).unionByName(
+        closed
+    ).unionByName(fresh)

@@ -83,6 +83,48 @@ def stratified_sample(
     return df.filter(sample_bucket(F.col(key_col), salt) < cut)
 
 
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Per-stratum document sampling weights for temperature-rebalanced
+    corpus mixing (the UniMax / multilingual-LM recipe: language l with
+    n_l docs is sampled with probability ∝ n_l^(1/T), flattening the
+    head languages without starving the tail).
+
+    Emits ``(stratum, n_docs, doc_weight)`` where ``doc_weight`` is the
+    PER-DOCUMENT acceptance weight, normalized so the rarest stratum's
+    docs get weight 1.0: ``doc_weight_l = (n_min / n_l)^(1 - 1/T)``.
+    Sampling each doc with this weight yields per-stratum expected mass
+    ∝ n_l^(1/T) — exactly the temperature-T distribution.  T=1 keeps
+    the natural distribution (all weights 1); T→∞ equalizes strata.
+
+    Cross-engine determinism: ``n_min / n_l`` is one correctly-rounded
+    IEEE division of two exact integers and ``pow`` is applied to the
+    same double in both engines, so the DuckDB oracle hash-matches
+    without tolerance.  Scale shape: one map-side-combined count per
+    stratum; the window that finds n_min runs over the stratum-count
+    RESULT (|languages| rows, small by construction), not the corpus.
+    Feed the output to ``stratified_sample``/``hash_sample`` rates for
+    the actual row filter — that stays a scan-fused stateless filter.
+
+    IEEE guarantees correct rounding for divide and sqrt but NOT for
+    pow, so only T=2 (exponent 1/2 → ``sqrt``) is promised bit-exact
+    across engines; other temperatures use ``pow`` and may differ in
+    the last ulp (pin those with a tolerance, not a hash)."""
+    exponent = 1.0 - 1.0 / temperature
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    ratio = F.min("n_docs").over(w).cast("double") / F.col("n_docs").cast("double")
+    weight = F.sqrt(ratio) if exponent == 0.5 else F.pow(ratio, F.lit(exponent))
+    return counts.select(
+        F.col(strata_col),
+        F.col("n_docs"),
+        F.round(weight, 6).alias("doc_weight"),
+    )
+
+
 def per_group_sample_k(
     df: DataFrame,
     k: int,

@@ -31,8 +31,10 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from vector_db_handler_spark.functions.text import portable_hash60
 
 
 def approx_distinct_by(
@@ -57,6 +59,69 @@ def value_quantiles(
         F.percentile_approx(
             value_col, F.array(*[F.lit(float(p)) for p in probabilities]), accuracy
         ).alias("quantiles")
+    )
+
+
+#: portable_hash60's range: hashes are uniform in [0, 2^60).
+_HASH_SPACE = float(1 << 60)
+
+
+def kmv_distinct_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    fanout: int = 16,
+) -> DataFrame:
+    """Per-group K-Minimum-Values distinct-count sketch — the
+    DETERMINISTIC sibling of ``approx_distinct_by`` (HLL++ sketch bytes
+    are engine-internal; KMV is pure SQL, so the driver hash-checks it
+    against the DuckDB oracle bit-for-bit).
+
+    Estimator (Bar-Yossef et al., RANDOM'02): hash every value with the
+    portable 60-bit md5 hash; if a group keeps the k smallest distinct
+    hashes and the k-th is ``h_k``, the distinct count is
+    ``(k-1) / (h_k / 2^60)``.  Groups with fewer than k distinct values
+    hold ALL their hashes, so the "estimate" is exact there.
+
+    Output: ``(group, n_kept, kth_hash, distinct_est)``.
+
+    Scale shape: the k-smallest-per-group selection is TWO bounded
+    window passes, not one giant per-group sort.  Pass 1 ranks within
+    (group, hash % fanout) — ``fanout`` sub-partitions per group, each
+    keeping k rows, so no single window partition ever sees more than
+    ~distinct/fanout rows (window partitions must fit an executor;
+    one unsalted pass over a billion-distinct group would not).  Pass 2
+    ranks the surviving fanout*k rows per group.  Both passes shuffle
+    only (group, hash) pairs after a distinct that itself map-side
+    combines.  The DuckDB oracle takes the single-window route — same
+    rows, different physical plan, which is the point of the test."""
+    h = portable_hash60(F.col(value_col).cast("string")).alias("hv")
+    distinct = df.select(F.col(group_col), h).distinct()
+
+    w1 = Window.partitionBy(group_col, F.col("hv") % fanout).orderBy("hv")
+    survivors = (
+        distinct.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("hv")
+    kept = (
+        survivors.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_r2")
+    )
+    n_kept = F.count(F.lit(1))
+    kth = F.max("hv")
+    return kept.groupBy(group_col).agg(
+        n_kept.alias("n_kept"),
+        kth.alias("kth_hash"),
+        F.round(
+            F.when(n_kept < k, n_kept.cast("double")).otherwise(
+                F.lit(float(k - 1) * _HASH_SPACE) / kth.cast("double")
+            ),
+            6,
+        ).alias("distinct_est"),
     )
 
 
