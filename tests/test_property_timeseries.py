@@ -75,3 +75,71 @@ def test_range_join_pairs_matches_bruteforce(spark, events, window_us):
             if k1 == k2 and ordered and 0 <= u2 - u1 <= window_us * 1_000_000:
                 want.add((k1, i1, i2, u2 - u1))
     assert got == want
+
+
+# --- gap-fill + EWMA ---------------------------------------------------------
+
+_DAYS = st.integers(min_value=0, max_value=15)
+_MICRO = st.integers(min_value=-3_000_000, max_value=3_000_000)
+_SERIES = st.lists(st.tuples(_KEYS, _DAYS, _MICRO), min_size=1, max_size=16)
+
+
+def _series_df(spark, rows):
+    data = [
+        (int(k), f"2024-03-{d + 1:02d} 12:00:00", m / 1e6)
+        for k, d, m in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, ts_s string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_SERIES)
+def test_gapfill_is_dense_and_mass_preserving(spark, rows):
+    """The filled series has EXACTLY (max-min+1) consecutive days per
+    key, and its total day_value equals the exact decimal sum of the
+    raw values (zero-fill adds no mass)."""
+    df = _series_df(spark, rows)
+    out = ts_ops.gapfill_daily(df).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.user_id, []).append(r)
+    import datetime as dt
+    from decimal import Decimal
+
+    for k, rs in by_key.items():
+        days = sorted(r.day for r in rs)
+        assert days[-1] - days[0] == dt.timedelta(days=len(days) - 1)
+        assert len(set(days)) == len(days)
+        raw = sum(
+            Decimal(m) for kk, d, m in rows if kk == k
+        )  # micro-units, exact
+        got = sum(Decimal(str(r.day_value)) * 1_000_000 for r in rs)
+        assert got == raw
+        for r in rs:
+            assert r.is_gap == (r.n_events == 0)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_SERIES)
+def test_ewma_matches_pure_python_reference(spark, rows):
+    """ewma_num equals the literal truncated convolution computed in
+    arbitrary-precision Python over the same dense series."""
+    df = _series_df(spark, rows)
+    gf = ts_ops.gapfill_daily(df)
+    got = {
+        (r.user_id, str(r.day)): r.ewma_num for r in ts_ops.ewma_daily(gf).collect()
+    }
+    dense: dict[int, list] = {}
+    for r in sorted(gf.collect(), key=lambda r: (r.user_id, r.day)):
+        dense.setdefault(r.user_id, []).append(
+            (str(r.day), int(r.day_value * 1_000_000))
+        )
+    for k, series in dense.items():
+        micros = [m for _, m in series]
+        for t, (day, _) in enumerate(series):
+            want = sum(
+                micros[t - j] * (1 << (15 - j)) for j in range(16) if t - j >= 0
+            )
+            assert got[(k, day)] == want, (k, day)

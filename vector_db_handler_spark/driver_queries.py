@@ -6605,3 +6605,94 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "is_current",
     )
+
+
+_GAPFILL_BASE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS day_value,
+         COUNT(*) AS n_events
+  FROM events WHERE user_id < 40 GROUP BY 1, 2
+),
+b AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+),
+gf AS (
+  SELECT s.user_id, s.day,
+         COALESCE(d.day_value, 0) AS day_value,
+         COALESCE(d.n_events, 0) AS n_events,
+         d.n_events IS NULL AS is_gap
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+"""
+
+_GAPFILL_SQL = (
+    _GAPFILL_BASE
+    + """
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       CAST(day_value AS DOUBLE) AS day_value, n_events, is_gap
+FROM gf
+"""
+)
+
+
+@register("gapfill_user_daily", _GAPFILL_SQL)
+def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily series: one row per calendar day between a
+    user's first and last event, zero-filled with an is_gap flag.  The
+    spine is sequence()+explode (generated, not shuffled); only the
+    daily aggregate touches the raw events."""
+    from vector_db_handler_spark.operators.timeseries import gapfill_daily
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    gf = gapfill_daily(ev)
+    return gf.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.col("day_value").cast("double").alias("day_value"),
+        "n_events",
+        "is_gap",
+    )
+
+
+def _ewma_terms_sql(lookback: int = 16) -> str:
+    terms = ["micro * %d" % (1 << (lookback - 1))]
+    terms += [
+        "COALESCE(LAG(micro, %d) OVER w, 0) * %d" % (j, 1 << (lookback - 1 - j))
+        for j in range(1, lookback)
+    ]
+    return " + ".join(terms)
+
+
+_EWMA_SQL = (
+    _GAPFILL_BASE
+    + f"""
+, m AS (SELECT user_id, day, CAST(day_value * 1000000 AS BIGINT) AS micro FROM gf)
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       {_ewma_terms_sql(16)} AS ewma_num,
+       CAST({_ewma_terms_sql(16)} AS DOUBLE) / 65536.0 / 1000000.0 AS ewma
+FROM m
+WINDOW w AS (PARTITION BY user_id ORDER BY day)
+"""
+)
+
+
+@register("ewma_user_daily", _EWMA_SQL)
+def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated half-life-1-day EWMA over the gap-filled daily series,
+    computed exactly in integers (16 lag taps on ONE window spec = one
+    shuffle; weight tail below 2^-16 dropped by construction).  The
+    float column is derived by two IEEE-exact divisions at the end, so
+    the hash check needs no tolerance."""
+    from vector_db_handler_spark.operators.timeseries import ewma_daily, gapfill_daily
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    out = ewma_daily(gapfill_daily(ev))
+    return out.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        "ewma_num",
+        "ewma",
+    )

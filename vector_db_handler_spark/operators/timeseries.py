@@ -170,3 +170,94 @@ def rollup_by_day_type(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             "sum_value",
         )
     )
+
+
+def gapfill_daily(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regularize an event stream into a dense per-key daily series:
+    one row per (key, calendar day) between the key's first and last
+    event, with ``day_value`` (exact DECIMAL day sum, 0 on gap days),
+    ``n_events`` and an ``is_gap`` flag.
+
+    Dense grids are the precondition for every window feature
+    (EWMA, rolling mean, lag features): a ROWS frame over a gappy
+    series silently mixes lookback horizons.
+
+    Scale shape: the daily aggregate is one map-side-combined shuffle;
+    the per-key (min, max) bounds are a second tiny aggregate over the
+    DAILY result (|keys| rows); the spine is ``sequence() + explode``
+    — generated, never shuffled — and the final left join re-keys on
+    (key, day), the same key the daily agg just hashed on.  Nothing
+    scales with the raw event count except the first aggregate."""
+    daily = df.groupBy(F.col(user_col), F.to_date(ts_col).alias("day")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = daily.groupBy(user_col).agg(
+        F.min("day").alias("_mn"), F.max("day").alias("_mx")
+    )
+    spine = bounds.select(
+        F.col(user_col), F.explode(F.sequence("_mn", "_mx")).alias("day")
+    )
+    zero = F.lit(0).cast(dict(daily.dtypes)["day_value"])
+    return spine.join(daily, [user_col, "day"], "left").select(
+        F.col(user_col),
+        F.col("day"),
+        F.coalesce("day_value", zero).alias("day_value"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+#: Truncated-EWMA lookback: weights 2^-(j+1) for j in [0, EWMA_J);
+#: the dropped tail carries < 2^-EWMA_J of the total weight.
+EWMA_J = 16
+
+
+def ewma_daily(
+    gapfilled: DataFrame,
+    user_col: str = "user_id",
+    day_col: str = "day",
+    value_col: str = "day_value",
+    lookback: int = EWMA_J,
+) -> DataFrame:
+    """Exponentially-weighted moving average over a dense daily series,
+    computed EXACTLY in integers so any engine reproduces it bit for
+    bit.
+
+    The classic recurrence ``y_t = a·x_t + (1-a)·y_{t-1}`` is a
+    sequential scan — hostile to both distributed execution and
+    cross-engine float determinism (infinite tail, order-sensitive
+    rounding).  With a = 1/2 the weights are 2^-(j+1), so truncating at
+    ``lookback`` days bounds the dropped mass at 2^-lookback (≈1.5e-5
+    for 16) and turns the scan into a FIXED window: ``ewma_num =
+    Σ_{j<J} micro(x_{t-j}) · 2^(J-1-j)`` — an integer, built from J
+    ``lag()`` taps sharing ONE window spec (one shuffle on the key).
+    The float ``ewma`` is derived by two IEEE-exact divisions
+    (2^J, then the micro scale) at the very end.
+
+    Requires the DENSE series from ``gapfill_daily`` — on a gappy
+    series, lag taps would skip calendar days and stretch the horizon."""
+    w = W.partitionBy(user_col).orderBy(day_col)
+    micro = (F.col(value_col) * 1_000_000).cast("long")
+    df = gapfilled.withColumn("_micro", micro)
+    num = F.lit(0).cast("long")
+    for j in range(lookback):
+        # j == 0 is the current row — no lag() call, so engines that
+        # reject or special-case offset 0 can't disagree.
+        tap = (
+            F.col("_micro")
+            if j == 0
+            else F.coalesce(F.lag("_micro", j).over(w), F.lit(0))
+        )
+        num = num + tap * F.lit(1 << (lookback - 1 - j))
+    return df.select(
+        F.col(user_col),
+        F.col(day_col),
+        num.alias("ewma_num"),
+        (num.cast("double") / float(1 << lookback) / 1e6).alias("ewma"),
+    )
