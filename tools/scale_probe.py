@@ -572,6 +572,64 @@ def winnow_guard(n_docs: int = 20_000, max_postings: int = 20) -> None:
     )
 
 
+def ppjoin(mult: int = 4, threshold: float = 0.6) -> None:
+    """Prefix-filter (PPJoin) candidate-volume A/B vs the full inverted
+    index, at 1x and ``mult``x the sf0.1 documents corpus (replicas get
+    shifted ids, so every replica group is a true dup cluster — the
+    hard case, since candidates CANNOT drop below true pairs)."""
+    from vector_db_handler_spark.operators.dedup import (
+        hashed_shingle_index,
+        ppjoin_candidates,
+        ppjoin_prefix_index,
+        prefix_filter_jaccard_pairs,
+    )
+
+    spark = get_spark("ppjoin-probe")
+    docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for m in (1, mult):
+        docs = docs0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            docs = docs0.crossJoin(reps).select(
+                (F.col("doc_id") * m + F.col("rep")).alias("doc_id"), "text"
+            )
+        n = docs.count()
+        sh = hashed_shingle_index(docs).cache()
+        postings = sh.count()
+        prefix = ppjoin_prefix_index(sh, threshold)
+        pre_postings = prefix.count()
+        t0 = time.perf_counter()
+        cand_pre = ppjoin_candidates(prefix, threshold).count()
+        t_pre = time.perf_counter() - t0
+        a, b = sh.alias("a"), sh.alias("b")
+        t0 = time.perf_counter()
+        cand_full = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .distinct()
+            .count()
+        )
+        t_full = time.perf_counter() - t0
+        sh.unpersist()
+        t0 = time.perf_counter()
+        pairs = prefix_filter_jaccard_pairs(docs, threshold).count()
+        t_e2e = time.perf_counter() - t0
+        print(
+            f"ppjoin @ {n} docs: postings {postings:,} -> prefix {pre_postings:,} "
+            f"({postings / max(pre_postings, 1):.1f}x fewer); candidates full "
+            f"{cand_full:,} ({t_full:.1f}s) -> prefix {cand_pre:,} ({t_pre:.1f}s, "
+            f"{cand_full / max(cand_pre, 1):.1f}x fewer); "
+            f"{pairs} true pairs end-to-end {t_e2e:.1f}s"
+        )
+
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -594,6 +652,8 @@ if __name__ == "__main__":
         srp_guard(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "winnow_guard":
         winnow_guard(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
+        ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "ann":
         ann_neardup(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000)
     else:

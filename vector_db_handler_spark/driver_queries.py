@@ -6696,3 +6696,33 @@ def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ewma_num",
         "ewma",
     )
+
+
+_PPJOIN_SQL = f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+sh AS (SELECT doc_id, {_sql_hash("shingle", 15)} AS h FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS nc
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ROUND(CAST(nc AS DOUBLE) / (s1.n + s2.n - nc), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(nc AS DOUBLE) / (s1.n + s2.n - nc) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@register("ppjoin_jaccard_pairs", _PPJOIN_SQL)
+def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-space Jaccard >= 0.6 pairs via PPJoin prefix
+    filtering: each doc indexes only its (1-t)n+1 globally-rarest
+    shingles (complete by pigeonhole), the self-join runs over those
+    prefixes with the length filter inline, and exact verification
+    touches candidates only.  The oracle is the brute full-index SQL —
+    the match proves the prefix candidates lost nothing."""
+    return dedup_ops.prefix_filter_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=_NGRAM_THRESHOLD
+    )

@@ -28,7 +28,7 @@ so the DuckDB oracles replay them exactly.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_db_handler_spark.functions.text import portable_hash28, portable_hash60
@@ -158,6 +158,107 @@ def ngram_jaccard_pairs(
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
     # Eager pairs + release the cached index: see simhash_neardup_pairs.
+    pairs = pairs.localCheckpoint(eager=True)
+    sh_cached.unpersist()
+    return pairs
+
+
+def ppjoin_prefix_index(
+    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Prefix rows ``(doc_id, h, n)`` for the prefix-filter candidate
+    join (PPJoin, Xiao et al., WWW'08 §3.1).
+
+    Order every document's shingles by GLOBAL rarity (ascending
+    document frequency, hash tie-break — a total order both engines
+    share) and keep only the first ``n − ⌈t·n⌉ + 1``.  Two sets with
+    Jaccard ≥ t MUST share a token inside these prefixes (pigeonhole:
+    skipping a set's whole prefix leaves fewer than t·n shared
+    tokens), so joining prefixes is a complete candidate generator.
+
+    Why it beats the plain inverted index at scale: the full index
+    pairs documents through their most COMMON shingles (a token in
+    f·N docs contributes (f·N)² candidate pairs); the prefix keeps
+    each document's RAREST tokens, so hot tokens are systematically
+    excluded from the join key space — candidate volume drops with
+    threshold ((1−t)·|X|+1 postings per doc) AND skew drops with it.
+    A longer-than-minimal prefix only adds candidates, never drops
+    one, so float ceil() slack is safe."""
+    doc_freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("h").asc())
+    ranked = (
+        sh.join(doc_freq, "h")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    return ranked.filter(F.col("pos") <= plen).select(id_col, "h", "n")
+
+
+def ppjoin_candidates(prefix: DataFrame, threshold: float) -> DataFrame:
+    """Distinct candidate pairs from the prefix index, with the length
+    filter (|Y| ≥ ⌈t·|X|⌉ both ways — a pair failing it can't reach
+    Jaccard t no matter the overlap) applied INSIDE the join."""
+    a, b = prefix.alias("a"), prefix.alias("b")
+    t = F.lit(threshold)
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.ceil(t * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(t * F.col("b.n"))),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact full-space Jaccard-≥-threshold pairs via PPJoin prefix
+    filtering: candidates from ``ppjoin_candidates`` (complete by
+    construction), then exact intersection counting over candidates
+    only.
+
+    Same OUTPUT as ``ngram_jaccard_pairs`` with no stop-shingle guard
+    — but the self-join runs over per-doc prefixes ((1−t)·n + 1 rows
+    per doc) instead of the whole inverted index, and the verify join
+    touches only candidate pairs.  Where the stop-shingle guard
+    REDEFINES Jaccard over a filtered token space, the prefix filter
+    is a pure optimization of the exact semantics — the two are
+    complementary (guard for adversarial hot keys, prefix for
+    candidate volume).  Shuffle profile: doc-frequency agg, one
+    window on doc_id, prefix self-join, two candidate-sided joins +
+    pair agg — every exchange keyed on int64."""
+    sh_cached = hashed_shingle_index(docs, text_col, id_col, k).cache()
+    prefix = ppjoin_prefix_index(sh_cached, threshold, id_col)
+    cand = ppjoin_candidates(prefix, threshold)
+    sizes = sh_cached.groupBy(id_col).agg(F.count("*").alias("n"))
+    common = (
+        cand.join(sh_cached.alias("x"), F.col("d1") == F.col(f"x.{id_col}"))
+        .join(
+            sh_cached.alias("y"),
+            (F.col("d2") == F.col(f"y.{id_col}")) & (F.col("x.h") == F.col("y.h")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("nc"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("nc") / (F.col("n1") + F.col("n2") - F.col("nc"))
+    pairs = (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
     pairs = pairs.localCheckpoint(eager=True)
     sh_cached.unpersist()
     return pairs
