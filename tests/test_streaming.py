@@ -377,3 +377,49 @@ def test_native_dedup_within_watermark_readmits_after_horizon(spark, tmp_path):
     # dup); 5 re-emitted (hash-7 tombstone evicted once the watermark
     # passed it) — the native analog of the custom TTL re-admission
     assert got == [1, 3, 4, 5]
+
+
+def test_user_anomaly_stream_state_survives_batches(spark, sf_dir, tmp_path):
+    """Splitting a user's history across TWO micro-batches must yield
+    the same flags as one batch: the (count, sum, sumsq) triple carries
+    prefixes across the boundary exactly."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("user_id < 12")
+        .select("event_id", "ts", "user_id", "value")
+    )
+    one = stream_ops.streaming_user_anomaly_gs(
+        spark.readStream.schema(ev.schema).parquet(_write_once(ev, tmp_path / "one"))
+    )
+    stream_ops.run_to_memory(one, "t_anom_one", mode="append")
+    single = {
+        (r.event_id): (r.n_prior, r.is_anomaly)
+        for r in spark.table("t_anom_one").collect()
+    }
+
+    # replay: first half / second half by event time order
+    rows = ev.orderBy("ts", "event_id").collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "two")
+    spark.createDataFrame(rows[:half], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows[half:], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    two = stream_ops.streaming_user_anomaly_gs(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    stream_ops.run_to_memory(two, "t_anom_two", mode="append")
+    split = {
+        (r.event_id): (r.n_prior, r.is_anomaly)
+        for r in spark.table("t_anom_two").collect()
+    }
+    assert split == single and len(single) > 0
+    assert any(flag for _, flag in single.values()), "fixture should flag something"
+
+
+def _write_once(df, path):
+    p = str(path)
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    return p

@@ -6726,3 +6726,42 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.prefix_filter_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=_NGRAM_THRESHOLD
     )
+
+
+_ANOMALY_SQL = """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+  FROM events WHERE user_id < 30
+),
+w AS (
+  SELECT event_id, user_id, x,
+         COUNT(*) OVER wp AS c,
+         COALESCE(SUM(CAST(x AS HUGEINT)) OVER wp, 0) AS s,
+         COALESCE(SUM(CAST(x AS HUGEINT) * x) OVER wp, 0) AS q
+  FROM m
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, CAST(c AS INTEGER) AS n_prior,
+       (c >= 2 AND
+        (c * CAST(x AS HUGEINT) - s) * (c * CAST(x AS HUGEINT) - s)
+          > 9 * (c * q - s * s)) AS is_anomaly
+FROM w
+"""
+
+
+@register("user_anomaly_stream", _ANOMALY_SQL)
+def user_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user 3-sigma anomaly flags from EXACT integer
+    state (count, sum, sumsq in micro-units; the z-test evaluated by
+    integer cross-multiplication, never a float) — hash-checked
+    against a batch window oracle that replays the same prefixes with
+    HUGEINT sums.  Custom stateful operator on applyInPandasWithState;
+    see stream_ops.streaming_user_anomaly_gs for the algebra."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir).filter(F.col("user_id") < 30)
+    out = stream_ops.streaming_user_anomaly_gs(ev)
+    stream_ops.run_to_memory(out, "dq_user_anomaly_stream", mode="append")
+    return spark.table("dq_user_anomaly_stream")

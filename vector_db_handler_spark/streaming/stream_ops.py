@@ -660,3 +660,105 @@ def enrich_stream_with_dim(
     return events_stream.join(
         F.broadcast(dim), events_stream[stream_key] == dim[dim_key], "left"
     )
+
+
+def streaming_user_anomaly_gs(
+    events_stream: DataFrame, z: int = 3
+) -> DataFrame:
+    """Per-user streaming anomaly flags: an event is anomalous when its
+    value sits more than ``z`` standard deviations from the mean of the
+    user's PRIOR events — the classic online z-score monitor, computed
+    EXACTLY in integers.
+
+    Float Welford recurrences drift and are order-sensitive; instead
+    the state is the exact triple (count, Σx, Σx²) in micro-units —
+    Python arbitrary-precision ints inside the processor, persisted as
+    (long, long, DECIMAL(38,0)) since Σx² exceeds int64 fast.  The
+    z-test is evaluated without ever forming a float: with prior count
+    c, sum s, sumsq q and incoming x,
+
+        z² < (x − s/c)² / var  ⟺  (c·x − s)² > z²·(c·q − s²)
+
+    (both sides exact integers — multiply through by c², var =
+    (c·q − s²)/c²).  So the flag any engine computes from the same
+    prefix is IDENTICAL — the DuckDB oracle replays it with HUGEINT
+    window sums (128-bit, same values), and c ≥ 2 gates the undefined-
+    variance prefix.  Zero prior variance flags ANY deviation (the
+    inequality degenerates to (c·x−s)² > 0), which is the formula's
+    honest limit.
+
+    Scale shape: one shuffle on user_id; state is three numbers per
+    active user; emit is append-mode per event.  Pair with a
+    processing-time TTL to retire idle users (same hook as
+    ``streaming_exact_dedup``).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_prior", T.IntegerType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sum_micro", T.LongType()),
+            T.StructField("sumsq_micro", T.DecimalType(38, 0)),
+        ]
+    )
+    z2 = int(z) * int(z)
+
+    def monitor(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as _pd
+
+        pdf = _pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        if state.exists:
+            cnt, smicro, sumsq = state.get
+            cnt, smicro, sumsq = int(cnt), int(smicro), int(sumsq)
+        else:
+            cnt, smicro, sumsq = 0, 0, 0
+        q6 = Decimal("0.000001")
+        out_ids, out_prior, out_flag = [], [], []
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            x = int(Decimal(repr(float(val))).quantize(q6, ROUND_HALF_UP) * 1_000_000)
+            if cnt >= 2:
+                lhs = (cnt * x - smicro) ** 2
+                rhs = z2 * (cnt * sumsq - smicro * smicro)
+                flag = lhs > rhs
+            else:
+                flag = False
+            out_ids.append(int(eid))
+            out_prior.append(cnt)
+            out_flag.append(bool(flag))
+            cnt += 1
+            smicro += x
+            sumsq += x * x
+        state.update((cnt, smicro, Decimal(sumsq)))
+        yield _pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": int(key[0]),
+                "n_prior": out_prior,
+                "is_anomaly": out_flag,
+            }
+        )
+
+    return (
+        events_stream.select("event_id", "ts", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            monitor,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
