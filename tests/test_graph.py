@@ -1,0 +1,94 @@
+"""Integer PageRank: fixed points, exact hand-computed values, mass
+accounting, and determinism across partitionings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.operators.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_SCALE,
+    pagerank_integer,
+)
+
+_TELEPORT = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_symmetric_cycle_is_fixed_point(spark):
+    """In a 2-cycle every node keeps exactly PR_SCALE: teleport +
+    17/20 of a full share = a full share (no truncation loss when
+    degrees divide evenly)."""
+    out = pagerank_integer(_edges(spark, [(0, 1), (1, 0)]), iters=4).collect()
+    assert {r.node: r.rank for r in out} == {0: PR_SCALE, 1: PR_SCALE}
+
+
+def test_star_graph_matches_python_reference(spark):
+    """Hub-and-spoke (hub 0, leaves 1..5, symmetrized): ranks after 3
+    iterations equal an arbitrary-precision Python replay of the same
+    integer recurrence."""
+    k = 5
+    pairs = [(0, i) for i in range(1, k + 1)] + [(i, 0) for i in range(1, k + 1)]
+    got = {r.node: r.rank for r in pagerank_integer(_edges(spark, pairs), iters=3).collect()}
+
+    deg = {0: k, **{i: 1 for i in range(1, k + 1)}}
+    ranks = {n: PR_SCALE for n in deg}
+    for _ in range(3):
+        contrib = {n: 0 for n in deg}
+        for s, d in pairs:
+            contrib[d] += ranks[s] // deg[s]
+        ranks = {
+            n: _TELEPORT + (PR_DAMP_NUM * contrib[n]) // PR_DAMP_DEN for n in deg
+        }
+    assert got == ranks
+    assert got[0] > got[1]  # hub outranks leaves
+
+
+def test_rank_mass_is_conserved_up_to_truncation(spark, sf_dir):
+    """Total rank stays within [N·S − loss_bound, N·S]: each node's
+    step loses < deg(u) micro-shares to // deg and < DEN to the
+    damping division — integer PageRank's quantified bias."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    iters = 3
+    ranks = pagerank_integer(edges, iters=iters)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    n_nodes = ranks.count()
+    n_edges = edges.count()
+    exact_total = n_nodes * PR_SCALE
+    # per iteration: Σ_u (deg(u)-1) < n_edges truncation on contribs,
+    # + n_nodes·(DEN-1) on the damping division
+    loss_bound = iters * (n_edges + n_nodes * (PR_DAMP_DEN - 1))
+    assert exact_total - loss_bound <= total <= exact_total
+
+
+def test_determinism_across_partitionings(spark):
+    """Repartitioning the edge list cannot change a single rank —
+    integer sums are associative (the property float PageRank lacks)."""
+    import random
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    pairs = [(s, d) for s, d in pairs if s != d]
+    sym = pairs + [(d, s) for s, d in pairs]
+    e = _edges(spark, sym)
+    a = {r.node: r.rank for r in pagerank_integer(e, iters=3).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank_integer(e.repartition(17, "dst"), iters=3).collect()
+    }
+    assert a == b

@@ -6765,3 +6765,109 @@ def user_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream_ops.streaming_user_anomaly_gs(ev)
     stream_ops.run_to_memory(out, "dq_user_anomaly_stream", mode="append")
     return spark.table("dq_user_anomaly_stream")
+
+
+_ROLLING_MEDIAN_SQL = (
+    _GAPFILL_BASE
+    + """
+, m AS (SELECT user_id, day, CAST(day_value * 1000000 AS BIGINT) AS micro FROM gf)
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       MEDIAN(micro) OVER (PARTITION BY user_id ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         / 1000000.0 AS med_7d
+FROM m
+"""
+)
+
+
+@register("rolling_median_7d", _ROLLING_MEDIAN_SQL)
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day median of daily user value over the DENSE
+    gap-filled grid (a ROWS frame is only a calendar window when the
+    series has no holes — gapfill_daily is the precondition, same as
+    ewma_user_daily).  Exact interpolated median over integer
+    micro-units: the midpoint average (a+b)/2 of ints < 2^52 and the
+    final /1e6 are both IEEE-exact, so Spark `percentile` and DuckDB
+    windowed MEDIAN agree bit-for-bit.  One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.operators.timeseries import gapfill_daily
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    gf = gapfill_daily(ev).withColumn(
+        "_micro", (F.col("day_value") * 1_000_000).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return gf.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        (F.expr("percentile(_micro, 0.5)").over(w) / 1e6).alias("med_7d"),
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    from vector_db_handler_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    sql = f"""
+WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+  UNION ALL
+  SELECT s * 2 + 1, p * 2 FROM e0
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.r // d.d) AS cs
+  FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST({teleport} + ({PR_DAMP_NUM} * COALESCE(c.cs, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} c USING (node)
+)"""
+    sql += f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       node // 2 AS entity_id,
+       r AS rank
+FROM r{iters}
+"""
+    return sql
+
+
+@register("pagerank_part_supplier", _pagerank_oracle_sql(3))
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 exact-integer PageRank steps over the symmetrized
+    part–supplier co-occurrence graph from lineitem (damping 17/20,
+    rank mass in 10^12 micro-shares; see operators/graph.py for why
+    integer rank is the only hash-checkable formulation of an
+    iterative float algorithm).  The oracle unrolls the same three
+    iterations as CTEs with HUGEINT sums."""
+    from vector_db_handler_spark.operators.graph import pagerank_integer
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_integer(edges, iters=3)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias("node_type"),
+        F.expr("node div 2").alias("entity_id"),
+        F.col("rank"),
+    )
