@@ -198,3 +198,50 @@ def test_ivf_append_matches_full_rebuild(spark, sf_dir, tmp_path):
     want = sim_ops.ivf_probe_table(spark, full, cents, dq.QUERY_VEC, k=10, nprobe=3).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert any(r["vec_id"] >= 300 for r in got), "appended rows must be probe-reachable"
+
+
+def test_mrl_full_shortlist_degenerates_to_exact_topk(spark, sf_dir):
+    """With shortlist = |corpus| the prefix stage prunes nothing, so
+    the pipeline must return exactly the brute-force full-dim top-k."""
+    from vector_db_handler_spark import driver_queries as dq
+    from vector_db_handler_spark.operators.similarity import mrl_prefix_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    got = [
+        (r.vec_id, r.score)
+        for r in mrl_prefix_rerank(
+            emb, dq.QUERY_VEC, prefix_dims=16, shortlist=n, k=10
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.score)
+        for r in dq.queries()["knn_topk"](spark, sf_dir)
+        .select("vec_id", "score")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_mrl_prefix_stage_reads_only_prefix(spark, sf_dir):
+    """Changing TRAILING dimensions must not change the shortlist:
+    corrupt dims 17..64 of every vector and check stage-1 scores are
+    identical (the byte/FLOP saving claim depends on this)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark import driver_queries as dq
+    from vector_db_handler_spark.functions.vector import cosine_score
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q16 = dq.QUERY_VEC[:16]
+    base = emb.select(
+        "vec_id", cosine_score(F.slice("embedding", 1, 16), q16).alias("s")
+    )
+    corrupted = emb.select(
+        "vec_id",
+        F.concat(
+            F.slice("embedding", 1, 16),
+            F.transform(F.slice("embedding", 17, 48), lambda x: x * -3.0),
+        ).alias("embedding"),
+    ).select("vec_id", cosine_score(F.slice("embedding", 1, 16), q16).alias("s"))
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, corrupted.collect()))

@@ -121,3 +121,42 @@ def test_kmv_salted_two_pass_matches_naive_single_window(spark, sf_dir):
     for fanout in (4, 64):
         alt = sketches.kmv_distinct_by(ev, "event_type", "user_id", k=32, fanout=fanout)
         assert sorted(map(tuple, base.collect())) == sorted(map(tuple, alt.collect()))
+
+
+def test_cms_never_underestimates_and_bounds_error(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sketch = sketches.cms_build(ev, "user_id", depth=4, width=256)
+    probe = ev.select("user_id").distinct()
+    est = {
+        r.user_id: r.cms_est
+        for r in sketches.cms_point_estimates(
+            sketch, probe, "user_id", depth=4, width=256
+        ).collect()
+    }
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    bound = 2 * n_total / 256  # CMS overshoot bound per hash row, e*N/w style
+    assert set(est) == set(exact)
+    over = [est[u] - exact[u] for u in exact]
+    assert all(o >= 0 for o in over), "CMS must never underestimate"
+    # with depth=4 rows, essentially every estimate sits under the bound
+    assert sum(o <= bound for o in over) >= 0.95 * len(over)
+
+
+def test_cms_sketches_merge_by_sum(spark, sf_dir):
+    """CMS(A ∪ B) == groupBy-SUM of CMS(A) + CMS(B) — counter-exact
+    mergeability is what makes the sketch streamable/shardable."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        sketches.cms_build(a, "user_id")
+        .unionByName(sketches.cms_build(b, "user_id"))
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketches.cms_build(ev, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))

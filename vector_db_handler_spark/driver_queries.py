@@ -6871,3 +6871,111 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("entity_id"),
         F.col("rank"),
     )
+
+
+_CMS_D, _CMS_W = 4, 256
+
+_CMS_BUCKET_SQL = (
+    "CAST('0x' || substr(md5('cms' || CAST(t.j AS VARCHAR) || '|' "
+    f"|| CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % {_CMS_W}"
+)
+
+_CMS_SQL = f"""
+WITH js(j) AS (VALUES (0), (1), (2), (3)),
+sk AS (
+  SELECT t.j AS row_id, {_CMS_BUCKET_SQL} AS bucket, COUNT(*) AS cnt
+  FROM events, js t
+  GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+pb AS (
+  SELECT p.user_id, t.j AS row_id, {_CMS_BUCKET_SQL} AS bucket
+  FROM probe p, js t
+),
+est AS (
+  SELECT pb.user_id, MIN(COALESCE(sk.cnt, 0)) AS cms_est
+  FROM pb LEFT JOIN sk USING (row_id, bucket)
+  GROUP BY 1
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events WHERE user_id < 20 GROUP BY 1
+)
+SELECT e.user_id, e.exact_cnt, s.cms_est
+FROM exact e JOIN est s USING (user_id)
+"""
+
+
+@register("cms_user_event_counts", _CMS_SQL)
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter monitor: build a 4×256 CMS over
+    ALL events in one exploded scan (final state ≤ 1,024 counters —
+    kilobytes at any corpus size, mergeable by plain SUM), then
+    point-query 20 users and emit estimate next to exact count.  The
+    deterministic salted-md5 construction makes the whole sketch
+    hash-checkable, unlike engine-internal HLL/KLL bytes; the
+    one-sided error bound (est ≥ exact, ≤ 2N/width overshoot w.h.p.)
+    is pinned by tests/test_sketches.py."""
+    from vector_db_handler_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=_CMS_D, width=_CMS_W)
+    probe = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    est = cms_point_estimates(sketch, probe, "user_id", depth=_CMS_D, width=_CMS_W)
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return exact.join(est, "user_id").select("user_id", "exact_cnt", "cms_est")
+
+
+_MRL_PREFIX_DIMS, _MRL_SHORTLIST, _MRL_K = 16, 50, 10
+_Q16 = QUERY_VEC[:_MRL_PREFIX_DIMS]
+_Q16_SQL = f"CAST({_sql_vec(_Q16)} AS DOUBLE[])"
+_Q16_NORM = math.sqrt(sum(v * v for v in _Q16))
+
+_MRL_SQL = f"""
+WITH pre AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[])[1:{_MRL_PREFIX_DIMS}], {_Q16_SQL})
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[])[1:{_MRL_PREFIX_DIMS}],
+                                  CAST(embedding AS DOUBLE[])[1:{_MRL_PREFIX_DIMS}]))
+            * {_Q16_NORM!r}) AS pre_raw
+  FROM embeddings
+),
+short AS (
+  SELECT * FROM pre ORDER BY pre_raw DESC, vec_id ASC LIMIT {_MRL_SHORTLIST}
+),
+rer AS (
+  SELECT vec_id, pre_raw,
+         list_dot_product(v, {_Q_SQL})
+         / (sqrt(list_dot_product(v, v)) * {QUERY_VEC_NORM!r}) AS score_raw
+  FROM short
+)
+SELECT vec_id, ROUND(pre_raw, 6) AS pre_score, ROUND(score_raw, 6) AS score
+FROM rer
+ORDER BY score_raw DESC, vec_id ASC
+LIMIT {_MRL_K}
+"""
+
+
+@register("mrl_prefix_rerank", _MRL_SQL)
+def mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval: prefix-16 cosine over the whole
+    corpus -> shortlist 50 -> full-64-dim rerank -> top 10.  The
+    oracle replays the literal two-stage pipeline (the contract is
+    the pipeline, not a recall claim — fixture vectors aren't
+    MRL-trained); both stages break ties on (score desc, vec_id) so
+    the shortlist boundary is a total order."""
+    from vector_db_handler_spark.operators.similarity import mrl_prefix_rerank as mrl
+
+    return mrl(
+        load(spark, sf_dir, "embeddings"),
+        QUERY_VEC,
+        prefix_dims=_MRL_PREFIX_DIMS,
+        shortlist=_MRL_SHORTLIST,
+        k=_MRL_K,
+    )

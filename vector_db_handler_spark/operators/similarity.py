@@ -558,3 +558,51 @@ def ivf_probe_table(
     return ivf_probe(
         spark.read.parquet(path), centroids, query_vector, k, nprobe, id_col, vec_col
     )
+
+
+def mrl_prefix_rerank(
+    emb: DataFrame,
+    query: Sequence[float],
+    prefix_dims: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style two-stage retrieval (Kusupati et al., NeurIPS
+    '22): rank the WHOLE corpus by cosine over only the first
+    ``prefix_dims`` dimensions, keep a ``shortlist``, rerank the
+    shortlist with the full vector, return the top ``k``.
+
+    MRL-trained embeddings front-load information into the leading
+    dimensions, so the cheap stage reads prefix_dims/dim of the bytes
+    (with a column layout that stores prefixes separately, that is a
+    proportional scan+FLOP saving across the corpus) while the
+    expensive full-dimension scoring touches only ``shortlist`` rows.
+    The operator's CONTRACT is the two-stage pipeline itself — the
+    oracle replays prefix-score → shortlist → rerank literally, so
+    determinism comes from total ordering ((score desc, id asc) at
+    both stages), not from any recall assumption about untrained
+    fixture vectors.
+
+    Scale shape: stage 1 is a scan + Arrow-batched score + TakeOrdered
+    (no full sort — Spark's ORDER BY + LIMIT plans as a per-partition
+    heap merged on the driver); stage 2 is ``shortlist`` rows,
+    negligible."""
+    qp = [float(v) for v in query[:prefix_dims]]
+    pre = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        cosine_score(F.slice(F.col(vec_col), 1, prefix_dims), qp).alias("pre_raw"),
+    )
+    short = pre.orderBy(F.col("pre_raw").desc(), F.col(id_col).asc()).limit(shortlist)
+    rer = short.select(
+        F.col(id_col),
+        F.round("pre_raw", 6).alias("pre_score"),
+        cosine_score(F.col(vec_col), [float(v) for v in query]).alias("score_raw"),
+    )
+    return (
+        rer.orderBy(F.col("score_raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "pre_score", F.round("score_raw", 6).alias("score"))
+    )

@@ -125,6 +125,78 @@ def kmv_distinct_by(
     )
 
 
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) as a RELATION:
+    ``(row_id, bucket, cnt)`` — depth independent hash rows, width
+    buckets each.  Deterministic (salted portable md5 hashes, no
+    engine-internal state), so unlike HLL++/KLL sketch bytes it is
+    hash-checkable AND mergeable by plain SQL: the union of two
+    sketches combines with one ``SUM`` groupBy, the streaming-friendly
+    property that makes CMS the standard heavy-hitter monitor.
+
+    Built in ONE scan: each row explodes into its depth (row, bucket)
+    coordinates, then one map-side-combined count shuffle of
+    depth·width ≤ a few KB of final state."""
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row_id"),
+                (
+                    portable_hash60(
+                        F.concat(F.lit(f"cms{j}|"), F.col(key_col).cast("string"))
+                    )
+                    % width
+                ).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("e"))
+        .select("e.row_id", "e.bucket")
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the CMS relation for each key: the estimate is the
+    MIN over the key's depth counters (each counter ≥ the true count,
+    so the estimate never underestimates; error ≤ 2N/width with
+    probability 1 − 2^-depth).  A broadcast join of the key set
+    against the ≤ depth·width-row sketch."""
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row_id"),
+                (
+                    portable_hash60(
+                        F.concat(F.lit(f"cms{j}|"), F.col(key_col).cast("string"))
+                    )
+                    % width
+                ).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    probe = keys.select(F.col(key_col), F.explode(coords).alias("e")).select(
+        key_col, "e.row_id", "e.bucket"
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
 def _make_bloom_fns():
     """(mix, set_bits) defined in FUNCTION scope so cloudpickle ships
     them BY VALUE inside UDF closures — a module-level helper would be
