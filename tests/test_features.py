@@ -1,0 +1,80 @@
+"""Feature operators: distributed global rank vs the single-partition
+window, equi-depth bin balance, Markov transition mass."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.operators import features
+from vector_db_handler_spark.sources.tables import load_table
+
+
+def test_global_rank_matches_single_partition_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    got = {
+        r.event_id: r.rank
+        for r in features.global_rank(ev, ["value", "event_id"]).collect()
+    }
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    want = {
+        r.event_id: r.rank
+        for r in ev.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_window_is_partition_keyed(spark, sf_dir):
+    """The scalable shape: the row_number window is keyed on the
+    partition id (parallel, partition-local) — never the global
+    empty-partition window a naive ORDER-BY row_number would plan.
+    (The rangepartitioning exchange itself sits behind the eager
+    localCheckpoint, so the executed plan starts at an RDD scan.)"""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    plan = (
+        features.global_rank(ev, ["value", "event_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(_pid" in plan
+    # every window in the plan carries a partition key
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.strip().startswith("_pid"), spec
+
+
+def test_equi_depth_bins_are_balanced(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    n = ev.count()
+    sizes = {
+        r.bin: r.cnt
+        for r in features.equi_depth_bins(ev, "value", "event_id", n_bins=10)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert set(sizes) == set(range(10))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+
+
+def test_transition_mass_accounting(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = features.transition_counts(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    ).collect()
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in out) == n_events
+    starts = sum(r.n for r in out if r.prev_state == "START")
+    assert starts == n_users
+    # per-prev probabilities sum to 1 up to rounding
+    from collections import defaultdict
+
+    mass = defaultdict(float)
+    for r in out:
+        mass[r.prev_state] += r.p
+    for prev, total in mass.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)

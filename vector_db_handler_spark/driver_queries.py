@@ -6979,3 +6979,71 @@ def mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=_MRL_SHORTLIST,
         k=_MRL_K,
     )
+
+
+_TRANSITIONS_SQL = """
+WITH p AS (
+  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  'START') AS prev_state,
+         event_type AS state
+  FROM events
+),
+c AS (SELECT prev_state, state, COUNT(*) AS n FROM p GROUP BY 1, 2)
+SELECT prev_state, state, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_state) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
+@register("event_type_transitions", _TRANSITIONS_SQL)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    sequences (behavioral features / funnel priors): exact counts, one
+    correctly-rounded division for the probability, START sentinel
+    instead of NULL for sequence heads.  One shuffle for the lag, one
+    map-side-combined count."""
+    from vector_db_handler_spark.operators.features import transition_counts
+
+    return transition_counts(
+        load(spark, sf_dir, "events"), "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+_DECILE_SQL = """
+WITH r AS (
+  SELECT value, event_id,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rnk
+  FROM events
+),
+b AS (
+  SELECT value, ((rnk - 1) * 10) // (SELECT COUNT(*) FROM events) AS bin
+  FROM r
+)
+SELECT bin, COUNT(*) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM b
+GROUP BY bin
+"""
+
+
+@register("value_decile_bins", _DECILE_SQL)
+def value_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth deciles of event value WITHOUT a
+    single-partition window: range-repartition by (value, event_id),
+    per-partition row_number, driver-side prefix sum over partition
+    COUNTS (numPartitions integers, never rows) — bit-identical to
+    the oracle's global ROW_NUMBER because the order key is total.
+    The portable closed form (rank-1)*k div N sidesteps NTILE's
+    engine-specific remainder rule."""
+    from vector_db_handler_spark.operators.features import equi_depth_bins
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    binned = equi_depth_bins(ev, "value", "event_id", n_bins=10)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
