@@ -78,3 +78,52 @@ def test_transition_mass_accounting(spark, sf_dir):
         mass[r.prev_state] += r.p
     for prev, total in mass.items():
         assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_embedding_dim_stats_match_numpy(spark, sf_dir):
+    """Means/stds agree with a float64 numpy replay to 1e-9 (the
+    nano-unit quantization bound), and every dimension is present."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r.pos: r for r in features.embedding_dim_stats(emb).collect()}
+    m = np.array([row.embedding for row in emb.collect()], dtype=np.float64)
+    assert set(got) == set(range(m.shape[1]))
+    for pos in range(m.shape[1]):
+        col = m[:, pos]
+        assert abs(got[pos].mean - col.mean()) < 1e-8
+        assert abs(got[pos].std - col.std()) < 1e-8
+        assert abs(got[pos].min_v - col.min()) < 1e-9
+        assert abs(got[pos].max_v - col.max()) < 1e-9
+
+
+def test_cooccurrence_lift_brute_force(spark, sf_dir):
+    """Pair counts and lift agree with a pure-Python replay over the
+    collected baskets."""
+    from collections import Counter
+    from itertools import combinations
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    got = {
+        (r.i1, r.i2): (r.n_both, r.n1, r.n2, r.lift)
+        for r in features.cooccurrence_lift(
+            li, "l_orderkey", "l_partkey", min_both=2
+        ).collect()
+    }
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_baskets = len(baskets)
+    supp = Counter(i for items in baskets.values() for i in items)
+    pair = Counter(
+        p for items in baskets.values() for p in combinations(sorted(items), 2)
+    )
+    want = {
+        (a, b): (n, supp[a], supp[b], round(n * n_baskets / supp[a] / supp[b], 6))
+        for (a, b), n in pair.items()
+        if n >= 2
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][:3] == want[k][:3]
+        assert abs(got[k][3] - want[k][3]) < 1e-9

@@ -7047,3 +7047,107 @@ def value_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+_DIM_STATS_SQL = """
+WITH x AS (
+  SELECT pos - 1 AS pos,
+         CAST(CAST(v AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS x
+  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos
+        FROM embeddings)
+),
+agg AS (
+  SELECT pos, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS q,
+         MIN(x) AS mn, MAX(x) AS mx
+  FROM x GROUP BY pos
+)
+SELECT pos, n,
+       CAST(s AS DOUBLE) / n / 1000000000.0 AS mean,
+       SQRT(CAST(n * q - s * s AS DOUBLE)) / n / 1000000000.0 AS std,
+       mn / 1000000000.0 AS min_v,
+       mx / 1000000000.0 AS max_v
+FROM agg
+"""
+
+
+@register("embedding_dim_stats", _DIM_STATS_SQL)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (mean/std/min/max) with
+    exact nano-int moments: Σx and Σx² in DECIMAL(38,0)/HUGEINT, one
+    IEEE-exact sqrt+divisions at the end.  One posexplode + one
+    map-side-combined shuffle keyed by dimension — 64 output rows at
+    any corpus size."""
+    from vector_db_handler_spark.operators.features import embedding_dim_stats as eds
+
+    return eds(load(spark, sf_dir, "embeddings"))
+
+
+_DEDUP_RATE_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_distinct,
+       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate
+FROM per
+"""
+
+
+@register("dedup_rate_by_source", _DEDUP_RATE_SQL)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-rate report (the ops dashboard view over
+    exact dedup): docs vs distinct content hashes and the resulting
+    dup share, one division.  Two map-side-combined aggregates."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+_BASKET_LIFT_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM items),
+supp AS (SELECT i, COUNT(*) AS n_item FROM items GROUP BY i),
+pairs AS (
+  SELECT a.i AS i1, c.i AS i2, COUNT(*) AS n_both
+  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2
+)
+SELECT p.i1, p.i2, p.n_both, s1.n_item AS n1, s2.n_item AS n2,
+       ROUND(CAST(p.n_both AS DOUBLE) * (SELECT n_baskets FROM nb)
+             / s1.n_item / s2.n_item, 6) AS lift
+FROM pairs p
+JOIN supp s1 ON p.i1 = s1.i
+JOIN supp s2 ON p.i2 = s2.i
+WHERE p.n_both >= 3
+"""
+
+
+@register("basket_part_lift", _BASKET_LIFT_SQL)
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over parts co-ordered in the same order:
+    support counts + lift = P(a,b)/(P(a)P(b)) for pairs in >= 3 common
+    orders.  Self-join keyed on the order id (fan-out bounded by
+    basket size, never corpus size); one fixed IEEE operation sequence
+    for the lift so the hash check holds."""
+    from vector_db_handler_spark.operators.features import cooccurrence_lift
+
+    li = load(spark, sf_dir, "lineitem")
+    return cooccurrence_lift(li, "l_orderkey", "l_partkey", min_both=3).select(
+        "i1", "i2", "n_both", "n1", "n2", "lift"
+    )

@@ -124,3 +124,86 @@ def transition_counts(
             F.col("n").cast("double") / F.sum("n").over(wp).cast("double"), 6
         ).alias("p"),
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension mean / std / min / max over an embedding column —
+    the embedding-health profile (dead dimensions, scale drift between
+    ingest batches, normalization bugs) run before any index build.
+
+    Exactness: each element becomes an integer in nano-units
+    (float→double widen, one double→DECIMAL(18,9) rounding both
+    engines define identically, ×10⁹); Σx and Σx² accumulate in
+    DECIMAL(38,0) (Σx² overflows int64 at ~10³ rows of unit-scale
+    values), and mean/std are derived by IEEE-exact casts, divisions
+    and one sqrt at the end: std = sqrt(c·q − s²)/(c·10⁹).  One
+    posexplode + one map-side-combined shuffle keyed by dimension —
+    |dims| final rows regardless of corpus size."""
+    nano = (
+        F.col("v").cast("double").cast("decimal(18,9)") * F.lit(1_000_000_000)
+    ).cast("long")
+    exploded = emb.select(F.posexplode(vec_col).alias("pos", "v")).select(
+        "pos", nano.alias("x")
+    )
+    c = F.count(F.lit(1))
+    s = F.sum(F.col("x").cast("decimal(38,0)"))
+    q = F.sum((F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)"))
+    var_num = (c * q - s * s).cast("decimal(38,0)")
+    return exploded.groupBy("pos").agg(
+        c.alias("n"),
+        (s.cast("double") / c / 1e9).alias("mean"),
+        (F.sqrt(var_num.cast("double")) / c / 1e9).alias("std"),
+        (F.min("x") / 1e9).alias("min_v"),
+        (F.max("x") / 1e9).alias("max_v"),
+    )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_both: int = 3,
+) -> DataFrame:
+    """Market-basket pair analysis: for every unordered item pair
+    appearing in ≥ ``min_both`` common baskets, emit support counts
+    and lift = P(a,b)/(P(a)·P(b)) — the classic co-occurrence
+    affinity feature (item similarity, query expansion, bundle
+    detection).
+
+    Exactness: counts are integers; lift is emitted through ONE fixed
+    sequence of IEEE operations (n_both·N, then two divisions) that
+    both engines evaluate identically.
+
+    Scale shape: the self-join is keyed on the basket id, so fan-out
+    is Σ_b |items_b|² — bounded by basket size, never corpus size
+    (the giant-basket skew guard at 100 TB is a per-basket item cap
+    or salting, same posture as the stop-shingle guard).  Three
+    map-side-combined aggregates; the per-item supports join back by
+    broadcast when the item vocabulary is small."""
+    items = df.select(basket_col, item_col).distinct()
+    n_baskets = items.select(basket_col).distinct().count()
+    supp = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i1"))
+    b = items.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i2"))
+    both = a.join(b, "b").filter(F.col("i1") < F.col("i2"))
+    pair_counts = both.groupBy("i1", "i2").agg(F.count(F.lit(1)).alias("n_both"))
+    s1 = supp.select(F.col(item_col).alias("i1"), F.col("n_item").alias("n1"))
+    s2 = supp.select(F.col(item_col).alias("i2"), F.col("n_item").alias("n2"))
+    return (
+        pair_counts.filter(F.col("n_both") >= min_both)
+        .join(s1, "i1")
+        .join(s2, "i2")
+        .select(
+            "i1",
+            "i2",
+            "n_both",
+            "n1",
+            "n2",
+            F.round(
+                F.col("n_both").cast("double") * n_baskets / F.col("n1") / F.col("n2"),
+                6,
+            ).alias("lift"),
+        )
+    )
