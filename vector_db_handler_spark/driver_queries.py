@@ -7151,3 +7151,83 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_lift(li, "l_orderkey", "l_partkey", min_both=3).select(
         "i1", "i2", "n_both", "n1", "n2", "lift"
     )
+
+
+_TUMBLING_DISTINCT_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       COUNT(DISTINCT user_id) AS n_distinct_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+@register("tumbling_distinct_users_stream", _TUMBLING_DISTINCT_SQL)
+def tumbling_distinct_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per hour from a STREAM: the streaming
+    layer maintains the irreducible (window, user) pre-aggregate
+    state; the distinct count is the serving-time rollup over that
+    compact relation (see stream_ops.tumbling_user_activity_stream
+    for why this beats chaining dedup+count inside one append-mode
+    query).  Hash-checked against the batch COUNT(DISTINCT)."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    out = stream_ops.tumbling_user_activity_stream(ev)
+    stream_ops.run_to_memory(out, "dq_tumbling_users_stream")
+    return (
+        spark.table("dq_tumbling_users_stream")
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH v2 AS (
+  SELECT doc_id, text || ' v2' AS text
+  FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 17 = 0
+),
+o AS (SELECT doc_id AS k, md5(text) AS fp_old FROM documents),
+n AS (SELECT doc_id AS k, md5(text) AS fp_new FROM v2),
+j AS (SELECT COALESCE(o.k, n.k) AS doc_id, o.fp_old, n.fp_new
+      FROM o FULL OUTER JOIN n ON o.k = n.k)
+SELECT doc_id,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM j
+"""
+
+
+@register("dataset_snapshot_diff", _SNAPSHOT_DIFF_SQL)
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff of two corpus snapshots (v2 derived
+    deterministically: every 11th doc removed, every remaining 13th
+    doc's text edited, every 17th doc re-added under a shifted id):
+    added/removed/changed/unchanged per key, joined on (key, hash) so
+    the exchange never carries document payloads."""
+    from vector_db_handler_spark.operators.merge import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("doc_id") % 11 != 0)
+    v2 = (
+        kept.filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"))
+        .unionByName(
+            kept.filter(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(docs, v2, "doc_id", lambda df: F.md5("text"))

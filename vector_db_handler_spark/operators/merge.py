@@ -109,3 +109,33 @@ def scd2_merge(
     return history.select(*dim_schema).unionByName(carried).unionByName(
         closed
     ).unionByName(fresh)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    fingerprint,
+) -> DataFrame:
+    """Row-level diff between two dataset snapshots: one row per key
+    with ``change ∈ {added, removed, changed, unchanged}`` — the audit
+    view behind data versioning (what did this ingest run do?) and the
+    input to incremental downstream rebuilds (recompute only
+    added/changed partitions).
+
+    ``fingerprint`` is a Column function applied to each side (e.g.
+    ``lambda df: F.md5("text")``) so the comparison ships a HASH per
+    row through the join, not the payload — at 100 TB the exchange
+    carries (key, 128-bit digest) regardless of document size.  One
+    full-outer equi-join on the key."""
+    o = old.select(F.col(key_col).alias("k"), fingerprint(old).alias("fp_old"))
+    n = new.select(F.col(key_col).alias("k"), fingerprint(new).alias("fp_new"))
+    j = o.join(n, "k", "full_outer")
+    return j.select(
+        F.col("k").alias(key_col),
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
