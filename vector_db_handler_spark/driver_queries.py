@@ -98,17 +98,41 @@ def register(name: str, oracle: str | None = None):
 #: in a round is fronted in the SAME round. The full verified-ever
 #: ledger lives in SURVEY.md §8.
 #:
-#: Round 6 fronts all 23 r6 registrations (9 from the first half of
-#: the round — trained-IVF lifecycle, span dedup, packing, TF-IDF,
-#: Gopher, Avro, PQ×2, IVF-PQ — and 14 from the second half — SRP,
-#: SemDeDup, BM25, z-order, dispersion, percentiles, trending stream,
-#: splits, phrase, hybrid, Q12, IVM merge, stream-static enrichment,
-#: shard manifest) plus the 14 queries whose last driver-green row is
-#: r3 (the oldest evidence in the registry — all pass the local
-#: oracle replay, this refreshes the driver rows).  The remaining ~13
-#: window slots fall to the earliest-registered queries.
+#: Round 6 (final): the round registered 43 queries in three waves
+#: (9 early: trained-IVF lifecycle, span dedup, packing, TF-IDF,
+#: Gopher, Avro, PQ×2, IVF-PQ; 16 mid: SRP×2, SemDeDup, BM25,
+#: z-order, dispersion, percentiles, trending stream, splits, phrase,
+#: hybrid, Q12, IVM merge, stream-static enrichment, shard manifest,
+#: binary Hamming; 18 late: KMV, temperature weights, SCD2, gap-fill,
+#: EWMA, PPJoin, anomaly stream, rolling median, PageRank, CMS, MRL,
+#: transitions, deciles, dim stats, dedup rate, basket lift,
+#: distinct-users stream, snapshot diff).  All 43 MUST be in the
+#: window (§8.0: new queries front in their own round) = 43 slots;
+#: the remaining 7 go to the stalest r3-vintage evidence (the five
+#: media_* queries — media.py churned in r4/r5 — plus
+#: streaming_dedup_first and sketch_accuracy_by_lang).  The other 7
+#: r3-vintage queries (cosine_neardup_pairs, cosine_topk_join,
+#: ivf_topk, text_quality, tpch_q3/q5/q6) pass today's local oracle
+#: replay and are FIRST IN LINE for the r7 window.
 _DRIVER_FRONT: list[str] = [
-    # new in round 6 — registered and fronted in the same commit
+    "kmv_distinct_users_by_type",
+    "lang_temperature_weights",
+    "scd2_customer_merge",
+    "gapfill_user_daily",
+    "ewma_user_daily",
+    "ppjoin_jaccard_pairs",
+    "user_anomaly_stream",
+    "rolling_median_7d",
+    "pagerank_part_supplier",
+    "cms_user_event_counts",
+    "mrl_prefix_rerank",
+    "event_type_transitions",
+    "value_decile_bins",
+    "embedding_dim_stats",
+    "dedup_rate_by_source",
+    "basket_part_lift",
+    "tumbling_distinct_users_stream",
+    "dataset_snapshot_diff",
     "srp_neardup_pairs",
     "semdedup_survivors",
     "bm25_topk_docs",
@@ -134,21 +158,13 @@ _DRIVER_FRONT: list[str] = [
     "pq_train_codebooks",
     "pq_adc_topk",
     "ivfpq_probe_topk",
-    # last driver-green in r3 — refresh the evidence
-    "cosine_neardup_pairs",
-    "cosine_topk_join",
-    "ivf_topk",
     "media_binary_dedup",
     "media_frame_stats",
     "media_modality_stats",
     "media_phash",
     "media_resize_fingerprint",
-    "sketch_accuracy_by_lang",
     "streaming_dedup_first",
-    "text_quality",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
+    "sketch_accuracy_by_lang",
 ]
 
 
