@@ -127,3 +127,20 @@ def test_cooccurrence_lift_brute_force(spark, sf_dir):
     for k in got:
         assert got[k][:3] == want[k][:3]
         assert abs(got[k][3] - want[k][3]) < 1e-9
+
+
+def test_rfm_scores_balanced_and_bounded(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = features.rfm_scores(ev).collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(out) == n_users
+    from collections import Counter
+
+    for dim in ("r_score", "f_score", "m_score"):
+        vals = [getattr(r, dim) for r in out]
+        assert set(vals) <= set(range(1, 6))
+        sizes = Counter(vals)
+        assert max(sizes.values()) - min(sizes.values()) <= 1  # exact equi-depth
+    for r in out:
+        assert r.rfm_segment == f"{r.r_score}-{r.f_score}-{r.m_score}"
+        assert r.recency_days >= 0

@@ -110,11 +110,13 @@ def register(name: str, oracle: str | None = None):
 #: window (§8.0: new queries front in their own round) = 43 slots;
 #: the remaining 7 go to the stalest r3-vintage evidence (the five
 #: media_* queries — media.py churned in r4/r5 — plus
-#: streaming_dedup_first and sketch_accuracy_by_lang).  The other 7
-#: r3-vintage queries (cosine_neardup_pairs, cosine_topk_join,
-#: ivf_topk, text_quality, tpch_q3/q5/q6) pass today's local oracle
-#: replay and are FIRST IN LINE for the r7 window.
+#: streaming_dedup_first).  The other 8 r3-vintage queries
+#: (cosine_neardup_pairs, cosine_topk_join, ivf_topk, text_quality,
+#: sketch_accuracy_by_lang, tpch_q3/q5/q6) pass today's local oracle
+#: replay and are FIRST IN LINE for the r7 window.  rfm_user_segments
+#: (a 19th late registration) fronts per the same-round rule.
 _DRIVER_FRONT: list[str] = [
+    "rfm_user_segments",
     "kmv_distinct_users_by_type",
     "lang_temperature_weights",
     "scd2_customer_merge",
@@ -164,7 +166,6 @@ _DRIVER_FRONT: list[str] = [
     "media_phash",
     "media_resize_fingerprint",
     "streaming_dedup_first",
-    "sketch_accuracy_by_lang",
 ]
 
 
@@ -7247,3 +7248,44 @@ def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(docs, v2, "doc_id", lambda df: F.md5("text"))
+
+
+_RFM_SQL = """
+WITH pu AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+         SUM(CAST(value AS DECIMAL(18,6))) AS monetary
+  FROM events GROUP BY user_id
+),
+base AS (
+  SELECT user_id, last_ts, frequency, monetary,
+         date_diff('day', CAST(last_ts AS DATE), CAST(MAX(last_ts) OVER () AS DATE))
+           AS recency_days,
+         (SELECT COUNT(*) FROM pu) AS n
+  FROM pu
+),
+r AS (
+  SELECT *,
+    ((ROW_NUMBER() OVER (ORDER BY last_ts, user_id) - 1) * 5) // n + 1 AS r_score,
+    ((ROW_NUMBER() OVER (ORDER BY frequency, user_id) - 1) * 5) // n + 1 AS f_score,
+    ((ROW_NUMBER() OVER (ORDER BY monetary, user_id) - 1) * 5) // n + 1 AS m_score
+  FROM base
+)
+SELECT user_id, recency_days, frequency, CAST(monetary AS DOUBLE) AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR) || '-'
+         || CAST(m_score AS VARCHAR) AS rfm_segment
+FROM r
+"""
+
+
+@register("rfm_user_segments", _RFM_SQL)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral segmentation: per-user recency/frequency/exact
+    DECIMAL monetary, each scored 1-5 by exact equi-depth rank over
+    the DISTRIBUTED global-rank primitive (three ranks over the
+    |users|-sized aggregate; only the first aggregate touches raw
+    events).  The oracle replays the same (rank-1)*5 div N formula
+    with naive global windows."""
+    from vector_db_handler_spark.operators.features import rfm_scores
+
+    return rfm_scores(load(spark, sf_dir, "events"))

@@ -207,3 +207,58 @@ def cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def rfm_scores(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    behavioral-cohort feature table.  Per user: days since last event
+    (vs the corpus max date), event count, exact DECIMAL value sum;
+    each dimension scored 1..``n_bins`` by EXACT equi-depth rank (the
+    portable (rank−1)·k div N form over :func:`global_rank`, so the
+    whole segmentation is integer-deterministic — no quantile sketch,
+    no engine-specific NTILE remainders).  Higher = better on every
+    axis (5 = most recent / most frequent / highest spend).
+
+    Scale shape: one map-side-combined per-user aggregate over the
+    events (the only stage touching raw data), then three distributed
+    ranks over the |users|-sized result."""
+    per_user = events.groupBy(user_col).agg(
+        F.max(F.col(ts_col)).alias("_last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_monetary"),
+    )
+    w_all = Window.partitionBy()
+    per_user = per_user.withColumn(
+        "recency_days",
+        F.datediff(
+            F.to_date(F.max("_last_ts").over(w_all)), F.to_date(F.col("_last_ts"))
+        ),
+    ).localCheckpoint(eager=True)
+    n = per_user.count()
+
+    def score(df: DataFrame, order_col: str, out_col: str) -> DataFrame:
+        ranked = global_rank(df, [order_col, user_col], rank_col="_rnk")
+        return ranked.withColumn(
+            out_col, F.expr(f"((_rnk - 1) * {n_bins}) div {n} + 1")
+        ).drop("_rnk")
+
+    # recency: rank by last_ts ASC → oldest gets bin 0 → score 1 (worst)
+    scored = score(per_user, "_last_ts", "r_score")
+    scored = score(scored, "frequency", "f_score")
+    scored = score(scored, "_monetary", "m_score")
+    return scored.select(
+        F.col(user_col),
+        "recency_days",
+        "frequency",
+        F.col("_monetary").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("-", "r_score", "f_score", "m_score").alias("rfm_segment"),
+    )
