@@ -351,3 +351,81 @@ def test_percentile_approx_tracks_exact(spark, sf_dir):
         assert abs(a50 - p50) <= max(0.05 * p50, 0.5), (t, a50, p50)
         assert abs(a90 - p90) <= max(0.05 * p90, 0.5), (t, a90, p90)
         assert abs(a99 - p99) <= max(0.10 * p99, 1.0), (t, a99, p99)
+
+
+# --- round-6 continuation operators -----------------------------------------
+
+
+def test_ppjoin_is_equijoin_never_cartesian(spark, sf_dir):
+    """Prefix candidates and both verify joins must be hash equi-joins
+    — a nested-loop/cartesian anywhere breaks the whole point of the
+    prefix filter."""
+    plan = _plan(dq.ppjoin_jaccard_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_merge_broadcasts_update_batch(spark, sf_dir):
+    """The change batch joins broadcast (dim side never shuffles on
+    the join key), and no leg degenerates to a nested loop."""
+    plan = _plan(dq.scd2_customer_merge(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mrl_lowers_to_take_ordered(spark, sf_dir):
+    """Both stages (shortlist and final top-k) plan as
+    TakeOrderedAndProject — no global sort of the corpus."""
+    plan = _plan(dq.mrl_prefix_rerank(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan or "global=true" not in plan.split("Sort [")[1][:200]
+
+
+def test_gapfill_spine_is_generated_not_joined_cartesian(spark, sf_dir):
+    plan = _plan(dq.gapfill_user_daily(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_ewma_taps_share_one_window_exchange(spark, sf_dir):
+    """All 16 lag taps + the current row fold into ONE Window operator
+    over one user_id exchange — the operator's shuffle-cost claim."""
+    plan = _plan(dq.ewma_user_daily(spark, sf_dir))
+    import re
+
+    windows = plan.count("Window")
+    assert windows <= 2, f"expected one logical Window stage, saw {windows}"
+
+
+def test_kmv_two_pass_bounds_window_partitions(spark, sf_dir):
+    """Both ranking passes are PARTITIONED windows (grp+salt, then
+    grp) — no empty-partition global window anywhere."""
+    plan = _plan(dq.kmv_distinct_users_by_type(spark, sf_dir))
+    assert "windowspecdefinition()" not in plan.replace(" ", "")
+
+
+def test_cms_sketch_is_single_scan(spark, sf_dir):
+    """The CMS build reads events ONCE (explode over the depth
+    coordinates), never depth separate scans."""
+    from vector_db_handler_spark.operators.sketches import cms_build
+    from vector_db_handler_spark.sources.tables import load_table
+
+    plan = _plan(cms_build(load_table(spark, sf_dir, "events"), "user_id"))
+    # formatted plans repeat each node in the detail section — count
+    # distinct scan locations, not tree lines
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "explode(array(struct" in plan
+
+
+def test_pagerank_iteration_joins_are_hash_joins(spark, sf_dir):
+    plan = _plan(dq.pagerank_part_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_lift_joins_on_basket_key(spark, sf_dir):
+    """The pair join is an equi-join on the basket id; supports join
+    back by broadcast (item vocabulary is dim-sized)."""
+    plan = _plan(dq.basket_part_lift(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
