@@ -55,6 +55,24 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "incremental_rollup_merge",
         "binary_hamming_topk",
         "srp_multiprobe_pairs",
+        # round-6 continuation (documents/embeddings/events-based only:
+        # the empty fixture carries just those three tables)
+        "kmv_distinct_users_by_type",
+        "lang_temperature_weights",
+        "gapfill_user_daily",
+        "ewma_user_daily",
+        "ppjoin_jaccard_pairs",
+        "user_anomaly_stream",
+        "rolling_median_7d",
+        "cms_user_event_counts",
+        "mrl_prefix_rerank",
+        "event_type_transitions",
+        "value_decile_bins",
+        "embedding_dim_stats",
+        "dedup_rate_by_source",
+        "tumbling_distinct_users_stream",
+        "dataset_snapshot_diff",
+        "rfm_user_segments",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):

@@ -630,6 +630,79 @@ def ppjoin(mult: int = 4, threshold: float = 0.6) -> None:
 
 
 
+def r6c(mult: int = 4) -> None:
+    """Linearity probes for the round-6 continuation operators:
+    integer PageRank (iters scaling), KMV sketch, distributed global
+    rank, gap-fill + EWMA, and basket lift — each at sf0.1 and (where
+    cheap to replicate) at ``mult``x."""
+    from vector_db_handler_spark.operators.features import (
+        cooccurrence_lift,
+        global_rank,
+        rfm_scores,
+    )
+    from vector_db_handler_spark.operators.graph import pagerank_integer
+    from vector_db_handler_spark.operators.sketches import kmv_distinct_by
+    from vector_db_handler_spark.operators.timeseries import ewma_daily, gapfill_daily
+
+    spark = get_spark("r6c-probe")
+    sf = "/root/testdata/sf0.1"
+    ev0 = spark.read.parquet(f"{sf}/events.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+
+    # PageRank: wall should be ~linear in iteration count
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
+    ).distinct()
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    n_e = edges.count()
+    for iters in (3, 6):
+        t0 = time.perf_counter()
+        n = pagerank_integer(edges, iters=iters).count()
+        print(
+            f"pagerank @ {n_e} edges, {iters} iters: {n} nodes, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    # KMV: replicated events (user_id shifted per replica -> distinct grows)
+    for m in (1, mult):
+        ev = ev0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            ev = ev0.crossJoin(reps).select(
+                "event_type", (F.col("user_id") * m + F.col("rep")).alias("user_id")
+            )
+        rows = ev.count()
+        t0 = time.perf_counter()
+        kmv_distinct_by(ev, "event_type", "user_id", k=64).collect()
+        print(f"kmv @ {rows} rows: wall {time.perf_counter()-t0:.1f}s")
+
+    # global rank: replicated events
+    for m in (1, mult):
+        ev = ev0.select("event_id", "value")
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            ev = ev0.crossJoin(reps).select(
+                (F.col("event_id") * m + F.col("rep")).alias("event_id"), "value"
+            )
+        rows = ev.count()
+        t0 = time.perf_counter()
+        assert global_rank(ev, ["value", "event_id"]).count() == rows
+        print(f"global_rank @ {rows} rows: wall {time.perf_counter()-t0:.1f}s")
+
+    # gapfill + ewma + rfm + basket at sf0.1, single shot
+    t0 = time.perf_counter()
+    gf = gapfill_daily(ev0)
+    n_gf = ewma_daily(gf).count()
+    print(f"gapfill+ewma @ sf0.1: {n_gf} rows, wall {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    n_r = rfm_scores(ev0).count()
+    print(f"rfm @ sf0.1: {n_r} users, wall {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    n_b = cooccurrence_lift(li, "l_orderkey", "l_partkey", min_both=3).count()
+    print(f"basket_lift @ sf0.1: {n_b} pairs, wall {time.perf_counter()-t0:.1f}s")
+
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -652,6 +725,8 @@ if __name__ == "__main__":
         srp_guard(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "winnow_guard":
         winnow_guard(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r6c":
+        r6c(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "ann":
