@@ -109,14 +109,16 @@ def register(name: str, oracle: str | None = None):
 #: distinct-users stream, snapshot diff).  All 43 MUST be in the
 #: window (§8.0: new queries front in their own round) = 43 slots;
 #: the remaining 7 go to the stalest r3-vintage evidence (the five
-#: media_* queries — media.py churned in r4/r5 — plus
-#: streaming_dedup_first).  The other 8 r3-vintage queries
-#: (cosine_neardup_pairs, cosine_topk_join, ivf_topk, text_quality,
-#: sketch_accuracy_by_lang, tpch_q3/q5/q6) pass today's local oracle
+#: media_* queries — media.py churned in r4/r5).  The other 9
+#: r3-vintage queries (cosine_neardup_pairs, cosine_topk_join,
+#: ivf_topk, text_quality, sketch_accuracy_by_lang,
+#: streaming_dedup_first, tpch_q3/q5/q6) pass today's local oracle
 #: replay and are FIRST IN LINE for the r7 window.  rfm_user_segments
-#: (a 19th late registration) fronts per the same-round rule.
+#: and decayed_type_scores (19th/20th late registrations) front per
+#: the same-round rule.
 _DRIVER_FRONT: list[str] = [
     "rfm_user_segments",
+    "decayed_type_scores",
     "kmv_distinct_users_by_type",
     "lang_temperature_weights",
     "scd2_customer_merge",
@@ -165,7 +167,6 @@ _DRIVER_FRONT: list[str] = [
     "media_modality_stats",
     "media_phash",
     "media_resize_fingerprint",
-    "streaming_dedup_first",
 ]
 
 
@@ -7289,3 +7290,33 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.operators.features import rfm_scores
 
     return rfm_scores(load(spark, sf_dir, "events"))
+
+
+_DECAY_SQL = """
+WITH mx AS (SELECT CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d0 FROM events),
+e AS (
+  SELECT event_type,
+         date_diff('day', CAST(ts AS DATE), (SELECT d0 FROM mx)) AS age
+  FROM events
+)
+SELECT event_type,
+       SUM(CASE WHEN age <= 15
+                THEN CAST(1 AS BIGINT) << CAST(15 - age AS INTEGER)
+                ELSE CAST(0 AS BIGINT) END) AS decayed_score,
+       COUNT(*) AS n_total
+FROM e
+GROUP BY event_type
+"""
+
+
+@register("decayed_type_scores", _DECAY_SQL)
+def decayed_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-1-day time-decayed activity score per event type,
+    integer-exact (powers-of-two weights relative to the corpus's
+    newest day; >=16-day tail dropped by construction) — the trending
+    counter whose ranking cannot wobble with partitioning, unlike the
+    float sum(0.5^age) formulation.  One scan + one map-side-combined
+    shuffle."""
+    from vector_db_handler_spark.operators.features import time_decayed_counts
+
+    return time_decayed_counts(load(spark, sf_dir, "events"))

@@ -262,3 +262,39 @@ def rfm_scores(
         "m_score",
         F.concat_ws("-", "r_score", "f_score", "m_score").alias("rfm_segment"),
     )
+
+
+def time_decayed_counts(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_days: int = 16,
+) -> DataFrame:
+    """Exponentially time-decayed activity score per group (half-life
+    one day): each event contributes 2^-(age_days) of weight relative
+    to the corpus's most recent day — the standard trending/decay
+    counter, made integer-exact the same way as :func:`ewma_daily`:
+    weights are powers of two scaled so the NEWEST event contributes
+    2^(horizon-1), and events older than the horizon contribute 0
+    (dropped mass < 2^-(horizon-1) of one event).
+
+    ``decayed_score`` is an exact BIGINT (sum order irrelevant), so
+    rankings derived from it are engine- and partitioning-stable —
+    the float formulation (Σ 0.5^age) is neither.  One pass, one
+    map-side-combined shuffle; the corpus max date is a 1-row
+    aggregate cross-joined by broadcast (it must precede the
+    per-event age computation, so it cannot ride the group window)."""
+    top = int(horizon_days) - 1
+    d0 = events.agg(F.max(F.to_date(F.col(ts_col))).alias("d0"))
+    aged = events.crossJoin(F.broadcast(d0)).select(
+        F.col(group_col),
+        F.datediff(F.col("d0"), F.to_date(F.col(ts_col))).alias("_age"),
+    )
+    weight = F.when(
+        F.col("_age") <= top,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({top} - _age AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return aged.groupBy(group_col).agg(
+        F.sum(weight).alias("decayed_score"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
