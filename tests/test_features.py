@@ -144,3 +144,34 @@ def test_rfm_scores_balanced_and_bounded(spark, sf_dir):
     for r in out:
         assert r.rfm_segment == f"{r.r_score}-{r.f_score}-{r.m_score}"
         assert r.recency_days >= 0
+
+
+def test_pairwise_correlations_match_numpy(spark, sf_dir):
+    """Per-pair r equals numpy's corrcoef over the same inner-joined
+    observation set (days where BOTH series have rows)."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    got = {
+        (r.s1, r.s2): (r.n, r.pearson_r)
+        for r in features.pairwise_correlations(
+            daily, "day", "event_type", "n_ev"
+        ).collect()
+    }
+    grid = {}
+    for r in daily.collect():
+        grid.setdefault(r.event_type, {})[r.day] = r.n_ev
+    types = sorted(grid)
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for i, t1 in enumerate(types):
+        for t2 in types[i + 1 :]:
+            days = sorted(set(grid[t1]) & set(grid[t2]))
+            x = np.array([grid[t1][d] for d in days], dtype=np.float64)
+            y = np.array([grid[t2][d] for d in days], dtype=np.float64)
+            want = float(np.corrcoef(x, y)[0, 1])
+            n, r_got = got[(t1, t2)]
+            assert n == len(days)
+            assert abs(r_got - want) < 1e-6, (t1, t2, r_got, want)

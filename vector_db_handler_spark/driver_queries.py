@@ -109,16 +109,18 @@ def register(name: str, oracle: str | None = None):
 #: distinct-users stream, snapshot diff).  All 43 MUST be in the
 #: window (§8.0: new queries front in their own round) = 43 slots;
 #: the remaining 7 go to the stalest r3-vintage evidence (the five
-#: media_* queries — media.py churned in r4/r5).  The other 9
+#: media_* queries — media.py churned in r4/r5).  The 10 remaining
 #: r3-vintage queries (cosine_neardup_pairs, cosine_topk_join,
 #: ivf_topk, text_quality, sketch_accuracy_by_lang,
-#: streaming_dedup_first, tpch_q3/q5/q6) pass today's local oracle
-#: replay and are FIRST IN LINE for the r7 window.  rfm_user_segments
-#: and decayed_type_scores (19th/20th late registrations) front per
-#: the same-round rule.
+#: streaming_dedup_first, media_resize_fingerprint, tpch_q3/q5/q6)
+#: pass today's local oracle replay and are FIRST IN LINE for the r7
+#: window.  rfm_user_segments, decayed_type_scores and
+#: event_type_correlations (late registrations 19-21) front per the
+#: same-round rule.
 _DRIVER_FRONT: list[str] = [
     "rfm_user_segments",
     "decayed_type_scores",
+    "event_type_correlations",
     "kmv_distinct_users_by_type",
     "lang_temperature_weights",
     "scd2_customer_merge",
@@ -166,7 +168,6 @@ _DRIVER_FRONT: list[str] = [
     "media_frame_stats",
     "media_modality_stats",
     "media_phash",
-    "media_resize_fingerprint",
 ]
 
 
@@ -7320,3 +7321,43 @@ def decayed_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.operators.features import time_decayed_counts
 
     return time_decayed_counts(load(spark, sf_dir, "events"))
+
+
+_TYPE_CORR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_ev
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type AS s1, b.event_type AS s2,
+         a.n_ev AS x, b.n_ev AS y
+  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+),
+agg AS (
+  SELECT s1, s2, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM p GROUP BY 1, 2
+)
+SELECT s1, s2, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+FROM agg
+"""
+
+
+@register("event_type_correlations", _TYPE_CORR_SQL)
+def event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of daily event-type activity from
+    EXACT integer moments (five BIGINT sums per pair; two sqrts + one
+    division at the end — no cross-cell float accumulation, so the
+    matrix is partitioning-stable).  One day-keyed self-join bounded
+    by the type vocabulary, one map-side-combined aggregate."""
+    from vector_db_handler_spark.operators.features import pairwise_correlations
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    return pairwise_correlations(daily, "day", "event_type", "n_ev")

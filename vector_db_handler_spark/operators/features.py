@@ -298,3 +298,55 @@ def time_decayed_counts(
         F.sum(weight).alias("decayed_score"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+def pairwise_correlations(
+    df: DataFrame,
+    obs_col: str,
+    series_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pearson correlation for every unordered pair of series over
+    shared observations (e.g. event types over calendar days): the
+    co-movement matrix behind anomaly triage and feature selection.
+
+    Inputs are integer counts, so all five moments (n, Σx, Σy, Σxy,
+    Σx², Σy²) are EXACT integer sums; the correlation
+
+        r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+
+    is derived per pair by a fixed IEEE sequence (two sqrts, one
+    multiply, one divide) — no cross-cell float accumulation anywhere,
+    so the result is partitioning- and engine-stable.
+
+    Scale shape: one self-equi-join on the observation key (fan-out =
+    |series|² per observation — series cardinality is a small
+    vocabulary by construction), one map-side-combined aggregate per
+    pair.  Missing observations count as 0 only if the input grid is
+    dense — feed a gap-filled relation when absence matters."""
+    a = df.select(
+        F.col(obs_col).alias("o"),
+        F.col(series_col).alias("s1"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    b = df.select(
+        F.col(obs_col).alias("o"),
+        F.col(series_col).alias("s2"),
+        F.col(value_col).cast("long").alias("y"),
+    )
+    pairs = a.join(b, "o").filter(F.col("s1") < F.col("s2"))
+    agg = pairs.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return agg.select(
+        "s1", "s2", "n", F.round(num / den, 6).alias("pearson_r")
+    )
