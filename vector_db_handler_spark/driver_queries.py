@@ -106,17 +106,17 @@ def register(name: str, oracle: str | None = None):
 #: binary Hamming; 18 late: KMV, temperature weights, SCD2, gap-fill,
 #: EWMA, PPJoin, anomaly stream, rolling median, PageRank, CMS, MRL,
 #: transitions, deciles, dim stats, dedup rate, basket lift,
-#: distinct-users stream, snapshot diff).  All 43 MUST be in the
-#: window (§8.0: new queries front in their own round) = 43 slots;
-#: the remaining 7 go to the stalest r3-vintage evidence (the five
-#: media_* queries — media.py churned in r4/r5).  The 10 remaining
-#: r3-vintage queries (cosine_neardup_pairs, cosine_topk_join,
-#: ivf_topk, text_quality, sketch_accuracy_by_lang,
-#: streaming_dedup_first, media_resize_fingerprint, tpch_q3/q5/q6)
-#: pass today's local oracle replay and are FIRST IN LINE for the r7
-#: window.  rfm_user_segments, decayed_type_scores and
-#: event_type_correlations (late registrations 19-21) front per the
-#: same-round rule.
+#: distinct-users stream, snapshot diff; plus pivot/unpivot in the
+#: closing session).  All 48 round-6 registrations MUST be in the
+#: window (§8.0: new queries front in their own round) = 48 slots;
+#: the remaining 2 go to the stalest r3-vintage evidence
+#: (media_binary_dedup, media_frame_stats — media.py churned in
+#: r4/r5).  The 12 remaining r3-vintage queries
+#: (cosine_neardup_pairs, cosine_topk_join, ivf_topk, text_quality,
+#: sketch_accuracy_by_lang, streaming_dedup_first,
+#: media_modality_stats, media_phash, media_resize_fingerprint,
+#: tpch_q3/q5/q6) pass today's local oracle replay and are FIRST IN
+#: LINE for the r7 window.
 _DRIVER_FRONT: list[str] = [
     "rfm_user_segments",
     "decayed_type_scores",
@@ -164,10 +164,10 @@ _DRIVER_FRONT: list[str] = [
     "pq_train_codebooks",
     "pq_adc_topk",
     "ivfpq_probe_topk",
+    "pivot_user_type_matrix",
+    "unpivot_user_type_matrix",
     "media_binary_dedup",
     "media_frame_stats",
-    "media_modality_stats",
-    "media_phash",
 ]
 
 
@@ -7361,3 +7361,55 @@ def event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n_ev"))
     return pairwise_correlations(daily, "day", "event_type", "n_ev")
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot — the wide<->long reshaping surface (operators/
+# reshape.py).  The pivot pins its category list (no discovery scan);
+# the unpivot query checks the round trip is lossless by comparing
+# against the plain long-form aggregate as its oracle.
+# ---------------------------------------------------------------------------
+
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click_value,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS error_value,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase_value,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup_value,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("pivot_user_type_matrix", _PIVOT_SQL)
+def pivot_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix via ``DataFrame.pivot`` with an
+    EXPLICIT category list — one shuffle, no distinct-discovery scan
+    (the extra full-corpus job Spark runs when values are omitted).
+    Cells are DECIMAL-exact sums cast to DOUBLE; absent user x type
+    cells are null on both engines."""
+    from vector_db_handler_spark.operators.reshape import pivot_user_type_value
+
+    return pivot_user_type_value(load(spark, sf_dir, "events"))
+
+
+_UNPIVOT_SQL = """
+SELECT user_id, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@register("unpivot_user_type_matrix", _UNPIVOT_SQL)
+def unpivot_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot -> unpivot round trip melted back to long form.  The
+    unpivot lowers to a narrow ``Expand`` projection (no added
+    shuffle); null cells introduced by widening are dropped, so the
+    result must equal the plain GROUP BY aggregate — which is exactly
+    what the oracle computes, making losslessness the checked
+    property."""
+    from vector_db_handler_spark.operators.reshape import unpivot_user_type_value
+
+    return unpivot_user_type_value(load(spark, sf_dir, "events"))

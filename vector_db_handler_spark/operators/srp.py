@@ -24,9 +24,12 @@ correctly-rounded, hence engine-identical).
 
 Scale design (100 TB posture):
 
-* signatures are ONE narrow zero-shuffle pass — 16 integer
-  dot-products per row, all native HOF expressions (``zip_with`` +
-  ``aggregate``), no Python, inside whole-stage codegen;
+* signatures are ONE narrow zero-shuffle Arrow pass — all n_bits
+  integer dot-products per row computed as a single int64 matrix
+  product per batch (the repo's vector-math rule: Spark's
+  higher-order array functions evaluate interpreted AND cost
+  O(n_bits·dim) driver-side analysis per query — measured 3.3 s at
+  n_bits=32 before any data moved);
 * candidates come from a BANDED equi-join on ``(band_idx, band_val)``
   — shuffle volume is N·n_bands skinny rows, never the N² pair
   product; a pair is verified at most once (``dropDuplicates`` on the
@@ -50,6 +53,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from vector_db_handler_spark.operators.quantize import quantize_int8
 
@@ -85,17 +89,6 @@ def srp_planes(dim: int, n_bits: int = N_BITS, seed: int = 7) -> list[list[int]]
     return [[int(v) for v in row] for row in signs]
 
 
-def _int_dot(vec_col, plane: list[int]):
-    """Exact integer dot of a BIGINT array column against a literal
-    plane — native HOFs (JVM-side, no Python)."""
-    lit = F.array(*[F.lit(int(v)) for v in plane])
-    return F.aggregate(
-        F.zip_with(vec_col, lit, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-
 def srp_signatures(
     emb: DataFrame,
     planes: list[list[int]],
@@ -106,21 +99,43 @@ def srp_signatures(
     signature (bit b set ⟺ qvec·plane_b ≥ 0) + the exact squared norm
     (carried so the verify step needs no second corpus pass).
 
-    One zero-shuffle narrow pass after quantization; every expression
-    is a native HOF on integers."""
+    One zero-shuffle narrow Arrow pass after quantization: all n_bits
+    projections are ONE int64 matrix product per batch (numpy), the
+    sign bits pack via a second tiny matmul against the 2^b weight
+    vector.  Earlier revisions built the same integers from n_bits
+    nested ``aggregate``/``zip_with`` HOF expressions — measured cost
+    at n_bits=32 was 3.3 s of DRIVER time just to construct/analyze
+    the expression tree (before any data moved) plus interpreted
+    per-element evaluation; the matmul form is constant-size in the
+    plan and exact-identical bit for bit (small-integer int64 math,
+    no rounding anywhere)."""
     q = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col)
-    sig = None
-    for b, plane in enumerate(planes):
-        bit = F.when(_int_dot(F.col("qvec"), plane) >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig + bit
-    norm2 = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("qvec"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    id_field = q.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("qvec", ArrayType(LongType()), False),
+            StructField("norm2", LongType(), False),
+            StructField("sig", LongType(), False),
+        ]
     )
-    return q.select(id_col, "qvec", norm2.alias("norm2"), sig.alias("sig"))
+    P = np.asarray(planes, dtype=np.int64).T  # dim × n_bits
+    W = (np.int64(1) << np.arange(len(planes), dtype=np.int64)).astype(np.int64)
+
+    def add_sig(batches):  # self-contained: cloudpickled to executors
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            bits = (V @ P >= 0).astype(np.int64)
+            out = pdf.copy()
+            out["norm2"] = (V * V).sum(axis=1)
+            out["sig"] = bits @ W
+            yield out
+
+    return q.mapInPandas(add_sig, out_schema)
 
 
 def srp_neardup_pairs(
@@ -307,25 +322,37 @@ def srp_multiprobe_pairs(
         F.explode(flip_keys).alias("band_val"),
     ).join(census, ["band_idx", "band_val"])
 
-    a = probe.select(
-        "band_idx",
-        "band_val",
-        F.col(id_col).alias("id1"),
-        F.col("qvec").alias("q1"),
-        F.col("norm2").alias("n1"),
-    )
-    b = build.select(
-        "band_idx",
-        "band_val",
-        F.col(id_col).alias("id2"),
-        F.col("qvec").alias("q2"),
-        F.col("norm2").alias("n2"),
-    )
-    cands = (
+    # The pair join deliberately carries IDS ONLY: multi-probe inflates
+    # collision volume ×(1+bpb), and at 4-bit bands the collision set
+    # is orders of magnitude larger than the unique-pair set — shipping
+    # two 64-int vectors per collision through the dedup exchange was
+    # the measured bench outlier (23 s on an idle box at sf0.1).  Dedup
+    # 16-byte rows instead (partial-aggregate shrinks them map-side),
+    # then re-attach vectors by joining the signature relation and
+    # verify each unique pair exactly once.  The re-attach join is NOT
+    # force-broadcast: at fixture scale AQE turns it into a broadcast
+    # at runtime, while at 100 TB (corpus-sized build side) it stays a
+    # shuffle join keyed on the id — both correct, chosen by stats.
+    a = probe.select("band_idx", "band_val", F.col(id_col).alias("id1"))
+    b = build.select("band_idx", "band_val", F.col(id_col).alias("id2"))
+    pair_ids = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "q1", "n1", "id2", "q2", "n2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
+    )
+    vecs = banded.select(
+        F.col(id_col), F.col("qvec"), F.col("norm2")
+    ).dropDuplicates([id_col])
+    cands = (
+        pair_ids.join(
+            vecs.select(F.col(id_col).alias("id1"), F.col("qvec").alias("q1"), F.col("norm2").alias("n1")),
+            "id1",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id2"), F.col("qvec").alias("q2"), F.col("norm2").alias("n2")),
+            "id2",
+        )
     )
     dot = F.aggregate(
         F.zip_with(F.col("q1"), F.col("q2"), lambda x, y: x * y),
