@@ -73,6 +73,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "tumbling_distinct_users_stream",
         "dataset_snapshot_diff",
         "rfm_user_segments",
+        "pivot_user_type_matrix",
+        "unpivot_user_type_matrix",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):

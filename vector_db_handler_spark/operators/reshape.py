@@ -42,9 +42,12 @@ def pivot_user_type_value(
     ``value`` (null where the user has no such events — the same
     missing-cell semantics as conditional aggregation).
 
-    One shuffle (groupBy user_id); the per-type split is a map-side
-    CASE inside the partial aggregate, so shuffle volume is
-    |users| × |types| cells, never the event count.
+    Plan shape (pinned in ``tests/test_reshape.py``): Spark lowers
+    ``pivot`` to TWO aggregation rounds — groupBy(user, type) then a
+    ``pivotfirst`` groupBy(user) — so there are two exchanges, but
+    BOTH carry map-side-combined cells (≤ |users| × |types| rows),
+    never the raw event count; at 100 TB the shuffled volume is the
+    matrix, not the log.
     """
     ts = types if types is not None else EVENT_TYPES
     return (
