@@ -60,14 +60,21 @@ def pagerank_integer(
     deliberately out of scope — symmetrize or self-loop first."""
     edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = deg.select(F.col("src").alias("node"))
+    # Materialize the degree-annotated edge list ONCE: the caller's
+    # edge expression is often a non-trivial plan (scan + distinct +
+    # symmetrizing union), and the loop consumes it every iteration —
+    # uncached, Spark would re-execute that upstream plan iters+1
+    # times (once more for deg).  Eager localCheckpoint pins the rows
+    # in the block manager and truncates lineage; iteration cost
+    # becomes one join + one combined SUM shuffle, nothing upstream.
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
     teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
 
     ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
     for _ in range(iters):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            ed.join(ranks, ed.src == ranks.node)
             # `div` is exact integer division — floor(r/d) in DOUBLE
             # would be off-by-one whenever the quotient lands within
             # one ulp of an integer (ulp ≈ 0.25 at 2^51).
