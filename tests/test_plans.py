@@ -284,9 +284,14 @@ def test_srp_banded_join_no_cartesian(spark, sf_dir):
     # "formatted" explain repeats nodes in its details section).
     sig_plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in sig_plan
-    # exactly ONE Python stage: the quantize hop; the 32 signature
-    # dots + norm are native HOFs
-    assert sig_plan.count("MapInPandas") == 1
+    # exactly TWO narrow Arrow hops — quantize, then the one-matmul
+    # signature pass — chained in the same stage with no exchange
+    # between them (the HOF form was dropped: its expression tree cost
+    # O(n_bits·dim) driver-side analysis per query, see PERF.md)
+    assert sig_plan.count("MapInPandas") == 2
+    # no shuffle between the hops (the only Exchange is the broadcast
+    # of the 1-row quantization scale)
+    assert "Exchange hashpartitioning" not in sig_plan
 
 
 def test_hybrid_broadcasts_candidates(spark, sf_dir):
