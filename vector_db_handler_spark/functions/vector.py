@@ -88,12 +88,20 @@ def cosine_score(embedding: Column, query: Sequence[float]) -> Column:
 
     @pandas_udf("double")
     def _score(embs: pd.Series) -> pd.Series:
+        # Null embeddings score NULL, never NaN: Spark orders NaN
+        # ABOVE every real double, so a NaN would hijack a descending
+        # top-k; nulls sort last under desc and drop under filters.
         if len(embs) == 0:
             return pd.Series(np.zeros(0, dtype=np.float64))
-        m = np.array(list(embs), dtype=np.float64)
-        dots = m @ q
-        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-        return pd.Series(dots / (norms * qnorm))
+        mask = embs.notna().to_numpy()
+        out = pd.array(np.zeros(len(embs)), dtype="Float64")
+        out[~mask] = pd.NA
+        if mask.any():
+            m = np.array(list(embs[mask]), dtype=np.float64)
+            dots = m @ q
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            out[mask] = dots / (norms * qnorm)
+        return pd.Series(out)
 
     return _score(embedding)
 
@@ -107,11 +115,17 @@ def cosine_score_precomputed(embedding: Column, embedding_norm: Column, query: S
 
     @pandas_udf("double")
     def _score(embs: pd.Series, norms: pd.Series) -> pd.Series:
+        # null embedding → null score (see cosine_score's NaN note)
         if len(embs) == 0:
             return pd.Series(np.zeros(0, dtype=np.float64))
-        m = np.array(list(embs), dtype=np.float64)
-        dots = m @ q
-        return pd.Series(dots / (norms.to_numpy(dtype=np.float64) * qnorm))
+        mask = (embs.notna() & norms.notna()).to_numpy()
+        out = pd.array(np.zeros(len(embs)), dtype="Float64")
+        out[~mask] = pd.NA
+        if mask.any():
+            m = np.array(list(embs[mask]), dtype=np.float64)
+            dots = m @ q
+            out[mask] = dots / (norms.to_numpy(dtype=np.float64)[mask] * qnorm)
+        return pd.Series(out)
 
     return _score(embedding, embedding_norm)
 
@@ -122,10 +136,16 @@ def pairwise_dot(a: Column, b: Column) -> Column:
 
     @pandas_udf("double")
     def _dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        # null on either side → null (see cosine_score's NaN note)
         if len(xs) == 0:
             return pd.Series(np.zeros(0, dtype=np.float64))
-        mx = np.array(list(xs), dtype=np.float64)
-        my = np.array(list(ys), dtype=np.float64)
-        return pd.Series(np.einsum("ij,ij->i", mx, my))
+        mask = (xs.notna() & ys.notna()).to_numpy()
+        out = pd.array(np.zeros(len(xs)), dtype="Float64")
+        out[~mask] = pd.NA
+        if mask.any():
+            mx = np.array(list(xs[mask]), dtype=np.float64)
+            my = np.array(list(ys[mask]), dtype=np.float64)
+            out[mask] = np.einsum("ij,ij->i", mx, my)
+        return pd.Series(out)
 
     return _dot(a, b)

@@ -68,10 +68,24 @@ def quantize_int8(
     The scale rides a 1-row broadcast into every batch; the per-batch
     kernel is one vectorized numpy expression.  Elements are stored as
     BIGINT for engine-portable comparison; a production sink would
-    pack them to int8 bytes (4×) at write time."""
+    pack them to int8 bytes (4×) at write time.
+
+    Null-embedding rows (failed embedder calls — absent in the
+    fixtures, guaranteed at crawl scale) are DROPPED here, declaratively
+    (the filter rides the scan), so every downstream consumer — SRP,
+    PQ, IVF, k-means — inherits one contract: unembeddable rows do not
+    exist on the quantized plane.  Ragged dimensions are NOT silently
+    tolerated: they break every matmul and index layout downstream, so
+    the kernel raises with the offending ids instead of letting numpy
+    die with an untraceable shape error (a best-effort per-batch check;
+    pinned in ``tests/test_null_edge_embeddings.py``)."""
     if scale is None:
         scale = max_abs_scale(emb, embedding_col)
-    joined = emb.select(id_col, embedding_col).crossJoin(F.broadcast(scale))
+    joined = (
+        emb.select(id_col, embedding_col)
+        .filter(F.col(embedding_col).isNotNull())
+        .crossJoin(F.broadcast(scale))
+    )
     id_field = joined.schema[id_col]
     out_schema = StructType(
         [
@@ -89,6 +103,13 @@ def quantize_int8(
             s = float(pdf["s"].iloc[0])
             if not s > 0.0:  # all-zero corpus: q = 0 everywhere
                 s = 1.0
+            lens = pdf[embedding_col].map(len)
+            if lens.nunique() > 1:
+                bad = pdf.loc[lens != lens.iloc[0], id_col].tolist()[:5]
+                raise ValueError(
+                    f"ragged embedding dimensions (e.g. ids {bad}): "
+                    f"expected {int(lens.iloc[0])} components per row"
+                )
             mat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[embedding_col]]
             )
