@@ -96,3 +96,20 @@ def test_pair_ops_never_throw_on_edge_corpus(docs):
         for r in dd.winnow_overlap_pairs(docs, min_shared=1, k=4, w=3).collect()
     }
     assert (4, 5) in wp
+
+
+def test_media_kernels_drop_null_blobs(spark, docs):
+    # a null-text doc synthesizes a NULL media blob (encode(rpad(null))
+    # is null); every decode kernel must drop it, not crash on bytes(None)
+    from vector_db_handler_spark.operators import media as md
+
+    m = md.synthesize_media(docs)
+    assert m.filter(F.col("media").isNull()).count() >= 1  # doc 0
+    for out in (
+        md.decode_signal(m, decode="fake"),
+        md.decode_features(m, decode="fake"),
+        md.frame_sample(m),
+        md.resize_normalize(m),
+        md.media_phash(m, decode="fake"),
+    ):
+        assert 0 not in {r.media_id for r in out.collect()}

@@ -152,7 +152,9 @@ def decode_signal(
                 {"media_id": pdf[id_col], "modality": pdf["modality"], "signal": sigs}
             )
 
-    return media.mapInPandas(run, schema=out_schema)
+    # null blobs (e.g. synthesized from null-text docs) carry no
+    # signal: drop declaratively, same contract as quantize_int8
+    return media.filter(F.col(media_col).isNotNull()).mapInPandas(run, schema=out_schema)
 
 
 def binary_exact_dedup(media: DataFrame, media_col: str = "media", id_col: str = "media_id") -> DataFrame:
@@ -304,7 +306,7 @@ def decode_features(
                 }
             )
 
-    return media.mapInPandas(extract, schema=out_schema)
+    return media.filter(F.col(media_col).isNotNull()).mapInPandas(extract, schema=out_schema)
 
 
 def frame_sample(
@@ -356,7 +358,7 @@ def frame_sample(
                 }
             )
 
-    return media.mapInPandas(sample, schema=out_schema)
+    return media.filter(F.col(media_col).isNotNull()).mapInPandas(sample, schema=out_schema)
 
 
 def resize_normalize(
@@ -394,7 +396,7 @@ def resize_normalize(
                 {"media_id": pdf[id_col], "modality": pdf["modality"], "resized": out}
             )
 
-    return media.mapInPandas(resize, schema=out_schema)
+    return media.filter(F.col(media_col).isNotNull()).mapInPandas(resize, schema=out_schema)
 
 
 def media_phash(
@@ -478,4 +480,4 @@ def media_phash(
                 los.append(int(((v_lo > 0) * weights).sum()))
             yield _pd.DataFrame({"media_id": ids, "phash_hi": his, "phash_lo": los})
 
-    return media.mapInPandas(fingerprint, schema=schema)
+    return media.filter(F.col(media_col).isNotNull()).mapInPandas(fingerprint, schema=schema)
