@@ -703,6 +703,54 @@ def r6c(mult: int = 4) -> None:
 
 
 
+def r6d(mult: int = 16) -> None:
+    """Closing-session probes: the pivot/unpivot reshaping pair at
+    replicated event scale (shuffle volume is the user x type cell
+    matrix, so wall should grow far slower than rows), and the Arrow
+    SRP signature pass at replicated embedding scale (plan cost is now
+    constant, so wall should track rows ~linearly from a small base)."""
+    from vector_db_handler_spark.operators import srp as srp_ops
+    from vector_db_handler_spark.operators.reshape import (
+        pivot_user_type_value,
+        unpivot_user_type_value,
+    )
+
+    spark = get_spark("r6d-probe")
+    sf = "/root/testdata/sf0.1"
+    ev0 = spark.read.parquet(f"{sf}/events.parquet")
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    for m in (1, mult):
+        ev = ev0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            # same user population (cells constant) -- rows grow m-fold
+            ev = ev0.crossJoin(reps).select("user_id", "event_type", "value")
+        rows = ev.count()
+        t0 = time.perf_counter()
+        n_w = pivot_user_type_value(ev).count()
+        t1 = time.perf_counter()
+        n_l = unpivot_user_type_value(ev).count()
+        print(
+            f"pivot @ {rows} rows: {n_w} users, wall {t1-t0:.1f}s; "
+            f"unpivot round trip: {n_l} cells, wall {time.perf_counter()-t1:.1f}s"
+        )
+
+    planes = srp_ops.srp_planes(64, 60, 7)
+    for m in (1, mult):
+        emb = emb0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            emb = emb0.crossJoin(reps).select(
+                (F.col("vec_id") * m + F.col("rep")).alias("vec_id"), "embedding"
+            )
+        rows = emb.count()
+        t0 = time.perf_counter()
+        n = srp_ops.srp_signatures(emb, planes).count()
+        print(f"srp_signatures(60 planes) @ {rows} vecs: wall {time.perf_counter()-t0:.1f}s")
+
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -725,6 +773,8 @@ if __name__ == "__main__":
         srp_guard(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "winnow_guard":
         winnow_guard(int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r6d":
+        r6d(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "r6c":
         r6c(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
