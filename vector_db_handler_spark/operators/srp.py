@@ -155,10 +155,11 @@ def srp_neardup_pairs(
     ``(id1, id2, score)`` with score = the correctly-rounded double
     cosine of the quantized vectors.
 
-    Shuffle ledger: quantize scan → signature pass (narrow) →
-    explode n_bands rows/vector → bucket-census join (guard) →
-    band equi-join → dropDuplicates on the pair key → native integer
-    verify.  Nothing is collected; no Python runs after quantization.
+    Shuffle ledger: quantize scan → signature pass (narrow Arrow hop,
+    chained with the quantize hop in one stage) → explode n_bands
+    rows/vector → bucket-census join (guard) → band equi-join →
+    dropDuplicates on the pair key → native integer verify.  Nothing
+    is collected; after the signature pass everything is JVM-side.
     """
     if n_bits % n_bands:
         raise ValueError("n_bands must divide n_bits")
