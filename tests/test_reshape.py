@@ -71,3 +71,36 @@ def test_unpivot_adds_no_exchange(spark, sf_dir):
     # round trip costs exactly the pivot's own shuffle, nothing more.
     assert "Expand" in long_plan
     assert long_plan.count("Exchange") == wide_plan.count("Exchange")
+
+
+# ---- property check: roundtrip losslessness over arbitrary corpora ----
+
+from decimal import Decimal as _D
+
+from hypothesis import given, settings, strategies as st
+
+_EVT = st.tuples(
+    st.integers(min_value=0, max_value=4),                 # user_id
+    st.sampled_from(rs.EVENT_TYPES),                       # event_type
+    st.decimals(min_value=-99, max_value=99, places=2),    # value
+)
+_EVENTS = st.lists(_EVT, min_size=1, max_size=20)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_EVENTS)
+def test_roundtrip_matches_direct_aggregate_property(spark, rows):
+    ev = spark.createDataFrame(
+        [(u, t, float(v)) for u, t, v in rows],
+        "user_id long, event_type string, value double",
+    )
+    melted = {
+        (r.user_id, r.event_type): r.total_value
+        for r in rs.unpivot_user_type_value(ev).collect()
+    }
+    expected: dict = {}
+    for u, t, v in rows:
+        expected[(u, t)] = expected.get((u, t), _D(0)) + _D(str(float(v))).quantize(
+            _D("0.000001")
+        )
+    assert melted == {k: float(v) for k, v in expected.items()}
