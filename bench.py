@@ -85,14 +85,54 @@ def main() -> None:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         return round(time.perf_counter() - t0, 4)
 
+    # Shuffle-volume capture (r6 verdict ask #7): wall time caught zero
+    # regressions in r6, but shuffle bytes is the earlier,
+    # machine-checkable plan-regression signal — a broadcast join
+    # degrading to sort-merge multiplies exchange volume long before it
+    # dominates wall clock at sf0.1.  Source: the live AppStatusStore
+    # stage list (same numbers the UI shows); per query we sum
+    # shuffle-write bytes over the stages created SINCE the pre-query
+    # high-water stage id, so retention eviction can't skew deltas.
+    _sc = spark.sparkContext
+    _empty_statuses = _sc._gateway.jvm.java.util.ArrayList()
+    _empty_task_statuses = _sc._gateway.jvm.java.util.ArrayList()
+    _no_quantiles = _sc._gateway.new_array(_sc._gateway.jvm.double, 0)
+
+    def _stage_highwater_and_bytes(min_stage_id: int) -> tuple[int, int]:
+        try:
+            # Status-store updates ride the listener bus (async); drain
+            # it so the just-finished query's stages are visible.
+            _sc._jsc.sc().listenerBus().waitUntilEmpty(2000)
+        except Exception:  # noqa: BLE001 — best-effort drain
+            pass
+        # Spark 4 signature: stageList(statuses, details, withSummaries,
+        # unsortedQuantiles, taskStatus)
+        stages = _sc._jsc.sc().statusStore().stageList(
+            _empty_statuses, False, False, _no_quantiles, _empty_task_statuses
+        )
+        total, hi = 0, min_stage_id
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            sid = s.stageId()
+            hi = max(hi, sid)
+            if sid > min_stage_id:
+                total += s.shuffleWriteBytes()
+        return hi, total
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     rep_detail: dict[str, dict[str, list[float]]] = {}
+    shuffle_bytes: dict[str, int] = {}
     for name, fn in sorted(dq.queries().items()):
         walls: list[float] = []
         sentinels: list[float] = []
+        rep_shuffle: list[int] = []
         for _ in range(reps):
             sentinels.append(sentinel())
+            try:
+                hw, _ = _stage_highwater_and_bytes(-1)
+            except Exception:  # noqa: BLE001
+                hw = None
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).collect()
@@ -101,7 +141,18 @@ def main() -> None:
                 print(f"query {name} failed: {errors[name]}", file=sys.stderr)
                 break
             walls.append(round(time.perf_counter() - t0, 4))
+            if hw is not None:
+                try:
+                    _, sb = _stage_highwater_and_bytes(hw)
+                    rep_shuffle.append(int(sb))
+                except Exception:  # noqa: BLE001
+                    pass
         rep_detail[name] = {"reps": walls, "sentinel": sentinels}
+        if rep_shuffle:
+            # max over reps: exchange reuse/caching can make later reps
+            # cheaper; the regression signal wants the full-plan volume
+            rep_detail[name]["shuffle_bytes"] = rep_shuffle
+            shuffle_bytes[name] = max(rep_shuffle)
         if walls:
             timings[name] = min(walls)
 
@@ -121,6 +172,7 @@ def main() -> None:
                 "reps": reps,
                 "agg": "min",
                 "per_rep": rep_detail,
+                "shuffle_bytes": shuffle_bytes,
                 "sentinel_op": "spark.range(1e6).sum() collect, timed before each rep",
             },
             f,

@@ -175,3 +175,30 @@ def test_pairwise_correlations_match_numpy(spark, sf_dir):
             n, r_got = got[(t1, t2)]
             assert n == len(days)
             assert abs(r_got - want) < 1e-6, (t1, t2, r_got, want)
+
+
+def test_global_rank_offsets_join_broadcast_not_case_chain(spark, sf_dir):
+    """r6 advisor: per-partition offsets used to be a WHEN/OTHERWISE
+    chain nested one level PER SHUFFLE PARTITION — a quadratic-ish
+    Catalyst analysis cost and a stack-depth risk at the thousands of
+    partitions a 100 TB sort uses.  Now they attach via a broadcast
+    (pid, offset) join; pin both the strategy and the absence of the
+    chain."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = features.global_rank(ev, ["value", "event_id"])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("CASE WHEN") <= 1, "offset CASE chain is back"
+
+
+def test_global_rank_rejects_null_order_keys(spark):
+    """Spark sorts NULLS FIRST on asc, DuckDB defaults to NULLS LAST —
+    a null order key silently breaks the bit-identical cross-engine
+    guarantee, so global_rank refuses it loudly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "event_id long, value double"
+    )
+    with pytest.raises(ValueError, match="NULL in order columns"):
+        features.global_rank(df, ["value", "event_id"]).collect()

@@ -90,3 +90,42 @@ def test_pivot_null_keys_form_their_own_row(ev):
     # null cells drop on melt: user 7 keeps only its click cell
     assert melted == {(None, "click"): 1.0, (7, "click"): 3.0,
                       (8, "purchase"): 4.0}
+
+
+def test_custom_stateful_streams_drop_null_values(spark, tmp_path):
+    """r6 advisor: a null event value used to crash ``float(None)``
+    inside the applyInPandasWithState processors.  The contract now:
+    null-value events are dropped declaratively BEFORE the stateful
+    shuffle (same skip-nulls posture as the batch SUM), so the stream
+    neither crashes nor emits rows for them — and the surviving rows'
+    state is exactly what a null-free replay would produce."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    rows = [
+        (0, _T, 7, "click", 1.0, None),
+        (1, _T + datetime.timedelta(minutes=1), 7, "view", None, None),
+        (2, _T + datetime.timedelta(minutes=2), 7, "view", 2.0, None),
+        (3, _T + datetime.timedelta(minutes=3), 8, "click", None, None),
+    ]
+    src = str(tmp_path / "null_vals")
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    anom = stream_ops.streaming_user_anomaly_gs(
+        spark.readStream.schema(schema).parquet(src)
+    )
+    stream_ops.run_to_memory(anom, "t_null_anom", mode="append")
+    got = {r.event_id: r.n_prior for r in spark.table("t_null_anom").collect()}
+    # events 1 and 3 (null value) are dropped; event 2's prior count
+    # sees only the non-null event 0
+    assert got == {0: 0, 2: 1}
+
+    run = stream_ops.streaming_running_user_value_gs(
+        spark.readStream.schema(schema).parquet(src)
+    )
+    stream_ops.run_to_memory(run, "t_null_run", mode="append")
+    vals = {r.event_id: (r.running_value, r.seq)
+            for r in spark.table("t_null_run").collect()}
+    assert vals == {0: (1.0, 1), 2: (3.0, 2)}

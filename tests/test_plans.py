@@ -372,10 +372,16 @@ def test_ppjoin_is_equijoin_never_cartesian(spark, sf_dir):
 
 def test_scd2_merge_broadcasts_update_batch(spark, sf_dir):
     """The change batch joins broadcast (dim side never shuffles on
-    the join key), and no leg degenerates to a nested loop."""
+    the join key), and no leg degenerates to a nested loop.  The r6
+    advisor caught that the old FULL OUTER formulation silently
+    ignored the broadcast hint (BroadcastHashJoin does not support
+    full outer) — so this asserts the ACTUAL strategy: every join is
+    a BroadcastHashJoin, none fall back to sort-merge."""
     plan = _plan(dq.scd2_customer_merge(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dimension is being shuffled on the key"
 
 
 def test_mrl_lowers_to_take_ordered(spark, sf_dir):

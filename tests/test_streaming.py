@@ -423,3 +423,55 @@ def _write_once(df, path):
     p = str(path)
     df.coalesce(1).write.mode("overwrite").parquet(p)
     return p
+
+
+def test_event_time_ttl_evicts_idle_user_and_readmits(spark, tmp_path):
+    """Event-time TTL for the custom stateful family (r6 verdict ask
+    #6): a user idle past the TTL in EVENT time is evicted once the
+    watermark passes last_event_ts + ttl, and a later recurrence
+    starts a FRESH profile — deterministically, under an
+    availableNow backfill replay (the distinguishing property vs
+    ProcessingTimeTimeout, which cannot fire under replays at all)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, uid, val):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), uid, float(val))
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = str(tmp_path / "ttl_src")
+    batches = [
+        [ev(0, 0, 7, 1.0), ev(1, 1, 7, 2.0)],      # user 7 active
+        [ev(2, 600, 8, 5.0)],                       # watermark → t=600m
+        [ev(3, 660, 8, 6.0)],                       # idle user 7 evicted
+        [ev(4, 1200, 7, 3.0), ev(5, 1201, 7, 9.0)], # user 7 returns
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    ttl_h = 1
+    out = stream_ops.streaming_user_anomaly_gs(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        event_ttl_ms=ttl_h * 3600 * 1000,
+        watermark="0 seconds",
+    )
+    stream_ops.run_to_memory(out, "t_ttl_anom", mode="append")
+    got = {r.event_id: r.n_prior for r in spark.table("t_ttl_anom").collect()}
+    # user 7's second appearance restarts at n_prior=0 — without the
+    # TTL it would carry n_prior=2 from events 0/1
+    assert got[0] == 0 and got[1] == 1
+    assert got[4] == 0 and got[5] == 1, f"state not evicted: {got}"
+
+    run = stream_ops.streaming_running_user_value_gs(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        event_ttl_ms=ttl_h * 3600 * 1000,
+        watermark="0 seconds",
+    )
+    stream_ops.run_to_memory(run, "t_ttl_run", mode="append")
+    vals = {r.event_id: (r.running_value, r.seq)
+            for r in spark.table("t_ttl_run").collect()}
+    assert vals[4] == (3.0, 1) and vals[5] == (12.0, 2), f"total not reset: {vals}"
+
+    # user 8 was never idle past the TTL between its events → continuous
+    assert got[2] == 0 and got[3] == 1

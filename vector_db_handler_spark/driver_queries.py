@@ -117,57 +117,73 @@ def register(name: str, oracle: str | None = None):
 #: media_modality_stats, media_phash, media_resize_fingerprint,
 #: tpch_q3/q5/q6) pass today's local oracle replay and are FIRST IN
 #: LINE for the r7 window.
+#: Round 7: (a) the 3 rows that were driver-red in r6 on the oracle
+#: HUGEINT typing bug, re-checked with their casts fixed; (b) the 12
+#: queries whose newest driver evidence was r3 (the stalest in the
+#: registry — named first-in-line by the r6 verdict); (c) the 5 queries
+#: whose OPERATOR CODE changed this round (scd2_merge restructured to
+#: broadcast legs; global_rank offsets now a broadcast join feeding the
+#: decile/RFM queries; the two custom stateful streams gained the
+#: null-value drop) — changed code re-evidences in its own round, same
+#: spirit as the new-registration rule; (d) 30 of the 45 r4-vintage
+#: queries (the remaining 15, mostly the TPC-H tail, rotate in r8).
+#: New r7 registrations are appended in their registration commits per
+#: the §8.0 process rule, displacing entries from the (d) block tail.
 _DRIVER_FRONT: list[str] = [
-    "rfm_user_segments",
-    "decayed_type_scores",
-    "event_type_correlations",
-    "kmv_distinct_users_by_type",
-    "lang_temperature_weights",
-    "scd2_customer_merge",
-    "gapfill_user_daily",
-    "ewma_user_daily",
-    "ppjoin_jaccard_pairs",
-    "user_anomaly_stream",
-    "rolling_median_7d",
-    "pagerank_part_supplier",
-    "cms_user_event_counts",
-    "mrl_prefix_rerank",
-    "event_type_transitions",
-    "value_decile_bins",
-    "embedding_dim_stats",
-    "dedup_rate_by_source",
-    "basket_part_lift",
-    "tumbling_distinct_users_stream",
-    "dataset_snapshot_diff",
-    "srp_neardup_pairs",
-    "semdedup_survivors",
-    "bm25_topk_docs",
-    "zorder_orders_layout",
-    "embedding_dispersion",
-    "value_percentiles_by_type",
-    "trending_types_stream",
-    "dataset_split_counts",
-    "phrase_search_docs",
-    "hybrid_search_rerank",
+    # (a) r6 driver-red, oracle cast fixed this round
     "tpch_q12",
-    "incremental_rollup_merge",
-    "enriched_stream_by_nation",
-    "training_shard_manifest",
-    "binary_hamming_topk",
-    "srp_multiprobe_pairs",
-    "ivfsq_int8_train_probe",
-    "span_dedup_corpus",
+    "decayed_type_scores",
     "pack_sequences",
-    "tfidf_topk_terms",
-    "gopher_quality_flags",
-    "avro_roundtrip_stats",
-    "pq_train_codebooks",
-    "pq_adc_topk",
-    "ivfpq_probe_topk",
-    "pivot_user_type_matrix",
-    "unpivot_user_type_matrix",
-    "media_binary_dedup",
-    "media_frame_stats",
+    # (b) r3-vintage evidence refresh
+    "cosine_neardup_pairs",
+    "cosine_topk_join",
+    "ivf_topk",
+    "text_quality",
+    "sketch_accuracy_by_lang",
+    "streaming_dedup_first",
+    "media_modality_stats",
+    "media_phash",
+    "media_resize_fingerprint",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    # (c) operator code changed in r7
+    "scd2_customer_merge",
+    "value_decile_bins",
+    "rfm_user_segments",
+    "user_anomaly_stream",
+    "running_user_value_stream",
+    # (d) stalest r4-vintage refresh (30 of 45)
+    "upsert_scroll_roundtrip",
+    "scroll_page2",
+    "decontamination_pairs",
+    "bloom_incremental_novel",
+    "salted_join_agg",
+    "bucketed_join_agg",
+    "neardup_components",
+    "neardup_canonical_docs",
+    "deduped_corpus",
+    "media_neardup_pairs",
+    "simhash_neardup_pairs",
+    "minhash_jaccard_estimate",
+    "anti_join_novel_docs",
+    "cosine_neardup_ann",
+    "pipeline_ingest_search_checked",
+    "quantized_knn_topk",
+    "ivfsq_probe_topk",
+    "ivfsq_batch_probe",
+    "sample_stratified_docs",
+    "sample_per_lang_topk",
+    "doc_repetition",
+    "vocab_topk_tokens",
+    "source_quality_report",
+    "cube_source_lang",
+    "label_centroids",
+    "grouped_embedding_norms",
+    "media_real_decode_stats",
+    "top_customers_per_nation",
+    "tpch_q14",
+    "tpch_q7",
 ]
 
 
@@ -4001,10 +4017,10 @@ WITH n AS (
 ),
 c AS (
   SELECT doc_id, shard, n_tokens,
-         SUM(n_tokens) OVER (
+         CAST(SUM(n_tokens) OVER (
            PARTITION BY shard ORDER BY doc_id
            ROWS UNBOUNDED PRECEDING
-         ) - n_tokens AS start_tok
+         ) - n_tokens AS BIGINT) AS start_tok
   FROM n
 )
 SELECT doc_id, shard, n_tokens,
@@ -6089,10 +6105,10 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q12_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -7301,9 +7317,9 @@ e AS (
   FROM events
 )
 SELECT event_type,
-       SUM(CASE WHEN age <= 15
-                THEN CAST(1 AS BIGINT) << CAST(15 - age AS INTEGER)
-                ELSE CAST(0 AS BIGINT) END) AS decayed_score,
+       CAST(SUM(CASE WHEN age <= 15
+                     THEN CAST(1 AS BIGINT) << CAST(15 - age AS INTEGER)
+                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS decayed_score,
        COUNT(*) AS n_total
 FROM e
 GROUP BY event_type

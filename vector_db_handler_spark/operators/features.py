@@ -27,7 +27,7 @@ column), which is also what makes it hash-checkable cross-engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,13 +38,27 @@ def global_rank(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact 1-based global rank by ``order_cols`` (must form a total
-    order — include a unique tie-break column), computed without a
-    single-partition window.  Adds ``rank_col``; preserves all input
-    columns."""
-    cols = [F.col(c).asc() for c in order_cols]
+    order — include a unique tie-break column; order columns must be
+    non-null, asserted below, because Spark and DuckDB disagree on
+    default null placement), computed without a single-partition
+    window.  Adds ``rank_col`` (BIGINT — int32 overflows past 2.1 B
+    rows); preserves all input columns.
+
+    Nulls: Spark's ``asc`` sorts NULLS FIRST, DuckDB's default ASC is
+    NULLS LAST, so a null order key would silently break the
+    bit-identical cross-engine guarantee.  ``asc_nulls_last`` pins the
+    Spark side to DuckDB's convention AND the per-partition census
+    asserts the keys are non-null (a null in the range-partition key
+    also lands in an engine-chosen partition) — so the precondition is
+    enforced, not just documented."""
+    cols = [F.col(c).asc_nulls_last() for c in order_cols]
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
+    null_guard = None
+    for c in order_cols:
+        cond = F.col(c).isNull()
+        null_guard = cond if null_guard is None else (null_guard | cond)
     ranged = df.repartitionByRange(int(parts), *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -52,21 +66,34 @@ def global_rank(
     # SAME partitioning (range boundaries are sampled, hence not
     # guaranteed stable across recomputes).
     ranged = ranged.localCheckpoint(eager=True)
-    counts = {
-        r._pid: r.cnt
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
+    census = ranged.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(null_guard, 1).otherwise(0)).alias("n_null_keys"),
+    ).collect()
+    bad = sum(r.n_null_keys for r in census)
+    if bad:
+        raise ValueError(
+            f"global_rank: {bad} rows have NULL in order columns "
+            f"{order_cols} — a total order requires non-null keys "
+            f"(cross-engine null placement differs); filter them first"
+        )
+    counts = {r._pid: r.cnt for r in census}
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    off_expr: Column = F.lit(0)
-    for pid, off in offsets.items():
-        off_expr = F.when(F.col("_pid") == pid, off).otherwise(off_expr)
+    # Per-partition offsets as a broadcast (pid, offset) join — NOT a
+    # nested WHEN/OTHERWISE chain, which builds a Catalyst expression
+    # tree one level deep PER PARTITION (quadratic-ish analysis cost
+    # and stack-depth risk at the thousands of shuffle partitions a
+    # 100 TB sort uses).  The join side is numPartitions rows.
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid INT, _off BIGINT")
     w = Window.partitionBy("_pid").orderBy(*cols)
     return (
-        ranged.withColumn(rank_col, F.row_number().over(w) + off_expr)
-        .drop("_pid")
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_off", "_rn")
     )
 
 

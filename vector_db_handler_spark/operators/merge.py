@@ -12,17 +12,18 @@ shapes are:
   snapshot.  Delta Lake / Iceberg implement it as: join the batch to
   the snapshot to find touched files, rewrite only those, keep
   history.  ``scd2_merge`` expresses the Type-2 flavor (full row
-  history with validity intervals) as ONE outer join + unions — the
+  history with validity intervals) as broadcast joins + unions — the
   exact logical plan a lakehouse MERGE compiles to, minus the
   file-level transaction log.
 
-Scale shape: the dimension side streams through untouched except for
-the join; the change batch is typically ≤ a few million rows → Spark
-broadcasts it (AQE does this automatically under the threshold, and
-callers can force it with ``F.broadcast``).  The three output legs
-(carried rows, closed-out versions, new versions) are unions of
-projections over the SAME join result, so Catalyst reuses one
-exchange.  Nothing here collects to the driver.
+Scale shape: the change batch is typically ≤ a few million rows, and
+Spark's BroadcastHashJoin does NOT support FULL OUTER joins — so the
+textbook single-outer-join MERGE silently plans as a sort-merge join
+that shuffles the ENTIRE dimension on the key.  ``scd2_merge``
+therefore decomposes the fates into a broadcast LEFT OUTER join
+(carried / closed / changed-new legs) plus a broadcast semi→anti
+pair (brand-new keys): the dimension streams through scans but is
+never exchanged.  Nothing here collects to the driver.
 """
 
 from __future__ import annotations
@@ -61,20 +62,34 @@ def scd2_merge(
     * update keys absent from the dimension — inserted as new open
       rows.
 
-    One equi-join on the key + three projections unioned; the join is
-    broadcast when ``updates`` is small (the normal case — pass
-    ``F.broadcast(updates)`` to force it)."""
+    Join shape (the point, at 100 TB): a FULL OUTER join can never be
+    a BroadcastHashJoin in Spark, so the textbook one-outer-join MERGE
+    formulation silently plans as a sort-merge join that shuffles the
+    ENTIRE dimension on the key.  Instead the three row fates come
+    from joins that all broadcast the small side:
+
+    * carried / closed / changed-new — ``current LEFT OUTER
+      broadcast(updates)`` (LeftOuter + BuildRight is broadcastable);
+    * brand-new keys — ``updates LEFT ANTI broadcast(matched_keys)``,
+      where ``matched_keys`` is ``current LEFT SEMI broadcast(updates)
+      → key`` (≤ one open row per key, so ≤ |updates| rows — tiny).
+
+    Net: the dimension is scanned (twice, both scans
+    broadcast-joined) but NEVER shuffled; exchange volume is
+    O(|updates|), not O(|dim|)."""
     bdate = F.to_date(F.lit(batch_date))
     u_cols = [key_col, *tracked_cols]
-    upd = updates.select(*[F.col(c).alias(f"_u_{c}") for c in u_cols])
+    upd = F.broadcast(
+        updates.select(*[F.col(c).alias(f"_u_{c}") for c in u_cols])
+    )
 
     current = dim.filter(F.col(current_flag))
     history = dim.filter(~F.col(current_flag))
 
     joined = current.join(
-        upd, current[key_col] == upd[f"_u_{key_col}"], "full_outer"
+        upd, current[key_col] == upd[f"_u_{key_col}"], "left_outer"
     )
-    matched = F.col(key_col).isNotNull() & F.col(f"_u_{key_col}").isNotNull()
+    matched = F.col(f"_u_{key_col}").isNotNull()
     differs = matched & ~F.struct(*[F.col(c) for c in tracked_cols]).eqNullSafe(
         F.struct(*[F.col(f"_u_{c}") for c in tracked_cols])
     )
@@ -82,9 +97,7 @@ def scd2_merge(
     dim_schema = [key_col, *tracked_cols, valid_from, valid_to, current_flag]
 
     # Leg 1: current rows carried unchanged (no update, or a no-op one).
-    carried = joined.filter(
-        F.col(key_col).isNotNull() & ~differs
-    ).select(*dim_schema)
+    carried = joined.filter(~differs).select(*dim_schema)
 
     # Leg 2: closed-out versions of changed rows.
     closed = joined.filter(differs).select(
@@ -95,9 +108,25 @@ def scd2_merge(
         F.lit(False).alias(current_flag),
     )
 
-    # Leg 3: new open versions — changed rows and brand-new keys.
-    fresh = joined.filter(
-        differs | F.col(key_col).isNull()
+    # Leg 3a: new open versions of changed rows.
+    changed_new = joined.filter(differs).select(
+        F.col(f"_u_{key_col}").alias(key_col),
+        *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
+        bdate.alias(valid_from),
+        F.lit(None).cast("date").alias(valid_to),
+        F.lit(True).alias(current_flag),
+    )
+
+    # Leg 3b: update keys absent from the dimension → inserts.  The
+    # matched-key set is ≤ |updates| rows (one open row per key), so
+    # broadcasting it keeps this leg shuffle-free too.
+    matched_keys = F.broadcast(
+        current.join(
+            upd, current[key_col] == upd[f"_u_{key_col}"], "left_semi"
+        ).select(F.col(key_col).alias("_m_key"))
+    )
+    brand_new = upd.join(
+        matched_keys, F.col(f"_u_{key_col}") == F.col("_m_key"), "left_anti"
     ).select(
         F.col(f"_u_{key_col}").alias(key_col),
         *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
@@ -108,7 +137,7 @@ def scd2_merge(
 
     return history.select(*dim_schema).unionByName(carried).unionByName(
         closed
-    ).unionByName(fresh)
+    ).unionByName(changed_new).unionByName(brand_new)
 
 
 def snapshot_diff(

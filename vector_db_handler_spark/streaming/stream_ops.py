@@ -507,6 +507,11 @@ def streaming_running_user_value(events_stream: DataFrame) -> DataFrame:
 
     return (
         events_stream.select("event_id", "ts", "user_id", "value")
+        # Null-value events would crash float(None) in the processor;
+        # drop them declaratively BEFORE the shuffle (documented
+        # precondition of the batch-parity contract — the batch twin's
+        # SUM also skips nulls, but counts them in seq).
+        .filter(F.col("value").isNotNull())
         .groupBy("user_id")
         .transformWithStateInPandas(
             RunningTotal(),
@@ -517,7 +522,11 @@ def streaming_running_user_value(events_stream: DataFrame) -> DataFrame:
     )
 
 
-def streaming_running_user_value_gs(events_stream: DataFrame) -> DataFrame:
+def streaming_running_user_value_gs(
+    events_stream: DataFrame,
+    event_ttl_ms: int | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
     """Per-user running value totals on ``applyInPandasWithState`` —
     the SAME semantics as :func:`streaming_running_user_value` (which
     targets the newer ``transformWithStateInPandas`` API) on the state
@@ -536,8 +545,16 @@ def streaming_running_user_value_gs(events_stream: DataFrame) -> DataFrame:
     (ts, event_id) inside each micro-batch; availableNow over the
     single-file fixture is one batch, so stream == batch exactly.
     State: 16 bytes per active user.
+
+    ``event_ttl_ms`` enables the same event-time state eviction as
+    :func:`streaming_user_anomaly_gs`: a user idle for that much EVENT
+    time is retired once the watermark passes ``last_event_ts + ttl``
+    (deterministic under backfill replays — wall clock never enters),
+    and a later recurrence restarts the running total from zero.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl = None if event_ttl_ms is None else int(event_ttl_ms)
 
     out_schema = T.StructType(
         [
@@ -559,6 +576,9 @@ def streaming_running_user_value_gs(events_stream: DataFrame) -> DataFrame:
 
         import pandas as _pd
 
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return
         pdf = _pd.concat(list(pdfs), ignore_index=True)
         if pdf.empty:
             return
@@ -583,6 +603,11 @@ def streaming_running_user_value_gs(events_stream: DataFrame) -> DataFrame:
                 )
             out_seqs.append(seq)
         state.update((total, seq))
+        if ttl is not None:
+            last_ms = int(pdf["ts"].max().value // 1_000_000)
+            state.setTimeoutTimestamp(
+                max(last_ms + ttl, state.getCurrentWatermarkMs() + 1)
+            )
         yield _pd.DataFrame(
             {
                 "event_id": out_ids,
@@ -592,15 +617,26 @@ def streaming_running_user_value_gs(events_stream: DataFrame) -> DataFrame:
             }
         )
 
-    return (
+    stream = (
         events_stream.select("event_id", "ts", "user_id", "value")
-        .groupBy("user_id")
+        # Null-value events would crash float(None) in the processor;
+        # drop them declaratively BEFORE the shuffle (same contract as
+        # the transformWithStateInPandas twin above).
+        .filter(F.col("value").isNotNull())
+    )
+    if ttl is not None:
+        stream = stream.withWatermark("ts", watermark)
+        tconf = GroupStateTimeout.EventTimeTimeout
+    else:
+        tconf = GroupStateTimeout.NoTimeout
+    return (
+        stream.groupBy("user_id")
         .applyInPandasWithState(
             running,
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=tconf,
         )
     )
 
@@ -663,7 +699,10 @@ def enrich_stream_with_dim(
 
 
 def streaming_user_anomaly_gs(
-    events_stream: DataFrame, z: int = 3
+    events_stream: DataFrame,
+    z: int = 3,
+    event_ttl_ms: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Per-user streaming anomaly flags: an event is anomalous when its
     value sits more than ``z`` standard deviations from the mean of the
@@ -688,9 +727,24 @@ def streaming_user_anomaly_gs(
     honest limit.
 
     Scale shape: one shuffle on user_id; state is three numbers per
-    active user; emit is append-mode per event.  Pair with a
-    processing-time TTL to retire idle users (same hook as
-    ``streaming_exact_dedup``).
+    active user; emit is append-mode per event.
+
+    Unbounded-key eviction (r6 verdict ask #6): with the default
+    ``event_ttl_ms=None`` state grows with distinct-user cardinality —
+    exact forever, unbounded.  Pass ``event_ttl_ms`` (plus a
+    ``watermark`` delay) for an EVENT-TIME TTL: a user idle for
+    ``event_ttl_ms`` of EVENT time is evicted once the watermark
+    passes ``last_event_ts + ttl``, so state is bounded by the users
+    active inside one TTL horizon and a user recurring later restarts
+    a fresh profile.  Event-time timers — unlike the
+    ProcessingTimeTimeout used by ``streaming_exact_dedup`` — fire
+    deterministically under ``availableNow``/``trigger-once`` BACKFILL
+    replays too (the watermark advances between micro-batches whether
+    the data is live or historical), which is why this is the right
+    eviction clock for the anomaly/running-totals family: the same
+    replay produces the same evictions, wall clock never enters the
+    semantics.  The absolute expiry rides the checkpointed timer, so
+    the TTL survives restarts.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -710,12 +764,18 @@ def streaming_user_anomaly_gs(
         ]
     )
     z2 = int(z) * int(z)
+    ttl = None if event_ttl_ms is None else int(event_ttl_ms)
 
     def monitor(key, pdfs, state):
         from decimal import ROUND_HALF_UP, Decimal
 
         import pandas as _pd
 
+        if ttl is not None and state.hasTimedOut:
+            # Idle past the event-time TTL: retire the profile so a
+            # recurring user is re-admitted with a fresh prefix.
+            state.remove()
+            return
         pdf = _pd.concat(list(pdfs), ignore_index=True)
         if pdf.empty:
             return
@@ -742,6 +802,14 @@ def streaming_user_anomaly_gs(
             smicro += x
             sumsq += x * x
         state.update((cnt, smicro, Decimal(sumsq)))
+        if ttl is not None:
+            # TTL counts from the user's LAST event (event time); the
+            # engine requires the timer to sit beyond the current
+            # watermark, hence the max().
+            last_ms = int(pdf["ts"].max().value // 1_000_000)
+            state.setTimeoutTimestamp(
+                max(last_ms + ttl, state.getCurrentWatermarkMs() + 1)
+            )
         yield _pd.DataFrame(
             {
                 "event_id": out_ids,
@@ -751,15 +819,28 @@ def streaming_user_anomaly_gs(
             }
         )
 
-    return (
+    stream = (
         events_stream.select("event_id", "ts", "user_id", "value")
-        .groupBy("user_id")
+        # Null-value events carry no anomaly signal and would crash the
+        # Decimal conversion inside the processor (float(None)); drop
+        # them declaratively BEFORE the user_id shuffle — same
+        # native-null posture as the rest of the events family (the
+        # batch oracle's SUM also skips nulls).
+        .filter(F.col("value").isNotNull())
+    )
+    if ttl is not None:
+        stream = stream.withWatermark("ts", watermark)
+        tconf = GroupStateTimeout.EventTimeTimeout
+    else:
+        tconf = GroupStateTimeout.NoTimeout
+    return (
+        stream.groupBy("user_id")
         .applyInPandasWithState(
             monitor,
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=tconf,
         )
     )
 
