@@ -751,6 +751,98 @@ def r6d(mult: int = 16) -> None:
 
 
 
+def r7(mult: int = 16) -> None:
+    """Round-7 probes for the r6 heavy family (r6 verdict ask #5):
+
+    * ``pq_adc_topk`` — wall vs corpus at FIXED M*K (m=4, k=8): the
+      scale dial is corpus rows; LUT build and train collects are
+      K*M-sized constants, so wall should be ~linear in rows.
+    * ``pagerank_integer`` — wall vs EDGES at fixed 3 iterations
+      (r6c probed iteration scaling at fixed edges; this is the other
+      axis): each iteration is one join + one combined SUM shuffle
+      over the edge list, so wall should be ~linear in edges.
+    * PPJoin — candidate volume vs THRESHOLD: prefix length is
+      (1-t)*n+1 postings per doc, so lowering t grows the indexed
+      prefix and with it the candidate join; this quantifies the
+      threshold->candidate dial at the full sf0.1 corpus.
+    """
+    from vector_db_handler_spark.operators.dedup import (
+        hashed_shingle_index,
+        ppjoin_candidates,
+        ppjoin_prefix_index,
+    )
+    from vector_db_handler_spark.operators.graph import pagerank_integer
+    from vector_db_handler_spark.operators.pq import pq_adc_topk, train_pq_codebooks
+
+    spark = get_spark("r7-probe")
+    sf = "/root/testdata/sf0.1"
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(v) for v in emb0.limit(1).collect()[0]["embedding"]]
+
+    for m in (1, 4, mult):
+        emb = emb0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            emb = emb0.crossJoin(reps).select(
+                (F.col("vec_id") * m + F.col("rep")).alias("vec_id"), "embedding"
+            )
+        rows = emb.count()
+        t0 = time.perf_counter()
+        cb = train_pq_codebooks(emb, m=4, k=8, iters=2)
+        t_train = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        top = pq_adc_topk(emb, cb, qvec, k=10).collect()
+        t_adc = time.perf_counter() - t0
+        print(
+            f"pq m=4 k=8 @ {rows} vecs: train {t_train:.1f}s, "
+            f"adc_topk {t_adc:.1f}s ({len(top)} rows)"
+        )
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    fwd0 = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    for m in (1, 4, mult):
+        fwd = fwd0
+        if m > 1:
+            # Replicate the whole graph m times on disjoint node ids:
+            # edges scale m x at identical degree structure.
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            shift = F.col("rep") * 10_000_000
+            fwd = fwd0.crossJoin(reps).select(
+                (F.col("src") + shift).alias("src"),
+                (F.col("dst") + shift).alias("dst"),
+            )
+        edges = fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n_e = edges.count()
+        t0 = time.perf_counter()
+        n = pagerank_integer(edges, iters=3).count()
+        print(
+            f"pagerank 3 iters @ {n_e} edges: {n} nodes, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    sh = hashed_shingle_index(docs).cache()
+    postings = sh.count()
+    for t in (0.8, 0.7, 0.6, 0.5):
+        prefix = ppjoin_prefix_index(sh, t)
+        pre = prefix.count()
+        t0 = time.perf_counter()
+        cand = ppjoin_candidates(prefix, t).count()
+        wall = time.perf_counter() - t0
+        print(
+            f"ppjoin t={t}: prefix postings {pre}/{postings} "
+            f"({pre/postings:.0%}), candidates {cand}, wall {wall:.1f}s"
+        )
+    sh.unpersist()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -777,6 +869,8 @@ if __name__ == "__main__":
         r6d(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "r6c":
         r6c(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r7":
+        r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "ann":

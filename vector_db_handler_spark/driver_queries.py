@@ -183,7 +183,8 @@ _DRIVER_FRONT: list[str] = [
     "media_real_decode_stats",
     "top_customers_per_nation",
     "tpch_q14",
-    "tpch_q7",
+    # r7 registration (same-commit rule): the merge-on-read delete path
+    "mor_delete_doc_scroll",
 ]
 
 
@@ -7429,3 +7430,68 @@ def unpivot_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.operators.reshape import unpivot_user_type_value
 
     return unpivot_user_type_value(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read delete path (store_mor.py): the H5/H7 deletes replayed
+# through POSITIONAL DELETION VECTORS instead of the staged tenant
+# rewrite — reference document_ingestor.py:146-167/:191-213 semantics,
+# SURVEY §3.3.1 made executable.  The oracle predicts the surviving
+# rows from the raw fixture, so a hash match proves the DV mask + scan
+# merge is row-for-row equal to an actual delete.
+# ---------------------------------------------------------------------------
+
+_MOR_DELETE_SQL = """
+SELECT doc_id % 7 AS doc_id,
+       doc_id % 5 AS chunk_id,
+       lang AS title,
+       ROUND(sqrt(CAST(doc_id * doc_id + n_chars * n_chars AS DOUBLE)), 6) AS emb_norm
+FROM documents
+WHERE doc_id < 60
+  AND NOT (doc_id % 7 = 3)
+  AND NOT (doc_id % 7 = 5 AND doc_id % 5 = 2)
+"""
+
+
+@register("mor_delete_doc_scroll", _MOR_DELETE_SQL)
+def mor_delete_doc_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest 60 points into a merge-on-read scratch store, run
+    delete_doc + delete_chunk (each writes a (file_path, row_index)
+    deletion-vector parquet; data files untouched), and scroll the
+    tenant back through the DV-merging read.  Idempotent on re-run:
+    already-masked rows produce empty kill sets.  At 100 TB this is
+    the lakehouse MoR DELETE: cost ∝ deleted rows, the mask join is a
+    broadcast anti-join, and compaction folds vectors away offline."""
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.store_mor import MorPointsStore
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_mor_{os.path.basename(sf_dir.rstrip('/'))}_{_scratch_tag(2)}",
+    )
+    store = MorPointsStore(spark, root, vector_size=2)
+    if not store.collection_exists("driver"):
+        docs = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 60)
+            .orderBy("doc_id")
+            .collect()
+        )
+        store.upsert_vectors(
+            "driver",
+            [[float(r["doc_id"]), float(r["n_chars"])] for r in docs],
+            [
+                {"DocId": r["doc_id"] % 7, "ChunkId": r["doc_id"] % 5, "Title": r["lang"]}
+                for r in docs
+            ],
+        )
+    store.delete_doc("driver", 3)
+    store.delete_chunk("driver", 5, 2)
+    return store.read_tenant("driver").select(
+        "doc_id",
+        "chunk_id",
+        "title",
+        F.round(F.col("embedding_norm"), 6).alias("emb_norm"),
+    )

@@ -1,0 +1,207 @@
+"""Merge-on-read points store: positional deletion vectors on plain
+parquet — the in-repo stand-in for a lakehouse table format.
+
+SURVEY §3.3.1 maps every store mutation (reference
+``document_ingestor.py`` H5–H12) onto format-level ``DELETE WHERE`` /
+``MERGE``; neither ``delta-spark`` nor an Iceberg runtime jar ships in
+this container, so round 6 left the mapping as a design note.  This
+module makes the seam REAL with a minimal merge-on-read (MoR) format
+built from two public Spark facilities:
+
+* the parquet scan's hidden ``_metadata`` columns (``file_path``,
+  ``row_index``) give every physical row a stable position — exactly
+  the (path, pos) coordinate Iceberg positional delete files and Delta
+  deletion vectors address;
+* underscore-prefixed directories are invisible to Spark's parquet
+  reader, so ``{root}/_deletes/…`` can hold the delete files inside
+  the table directory without polluting the data scan.
+
+Semantics (mirrors Iceberg v2 positional deletes / Delta DVs):
+
+* a mutation runs the SAME pure transform as the copy-on-write store,
+  but instead of rewriting the tenant partition it writes (a) a small
+  parquet of ``(file_path, row_index)`` for rows the transform REMOVED
+  and (b) ordinary appended data files for rows it ADDED or changed —
+  an update is modeled as kill-old-position + append-new-row, which is
+  precisely how a lakehouse MERGE compiles under MoR;
+* the read path anti-joins the scan against the broadcast deletion
+  vectors — data files are never touched by deletes, so a
+  ``delete_doc`` that kills 3 rows costs ~KBs regardless of tenant
+  size (vs the CoW store's full-tenant rewrite);
+* ``compact()`` is OPTIMIZE: apply the vectors once via the inherited
+  staged rewrite, then drop them — after which the table is bit-equal
+  to what the CoW path would have produced directly (pinned by
+  ``tests/test_store_mor.py``).
+
+100 TB shape: the DV relation stays proportional to DELETED rows, the
+anti-join broadcasts it, and the scan remains pruned by the tenant
+partition predicate; nothing here scales with table size except the
+scan that was already necessary.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.store import POINTS_SCHEMA, PointsStore
+
+_DV_SCHEMA = "file_path string, row_index long"
+
+
+def _row_hash():
+    """Full-row fingerprint: mutation deltas are computed content-wise,
+    so ANY pure transform (filter-deletes AND update_vector's
+    first-match rewrite) decomposes into kill+append without knowing
+    its shape.  (A function, not a module constant — PySpark 4 column
+    construction needs an active session.)"""
+    return F.md5(
+        F.to_json(
+            F.struct(
+                "point_id",
+                "user_id",
+                "doc_id",
+                "chunk_id",
+                "title",
+                "payload",
+                "embedding",
+                "embedding_norm",
+            )
+        )
+    )
+
+
+class MorPointsStore(PointsStore):
+    """``PointsStore`` whose mutations are merge-on-read: deletes write
+    positional delete files, updates write delete+append, reads merge.
+    Everything else (ingest, catalog, search inputs) is inherited."""
+
+    # -- deletion-vector bookkeeping ----------------------------------
+
+    def _dv_dir(self, user_id: str) -> str:
+        return f"{self.root}/_deletes/user_id={user_id}"
+
+    def _dv_relation(self) -> DataFrame:
+        fs, jvm = self._fs()
+        base = jvm.org.apache.hadoop.fs.Path(self.root, "_deletes")
+        if not fs.exists(base):
+            return self.spark.createDataFrame([], _DV_SCHEMA)
+        return self.spark.read.schema(_DV_SCHEMA).parquet(
+            f"{self.root}/_deletes"
+        )
+
+    def deletion_vector_count(self) -> int:
+        """Rows currently masked (observability / compaction trigger)."""
+        return self._dv_relation().count()
+
+    # -- read path: scan minus vectors --------------------------------
+
+    def read(self) -> DataFrame:
+        if not self._partition_dirs():
+            return self.spark.createDataFrame([], POINTS_SCHEMA)
+        scan = self.spark.read.schema(POINTS_SCHEMA).parquet(self.root).select(
+            "*",
+            F.col("_metadata.file_path").alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        dv = self._dv_relation().select(
+            F.col("file_path").alias("_dv_file"),
+            F.col("row_index").alias("_dv_pos"),
+        )
+        # DVs are proportional to deleted rows — broadcast them; the
+        # data scan itself stays partition-pruned and shuffle-free.
+        return scan.join(
+            F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+        ).drop("_dv_file", "_dv_pos")
+
+    # -- mutation path: kill + append instead of rewrite --------------
+
+    def _apply(self, user_id: str, transform) -> None:
+        tenant_scan = (
+            self.spark.read.schema(POINTS_SCHEMA)
+            .parquet(self.root)
+            .filter(F.col("user_id") == user_id)
+            .select(
+                "*",
+                F.col("_metadata.file_path").alias("_dv_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+                _row_hash().alias("_rh"),
+            )
+        )
+        dv = self._dv_relation().select(
+            F.col("file_path").alias("_dv_file"),
+            F.col("row_index").alias("_dv_pos"),
+        )
+        live = tenant_scan.join(
+            F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+        )
+        survivors = transform(
+            live.drop("_dv_file", "_dv_pos", "_rh")
+        ).withColumn("_rh", _row_hash())
+
+        # Kill set: live positions whose content no longer appears.
+        # (Content-wise, so an updated row kills its old version.)
+        kills = live.join(
+            survivors.select("_rh"), "_rh", "left_anti"
+        ).select(
+            F.col("_dv_file").alias("file_path"),
+            F.col("_dv_pos").alias("row_index"),
+        )
+        # Append set: surviving content not present in the live scan —
+        # new versions written as ordinary data files.
+        appends = survivors.join(
+            live.select("_rh"), "_rh", "left_anti"
+        ).drop("_rh")
+
+        # Materialize BOTH deltas before either write: the plans read
+        # the live DV directory, so writing the kill file first and
+        # then lazily evaluating `appends` would see the just-killed
+        # rows already masked (an updated row would vanish instead of
+        # being re-appended).  Both deltas are ∝ the rows THIS
+        # mutation touched, not tenant size, so pinning them is cheap.
+        kills = kills.localCheckpoint(eager=True)
+        appends = appends.localCheckpoint(eager=True)
+        try:
+            self._write_deltas(user_id, kills, appends)
+        finally:
+            kills.unpersist()
+            appends.unpersist()
+
+    def _write_deltas(self, user_id: str, kills, appends) -> None:
+        if kills.limit(1).count():
+            kills.coalesce(1).write.mode("append").parquet(
+                self._dv_dir(user_id)
+            )
+        if appends.limit(1).count():
+            (
+                appends.select(
+                    [f.name for f in POINTS_SCHEMA.fields if f.name != "user_id"]
+                )
+                .write.mode("append")
+                .parquet(f"{self.root}/user_id={user_id}")
+            )
+
+    # -- maintenance: OPTIMIZE ----------------------------------------
+
+    def compact(self, user_id: str) -> None:
+        """Fold the tenant's deletion vectors into rewritten data files
+        (the OPTIMIZE/compaction step every MoR format needs) and drop
+        the vectors; afterwards the physical layout matches what the
+        copy-on-write path produces."""
+        merged = self.read_tenant(user_id)
+        self._rewrite_tenant(user_id, merged)
+        fs, jvm = self._fs()
+        dv_path = jvm.org.apache.hadoop.fs.Path(self._dv_dir(user_id))
+        if fs.exists(dv_path):
+            fs.delete(dv_path, True)
+
+    def truncate_collection(self, user_id: str) -> None:
+        # Physical truncate also invalidates the tenant's vectors —
+        # the positions they reference no longer exist.
+        super().truncate_collection(user_id)
+        fs, jvm = self._fs()
+        dv_path = jvm.org.apache.hadoop.fs.Path(self._dv_dir(user_id))
+        if fs.exists(dv_path):
+            fs.delete(dv_path, True)
