@@ -92,3 +92,64 @@ def test_determinism_across_partitionings(spark):
         for r in pagerank_integer(e.repartition(17, "dst"), iters=3).collect()
     }
     assert a == b
+
+
+def test_star_cc_contracts_long_chain(spark):
+    """A 3,000-node chain has diameter 2,999 — hash-to-min label
+    propagation would need ~3,000 rounds; the alternating star ops
+    must contract it to one component in O(log^2 n) (max_rounds=30
+    would raise otherwise)."""
+    from vector_db_handler_spark.operators.graph import connected_components_star
+
+    n = 3000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("d1"), (F.col("id") + 1).alias("d2")
+    )
+    out = connected_components_star(chain).collect()
+    assert len(out) == n
+    assert {r.component for r in out} == {0}
+
+
+def test_star_cc_matches_label_propagation_on_clique_pile(spark, sf_dir):
+    """On the near-dup-shaped graph (small cliques) both algorithms
+    must produce identical labels — min node id per component."""
+    from vector_db_handler_spark.operators.dedup import connected_components
+    from vector_db_handler_spark.operators.graph import connected_components_star
+    from vector_db_handler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # deterministic synthetic pairs: cliques of 3 over doc_id buckets,
+    # plus a few cross-links to merge some cliques
+    base = docs.filter(F.col("doc_id") < 60)
+    pairs = (
+        base.select(
+            F.col("doc_id").alias("d1"),
+            ((F.col("doc_id") - F.col("doc_id") % 3) + (F.col("doc_id") + 1) % 3).alias("d2"),
+        ).filter(F.col("d1") != F.col("d2"))
+        .union(
+            base.filter(F.col("doc_id") % 15 == 0).select(
+                F.col("doc_id").alias("d1"), (F.col("doc_id") + 3).alias("d2")
+            )
+        )
+    )
+    a = {
+        (r.node, r.component)
+        for r in connected_components(pairs, nodes=docs).collect()
+    }
+    b = {
+        (r.node, r.component)
+        for r in connected_components_star(pairs, nodes=docs).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_star_cc_isolated_nodes_are_singletons(spark):
+    from vector_db_handler_spark.operators.graph import connected_components_star
+
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "doc_id long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 9: 9}

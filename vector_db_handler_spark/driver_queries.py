@@ -181,10 +181,11 @@ _DRIVER_FRONT: list[str] = [
     "label_centroids",
     "grouped_embedding_norms",
     "media_real_decode_stats",
-    "top_customers_per_nation",
-    "tpch_q14",
-    # r7 registration (same-commit rule): the merge-on-read delete path
+    # r7 registrations (same-commit rule); tpch_q14 and
+    # top_customers_per_nation displaced to the r8 rotation
     "mor_delete_doc_scroll",
+    "chain_components_star",
+    "pii_redaction_stats",
 ]
 
 
@@ -7494,4 +7495,136 @@ def mor_delete_doc_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_id",
         "title",
         F.round(F.col("embedding_norm"), 6).alias("emb_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# High-diameter connected components: large-star/small-star.  The
+# near-dup closure (neardup_components) uses hash-to-min label
+# propagation — correct for clique piles, but rounds = diameter.  This
+# query runs the Kiveris-style star algorithm on a deliberately
+# pathological input: each source's documents chained in doc_id order
+# (20 chains of 250 nodes at sf0.1 → diameter 249; label propagation
+# would need 249 rounds, the star ops ~8).  The oracle predicts the
+# closure in closed form — component = min doc_id of the chain.
+# ---------------------------------------------------------------------------
+
+_CHAIN_CC_SQL = """
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS component
+FROM documents
+"""
+
+
+@register("chain_components_star", _CHAIN_CC_SQL)
+def chain_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of per-source doc chains via alternating
+    large-star/small-star (operators/graph.connected_components_star):
+    O(log^2 n) rounds regardless of diameter, each round one
+    groupBy-min + one join on the node key.  The closure the dedup
+    pipeline needs when pair graphs stop being clique piles (linked
+    span overlaps, citation trails)."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.operators.graph import connected_components_star
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    edges = (
+        docs.withColumn("nxt", F.lead("doc_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("d1"), F.col("nxt").alias("d2"))
+    )
+    labels = connected_components_star(edges, nodes=docs.select("doc_id"))
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (operators/redaction.py).  The fixture text is clean
+# by construction, so the query plants deterministic synthetic PII
+# (derived from doc_id, identical expression in both engines) and then
+# detects + redacts it — proving pattern semantics, rule order, and
+# the count/replace pair end-to-end.  All JVM-side regexp built-ins;
+# zero shuffle before the final per-source rollup.
+# ---------------------------------------------------------------------------
+
+_PII_AUG_SQL = """
+SELECT source, doc_id,
+       text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+            || CAST(doc_id % 250 AS VARCHAR) || '.7'
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END AS text
+FROM documents
+"""
+
+_PII_STATS_SQL = f"""
+WITH aug AS ({_PII_AUG_SQL}),
+red AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+         len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+         len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS n_ssn,
+         len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS n_phone,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+             '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+             '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g') AS redacted
+  FROM aug
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM({_sql_hash('redacted', 7)}) AS BIGINT) AS redacted_checksum
+FROM red
+GROUP BY source
+"""
+
+
+@register("pii_redaction_stats", _PII_STATS_SQL)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect + redact planted PII (email/IPv4/SSN/phone) and roll up
+    per source: match counts plus an order-insensitive 28-bit checksum
+    of every redacted text — a hash match proves byte-identical
+    redaction output across engines, not just equal counts."""
+    from vector_db_handler_spark.functions.text import portable_hash28
+    from vector_db_handler_spark.operators.redaction import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "source",
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.lit(" from 10."), (did % 200).cast("string"),
+            F.lit("."), (did % 250).cast("string"), F.lit(".7"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" ssn 123-45-"),
+                         F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" call 555-867-"),
+                         F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = redact_pii(aug)
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_ipv4").cast("long").alias("ipv4s"),
+        F.sum("n_ssn").cast("long").alias("ssns"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum(portable_hash28(F.col("redacted"))).cast("long").alias("redacted_checksum"),
     )

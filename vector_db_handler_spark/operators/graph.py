@@ -91,3 +91,101 @@ def pagerank_integer(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    nodes: DataFrame | None = None,
+    node_col: str = "doc_id",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the unbounded-diameter twin of ``dedup.connected_components``.
+
+    Hash-to-min label propagation needs DIAMETER rounds: fine for
+    near-dup graphs (piles of diameter-2 cliques), hopeless for chain-
+    or mesh-shaped graphs (citation trails, session graphs, linked
+    span overlaps) where the diameter is thousands.  The star
+    operations contract every component onto its minimum node in
+    O(log^2 n) rounds REGARDLESS of diameter:
+
+    * large-star: every node points its LARGER neighbors at the
+      minimum of its neighborhood (min(N(u) ∪ {u}));
+    * small-star: every node folds its smaller-or-equal neighbors —
+      and itself — onto their minimum.
+
+    Both are one groupBy-min + one join per round on the node key
+    (map-side combined); the edge set only shrinks toward the star
+    forest, and lineage is truncated per round.  At convergence the
+    graph IS a star forest centered on component minima, so the label
+    read-off is a single min-aggregate.  Returns ``(node, component)``
+    — same contract as ``connected_components`` (and
+    ``canonical_docs`` consumes either); ``nodes`` adds isolated
+    nodes as singletons."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("u") != F.col("v"))
+            .union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        # LARGE-STAR: m(u) = min over the closed neighborhood; larger
+        # neighbors re-attach to it.
+        mins = edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = _sym(
+            edges.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint(eager=True)
+
+        # SMALL-STAR over the ≤-neighborhood: u and its small
+        # neighbors all attach to their collective minimum.
+        small_nbr = large.filter(F.col("v") <= F.col("u"))
+        smins = small_nbr.groupBy("u").agg(F.min("v").alias("m"))
+        small = _sym(
+            small_nbr.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+        ).localCheckpoint(eager=True)
+
+        # Converged when the star ops are a no-op (edge sets equal).
+        if (
+            small.count() == edges.count()
+            and small.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
+        ):
+            edges = small
+            break
+        edges = small
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds — O(log^2 n) bound exceeded; the input is degenerate"
+        )
+
+    labels = edges.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("component")
+    ).select(F.col("u").alias("node"), "component")
+    if nodes is not None:
+        isolated = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(labels, "node", "left_anti")
+            .withColumn("component", F.col("node"))
+        )
+        labels = labels.unionByName(isolated)
+    return labels
