@@ -114,3 +114,48 @@ def test_temperature_one_is_natural_distribution(spark, sf_dir):
         _docs(spark, sf_dir), "lang", temperature=1.0
     ).collect()
     assert all(r.doc_weight == 1.0 for r in rows)
+
+
+def test_resample_epoch_repeats_and_fractional_gate(spark):
+    from vector_db_handler_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        resample_epoch,
+        sample_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 23_700) for i in range(200)] + [(i, 5_000) for i in range(200, 400)],
+        "doc_id long, rate_bp long",
+    )
+    out = resample_epoch(df, "rate_bp", "doc_id")
+    per_doc = {
+        r.doc_id: r.n
+        for r in out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    gates = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", sample_bucket(F.col("doc_id"), "epoch").alias("g")
+        ).collect()
+    }
+    for d in range(200):  # 2.37×: exactly 2 or 3 copies, gate decides
+        want = 2 + (1 if gates[d] < 23_700 % SAMPLE_BUCKETS else 0)
+        assert per_doc[d] == want, d
+    for d in range(200, 400):  # 0.5×: kept docs appear exactly once
+        assert per_doc.get(d, 0) == (1 if gates[d] < 5_000 else 0), d
+    # determinism: a second materialization is identical
+    again = {
+        r.doc_id: r.n
+        for r in resample_epoch(df, "rate_bp", "doc_id")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert again == per_doc
+    # a different epoch salt re-rolls WHICH docs carry the fractional
+    # 3rd copy (while total mass stays ≈ rate): the two epochs must
+    # disagree on at least one doc's copy count
+    other = {
+        r.doc_id: r.n
+        for r in resample_epoch(df, "rate_bp", "doc_id", salt="epoch3")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert any(other[d] != per_doc[d] for d in range(200))

@@ -179,13 +179,14 @@ _DRIVER_FRONT: list[str] = [
     "source_quality_report",
     "cube_source_lang",
     "label_centroids",
-    "grouped_embedding_norms",
-    "media_real_decode_stats",
-    # r7 registrations (same-commit rule); tpch_q14 and
-    # top_customers_per_nation displaced to the r8 rotation
+    # r7 registrations (same-commit rule); tpch_q14,
+    # top_customers_per_nation, media_real_decode_stats and
+    # grouped_embedding_norms displaced to the r8 rotation
     "mor_delete_doc_scroll",
     "chain_components_star",
     "pii_redaction_stats",
+    "epoch_resample_counts",
+    "profile_events_table",
 ]
 
 
@@ -7628,3 +7629,123 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").cast("long").alias("phones"),
         F.sum(portable_hash28(F.col("redacted"))).cast("long").alias("redacted_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch resampling (operators/sampling.resample_epoch): rates ABOVE 1×
+# materialized as integer repeats + hash-gated fractional copies — the
+# upsampling half of corpus mixing (the sub-1× half is
+# sample_stratified_docs).  Rates here are data-derived in exact
+# integer basis points: source s gets 400_000·chars_s div chars_total
+# (≈2× on the fixture's 20 roughly-even sources, varying per source),
+# so the whole pipeline — weight derivation, epoch materialization,
+# rollup — replays in DuckDB with zero float thresholds.
+# ---------------------------------------------------------------------------
+
+_EPOCH_GATE_SQL = (
+    "CAST('0x' || substr(md5('epoch|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    " % 10000"
+)
+
+_EPOCH_RESAMPLE_SQL = f"""
+WITH tot AS (
+  SELECT CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s FROM documents
+),
+rates AS (
+  SELECT source,
+         CAST(SUM(CAST(n_chars AS BIGINT)) * 400000 // (SELECT s FROM tot) AS BIGINT)
+           AS rate_bp
+  FROM documents GROUP BY source
+),
+d AS (
+  SELECT doc.doc_id, doc.source, rates.rate_bp,
+         rate_bp // 10000
+           + CASE WHEN {_EPOCH_GATE_SQL} < rate_bp % 10000 THEN 1 ELSE 0 END
+           AS n_copies
+  FROM documents doc JOIN rates USING (source)
+),
+e AS (
+  SELECT doc_id, source,
+         unnest(generate_series(CAST(1 AS BIGINT), n_copies)) AS copy_idx
+  FROM d WHERE n_copies >= 1
+)
+SELECT source,
+       COUNT(*) AS n_emitted,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MAX(copy_idx) AS BIGINT) AS max_copies,
+       CAST(SUM(doc_id * copy_idx) AS BIGINT) AS epoch_checksum
+FROM e
+GROUP BY source
+"""
+
+
+@register("epoch_resample_counts", _EPOCH_RESAMPLE_SQL)
+def epoch_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a ~2× mixing epoch (exact integer basis-point rates
+    per source) and roll it up: emitted mass, distinct docs, deepest
+    copy index, and an order-insensitive Σ(doc_id·copy_idx) checksum
+    proving the EXACT same rows replicated the EXACT same number of
+    times as the oracle's replay."""
+    from vector_db_handler_spark.operators.sampling import resample_epoch
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tot = docs.agg(F.sum(F.col("n_chars").cast("long")).alias("s"))
+    rates = (
+        docs.groupBy("source")
+        .agg(F.sum(F.col("n_chars").cast("long")).alias("cs"))
+        .crossJoin(F.broadcast(tot))
+        .select("source", F.expr("CAST(cs * 400000 div s AS BIGINT)").alias("rate_bp"))
+    )
+    epoch = resample_epoch(
+        docs.join(F.broadcast(rates), "source"), "rate_bp", "doc_id"
+    )
+    return epoch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("copy_idx").alias("max_copies"),
+        F.sum(F.col("doc_id") * F.col("copy_idx")).alias("epoch_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relation profiling (operators/profile.py): ANALYZE-style exact
+# per-column stats in ONE scan (stack-unpivot → single grouped pass)
+# — the statistics vector a CBO's broadcast decision and an ingest
+# monitor's drift alarms both consume.
+# ---------------------------------------------------------------------------
+
+
+def _profile_col_sql(col: str, expr: str) -> str:
+    return f"""
+  SELECT '{col}' AS col_name,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+         MIN({expr}) AS min_value,
+         MAX({expr}) AS max_value,
+         CAST(SUM(COALESCE(len({expr}), 0)) AS BIGINT) AS sum_len
+  FROM events"""
+
+
+_PROFILE_SQL = " UNION ALL ".join(
+    _profile_col_sql(c, e)
+    for c, e in [
+        ("event_id", "CAST(event_id AS VARCHAR)"),
+        ("event_type", "event_type"),
+        ("props", "props"),
+        ("user_id", "CAST(user_id AS VARCHAR)"),
+    ]
+)
+
+
+@register("profile_events_table", _PROFILE_SQL)
+def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-scan profile of the events relation (string/integer
+    columns; float formatting is engine-specific by design).  The
+    oracle replays it as four per-column aggregates — same numbers,
+    four scans — which is precisely the naive plan the stack-unpivot
+    single pass replaces."""
+    from vector_db_handler_spark.operators.profile import profile_relation
+
+    ev = load(spark, sf_dir, "events")
+    return profile_relation(ev, ["event_id", "event_type", "props", "user_id"])

@@ -144,7 +144,12 @@ def connected_components_star(
 
     for _ in range(max_rounds):
         # LARGE-STAR: m(u) = min over the closed neighborhood; larger
-        # neighbors re-attach to it.
+        # neighbors re-attach to it.  NOT checkpointed: both small-star
+        # branches consume the identical subplan, which Catalyst dedups
+        # via ReusedExchange inside the ONE job that materializes
+        # `small` — a per-round eager checkpoint here would double the
+        # blocking job count for no lineage benefit (the round's base,
+        # `edges`, is already pinned).
         mins = edges.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
@@ -152,7 +157,7 @@ def connected_components_star(
             edges.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        ).localCheckpoint(eager=True)
+        )
 
         # SMALL-STAR over the ≤-neighborhood: u and its small
         # neighbors all attach to their collective minimum.
@@ -164,7 +169,9 @@ def connected_components_star(
             .union(smins.select("u", F.col("m").alias("v")))
         ).localCheckpoint(eager=True)
 
-        # Converged when the star ops are a no-op (edge sets equal).
+        # Converged when the star ops are a no-op (edge sets equal;
+        # the anti-join only runs once counts stop moving — both
+        # frames are pinned, so it is cheap).
         if (
             small.count() == edges.count()
             and small.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0

@@ -146,3 +146,48 @@ def per_group_sample_k(
         .filter(F.col("_rnk") <= k)
         .drop("_rnk")
     )
+
+
+def resample_epoch(
+    df: DataFrame,
+    rate_bp_col: str,
+    key_col: str,
+    salt: str = "epoch",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize one training epoch at per-row sampling RATES THAT
+    MAY EXCEED 1 — the upsampling half of corpus mixing that
+    ``hash_sample``/``stratified_sample`` (keep-fractions < 1) cannot
+    express.  ``rate_bp_col`` holds the rate in integer basis points
+    (10_000 = 1.0×): every row is emitted ``rate_bp div 10_000`` times,
+    plus once more iff its stable hash bucket falls below
+    ``rate_bp mod 10_000`` — so a source at 2.37× emits each doc 2
+    times and a deterministic 37% of docs a 3rd time, and the realized
+    per-source mass converges on the target rate with zero randomness:
+    retries, repartitions, and the SQL oracle materialize the SAME
+    epoch (this determinism is also what makes per-epoch salts
+    meaningful — salt="epoch3" re-rolls WHICH docs carry the
+    fractional copy, while keeping epoch 3 itself reproducible).
+
+    Plans as scan → broadcast-joined rate (caller's join) → one
+    ``explode(sequence(...))`` projection: no shuffle, output rows ∝
+    emitted mass.  This is the DoReMi/UniMax-style epoch plan a 100 TB
+    mixing pipeline executes after deciding weights
+    (``temperature_weights``)."""
+    # `div` (exact integer division), not `/`+cast — float quotients of
+    # basis points truncate correctly today but the exactness contract
+    # should not ride on double rounding behavior.
+    reps = F.expr(f"CAST({rate_bp_col} AS BIGINT) div {SAMPLE_BUCKETS}")
+    gate = (
+        sample_bucket(F.col(key_col), salt) < F.col(rate_bp_col) % SAMPLE_BUCKETS
+    ).cast("long")
+    n_copies = (reps + gate).alias("_n_copies")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n_copies"))),
+        )
+        .drop("_n_copies")
+    )
