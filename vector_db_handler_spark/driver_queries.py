@@ -178,15 +178,15 @@ _DRIVER_FRONT: list[str] = [
     "vocab_topk_tokens",
     "source_quality_report",
     "cube_source_lang",
-    "label_centroids",
     # r7 registrations (same-commit rule); tpch_q14,
-    # top_customers_per_nation, media_real_decode_stats and
-    # grouped_embedding_norms displaced to the r8 rotation
+    # top_customers_per_nation, media_real_decode_stats,
+    # grouped_embedding_norms and label_centroids displaced to r8
     "mor_delete_doc_scroll",
     "chain_components_star",
     "pii_redaction_stats",
     "epoch_resample_counts",
     "profile_events_table",
+    "bpe_train_merges",
 ]
 
 
@@ -7749,3 +7749,68 @@ def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return profile_relation(ev, ["event_id", "event_type", "props", "user_id"])
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (operators/bpe.py).  The oracle unrolls the K
+# merge steps as CTE stages (same trick as the PageRank oracle):
+# every stage recomputes adjacent-pair counts over the vocab relation,
+# picks the (cnt DESC, l, r) argmax, and applies it as the SAME
+# non-overlapping leftmost replace the Spark side uses — so the hash
+# match proves the full iterative training loop, not one step.
+# ---------------------------------------------------------------------------
+
+_BPE_K = 6
+
+
+def _bpe_oracle(k: int) -> str:
+    sql = """
+WITH w0 AS (
+  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS sym,
+         freq
+  FROM (
+    SELECT w, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE regexp_matches(w, '^[a-z]+$')
+    GROUP BY w
+  )
+)"""
+    for i in range(1, k + 1):
+        prev = f"w{i - 1}"
+        sql += f""",
+p{i} AS (
+  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(a[1:len(a) - 1]) AS l,
+           unnest(a[2:len(a)]) AS r,
+           freq
+    FROM (SELECT string_split(trim(sym), ' ') AS a, freq FROM {prev})
+  )
+  GROUP BY l, r
+),
+b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT replace(sym,
+                 ' ' || (SELECT l FROM b{i}) || ' ' || (SELECT r FROM b{i}) || ' ',
+                 ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ') AS sym,
+         freq
+  FROM {prev}
+)"""
+    steps = " UNION ALL ".join(
+        f"SELECT {i} AS step, l AS \"left\", r AS \"right\", l || r AS merged, "
+        f"cnt AS pair_freq FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return sql + "\n" + steps
+
+
+@register("bpe_train_merges", _bpe_oracle(_BPE_K))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merges of the corpus, exactly: ONE corpus scan
+    (word counts), then 6 iterations over the vocab-sized relation —
+    pair explode, map-side-combined SUM, 1-row argmax, replace
+    projection.  Vocab ≪ corpus at every scale, so merge count never
+    multiplies corpus scans."""
+    from vector_db_handler_spark.operators.bpe import bpe_train_merges as _train
+
+    return _train(load(spark, sf_dir, "documents"), n_merges=_BPE_K)
