@@ -60,3 +60,30 @@ def test_one_corpus_scan(spark, sf_dir):
         .toString()
     )
     assert plan.count("FileScan") == 1
+
+
+def test_segment_words_round_trips_trained_merges(spark):
+    from vector_db_handler_spark.operators.bpe import (
+        bpe_segment_words,
+        word_frequencies,
+    )
+
+    docs = _docs(spark, ["ababc ababc", "cd cd cd"])
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(docs, n_merges=3).orderBy("step").collect()
+    ]
+    seg = {
+        r.w: (r.sym.strip(), r.n_tokens)
+        for r in bpe_segment_words(word_frequencies(docs), merges).collect()
+    }
+    # applying the trainer's own merges reproduces its final state:
+    # every token count must match a manual replay of the merge list
+    def replay(word):
+        s = " " + " ".join(word) + " "
+        for l, r in merges:
+            s = s.replace(f" {l} {r} ", f" {l}{r} ")
+        return s.strip(), len(s.split())
+
+    for w in ("ababc", "cd"):
+        assert seg[w] == replay(w), (w, seg[w], replay(w), merges)

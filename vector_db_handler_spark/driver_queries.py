@@ -177,16 +177,17 @@ _DRIVER_FRONT: list[str] = [
     "doc_repetition",
     "vocab_topk_tokens",
     "source_quality_report",
-    "cube_source_lang",
     # r7 registrations (same-commit rule); tpch_q14,
     # top_customers_per_nation, media_real_decode_stats,
-    # grouped_embedding_norms and label_centroids displaced to r8
+    # grouped_embedding_norms, label_centroids and cube_source_lang
+    # displaced to r8
     "mor_delete_doc_scroll",
     "chain_components_star",
     "pii_redaction_stats",
     "epoch_resample_counts",
     "profile_events_table",
     "bpe_train_merges",
+    "bpe_token_counts_by_source",
 ]
 
 
@@ -7763,10 +7764,11 @@ def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 6
 
 
-def _bpe_oracle(k: int) -> str:
-    sql = """
+def _bpe_oracle(k: int, carry_w: bool = False) -> str:
+    w_col = "w, " if carry_w else ""
+    sql = f"""
 WITH w0 AS (
-  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS sym,
+  SELECT {w_col}' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS sym,
          freq
   FROM (
     SELECT w, COUNT(*) AS freq
@@ -7790,21 +7792,25 @@ p{i} AS (
 ),
 b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
 w{i} AS MATERIALIZED (
-  SELECT replace(sym,
+  SELECT {w_col}replace(sym,
                  ' ' || (SELECT l FROM b{i}) || ' ' || (SELECT r FROM b{i}) || ' ',
                  ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ') AS sym,
          freq
   FROM {prev}
 )"""
+    return sql
+
+
+def _bpe_oracle_merges(k: int) -> str:
     steps = " UNION ALL ".join(
         f"SELECT {i} AS step, l AS \"left\", r AS \"right\", l || r AS merged, "
         f"cnt AS pair_freq FROM b{i}"
         for i in range(1, k + 1)
     )
-    return sql + "\n" + steps
+    return _bpe_oracle(k) + "\n" + steps
 
 
-@register("bpe_train_merges", _bpe_oracle(_BPE_K))
+@register("bpe_train_merges", _bpe_oracle_merges(_BPE_K))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 6 BPE merges of the corpus, exactly: ONE corpus scan
     (word counts), then 6 iterations over the vocab-sized relation —
@@ -7814,3 +7820,53 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.operators.bpe import bpe_train_merges as _train
 
     return _train(load(spark, sf_dir, "documents"), n_merges=_BPE_K)
+
+
+_BPE_APPLY_SQL = _bpe_oracle(_BPE_K, carry_w=True) + """,
+seg AS (
+  SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tokens
+  FROM w6
+)
+SELECT d.source,
+       CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_words,
+       CAST(SUM(seg.n_tokens) AS BIGINT) AS total_tokens
+FROM (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+) d JOIN seg USING (w)
+GROUP BY d.source
+"""
+
+
+@register("bpe_token_counts_by_source", _BPE_APPLY_SQL)
+def bpe_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply round trip: the 6 trained merges segment every
+    word, and each source's token budget rolls up from a broadcast
+    join of corpus words against the vocab-sized (word → n_tokens)
+    relation — the tokenizer-consistent accounting a packing/budget
+    pipeline runs (tokens post-BPE, not whitespace proxies).
+    Non-[a-z]+ words carry no tokens by the trainer's hygiene rule."""
+    from vector_db_handler_spark.operators.bpe import (
+        bpe_segment_words,
+        bpe_train_merges as _train,
+        word_frequencies,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in _train(docs, n_merges=_BPE_K).orderBy("step").collect()
+    ]
+    seg = bpe_segment_words(word_frequencies(docs), merges).select("w", "n_tokens")
+    words = docs.select(
+        "source", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    return (
+        words.join(F.broadcast(seg), "w")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

@@ -105,3 +105,27 @@ def bpe_train_merges(
     return spark.createDataFrame(
         out, "step int, left string, right string, merged string, pair_freq bigint"
     )
+
+
+def bpe_segment_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply an ordered merge list to the word relation: adds ``sym``
+    (space-joined token string) and ``n_tokens`` per distinct word.
+    The merges ride the plan as K chained ``replace`` projections —
+    pure codegen, no shuffle, and the SAME replace semantics the
+    trainer used, so train→apply round-trips exactly."""
+    sym = F.concat(
+        F.lit(" "),
+        F.concat_ws(" ", F.expr("regexp_extract_all(w, '.', 0)")),
+        F.lit(" "),
+    )
+    out = words.withColumn("sym", sym)
+    for l, r in merges:
+        out = out.withColumn(
+            "sym", F.expr(f"replace(sym, ' {l} {r} ', ' {l}{r} ')")
+        )
+    return out.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("sym")), " "))
+    )
