@@ -102,3 +102,48 @@ def test_truncate_invalidates_vectors(stores):
     assert mor.deletion_vector_count() == 0
     assert mor.read_tenant("t1").count() == 0
     assert "user_t1" in mor.list_collections()
+
+
+def test_time_travel_reads_each_snapshot(spark, tmp_path):
+    from vector_db_handler_spark.store_mor import VersionedMorPointsStore
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "vmor"), vector_size=DIM)
+    _seed(store)  # two appends -> v1, v2
+    assert store.versions() == [1, 2]
+    v_full = store.versions()[-1]
+    full = _rows(store, "t1")
+
+    store.delete_doc("t1", 2)      # -> v3
+    after_del = _rows(store, "t1")
+    store.update_vector("t1", [7.0] * DIM, 3, 0)  # -> v4
+    after_upd = _rows(store, "t1")
+    assert store.versions() == [1, 2, 3, 4]
+
+    # snapshots replay exactly; data files are immutable so this is free
+    assert _rows_df(store.read_version(v_full), "t1") == full
+    assert _rows_df(store.read_version(3), "t1") == after_del
+    assert _rows_df(store.read_version(4), "t1") == after_upd
+    # other tenant identical in every snapshot
+    assert _rows_df(store.read_version(2), "t2") == _rows(store, "t2")
+
+
+def test_time_travel_dies_loudly_past_vacuum_horizon(spark, tmp_path):
+    from vector_db_handler_spark.store_mor import VersionedMorPointsStore
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "vmor2"), vector_size=DIM)
+    _seed(store)
+    store.delete_doc("t1", 1)      # v3: vectors mask rows
+    pre_compact = _rows(store, "t1")
+    store.compact("t1")            # v4: REWRITES files (vacuum)
+    assert _rows(store, "t1") == pre_compact  # content unchanged
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        store.read_version(2).collect()
+    # the post-compact snapshot reads fine
+    assert _rows_df(store.read_version(store.versions()[-1]), "t1") == pre_compact
+
+
+def _rows_df(df, uid):
+    return sorted(
+        (r["doc_id"], r["chunk_id"], r["title"], tuple(r["embedding"]))
+        for r in df.filter(f"user_id = '{uid}'").collect()
+    )

@@ -205,3 +205,174 @@ class MorPointsStore(PointsStore):
         dv_path = jvm.org.apache.hadoop.fs.Path(self._dv_dir(user_id))
         if fs.exists(dv_path):
             fs.delete(dv_path, True)
+
+
+class VersionedMorPointsStore(MorPointsStore):
+    """MoR store + a commit log: every mutation writes a numbered JSON
+    manifest snapshotting the table's file sets, enabling SNAPSHOT
+    READS (``read_version``) — the time-travel half of the lakehouse
+    contract (Delta ``VERSION AS OF`` / Iceberg snapshot ids).
+
+    Manifest = {version, data: {tenant_dir: [file, ...]},
+    deletes: {tenant_dir: [file, ...]}} under ``{root}/_commits/``
+    (underscore-prefixed → invisible to the data scan).  Because data
+    and DV files are IMMUTABLE once written (mutations only append),
+    an old manifest keeps describing exactly the rows live at its
+    commit — no copying, snapshots are free.
+
+    Honest limits (same shape as real formats): ``compact``,
+    ``truncate_collection`` and ``drop_collection`` physically remove
+    files, so snapshots older than the latest such operation raise on
+    read — that is VACUUM semantics (Delta time travel also dies at
+    the vacuum horizon), surfaced loudly instead of silently serving
+    partial data.  Single-writer by assumption, like the rest of the
+    store."""
+
+    # -- commit log ---------------------------------------------------
+
+    def _commits_path(self, jvm):
+        return jvm.org.apache.hadoop.fs.Path(self.root, "_commits")
+
+    def _list_tenant_files(self, fs, jvm, subdir: str | None = None) -> dict:
+        base = (
+            jvm.org.apache.hadoop.fs.Path(self.root, subdir)
+            if subdir
+            else jvm.org.apache.hadoop.fs.Path(self.root)
+        )
+        out: dict[str, list[str]] = {}
+        if not fs.exists(base):
+            return out
+        for st in fs.listStatus(base):
+            if not (st.isDirectory() and st.getPath().getName().startswith("user_id=")):
+                continue
+            files = [
+                f.getPath().getName()
+                for f in fs.listStatus(st.getPath())
+                if f.isFile() and f.getPath().getName().endswith(".parquet")
+            ]
+            out[st.getPath().getName()] = sorted(files)
+        return out
+
+    def commit(self) -> int:
+        """Snapshot the current file sets as the next version."""
+        import json
+
+        fs, jvm = self._fs()
+        versions = self.versions()
+        v = (versions[-1] if versions else 0) + 1
+        manifest = {
+            "version": v,
+            "data": self._list_tenant_files(fs, jvm),
+            "deletes": self._list_tenant_files(fs, jvm, "_deletes"),
+        }
+        cp = self._commits_path(jvm)
+        fs.mkdirs(cp)
+        tmp = jvm.org.apache.hadoop.fs.Path(cp, f"_tmp_v{v:05d}.json")
+        out = fs.create(tmp, True)
+        out.write(bytearray(json.dumps(manifest).encode()))
+        out.close()
+        # O(1) rename = the atomic commit point (single writer).
+        fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(cp, f"v{v:05d}.json"))
+        return v
+
+    def versions(self) -> list[int]:
+        fs, jvm = self._fs()
+        cp = self._commits_path(jvm)
+        if not fs.exists(cp):
+            return []
+        out = []
+        for st in fs.listStatus(cp):
+            n = st.getPath().getName()
+            if n.startswith("v") and n.endswith(".json"):
+                out.append(int(n[1:-5]))
+        return sorted(out)
+
+    def _manifest(self, version: int) -> dict:
+        import json
+
+        fs, jvm = self._fs()
+        path = jvm.org.apache.hadoop.fs.Path(
+            self._commits_path(jvm), f"v{version:05d}.json"
+        )
+        if not fs.exists(path):
+            raise ValueError(f"no such snapshot: version {version}")
+        # Read through Spark's text source (py4j cannot mutate a Python
+        # byte buffer through Java's read(byte[]) contract).
+        lines = self.spark.read.text(str(path)).collect()
+        return json.loads("\n".join(r.value for r in lines))
+
+    # -- mutations auto-commit ---------------------------------------
+
+    def append(self, points_df) -> None:
+        super().append(points_df)
+        self.commit()
+
+    def _apply(self, user_id: str, transform) -> None:
+        super()._apply(user_id, transform)
+        self.commit()
+
+    def compact(self, user_id: str) -> None:
+        super().compact(user_id)
+        self.commit()
+
+    def truncate_collection(self, user_id: str) -> None:
+        super().truncate_collection(user_id)
+        self.commit()
+
+    # -- snapshot read -------------------------------------------------
+
+    def read_version(self, version: int) -> DataFrame:
+        m = self._manifest(version)
+        fs, jvm = self._fs()
+        data_files, missing = [], []
+        for tenant, files in m["data"].items():
+            for f in files:
+                p = f"{self.root}/{tenant}/{f}"
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(p)):
+                    data_files.append(p)
+                else:
+                    missing.append(p)
+        if missing:
+            raise ValueError(
+                f"snapshot {version} is beyond the vacuum horizon: "
+                f"{len(missing)} data files were removed by a later "
+                f"compact/truncate/drop (e.g. {missing[0]})"
+            )
+        if not data_files:
+            return self.spark.createDataFrame([], POINTS_SCHEMA)
+        scan = (
+            self.spark.read.schema(POINTS_SCHEMA)
+            .option("basePath", self.root)
+            .parquet(*data_files)
+            .select(
+                "*",
+                F.col("_metadata.file_path").alias("_dv_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
+        )
+        dv_files = [
+            f"{self.root}/_deletes/{tenant}/{f}"
+            for tenant, files in m["deletes"].items()
+            for f in files
+        ]
+        if dv_files:
+            dv = self.spark.read.schema(_DV_SCHEMA).parquet(*dv_files).select(
+                F.col("file_path").alias("_dv_file"),
+                F.col("row_index").alias("_dv_pos"),
+            )
+        else:
+            dv = self.spark.createDataFrame([], _DV_SCHEMA).select(
+                F.col("file_path").alias("_dv_file"),
+                F.col("row_index").alias("_dv_pos"),
+            )
+        return scan.join(
+            F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+        ).drop("_dv_file", "_dv_pos")
+
+    def drop_collection(self, user_id: str) -> None:
+        super().drop_collection(user_id)
+        fs, jvm = self._fs()
+        dv_path = jvm.org.apache.hadoop.fs.Path(self._dv_dir(user_id))
+        if fs.exists(dv_path):
+            fs.delete(dv_path, True)
+        self.commit()
