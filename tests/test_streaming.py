@@ -475,3 +475,43 @@ def test_event_time_ttl_evicts_idle_user_and_readmits(spark, tmp_path):
 
     # user 8 was never idle past the TTL between its events → continuous
     assert got[2] == 0 and got[3] == 1
+
+
+def test_knn_serve_multibatch_matches_batch_and_is_exactly_once(spark, sf_dir, tmp_path):
+    """Queries split across two micro-batches rank identically to the
+    batch operator, and re-running the drained query with the same
+    checkpoint appends NOTHING (exactly-once across restarts)."""
+    from vector_db_handler_spark.operators.similarity import cosine_topk_join
+    from vector_db_handler_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qsrc = str(tmp_path / "queries")
+    emb.filter("vec_id < 3").coalesce(1).write.mode("append").parquet(qsrc)
+    emb.filter("vec_id >= 3 AND vec_id < 6").coalesce(1).write.mode("append").parquet(qsrc)
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run():
+        stream_ops.streaming_knn_serve(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qsrc),
+            emb,
+            out,
+            cp,
+            k=3,
+        )
+
+    run()
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in cosine_topk_join(emb, emb.filter("vec_id < 6"), k=3).collect()
+    }
+    assert got == want and len(got) == 18
+
+    run()  # replay: checkpoint marks both batches done
+    assert spark.read.parquet(out).count() == 18

@@ -174,13 +174,12 @@ _DRIVER_FRONT: list[str] = [
     "ivfsq_batch_probe",
     "sample_stratified_docs",
     "sample_per_lang_topk",
-    "doc_repetition",
     "vocab_topk_tokens",
     "source_quality_report",
     # r7 registrations (same-commit rule); tpch_q14,
     # top_customers_per_nation, media_real_decode_stats,
-    # grouped_embedding_norms, label_centroids and cube_source_lang
-    # displaced to r8
+    # grouped_embedding_norms, label_centroids, cube_source_lang and
+    # doc_repetition displaced to r8
     "mor_delete_doc_scroll",
     "chain_components_star",
     "pii_redaction_stats",
@@ -188,6 +187,7 @@ _DRIVER_FRONT: list[str] = [
     "profile_events_table",
     "bpe_train_merges",
     "bpe_token_counts_by_source",
+    "streaming_knn_serve_topk",
 ]
 
 
@@ -7870,3 +7870,45 @@ def bpe_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KNN serving (stream_ops.streaming_knn_serve): query
+# vectors arrive as a STREAM, each micro-batch broadcast-scores
+# against the static corpus via the SAME cosine_topk_join operator
+# the batch path uses, per-query top-k appended to a parquet sink
+# with foreachBatch + checkpoint (exactly-once across re-runs).
+# Hash-checked against the identical oracle as the batch
+# cosine_topk_join — a batch=stream equivalence proof for the serving
+# path.
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_knn_serve_topk", _COSINE_TOPK_JOIN_SQL)
+def streaming_knn_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the 5 query vectors (vec_id < 5) from a stream against
+    the static embeddings corpus, top-3 each.  Cost per micro-batch ∝
+    batch queries (corpus never shuffles); the checkpoint makes a
+    driver re-run a no-op instead of a duplicate append."""
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.streaming import stream_ops
+
+    basis = f"knnserve|{_fixture_tag(sf_dir, 'embeddings')}"
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_knnserve_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    out_path, cp = os.path.join(base, "out"), os.path.join(base, "cp")
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") < 5)
+    )
+    stream_ops.streaming_knn_serve(queries, emb, out_path, cp, k=3)
+    return spark.read.parquet(out_path)

@@ -875,3 +875,47 @@ def tumbling_user_activity_stream(
             "n_events",
         )
     )
+
+
+def streaming_knn_serve(
+    queries_stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int = 3,
+    timeout_sec: int = 120,
+) -> None:
+    """Online KNN serving: a STREAM of query vectors scored against a
+    static corpus, per-query top-k appended to a parquet sink — the
+    serving half of the vector-db story (the batch half is
+    ``similarity.cosine_topk_join``; this reuses it verbatim inside
+    ``foreachBatch``, so batch and stream rank identically by
+    construction).
+
+    Shape per micro-batch: the batch's queries broadcast into the
+    corpus scan (corpus never shuffles), per-partition local top-k,
+    final rank over P·Q·k candidates — cost ∝ queries in THE BATCH,
+    the production property for a query stream.  Exactly-once:
+    ``foreachBatch`` + the checkpoint makes replays skip completed
+    batches, so a restarted/re-run query never duplicates sink rows —
+    pinned by the rerun test.
+    """
+    from vector_db_handler_spark.operators.similarity import cosine_topk_join
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cosine_topk_join(corpus, batch_df, k=k).write.mode("append").parquet(
+            out_path
+        )
+
+    q = (
+        queries_stream.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec * 1000)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"knn serve did not drain within {timeout_sec}s")
