@@ -147,3 +147,56 @@ def _rows_df(df, uid):
         (r["doc_id"], r["chunk_id"], r["title"], tuple(r["embedding"]))
         for r in df.filter(f"user_id = '{uid}'").collect()
     )
+
+
+def test_streaming_ingest_exactly_once_into_versioned_store(spark, tmp_path):
+    """Two micro-batches ingest as two commits; a FULL REPLAY from a
+    fresh checkpoint (the at-least-once failure mode foreachBatch
+    alone cannot exclude) re-delivers both batches, and the
+    batch-id-in-manifest guard drops both — row counts and version
+    history stay exactly once."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.store_mor import (
+        VersionedMorPointsStore,
+        streaming_ingest_exactly_once,
+    )
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "sink"), vector_size=DIM)
+    src = str(tmp_path / "incoming")
+
+    def points(lo, hi):
+        return spark.range(lo, hi).select(
+            F.expr("uuid()").alias("point_id"),
+            F.lit("t1").alias("user_id"),
+            F.col("id").alias("doc_id"),
+            F.lit(0).cast("long").alias("chunk_id"),
+            F.lit("d").alias("title"),
+            F.create_map().cast("map<string,string>").alias("payload"),
+            F.array(*[F.lit(1.0).cast("float")] * DIM).alias("embedding"),
+            F.lit(float(DIM) ** 0.5).alias("embedding_norm"),
+        )
+
+    points(0, 10).coalesce(1).write.mode("append").parquet(src)
+    points(10, 15).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(cp):
+        streaming_ingest_exactly_once(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store,
+            cp,
+        )
+
+    run(str(tmp_path / "cp1"))
+    assert store.read_tenant("t1").count() == 15
+    batches = {store._manifest(v).get("ingest_batch") for v in store.versions()}
+    assert batches == {0, 1}
+
+    # replay from scratch: the engine re-delivers batches 0 and 1, the
+    # manifest guard drops both
+    run(str(tmp_path / "cp2"))
+    assert store.read_tenant("t1").count() == 15
+    assert len(store.versions()) == 2

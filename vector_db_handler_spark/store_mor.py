@@ -253,8 +253,11 @@ class VersionedMorPointsStore(MorPointsStore):
             out[st.getPath().getName()] = sorted(files)
         return out
 
-    def commit(self) -> int:
-        """Snapshot the current file sets as the next version."""
+    def commit(self, extra: dict | None = None) -> int:
+        """Snapshot the current file sets as the next version.
+        ``extra`` lands in the manifest verbatim — the transaction-
+        metadata slot (e.g. ``{"ingest_batch": id}`` for idempotent
+        streaming sinks, Delta's txnAppId/txnVersion analog)."""
         import json
 
         fs, jvm = self._fs()
@@ -264,6 +267,7 @@ class VersionedMorPointsStore(MorPointsStore):
             "version": v,
             "data": self._list_tenant_files(fs, jvm),
             "deletes": self._list_tenant_files(fs, jvm, "_deletes"),
+            **(extra or {}),
         }
         cp = self._commits_path(jvm)
         fs.mkdirs(cp)
@@ -286,6 +290,14 @@ class VersionedMorPointsStore(MorPointsStore):
             if n.startswith("v") and n.endswith(".json"):
                 out.append(int(n[1:-5]))
         return sorted(out)
+
+    def has_ingest_batch(self, batch_id: int) -> bool:
+        """True iff a committed manifest already records this
+        streaming batch id (the idempotent-replay guard)."""
+        return any(
+            self._manifest(v).get("ingest_batch") == int(batch_id)
+            for v in self.versions()
+        )
 
     def _manifest(self, version: int) -> dict:
         import json
@@ -376,3 +388,38 @@ class VersionedMorPointsStore(MorPointsStore):
         if fs.exists(dv_path):
             fs.delete(dv_path, True)
         self.commit()
+
+
+def streaming_ingest_exactly_once(
+    points_stream: DataFrame,
+    store: "VersionedMorPointsStore",
+    checkpoint: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Exactly-once streaming ingest into the versioned store — the
+    lakehouse sink pattern (Delta's ``txnAppId``/``txnVersion``):
+    ``foreachBatch`` gives at-least-once on restart-after-partial-
+    write, so each batch's id is recorded IN the commit manifest and
+    a replayed batch that already has a committed manifest is skipped
+    — the sink is idempotent end-to-end, not just engine-side.
+
+    The stream must carry POINTS_SCHEMA columns."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if store.has_ingest_batch(batch_id):
+            return
+        if batch_df.isEmpty():
+            return
+        PointsStore.append(store, batch_df)  # write data files, no commit
+        store.commit(extra={"ingest_batch": int(batch_id)})
+
+    q = (
+        points_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec * 1000)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"ingest did not drain within {timeout_sec}s")
