@@ -124,3 +124,24 @@ def test_avro_deflate_codec_decodes():
     rows = [(7, "x y z", "en", "s0", 5), (8, None, "de", "s1", 0)]
     blob = avro_src.encode_ocf(rows, codec="deflate")
     assert avro_src.decode_ocf(blob) == [list(r) for r in rows]
+
+
+def test_xml_roundtrip_escapes_markup_characters(spark, tmp_path):
+    """The fixture corpus is plain words, so the driver checksum alone
+    would not catch a broken entity encoder — this plants text full of
+    XML-hostile characters and requires byte-exact recovery."""
+    from vector_db_handler_spark.sources import xml as xml_src
+
+    rows = [
+        (1, 'a < b && c > d "quoted" \'single\'', "en", "s0", 33),
+        (2, "<doc>nested & markup</doc>", "de", "s1", 26),
+        (3, "ampersand & entity &amp; literal", "en", "s0", 32),
+    ]
+    df = spark.createDataFrame(rows, xml_src.DOCUMENTS_XML_SCHEMA)
+    path = str(tmp_path / "xmlrt")
+    xml_src.write_documents_xml(df, path)
+    back = {
+        r.doc_id: (r.text, r.lang, r.source, r.n_chars)
+        for r in xml_src.read_documents_xml(spark, path).collect()
+    }
+    assert back == {r[0]: (r[1], r[2], r[3], r[4]) for r in rows}

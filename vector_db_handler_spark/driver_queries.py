@@ -174,12 +174,11 @@ _DRIVER_FRONT: list[str] = [
     "ivfsq_batch_probe",
     "sample_stratified_docs",
     "sample_per_lang_topk",
-    "vocab_topk_tokens",
     "source_quality_report",
     # r7 registrations (same-commit rule); tpch_q14,
     # top_customers_per_nation, media_real_decode_stats,
-    # grouped_embedding_norms, label_centroids, cube_source_lang and
-    # doc_repetition displaced to r8
+    # grouped_embedding_norms, label_centroids, cube_source_lang,
+    # doc_repetition and vocab_topk_tokens displaced to r8
     "mor_delete_doc_scroll",
     "chain_components_star",
     "pii_redaction_stats",
@@ -188,6 +187,7 @@ _DRIVER_FRONT: list[str] = [
     "bpe_train_merges",
     "bpe_token_counts_by_source",
     "streaming_knn_serve_topk",
+    "xml_roundtrip_stats",
 ]
 
 
@@ -7912,3 +7912,45 @@ def streaming_knn_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_ops.streaming_knn_serve(queries, emb, out_path, cp, k=3)
     return spark.read.parquet(out_path)
+
+
+_XML_ROUNDTRIP_SQL = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM({_sql_hash('text', 15)} % 1000000007) AS BIGINT) AS text_checksum
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("xml_roundtrip_stats", _XML_ROUNDTRIP_SQL)
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest edge on Spark 4's NATIVE xml source: export
+    documents as <doc> rows, read back schema-enforced (no inference
+    pass), aggregate per language.  The checksum matching the
+    parquet-sourced oracle proves entity escaping round-trips the
+    text losslessly — the hazard XML adds over CSV quoting."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.sources import xml as xml_src
+
+    tag = _hl.md5(
+        f"xml|{_fixture_tag(sf_dir, 'documents')}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"vdh_xml_{tag}")
+    marker = os.path.join(root, "_vdh_done")
+    if not os.path.exists(marker):
+        xml_src.write_documents_xml(load(spark, sf_dir, "documents"), root)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    df = xml_src.read_documents_xml(spark, root)
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            text_fns.portable_hash60(F.col("text")) % F.lit(1000000007)
+        ).alias("text_checksum"),
+    )
