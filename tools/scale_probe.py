@@ -843,6 +843,56 @@ def r7(mult: int = 16) -> None:
     sh.unpersist()
 
 
+def r7b(mult: int = 16) -> None:
+    """Round-7 second wave: star-CC rounds/wall vs chain length
+    (the log^2 claim), PII redaction throughput vs corpus (linear,
+    scan-bound), epoch resampling wall vs corpus (linear)."""
+    from vector_db_handler_spark.operators.graph import connected_components_star
+    from vector_db_handler_spark.operators.redaction import redact_pii
+    from vector_db_handler_spark.operators.sampling import resample_epoch
+
+    spark = get_spark("r7b-probe")
+    sf = "/root/testdata/sf0.1"
+
+    for n in (1_000, 10_000, 100_000):
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("d1"), (F.col("id") + 1).alias("d2")
+        )
+        t0 = time.perf_counter()
+        out = connected_components_star(chain, max_rounds=40)
+        n_nodes = out.count()
+        comps = out.select("component").distinct().count()
+        print(
+            f"star_cc chain n={n}: {n_nodes} nodes -> {comps} component(s), "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    for m in (1, mult):
+        docs = docs0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            docs = docs0.crossJoin(reps).select(
+                (F.col("doc_id") * m + F.col("rep")).alias("doc_id"), "text"
+            )
+        rows = docs.count()
+        t0 = time.perf_counter()
+        redact_pii(docs).agg(
+            F.sum("n_email"), F.sum(F.length("redacted"))
+        ).collect()
+        print(f"redact_pii @ {rows} docs: wall {time.perf_counter()-t0:.1f}s")
+
+        t0 = time.perf_counter()
+        ep = resample_epoch(
+            docs.withColumn("rate_bp", F.lit(23_700)), "rate_bp", "doc_id"
+        )
+        n_out = ep.count()
+        print(
+            f"resample_epoch 2.37x @ {rows} docs: {n_out} emitted, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -869,6 +919,8 @@ if __name__ == "__main__":
         r6d(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "r6c":
         r6c(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r7b":
+        r7b(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "r7":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
