@@ -1,0 +1,40 @@
+"""Bigram-LM quality scores: credit rule, unknown-bigram handling,
+and the cross-domain separation that makes the filter useful."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.operators.lm_score import bigram_counts, lm_doc_scores
+from vector_db_handler_spark.sources.tables import load_table
+
+
+def test_credit_is_bit_length_and_unknowns_are_zero(spark):
+    train = spark.createDataFrame(
+        [(i, "a b") for i in range(7)], "doc_id long, text string"
+    )
+    model = bigram_counts(train)  # {"a b": 7}
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in lm_doc_scores(docs, model).collect()}
+    # doc 1: bigrams [a b, b a, a b] -> credits [3, 0, 3] (7 = 0b111)
+    assert got[1].n_bigrams == 3 and got[1].credit == 6
+    assert got[1].score_milli == 2000
+    # doc 2: both bigrams unseen
+    assert got[2].credit == 0 and got[2].score_milli == 0
+
+
+def test_english_model_separates_languages(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    model = bigram_counts(docs.filter(F.col("lang") == "en"))
+    per_lang = {
+        r.lang: r.mean_milli
+        for r in lm_doc_scores(docs, model)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg((F.sum("score_milli") / F.count(F.lit(1))).alias("mean_milli"))
+        .collect()
+    }
+    en = per_lang.pop("en")
+    assert all(en > v for v in per_lang.values()), per_lang | {"en": en}

@@ -174,11 +174,11 @@ _DRIVER_FRONT: list[str] = [
     "ivfsq_batch_probe",
     "sample_stratified_docs",
     "sample_per_lang_topk",
-    "source_quality_report",
     # r7 registrations (same-commit rule); tpch_q14,
     # top_customers_per_nation, media_real_decode_stats,
     # grouped_embedding_norms, label_centroids, cube_source_lang,
-    # doc_repetition and vocab_topk_tokens displaced to r8
+    # doc_repetition, vocab_topk_tokens and source_quality_report
+    # displaced to r8
     "mor_delete_doc_scroll",
     "chain_components_star",
     "pii_redaction_stats",
@@ -188,6 +188,7 @@ _DRIVER_FRONT: list[str] = [
     "bpe_token_counts_by_source",
     "streaming_knn_serve_topk",
     "xml_roundtrip_stats",
+    "lm_quality_by_lang",
 ]
 
 
@@ -7953,4 +7954,78 @@ def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             text_fns.portable_hash60(F.col("text")) % F.lit(1000000007)
         ).alias("text_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring (operators/lm_score.py): CCNet's
+# perplexity-filter shape with an engine-exact credit rule —
+# floor(log2(count))+1 = bit length of the bigram count (the portable
+# stand-in for log-prob; transcendental logs can never hash-match).
+# Model = bigrams of the en slice (the "trusted" reference text);
+# every doc scores against it.  Top decile == fluent in-domain text,
+# bottom == rare/garbled — the ordering the filter exists for.
+# ---------------------------------------------------------------------------
+
+_LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+doc_bigrams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+),
+model AS (
+  SELECT bigram, COUNT(*) AS n
+  FROM doc_bigrams WHERE lang = 'en'
+  GROUP BY bigram
+),
+scored AS (
+  SELECT d.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(COALESCE(length(printf('%b', m.n)), 0)) AS BIGINT) AS credit
+  FROM doc_bigrams d LEFT JOIN model m USING (bigram)
+  GROUP BY d.doc_id
+),
+final AS (
+  SELECT doc_id, n_bigrams, credit,
+         CAST(1000 * credit // n_bigrams AS BIGINT) AS score_milli
+  FROM scored
+)
+SELECT doc.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f.score_milli) AS BIGINT) AS sum_score_milli,
+       CAST(MIN(f.score_milli) AS BIGINT) AS min_score_milli,
+       CAST(MAX(f.score_milli) AS BIGINT) AS max_score_milli
+FROM final f JOIN documents doc USING (doc_id)
+GROUP BY doc.lang
+"""
+
+
+@register("lm_quality_by_lang", _LM_SCORE_SQL)
+def lm_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the bigram model on the English slice, score EVERY doc,
+    roll up per language: English scores highest against its own
+    model, other languages lower — the cross-domain separation a
+    perplexity filter exploits, in hash-exact integers.  One counting
+    shuffle + one model join + one combined per-doc aggregate."""
+    from vector_db_handler_spark.operators.lm_score import (
+        bigram_counts,
+        lm_doc_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    model = bigram_counts(docs.filter(F.col("lang") == "en"))
+    scores = lm_doc_scores(docs, model)
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_milli").alias("sum_score_milli"),
+            F.min("score_milli").alias("min_score_milli"),
+            F.max("score_milli").alias("max_score_milli"),
+        )
     )

@@ -1,0 +1,85 @@
+"""Bigram language-model quality scoring — the CCNet-shaped filter,
+in exact integer arithmetic.
+
+No reference analog; extension surface.  CCNet (Wenzek et al.) ranks
+crawl documents by the perplexity of a small LM trained on trusted
+text; the distributed shape of that filter is: (1) ONE corpus pass
+building the bigram count relation, (2) score every document by
+joining its bigrams against that relation and averaging the
+log-probability.  This module implements that shape with a
+deliberately engine-exact scoring rule:
+
+    credit(bigram) = floor(log2(count(bigram))) + 1
+                   = length(binary(count))            -- exact integer
+    doc_score_milli = 1000 · Σ credit / n_bigrams     -- ONE exact
+                                                      -- integer division
+
+``floor(log2(n))+1`` is the bit length of the count — computable as
+``length(bin(n))`` in Spark and ``length(printf('%b', n))`` in DuckDB,
+bit-identical everywhere, monotone in the count, and a faithful stand-
+in for the (transcendental, hence never bit-portable) log-probability:
+documents made of frequent bigrams score high, rare/garbled ones score
+low, EXACTLY the ordering the perplexity filter needs.  A real-valued
+perplexity would pin to a tolerance; this pins to a hash.
+
+Scale shape: bigram counting is one map-side-combined shuffle over
+exploded bigrams; the model relation is vocabulary², in practice far
+smaller than the corpus, and scoring is a broadcast (or shuffle, if
+the model outgrows broadcast) join from exploded doc bigrams back to
+the model, then one combined per-doc aggregate.  Unknown bigrams
+(never seen in the reference slice) earn credit 0 — the smoothing-free
+convention, fine for ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(bigram, n) over adjacent word pairs — the model relation."""
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def lm_doc_scores(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every doc against a (bigram, n) model: adds
+    ``n_bigrams``, ``credit`` (Σ bit lengths of matched counts) and
+    ``score_milli`` (1000·credit div n_bigrams — one exact integer
+    division, so the value hash-checks cross-engine)."""
+    pairs = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+        f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
+        f"             element_at(split({text_col}, ' '), i + 1)))"
+    )
+    exploded = docs.select(F.col(id_col), F.explode(pairs).alias("bigram"))
+    credited = exploded.join(model, "bigram", "left").select(
+        id_col,
+        F.coalesce(F.length(F.bin(F.col("n"))), F.lit(0)).alias("bits"),
+    )
+    return (
+        credited.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").alias("credit"),
+        )
+        .withColumn(
+            "score_milli",
+            F.expr("CAST(1000 * credit AS BIGINT) div n_bigrams"),
+        )
+    )
