@@ -173,12 +173,11 @@ _DRIVER_FRONT: list[str] = [
     "ivfsq_probe_topk",
     "ivfsq_batch_probe",
     "sample_stratified_docs",
-    "sample_per_lang_topk",
     # r7 registrations (same-commit rule); tpch_q14,
     # top_customers_per_nation, media_real_decode_stats,
     # grouped_embedding_norms, label_centroids, cube_source_lang,
-    # doc_repetition, vocab_topk_tokens and source_quality_report
-    # displaced to r8
+    # doc_repetition, vocab_topk_tokens, source_quality_report and
+    # sample_per_lang_topk displaced to r8
     "mor_delete_doc_scroll",
     "chain_components_star",
     "pii_redaction_stats",
@@ -189,6 +188,7 @@ _DRIVER_FRONT: list[str] = [
     "streaming_knn_serve_topk",
     "xml_roundtrip_stats",
     "lm_quality_by_lang",
+    "maxsim_topk",
 ]
 
 
@@ -8029,3 +8029,54 @@ def lm_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score_milli").alias("max_score_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style MaxSim late interaction (operators/multivector.py):
+# doc score = Σ over query tokens of the best-matching doc-token dot,
+# everything on the int8 grid so the value is an exact integer.  Plan:
+# scan → codegen projection (16 literal multiply-add chains) →
+# TakeOrderedAndProject — the same shape as single-vector KNN.
+# ---------------------------------------------------------------------------
+
+
+def _maxsim_oracle(k: int = 10, n_tokens: int = 4, dim: int = 64) -> str:
+    d_tok = dim // n_tokens
+    per_q = []
+    for j in range(n_tokens):
+        qslice = f"(SELECT v[{j * d_tok + 1}:{(j + 1) * d_tok}] FROM qq)"
+        dots = ", ".join(
+            f"list_dot_product(qc.v[{t * d_tok + 1}:{(t + 1) * d_tok}], {qslice})"
+            for t in range(n_tokens)
+        )
+        per_q.append(f"GREATEST({dots})")
+    score = " + ".join(per_q)
+    return f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+),
+qc AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP}) AS v
+  FROM embeddings, scale
+)
+SELECT vec_id, CAST({score} AS BIGINT) AS maxsim
+FROM qc ORDER BY maxsim DESC, vec_id LIMIT {k}
+"""
+
+
+@register("maxsim_topk", _maxsim_oracle())
+def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by 4-token MaxSim: each query token picks its best doc
+    token (exact int8 dots), sums — the late-interaction tier between
+    pooled-vector ANN and cross-encoders.  Token vectors are stood in
+    by 16-dim slices of the pooled embedding (the fixture stores one
+    vector per doc; the operator takes any token layout)."""
+    from vector_db_handler_spark.operators.multivector import maxsim_topk as _ms
+
+    return _ms(load(spark, sf_dir, "embeddings"), QUERY_VEC, k=10)
