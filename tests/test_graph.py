@@ -153,3 +153,68 @@ def test_star_cc_isolated_nodes_are_singletons(spark):
         for r in connected_components_star(pairs, nodes=nodes).collect()
     }
     assert got == {1: 1, 2: 1, 9: 9}
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+from itertools import combinations
+
+from vector_db_handler_spark.operators.graph import triangle_count
+
+
+def _tri_brute(pairs):
+    """Arbitrary-precision reference: per-node triangle membership by
+    enumerating all node triples over the canonical undirected set."""
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for e in und for n in e})
+    counts = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_known_shapes(spark):
+    """Chain → none; K4 → every node in C(3,2)=3 triangles; a K4 with
+    one pendant node → pendant absent from the output."""
+    chain = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    assert triangle_count(chain, "src", "dst").count() == 0
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_count(_edges(spark, k4), "src", "dst").collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_count(
+            _edges(spark, k4 + [(3, 9)]), "src", "dst"
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # 9 participates in none
+
+
+def test_triangle_random_graph_matches_brute_force(spark):
+    """48-node pseudo-random graph (deterministic congruential edge
+    picks, duplicate + reversed edges included on purpose): the
+    oriented-wedge count equals full triple enumeration."""
+    pairs = []
+    x = 7
+    for _ in range(300):
+        x = (x * 1103515245 + 12345) % (2**31)
+        u = x % 48
+        x = (x * 1103515245 + 12345) % (2**31)
+        v = x % 48
+        pairs.append((u, v))
+        if v % 3 == 0:
+            pairs.append((v, u))  # reversed duplicate
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_count(_edges(spark, pairs), "src", "dst").collect()
+    }
+    assert got == _tri_brute(pairs)
