@@ -189,6 +189,9 @@ _DRIVER_FRONT: list[str] = [
     "xml_roundtrip_stats",
     "lm_quality_by_lang",
     "maxsim_topk",
+    # r7 continuation session registrations (same-commit rule)
+    "triangle_brand_stats",
+    "doc_chunks",
 ]
 
 
@@ -8080,3 +8083,133 @@ def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.operators.multivector import maxsim_topk as _ms
 
     return _ms(load(spark, sf_dir, "embeddings"), QUERY_VEC, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/graph.py:triangle_count): the third
+# graph-analytics rail next to components (connectivity) and PageRank
+# (centrality).  Degree-ordered orientation bounds the wedge relation
+# by O(m^1.5) regardless of hubs — the naive neighbor-pair expansion is
+# deg² per node.  Fixture graph: parts co-ordered in >= 2 distinct
+# orders (3,445 edges / 61 triangles at sf0.01 — sparse and non-trivial).
+# The oracle brute-forces the 3-way edge join with a < b < c, so a green
+# row is a cross-ALGORITHM agreement proof (orientation vs enumeration).
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+members AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+),
+cnt AS (SELECT node, COUNT(*) AS n_triangles FROM members GROUP BY node)
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cnt.n_triangles) AS BIGINT) AS tri_participations,
+       CAST(MAX(cnt.n_triangles) AS BIGINT) AS max_part_triangles
+FROM cnt JOIN part p ON p.p_partkey = cnt.node
+GROUP BY p.p_brand
+"""
+
+
+@register("triangle_brand_stats", _TRIANGLE_SQL)
+def triangle_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle participation over the part co-purchase
+    graph (edge = two parts in >= 2 common orders): exact triangle
+    counts by degree-ordered orientation — wedges only ever expand
+    from a node's low-degree side, so one celebrity part cannot
+    detonate the candidate volume.  The co-order census is map-side
+    combined; every downstream exchange carries integer keys only."""
+    from vector_db_handler_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    counts = triangle_count(edges)
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), "p_brand"
+    )
+    return (
+        counts.join(part, "node")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("n_triangles").alias("tri_participations"),
+            F.max("n_triangles").alias("max_part_triangles"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (operators/chunking.py): the doc→chunk splitter the
+# reference's (DocId, ChunkId) point model presumes but leaves to its
+# callers (reference app/core/document_ingestor.py:40-120).  Zero-shuffle
+# in-row explode; geometry pinned so both engines derive identical chunk
+# boundaries, verified here by per-chunk md5 over the whole corpus.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 200, 50
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_DOC_CHUNKS_SQL = f"""
+WITH p AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= {_CHUNK_SIZE} THEN 1
+              ELSE (length(text) - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
+                   // {_CHUNK_STRIDE} + 1 END AS nc
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(length(substring(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT),
+                             {_CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+       md5(substring(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT),
+                     {_CHUNK_SIZE})) AS chunk_md5
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, CAST(nc - 1 AS BIGINT))) AS i
+      FROM p)
+"""
+
+
+@register("doc_chunks", _DOC_CHUNKS_SQL)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document split into 200-char chunks with 50-char overlap
+    (stride 150): the RAG-ingest layout feeding the embedder.  The
+    exploded chunk relation is checksummed per chunk — a green row
+    proves both engines cut identical boundaries on every doc."""
+    from vector_db_handler_spark.operators.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        load(spark, sf_dir, "documents"),
+        size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
