@@ -192,6 +192,7 @@ _DRIVER_FRONT: list[str] = [
     # r7 continuation session registrations (same-commit rule)
     "triangle_brand_stats",
     "doc_chunks",
+    "dq_events_report",
 ]
 
 
@@ -8212,4 +8213,74 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         F.length("chunk_text").cast("long").alias("chunk_len"),
         F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (operators/dq.py): Deequ-style
+# VerificationSuite over the events relation — ALL constraints lower
+# into ONE aggregate over ONE scan (adding a constraint adds a partial-
+# agg column, never a pass), and the per-constraint report is an in-row
+# explode of the single aggregated row.  Verdicts computed on exact
+# integers; the fixture mix is deliberately pass+fail (the error type
+# breaks the domain check, 23 values exceed the 300 bound, user_id is
+# deliberately non-unique).
+# ---------------------------------------------------------------------------
+
+_DQ_EVENTS_SQL = """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         COUNT(value) AS nn_value,
+         COUNT(props) AS nn_props,
+         COUNT(DISTINCT event_id) AS d_eid, COUNT(event_id) AS n_eid,
+         COUNT(DISTINCT user_id) AS d_uid, COUNT(user_id) AS n_uid,
+         COALESCE(SUM(CASE WHEN event_type NOT IN
+             ('click','view','purchase','signup') THEN 1 ELSE 0 END), 0) AS v_type,
+         COALESCE(SUM(CASE WHEN value < 0.0 OR value > 300.0
+             THEN 1 ELSE 0 END), 0) AS v_val
+  FROM events
+)
+SELECT 'completeness' AS "check", 'value' AS col,
+       CAST(nn_value AS BIGINT) AS metric_num, CAST(n AS BIGINT) AS metric_den,
+       nn_value * 1 >= 1 * n AS passed FROM a
+UNION ALL
+SELECT 'completeness', 'props', CAST(nn_props AS BIGINT), CAST(n AS BIGINT),
+       nn_props * 100 >= 99 * n FROM a
+UNION ALL
+SELECT 'uniqueness', 'event_id', CAST(d_eid AS BIGINT), CAST(n_eid AS BIGINT),
+       d_eid = n_eid FROM a
+UNION ALL
+SELECT 'uniqueness', 'user_id', CAST(d_uid AS BIGINT), CAST(n_uid AS BIGINT),
+       d_uid = n_uid FROM a
+UNION ALL
+SELECT 'accepted_values', 'event_type', CAST(v_type AS BIGINT),
+       CAST(n AS BIGINT), v_type = 0 FROM a
+UNION ALL
+SELECT 'bounds', 'value', CAST(v_val AS BIGINT), CAST(n AS BIGINT),
+       v_val = 0 FROM a
+UNION ALL
+SELECT 'row_count', '*', CAST(n AS BIGINT), CAST(1 AS BIGINT),
+       n BETWEEN 1000 AND 1000000000 FROM a
+"""
+
+
+@register("dq_events_report", _DQ_EVENTS_SQL)
+def dq_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-verification report over events: completeness,
+    uniqueness, domain membership, value bounds, and table size —
+    seven constraints, one scan, exact-integer verdicts.  The report
+    is the promotion gate a training snapshot passes before use."""
+    from vector_db_handler_spark.operators import dq
+
+    return dq.dq_check(
+        load(spark, sf_dir, "events"),
+        [
+            dq.completeness("value"),
+            dq.completeness("props", 99, 100),
+            dq.uniqueness("event_id"),
+            dq.uniqueness("user_id"),
+            dq.accepted_values("event_type", ["click", "view", "purchase", "signup"]),
+            dq.bounds("value", 0.0, 300.0),
+            dq.row_count_between(1000, 1_000_000_000),
+        ],
     )
