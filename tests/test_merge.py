@@ -91,3 +91,58 @@ def test_scd2_second_batch_extends_history(spark, sf_dir):
     for r in per_key:
         assert str(r.first_close) == "2024-06-01"
         assert str(r.last_close) == "2024-09-01"
+
+
+# ---------------------------------------------------------------------------
+# ivm_join_delta
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.merge import ivm_join_delta
+
+
+def _bag(rows):
+    from collections import Counter
+
+    return Counter(tuple(r) for r in rows)
+
+
+def test_ivm_join_delta_matches_direct_recompute(spark):
+    """Bag-semantics parity on data with duplicate join keys in both
+    relations and in both deltas: V_old ∪ ΔV == (A∪ΔA) ⋈ (B∪ΔB)."""
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (2, "a2dup"), (3, "a3")], "k long, pa string"
+    )
+    da = spark.createDataFrame([(2, "da2"), (4, "da4")], "k long, pa string")
+    b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b2dup"), (5, "b5")], "k long, pb string"
+    )
+    db = spark.createDataFrame([(2, "db2"), (4, "db4"), (4, "db4b")], "k long, pb string")
+
+    maintained = a.join(b, "k").unionByName(ivm_join_delta(a, da, b, db, "k"))
+    direct = a.unionByName(da).join(b.unionByName(db), "k")
+    assert _bag(maintained.collect()) == _bag(direct.collect())
+
+
+def test_ivm_join_delta_empty_deltas_are_noop(spark):
+    a = spark.createDataFrame([(1, "x")], "k long, pa string")
+    b = spark.createDataFrame([(1, "y")], "k long, pb string")
+    empty = spark.createDataFrame([], "k long, pa string")
+    empty_b = spark.createDataFrame([], "k long, pb string")
+    assert ivm_join_delta(a, empty, b, empty_b, "k").count() == 0
+
+
+def test_ivm_join_delta_broadcasts_delta_terms(spark):
+    """Every delta term must plan as a BroadcastHashJoin — maintenance
+    exchanges stay O(|Δ|); the base relations never co-shuffle."""
+    a = spark.createDataFrame([(i, "a") for i in range(100)], "k long, pa string")
+    da = spark.createDataFrame([(1, "d")], "k long, pa string")
+    b = spark.createDataFrame([(i, "b") for i in range(100)], "k long, pb string")
+    db = spark.createDataFrame([(2, "d")], "k long, pb string")
+    plan = (
+        ivm_join_delta(a, da, b, db, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 3, plan[:1200]
+    assert "SortMergeJoin" not in plan

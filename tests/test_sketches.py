@@ -160,3 +160,55 @@ def test_cms_sketches_merge_by_sum(spark, sf_dir):
     )
     whole = sketches.cms_build(ev, "user_id")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+# ---------------------------------------------------------------------------
+# kmv_overlap_pairs
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.sketches import kmv_overlap_pairs
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Two small sets (|A|=6, |B|=5, |A∩B|=3): the union sketch holds
+    everything, so every estimate is exact."""
+    rows = [("A", v) for v in [1, 2, 3, 4, 5, 6]] + [
+        ("B", v) for v in [4, 5, 6, 7, 8]
+    ]
+    out = kmv_overlap_pairs(
+        spark.createDataFrame(rows, "g string, v long"), "g", "v", k=64
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.g1, r.g2) == ("A", "B")
+    assert r.n_union_kept == 8  # |A ∪ B|
+    assert r.n_common == 3
+    assert r.union_est == 8.0
+    assert r.intersection_est == 3.0
+
+
+def test_kmv_overlap_estimates_within_bounds(spark):
+    """500-element sets with true overlap 250 at k=128: union and
+    intersection estimates land within 3 standard errors
+    (~3/sqrt(k) ≈ 26%)."""
+    a = [("A", v) for v in range(750)]
+    b = [("B", v) for v in range(500, 1250)]
+    out = kmv_overlap_pairs(
+        spark.createDataFrame(a + b, "g string, v long"), "g", "v", k=128
+    ).collect()[0]
+    true_union, true_inter = 1250, 250
+    assert abs(out.union_est - true_union) / true_union < 0.26
+    assert abs(out.intersection_est - true_inter) / true_inter < 0.80
+    assert 0.0 <= out.jaccard_est <= 1.0
+
+
+def test_kmv_overlap_partition_invariant(spark):
+    """Deterministic under any input partitioning (hash selection has
+    no ties; integer windows break none)."""
+    rows = [(f"g{i % 3}", v) for i, v in enumerate(range(900))]
+    df1 = spark.createDataFrame(rows, "g string, v long").repartition(1)
+    df32 = spark.createDataFrame(rows, "g string, v long").repartition(32)
+    r1 = sorted(map(tuple, kmv_overlap_pairs(df1, "g", "v", k=32).collect()))
+    r32 = sorted(map(tuple, kmv_overlap_pairs(df32, "g", "v", k=32).collect()))
+    assert r1 == r32
+    assert len(r1) == 3  # 3 groups -> 3 pairs

@@ -193,6 +193,8 @@ _DRIVER_FRONT: list[str] = [
     "triangle_brand_stats",
     "doc_chunks",
     "dq_events_report",
+    "ivm_join_orders_customer",
+    "kmv_user_overlap_pairs",
 ]
 
 
@@ -8283,4 +8285,128 @@ def dq_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             dq.bounds("value", 0.0, 300.0),
             dq.row_count_between(1000, 1_000_000_000),
         ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# JOIN-view IVM (operators/merge.py:ivm_join_delta): the delta-rule
+# sibling of incremental_rollup_merge.  V = orders ⋈ customer is
+# maintained under insert batches (10% of orders, 5% of customers,
+# selected by deterministic key residues): ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+# with the pre-update states on the base side and every delta term
+# broadcast.  The oracle is the DIRECT join over the FULL relations —
+# a green row proves the incremental plan reconstructs the recomputed
+# view exactly (DECIMAL-accumulated totals make the agg order-proof).
+# ---------------------------------------------------------------------------
+
+_IVM_JOIN_SQL = """
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@register("ivm_join_orders_customer", _IVM_JOIN_SQL)
+def ivm_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation stats of the orders⋈customer view maintained
+    INCREMENTALLY: old view rows ∪ the three delta-rule terms, each
+    delta term broadcast so maintenance exchanges are O(|Δ|).  Hash-
+    equality with the direct full join is the IVM correctness proof."""
+    from vector_db_handler_spark.operators.merge import ivm_join_delta
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    a, da = (
+        orders.filter(F.col("o_orderkey") % 10 != 0),
+        orders.filter(F.col("o_orderkey") % 10 == 0),
+    )
+    b, db = (
+        cust.filter(F.col("custkey") % 20 != 0),
+        cust.filter(F.col("custkey") % 20 == 0),
+    )
+    v_old = a.join(b, "custkey")
+    maintained = v_old.unionByName(ivm_join_delta(a, da, b, db, "custkey"))
+    return maintained.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-overlap estimates (operators/sketches.py:kmv_overlap_pairs):
+# audience overlap between every two event types from k-min sketches
+# only — the pairwise stage touches <= k rows per group, so cost is
+# vocabulary², never data volume.  Exact integers up to the two final
+# IEEE divisions; the oracle replays sketch → union-sketch → ρ with
+# single-window SQL (different physical plan, same rows).
+# ---------------------------------------------------------------------------
+
+_KMV_OVL_K = 64
+_KMV_OVL_EST = (
+    f"CASE WHEN COUNT(*) < {_KMV_OVL_K} THEN CAST(COUNT(*) AS DOUBLE) "
+    f"ELSE {float(_KMV_OVL_K - 1)!r} * 1152921504606846976.0 "
+    f"/ CAST(MAX(hv) AS DOUBLE) END"
+)
+_KMV_OVL_RHO = "(CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))"
+
+_KMV_OVERLAP_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events
+),
+r AS (
+  SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rk FROM h
+),
+kept AS (SELECT g, hv FROM r WHERE rk <= {_KMV_OVL_K}),
+p AS (
+  SELECT a.g AS g1, b.g AS g2
+  FROM (SELECT DISTINCT g FROM kept) a
+  JOIN (SELECT DISTINCT g FROM kept) b ON a.g < b.g
+),
+tagged AS (
+  SELECT p.g1, p.g2, k.hv, 1 AS s FROM p JOIN kept k ON k.g = p.g1
+  UNION ALL
+  SELECT p.g1, p.g2, k.hv, 2 AS s FROM p JOIN kept k ON k.g = p.g2
+),
+m AS (
+  SELECT g1, g2, hv, COUNT(DISTINCT s) AS n_sides
+  FROM tagged GROUP BY g1, g2, hv
+),
+u AS (
+  SELECT g1, g2, hv, n_sides,
+         row_number() OVER (PARTITION BY g1, g2 ORDER BY hv) AS rk
+  FROM m
+)
+SELECT g1, g2,
+       CAST(COUNT(*) AS BIGINT) AS n_union_kept,
+       CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       ROUND({_KMV_OVL_EST}, 6) AS union_est,
+       ROUND({_KMV_OVL_RHO}, 6) AS jaccard_est,
+       ROUND({_KMV_OVL_RHO} * ({_KMV_OVL_EST}), 6) AS intersection_est
+FROM u WHERE rk <= {_KMV_OVL_K}
+GROUP BY g1, g2
+"""
+
+
+@register("kmv_user_overlap_pairs", _KMV_OVERLAP_SQL)
+def kmv_user_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated shared-user counts for every event-type pair from
+    K-Minimum-Values sketches: union estimate from the merged
+    sketch's k-th hash, Jaccard from the common fraction inside the
+    union sketch, intersection as their product — sketch-only set
+    algebra (the fixture's ~150-user types exercise the estimator
+    branch; sub-k groups would be exact)."""
+    from vector_db_handler_spark.operators.sketches import kmv_overlap_pairs
+
+    return kmv_overlap_pairs(
+        load(spark, sf_dir, "events"), "event_type", "user_id", k=_KMV_OVL_K
     )

@@ -168,3 +168,38 @@ def snapshot_diff(
         .otherwise("unchanged")
         .alias("change"),
     )
+
+
+def ivm_join_delta(
+    a: DataFrame,
+    delta_a: DataFrame,
+    b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view under inserts: for
+    ``V = A ⋈ B`` (bag semantics) and insert batches ΔA / ΔB, the
+    view's delta is
+
+        ΔV = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    where A and B are the PRE-update states — the classic counting /
+    delta-rule derivation (Gupta & Mumick, "Maintenance of
+    Materialized Views: Problems, Techniques, and Applications").
+    Returns ΔV; the maintained view is ``V_old ∪ ΔV``.
+
+    This is the JOIN sibling of the aggregate-merge IVM entry
+    (``incremental_rollup_merge``): maintenance cost tracks the DELTA
+    batches, never accumulated history — each term joins a delta
+    (batch-sized, broadcast here) against one base relation, so the
+    big relations are scanned once each and NEVER shuffled against
+    each other; the ΔA ⋈ ΔB term is batch × batch.  At 100 TB the
+    alternative — recomputing A ⋈ B — reshuffles the full history
+    every refresh; the delta plan's exchanges are O(|Δ|)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        F.broadcast(delta_a)
+        .join(b, keys)
+        .unionByName(a.join(F.broadcast(delta_b), keys))
+        .unionByName(F.broadcast(delta_a).join(delta_b, keys))
+    )

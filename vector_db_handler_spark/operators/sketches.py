@@ -424,3 +424,85 @@ def incremental_novel_docs(
         seen, maybe[hash_col] == F.col("_seen_h"), "left_anti"
     )
     return definitely_novel.unionByName(rescued)
+
+
+def kmv_overlap_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    fanout: int = 16,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every two groups from
+    their K-Minimum-Values sketches (Beyer et al., SIGMOD'07 — "On
+    synopses for distinct-value estimation under multiset
+    operations"): the audience-overlap / cross-source-contamination
+    question ("how many users do types A and B share?") answered
+    WITHOUT ever shuffling the full value sets against each other.
+
+    For groups A, B with k-min sketches K_A, K_B:
+
+    * union sketch  L = k smallest of K_A ∪ K_B; its k-th hash gives
+      the union estimate (k-1)·2^60/h_k (exact when |A∪B| < k);
+    * ρ = |{h ∈ L : h ∈ K_A ∧ h ∈ K_B}| / |L| estimates Jaccard;
+    * intersection estimate = ρ · union_estimate.
+
+    Everything up to the two final divisions is exact integer
+    arithmetic on deterministic md5-60 hashes, so the result is
+    engine-portable.  Scale shape: per-group sketches come from the
+    same salted two-pass top-k as ``kmv_distinct_by`` (no unbounded
+    window partitions); the pairwise stage then touches only
+    SKETCHES — ≤ k rows per group — so its cost is groups²·k, bounded
+    by the group VOCABULARY (same posture as the correlation matrix),
+    never by data volume.  Output: ``(g1, g2, n_union_kept,
+    n_common, union_est, jaccard_est, intersection_est)``.
+    """
+    h = portable_hash60(F.col(value_col).cast("string")).alias("hv")
+    distinct = df.select(F.col(group_col).alias("g"), h).distinct()
+    w1 = Window.partitionBy("g", F.col("hv") % fanout).orderBy("hv")
+    w2 = Window.partitionBy("g").orderBy("hv")
+    kept = (
+        distinct.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .select("g", "hv")
+        .localCheckpoint(eager=True)
+    )
+
+    a = kept.select(F.col("g").alias("g1"), "hv")
+    b = kept.select(F.col("g").alias("g2"), "hv")
+    # hash-matched rows mark membership in BOTH sketches; the full
+    # outer union of the two tagged sides is assembled per pair.
+    pairs = (
+        a.select("g1")
+        .distinct()
+        .join(b.select("g2").distinct(), F.col("g1") < F.col("g2"))
+    )
+    ua = pairs.join(a, "g1").select("g1", "g2", "hv")
+    ub = pairs.join(b, "g2").select("g1", "g2", "hv")
+    merged = (
+        ua.withColumn("_s", F.lit(1))
+        .unionByName(ub.withColumn("_s", F.lit(2)))
+        .groupBy("g1", "g2", "hv")
+        .agg(F.countDistinct("_s").alias("n_sides"))
+    )
+    wu = Window.partitionBy("g1", "g2").orderBy("hv")
+    union_k = merged.withColumn("_r", F.row_number().over(wu)).filter(
+        F.col("_r") <= k
+    )
+    n = F.count(F.lit(1))
+    kth = F.max("hv")
+    common = F.sum((F.col("n_sides") == 2).cast("long"))
+    est_union = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1) * _HASH_SPACE) / kth.cast("double")
+    )
+    return union_k.groupBy("g1", "g2").agg(
+        n.alias("n_union_kept"),
+        common.alias("n_common"),
+        F.round(est_union, 6).alias("union_est"),
+        F.round(common.cast("double") / n, 6).alias("jaccard_est"),
+        F.round((common.cast("double") / n) * est_union, 6).alias(
+            "intersection_est"
+        ),
+    )
