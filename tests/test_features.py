@@ -202,3 +202,42 @@ def test_global_rank_rejects_null_order_keys(spark):
     )
     with pytest.raises(ValueError, match="NULL in order columns"):
         features.global_rank(df, ["value", "event_id"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers_by
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.features import mad_outliers_by
+
+
+def test_mad_known_values_and_robustness(spark):
+    """Group a: values 1..7 plus outlier 1000 → median=4 (lower of 4,5
+    at n=8: rank ceil(9/2)=4... discrete rank (n+1)//2=4 → 4th smallest),
+    MAD from deviations; the 1000 is flagged.  Group b: constant values
+    → MAD 0, any deviation > 0 flagged."""
+    rows = [("a", float(v), i) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 1000])]
+    rows += [("b", 5.0, 100), ("b", 5.0, 101), ("b", 7.0, 102)]
+    got = {
+        r.g: r
+        for r in mad_outliers_by(
+            spark.createDataFrame(rows, "g string, v double, i long"),
+            "g", "v", "i", z=3,
+        ).collect()
+    }
+    a = got["a"]
+    assert a.median == 4.0
+    # deviations: 3,2,1,0,1,2,3,996 → sorted 0,1,1,2,2,3,3,996; rank 4 → 2
+    assert a.mad == 2.0
+    assert a.n_outliers == 1  # only 1000 (dev 996 > 6)
+    b = got["b"]
+    assert b.median == 5.0 and b.mad == 0.0 and b.n_outliers == 1
+
+
+def test_mad_partition_invariance(spark):
+    rows = [("g", float((i * 37) % 101), i) for i in range(500)]
+    df1 = spark.createDataFrame(rows, "g string, v double, i long").repartition(1)
+    df32 = spark.createDataFrame(rows, "g string, v double, i long").repartition(32)
+    r1 = mad_outliers_by(df1, "g", "v", "i").collect()
+    r32 = mad_outliers_by(df32, "g", "v", "i").collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r32))

@@ -195,6 +195,8 @@ _DRIVER_FRONT: list[str] = [
     "dq_events_report",
     "ivm_join_orders_customer",
     "kmv_user_overlap_pairs",
+    "mad_value_outliers",
+    "fuzzy_part_name_pairs",
 ]
 
 
@@ -8410,3 +8412,96 @@ def kmv_user_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap_pairs(
         load(spark, sf_dir, "events"), "event_type", "user_id", k=_KMV_OVL_K
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers (operators/features.py:mad_outliers_by): the
+# breakdown-point-0.5 twin of the 3σ gate (`value_outliers`).  Both
+# medians are DISCRETE order statistics under a pinned total order, so
+# no interpolation arithmetic exists for engines to diverge on; one
+# hash exchange on the group key serves both ranking windows and the
+# final count.
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH r AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS d, m.med, e.event_id
+  FROM events e JOIN med m USING (event_type)
+),
+dr AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (SELECT event_type, d AS mad FROM dr WHERE rn = (n + 1) // 2)
+SELECT dev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(dev.med) AS median,
+       MIN(mad.mad) AS mad,
+       CAST(COALESCE(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+@register("mad_value_outliers", _MAD_SQL)
+def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier counts: |value − median| > 3·MAD with
+    discrete medians — the corrupt-feed-tolerant monitoring rule (one
+    extreme value cannot move the gate, unlike mean/stddev)."""
+    from vector_db_handler_spark.operators.features import mad_outliers_by
+
+    return mad_outliers_by(
+        load(spark, sf_dir, "events"), "event_type", "value", "event_id", z=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution (operators/linkage.py): blocked bounded-edit-
+# distance matching — blocking plays the LSH-band role for string keys
+# (pair space Σ|block|², never N²), the length guard prunes before any
+# DP matrix, and Spark's thresholded levenshtein runs the BANDED O(d·n)
+# program that equals exact distance within the bound.  Oracle uses
+# DuckDB's unbounded levenshtein with the same predicate — a green row
+# proves the banded and full DPs agree on every surviving pair.
+# ---------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+WITH n AS (
+  SELECT p_name, MIN(p_partkey) AS pid FROM part GROUP BY p_name
+),
+b AS (SELECT pid, p_name, split_part(p_name, ' ', 1) AS blk FROM n)
+SELECT x.pid AS id1, y.pid AS id2,
+       x.p_name AS name1, y.p_name AS name2,
+       CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS dist
+FROM b x JOIN b y
+  ON x.blk = y.blk AND x.pid < y.pid
+WHERE abs(length(x.p_name) - length(y.p_name)) <= 3
+  AND levenshtein(x.p_name, y.p_name) <= 3
+"""
+
+
+@register("fuzzy_part_name_pairs", _FUZZY_SQL)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names within 3 edits (catalog
+    reconciliation): distinct names keyed by their minimum partkey,
+    blocked on the leading token, banded-DP verified."""
+    from vector_db_handler_spark.operators.linkage import blocked_levenshtein_pairs
+
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("pid"))
+    )
+    return blocked_levenshtein_pairs(names, "pid", "p_name", max_dist=3)

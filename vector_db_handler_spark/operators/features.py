@@ -377,3 +377,67 @@ def pairwise_correlations(
     return agg.select(
         "s1", "s2", "n", F.round(num / den, 6).alias("pearson_r")
     )
+
+
+def mad_outliers_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+    z: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier census via the Median Absolute
+    Deviation: rows with ``|x - median| > z * MAD`` — the
+    breakdown-point-0.5 alternative to the 3σ rule (``value_outliers``):
+    one extreme value shifts a mean/stddev gate arbitrarily far, but
+    the median/MAD gate moves only when HALF the data moves, which is
+    what a monitoring rule facing corrupt feeds needs.
+
+    Both medians are DISCRETE order statistics (the value at rank
+    ceil(n/2) under the total order (value, order_col)) — actual data
+    values, no interpolation arithmetic for engines to disagree on;
+    the only floats touched are the data's own values in IEEE
+    subtract/compare, so results are engine-exact.
+
+    Scale shape: two ranking windows + one counting pass, ALL
+    partitioned by the same group key, so one hash exchange serves
+    the entire plan (the per-key sort is inherent to exact order
+    stats — ``percentile_approx`` is the sketch path when keys carry
+    billions of rows; same posture as ``value_percentiles_by_type``).
+    The per-group medians relation is vocabulary-sized and joins back
+    by broadcast.  Output: ``(group, n, median, mad, n_outliers)``."""
+    g, v = F.col(group_col), F.col(value_col)
+    w = Window.partitionBy(group_col).orderBy(v.asc(), F.col(order_col).asc())
+    wc = Window.partitionBy(group_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    med = (
+        ranked.filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(g.alias("_g"), v.alias("_med"))
+    )
+    dev = df.join(
+        F.broadcast(med), F.col(group_col) == F.col("_g")
+    ).withColumn("_dev", F.abs(v - F.col("_med")))
+    wd = Window.partitionBy(group_col).orderBy(
+        F.col("_dev").asc(), F.col(order_col).asc()
+    )
+    dev_ranked = dev.withColumn("_rn", F.row_number().over(wd)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    mad = (
+        dev_ranked.filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(F.col("_g").alias("_g2"), F.col("_dev").alias("_mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("_g") == F.col("_g2"))
+        .groupBy(g.alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_med").alias("median"),
+            F.min("_mad").alias("mad"),
+            F.sum((F.col("_dev") > F.lit(z) * F.col("_mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+    )
