@@ -119,3 +119,86 @@ def test_semdedup_empty_corpus(spark):
     out = semdedup_survivors(emb, k=4, iters=2)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "cluster_id", "kept"]
+
+
+# ---------------------------------------------------------------------------
+# dbscan_labels
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.clustering import dbscan_labels
+
+
+def _run_dbscan(spark, pairs, node_ids, min_pts=3):
+    p = spark.createDataFrame(pairs, "id1 long, id2 long")
+    n = spark.createDataFrame([(i,) for i in node_ids], "vec_id long")
+    return {
+        r.node: (r.role, r.cluster)
+        for r in dbscan_labels(p, n, node_col="vec_id", min_pts=min_pts).collect()
+    }
+
+
+def test_dbscan_chain_core_border_noise(spark):
+    """Path 1-2-3-4-5 with min_pts=3: interior nodes 2,3,4 are core
+    (closed neighborhood 3), endpoints 1,5 are border attached to the
+    min-labeled component, 99 is noise."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    got = _run_dbscan(spark, pairs, [1, 2, 3, 4, 5, 99])
+    assert got[2] == ("core", 2) and got[3] == ("core", 2) and got[4] == ("core", 2)
+    assert got[1] == ("border", 2) and got[5] == ("border", 2)
+    assert got[99] == ("noise", -1)
+
+
+def test_dbscan_two_clusters_and_shared_border(spark):
+    """Two K4 cliques (all core at min_pts=4) plus node 50 adjacent to
+    one core in EACH (degree 2 < min_pts-1, so NOT core itself): the
+    border does not merge the clusters and is pinned to the MINIMUM
+    adjacent label."""
+    from itertools import combinations
+
+    k4a = list(combinations([1, 2, 3, 4], 2))
+    k4b = list(combinations([11, 12, 13, 14], 2))
+    pairs = k4a + k4b + [(4, 50), (11, 50)]
+    got = _run_dbscan(spark, pairs, [1, 2, 3, 4, 11, 12, 13, 14, 50], min_pts=4)
+    assert {got[i] for i in (1, 2, 3, 4)} == {("core", 1)}
+    assert {got[i] for i in (11, 12, 13, 14)} == {("core", 11)}
+    assert got[50] == ("border", 1)  # min(1, 11)
+
+
+def test_dbscan_matches_brute_force_reference(spark):
+    """Random sparse graph vs a pure-Python DBSCAN with the same
+    deterministic min-label rules."""
+    pairs, x = [], 11
+    for _ in range(120):
+        x = (x * 48271) % (2**31 - 1)
+        u = x % 40
+        x = (x * 48271) % (2**31 - 1)
+        v = x % 40
+        if u != v:
+            pairs.append((min(u, v), max(u, v)))
+    nodes = list(range(40))
+    min_pts = 3
+    got = _run_dbscan(spark, pairs, nodes, min_pts=min_pts)
+
+    nbr = {n: set() for n in nodes}
+    for u, v in pairs:
+        nbr[u].add(v), nbr[v].add(u)
+    core = {n for n in nodes if len(nbr[n]) + 1 >= min_pts}
+    # components over core-core edges
+    lbl = {c: c for c in core}
+    changed = True
+    while changed:
+        changed = False
+        for u, v in pairs:
+            if u in core and v in core:
+                m = min(lbl[u], lbl[v])
+                if lbl[u] != m or lbl[v] != m:
+                    lbl[u] = lbl[v] = m
+                    changed = True
+    want = {}
+    for n in nodes:
+        if n in core:
+            want[n] = ("core", lbl[n])
+        else:
+            adj = [lbl[v] for v in nbr[n] if v in core]
+            want[n] = ("border", min(adj)) if adj else ("noise", -1)
+    assert got == want

@@ -515,3 +515,83 @@ def test_knn_serve_multibatch_matches_batch_and_is_exactly_once(spark, sf_dir, t
 
     run()  # replay: checkpoint marks both batches done
     assert spark.read.parquet(out).count() == 18
+
+
+def test_latest_value_stream_folds_batches_and_ignores_late_rows(spark, tmp_path):
+    """Cross-batch CDC semantics: batch 2's newer event replaces the
+    held state; a LATE (older) event folds into n_updates but leaves
+    the latest value untouched; the serving view picks exactly one
+    row per key."""
+    from pyspark.sql import functions as F
+
+    mins = 60 * 1_000_000
+    # (event_id, us, user, value)
+    batch1 = [(1, 10 * mins, 7, 1.5), (2, 20 * mins, 7, 2.5)]
+    batch2 = [(3, 30 * mins, 7, 9.0), (4, 5 * mins, 7, 111.0)]  # 4 is late
+    src = str(tmp_path / "cdc")
+    for rows in (batch1, batch2):
+        (
+            spark.createDataFrame(rows, ["event_id", "us", "user_id", "value"])
+            .select(
+                "event_id",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id",
+                F.col("value").cast("double"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    snaps = stream_ops.streaming_latest_value_gs(stream)
+    stream_ops.run_to_memory(snaps, "t_latest_cdc", mode="append")
+    rows = spark.table("t_latest_cdc").collect()
+    assert len(rows) == 2  # one snapshot per batch that touched the key
+    final = stream_ops.latest_snapshot_view(spark.table("t_latest_cdc")).collect()
+    assert len(final) == 1
+    r = final[0]
+    assert (r.last_event_id, r.last_value, r.n_updates) == (3, 9.0, 4)
+
+
+def test_latest_value_stream_event_time_ttl_retires_idle_key(spark, tmp_path):
+    """With event_ttl_ms, a key idle past the TTL in EVENT time is
+    evicted once the watermark passes; its next event restarts the
+    fold count at 1 (fresh state)."""
+    from pyspark.sql import functions as F
+
+    hour = 3_600 * 1_000_000
+    batch1 = [(1, 0 * hour, 5, 1.0)]
+    batch2 = [(2, 10 * hour, 99, 2.0)]   # advances watermark far past TTL
+    batch3 = [(3, 11 * hour, 5, 3.0)]    # user 5 returns after eviction
+    src = str(tmp_path / "cdc_ttl")
+    for rows in (batch1, batch2, batch3):
+        (
+            spark.createDataFrame(rows, ["event_id", "us", "user_id", "value"])
+            .select(
+                "event_id",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id",
+                F.col("value").cast("double"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    snaps = stream_ops.streaming_latest_value_gs(
+        stream, event_ttl_ms=3_600_000  # 1 hour of event time
+    )
+    stream_ops.run_to_memory(snaps, "t_latest_ttl", mode="append")
+    final = {
+        r.user_id: r
+        for r in stream_ops.latest_snapshot_view(
+            spark.table("t_latest_ttl")
+        ).collect()
+    }
+    # user 5's second appearance started from scratch: n_updates == 1
+    assert final[5].n_updates == 1
+    assert final[5].last_event_id == 3

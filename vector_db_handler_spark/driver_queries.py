@@ -197,6 +197,8 @@ _DRIVER_FRONT: list[str] = [
     "kmv_user_overlap_pairs",
     "mad_value_outliers",
     "fuzzy_part_name_pairs",
+    "latest_user_value_stream",
+    "dbscan_embedding_clusters",
 ]
 
 
@@ -8505,3 +8507,118 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("p_partkey").alias("pid"))
     )
     return blocked_levenshtein_pairs(names, "pid", "p_name", max_dist=3)
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-state materialization (stream_ops.streaming_latest_value_gs):
+# the streaming upsert-view — per-key newest event by EVENT time
+# (max (ts, event_id), never arrival order) held in constant-size
+# state, snapshots appended per batch, current state read through the
+# max-n_updates serving view (sink-side split, like trending top-k).
+# Oracle: the batch argmax per user over the same null-filtered feed.
+# ---------------------------------------------------------------------------
+
+_LATEST_VALUE_SQL = """
+WITH f AS (SELECT * FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM f
+)
+SELECT user_id,
+       epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id,
+       value AS last_value,
+       CAST(n AS BIGINT) AS n_updates
+FROM r WHERE rn = 1
+"""
+
+
+@register("latest_user_value_stream", _LATEST_VALUE_SQL)
+def latest_user_value_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current per-user state materialized from the event stream: the
+    newest event's value under event-time order with a deterministic
+    tie-break, plus the exact fold count — hash-checked against the
+    batch window argmax."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    snaps = stream_ops.streaming_latest_value_gs(ev)
+    stream_ops.run_to_memory(snaps, "dq_latest_user_value", mode="append")
+    return stream_ops.latest_snapshot_view(spark.table("dq_latest_user_value")).select(
+        "user_id",
+        F.unix_micros(F.col("last_ts")).alias("last_ts_us"),
+        "last_event_id",
+        "last_value",
+        "n_updates",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN (operators/clustering.py:dbscan_labels): density clustering
+# COMPOSED from the repo's rails — exact ε-pairs (the oracle-grade
+# input; the ANN candidate+verify path is the 100 TB source) + star-
+# contraction components over the CORE-CORE subgraph (density ridges
+# are long chains; any-diameter convergence matters) + min-attach
+# borders.  ε = cosine ≥ 0.35, min_pts = 3 gives the fixture a real
+# core/border/noise mix (142/≈196/162 at sf0.01).  The oracle replays
+# degree census → recursive-CTE closure → min attach in SQL.
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS = 0.35
+_DBSCAN_SQL = f"""
+WITH RECURSIVE b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id1, bb.vec_id AS id2
+  FROM b a JOIN b bb ON a.vec_id < bb.vec_id
+  WHERE list_dot_product(a.v, bb.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+        >= {_DBSCAN_EPS}
+),
+e AS (SELECT id1 AS u, id2 AS v FROM p UNION SELECT id2, id1 FROM p),
+d AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+core AS (SELECT u FROM d WHERE deg >= 2),
+ce AS (
+  SELECT e.u, e.v FROM e
+  JOIN core c1 ON e.u = c1.u JOIN core c2 ON e.v = c2.u
+),
+reach(node, lbl) AS (
+  SELECT u, u FROM core
+  UNION
+  SELECT ce.u, r.lbl FROM ce JOIN reach r ON ce.v = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+border AS (
+  SELECT e.u AS node, MIN(comp.component) AS cluster
+  FROM e
+  JOIN core c ON e.v = c.u
+  JOIN comp ON comp.node = e.v
+  WHERE e.u NOT IN (SELECT u FROM core)
+  GROUP BY e.u
+),
+labeled AS (
+  SELECT node, 'core' AS role, component AS cluster FROM comp
+  UNION ALL
+  SELECT node, 'border', cluster FROM border
+)
+SELECT emb.vec_id AS node,
+       COALESCE(l.role, 'noise') AS role,
+       CAST(COALESCE(l.cluster, -1) AS BIGINT) AS cluster
+FROM embeddings emb LEFT JOIN labeled l ON l.node = emb.vec_id
+"""
+
+
+@register("dbscan_embedding_clusters", _DBSCAN_SQL)
+def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding labeled core/border/noise with its density
+    cluster (ε = cosine 0.35, min_pts = 3) — deterministic DBSCAN:
+    components of the core-core ε-graph labeled by min id, borders
+    attached to the minimum adjacent core label."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+    from vector_db_handler_spark.operators.clustering import dbscan_labels
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = sim_ops.cosine_neardup_pairs(emb, threshold=_DBSCAN_EPS)
+    return dbscan_labels(pairs, emb, node_col="vec_id", min_pts=3)

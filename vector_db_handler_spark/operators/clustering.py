@@ -239,3 +239,86 @@ def semdedup_survivors(
         )
 
     return assigned.groupBy("cluster").applyInPandas(cluster_kernel, schema=out_schema)
+
+
+def dbscan_labels(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "vec_id",
+    src: str = "id1",
+    dst: str = "id2",
+    min_pts: int = 3,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. KDD'96) over a
+    precomputed ε-neighbor pair relation: composition of the repo's
+    existing rails rather than a new kernel — the ε-pairs come from
+    whichever similarity operator fits (exact `cosine_neardup_pairs`
+    as the oracle-grade input; the ANN candidate+verify path at
+    corpus scale), and cluster formation reuses the
+    O(log²n)-any-diameter star-contraction components (density
+    ridges ARE long chains — hash-to-min's diameter bound would be
+    the wrong tool here).
+
+    Semantics (deterministic variant):
+
+    * core    — ≥ ``min_pts`` points in the closed ε-neighborhood
+                (the point itself counts, textbook DBSCAN);
+    * cluster — connected components of the core-core ε-graph;
+                label = MIN core id in the component;
+    * border  — non-core with ≥1 core ε-neighbor, attached to the
+                MINIMUM adjacent core label (classic DBSCAN leaves
+                border assignment scan-order-dependent; pinning the
+                min makes the result engine- and partition-exact);
+    * noise   — everything else, cluster = -1.
+
+    Scale shape: a degree census (map-side combined), a semi-join to
+    the core set, components on the CORE-CORE subgraph only (the
+    dense interior — borders never enter the iteration), and one
+    min-aggregated attach join for borders.  Every exchange carries
+    integer keys; cost tracks the ε-pair volume, which the upstream
+    ANN guard already bounds.  Output: ``(node, role, cluster)`` for
+    every input node."""
+    from vector_db_handler_spark.operators.graph import connected_components_star
+
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.filter(F.col("deg") >= min_pts - 1).select("u").localCheckpoint(
+        eager=True
+    )
+
+    cc = core.select(F.col("u").alias("_c1"))
+    core_edges = (
+        sym.join(cc, sym.u == cc._c1)
+        .drop("_c1")
+        .join(core.select(F.col("u").alias("_c2")), sym.v == F.col("_c2"))
+        .select("u", "v")
+    )
+    comp = connected_components_star(
+        core_edges, src="u", dst="v", nodes=core, node_col="u"
+    )  # (node, component) for every core point
+
+    border_attach = (
+        sym.join(core.select(F.col("u").alias("_core")), sym.v == F.col("_core"))
+        .select(F.col("u").alias("node"), F.col("v").alias("core_nbr"))
+        .join(core.withColumnRenamed("u", "node"), "node", "left_anti")
+        .join(
+            comp.withColumnRenamed("node", "core_nbr"),
+            "core_nbr",
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("cluster"))
+    )
+
+    base = nodes.select(F.col(node_col).alias("node"))
+    core_rows = comp.select(
+        "node", F.lit("core").alias("role"), F.col("component").alias("cluster")
+    )
+    border_rows = border_attach.select(
+        "node", F.lit("border").alias("role"), "cluster"
+    )
+    labeled = core_rows.unionByName(border_rows)
+    noise_rows = base.join(labeled.select("node"), "node", "left_anti").select(
+        "node", F.lit("noise").alias("role"), F.lit(-1).cast("long").alias("cluster")
+    )
+    return labeled.unionByName(noise_rows)

@@ -919,3 +919,121 @@ def streaming_knn_serve(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"knn serve did not drain within {timeout_sec}s")
+
+
+def streaming_latest_value_gs(
+    events_stream: DataFrame,
+    event_ttl_ms: int | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """CDC-style per-key LATEST-state materialization: for every user,
+    maintain the most recent event (max (ts, event_id) — event-time
+    order with a deterministic tie-break, never arrival order) and
+    emit one snapshot row per key per micro-batch in which that key
+    changed.  This is the "materialize the current state of an upsert
+    feed" shape — the streaming half of what `scd2_merge` does to
+    batches — and the serving view is `latest_snapshot_view` (max
+    `n_updates` per key), the same sink-side split as the trending
+    top-k entry.
+
+    State per key: (last_ts_micros, last_event_id, last_value,
+    n_updates) — constant bytes; `n_updates` is an exact integer that
+    both orders snapshots for the serving view and audits how many
+    events each key folded.  Late data is handled by VALUE, not by
+    arrival: an out-of-order event older than the held (ts, event_id)
+    leaves the state untouched (but still counts in n_updates, so the
+    snapshot emits and the audit trail shows the late arrival).
+
+    ``event_ttl_ms`` retires keys idle past that much EVENT time once
+    the watermark passes — same eviction contract as the anomaly /
+    running-total operators (deterministic under backfill replays).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl = None if event_ttl_ms is None else int(event_ttl_ms)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("last_ts", T.TimestampType()),
+            T.StructField("last_event_id", T.LongType()),
+            T.StructField("last_value", T.DoubleType()),
+            T.StructField("n_updates", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_micros", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def latest(key, pdfs, state):
+        import pandas as _pd
+
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return
+        pdf = _pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        ts_us = pdf["ts"].astype("int64") // 1_000
+        cur = (
+            state.get
+            if state.exists
+            else (-(1 << 62), -(1 << 62), float("nan"), 0)
+        )
+        best_ts, best_id, best_val, n = cur
+        for t, eid, val in zip(ts_us, pdf["event_id"], pdf["value"]):
+            n += 1
+            if (int(t), int(eid)) > (best_ts, best_id):
+                best_ts, best_id, best_val = int(t), int(eid), float(val)
+        state.update((best_ts, best_id, best_val, n))
+        if ttl is not None:
+            state.setTimeoutTimestamp(
+                max(best_ts // 1_000 + ttl, state.getCurrentWatermarkMs() + 1)
+            )
+        yield _pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "last_ts": [_pd.Timestamp(best_ts, unit="us")],
+                "last_event_id": [best_id],
+                "last_value": [best_val],
+                "n_updates": [n],
+            }
+        )
+
+    stream = events_stream.select("event_id", "ts", "user_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    if ttl is not None:
+        stream = stream.withWatermark("ts", watermark)
+        tconf = GroupStateTimeout.EventTimeTimeout
+    else:
+        tconf = GroupStateTimeout.NoTimeout
+    return stream.groupBy("user_id").applyInPandasWithState(
+        latest,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=tconf,
+    )
+
+
+def latest_snapshot_view(snapshots: DataFrame) -> DataFrame:
+    """Serving view over the appended per-batch snapshots of
+    :func:`streaming_latest_value_gs`: the row with the highest
+    ``n_updates`` per key is the current state (n_updates is strictly
+    increasing per key, so the choice is deterministic)."""
+    return (
+        snapshots.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("last_ts", "last_event_id", "last_value", "n_updates"),
+                "n_updates",
+            ).alias("s")
+        )
+        .select("user_id", "s.last_ts", "s.last_event_id", "s.last_value", "s.n_updates")
+    )
