@@ -241,3 +241,46 @@ def test_mad_partition_invariance(spark):
     r1 = mad_outliers_by(df1, "g", "v", "i").collect()
     r32 = mad_outliers_by(df32, "g", "v", "i").collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r32))
+
+
+# ---------------------------------------------------------------------------
+# tv_drift_by
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.features import tv_drift_by
+
+
+def _drift_df(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, ["g", "us", "v"]
+    ).select("g", F.timestamp_micros(F.col("us")).alias("ts"), F.col("v").cast("double"))
+
+
+def test_tv_exact_known_shift(spark):
+    """Group a: first half all bin 0 (4 rows), second half all bin 1
+    (4 rows) → TV = 1.  Group b: identical halves → TV = 0."""
+    hour = 3_600 * 1_000_000
+    rows = [("a", i * hour, 10.0) for i in range(4)]          # first half
+    rows += [("a", (i + 4) * hour, 60.0) for i in range(4)]   # second half
+    rows += [("b", i * hour, 10.0) for i in range(4)]
+    got = {
+        r.g: r for r in tv_drift_by(_drift_df(spark, rows), "g", "v", "ts").collect()
+    }
+    a = got["a"]
+    assert (a.n1, a.n2) == (4, 4)
+    # |4*4-0| + |0-4*4| = 32; den = 2*16 = 32 → TV = 1.0
+    assert (a.tv_num, a.tv_den, a.tv) == (32, 32, 1.0)
+    b = got["b"]
+    assert b.tv == 0.0  # midpoint split puts 2 rows each side, same bin
+
+
+def test_tv_partition_invariance(spark):
+    hour = 3_600 * 1_000_000
+    rows = [("g", i * hour, float((i * 17) % 173)) for i in range(300)]
+    d1 = _drift_df(spark, rows).repartition(1)
+    d32 = _drift_df(spark, rows).repartition(32)
+    assert sorted(map(tuple, tv_drift_by(d1, "g", "v", "ts").collect())) == sorted(
+        map(tuple, tv_drift_by(d32, "g", "v", "ts").collect())
+    )

@@ -94,3 +94,44 @@ def test_empty_corpus(spark):
     out = bm25_topk(docs, ["join"])
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "score", "rank"]
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from vector_db_handler_spark.operators.retrieval import rrf_fuse
+
+
+def _ranking(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rank int")
+
+
+def test_rrf_known_fusion(spark):
+    """doc 1 is rank 1 in both lists → top; doc 2 (ranks 2+3) beats
+    doc 3 (rank 2 in one list only); single-list docs still fuse."""
+    r1 = _ranking(spark, [(1, 1), (2, 2), (4, 3)])
+    r2 = _ranking(spark, [(1, 1), (3, 2), (2, 3)])
+    out = rrf_fuse([r1, r2], k=10, c=60).collect()
+    order = [r.doc_id for r in out]
+    assert order[0] == 1
+    assert order.index(2) < order.index(3)
+    got = {r.doc_id: r for r in out}
+    assert got[1].rrf == round(1 / 61 + 1 / 61, 6)
+    assert got[2].rrf == round(1 / 62 + 1 / 63, 6)
+    assert got[4].rrf == round(1 / 63, 6)
+    assert got[3].rank_1 is None and got[3].rank_2 == 2
+
+
+def test_rrf_tie_breaks_by_id_and_respects_k(spark):
+    r1 = _ranking(spark, [(10, 1), (5, 2), (7, 2)])  # 5 and 7 tie
+    out = rrf_fuse([r1], k=2).collect()
+    assert [r.doc_id for r in out] == [10, 5]
+    assert [r.rank for r in out] == [1, 2]
+
+
+def test_rrf_rejects_empty_input(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse([])

@@ -199,6 +199,8 @@ _DRIVER_FRONT: list[str] = [
     "fuzzy_part_name_pairs",
     "latest_user_value_stream",
     "dbscan_embedding_clusters",
+    "rrf_hybrid_topk",
+    "value_drift_tv",
 ]
 
 
@@ -8622,3 +8624,134 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     pairs = sim_ops.cosine_neardup_pairs(emb, threshold=_DBSCAN_EPS)
     return dbscan_labels(pairs, emb, node_col="vec_id", min_pts=3)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion (operators/retrieval.py:rrf_fuse): the third
+# hybrid-search combinator next to rerank (hybrid_search_rerank) and
+# linear mixing — score-free, so incomparable BM25/cosine scales never
+# need normalizing (Cormack et al., SIGIR'09; the production default).
+# Ranks are ints, each 1/(60+rank) one correctly-rounded division,
+# contributions summed in fixed written order — engine-exact.
+# ---------------------------------------------------------------------------
+
+_RRF_CAND_K, _RRF_K, _RRF_C = 50, 10, 60
+
+_RRF_SQL = f"""{_BM25_CTES},
+bm25r AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         AS INTEGER) AS rank_1
+  FROM per_doc ORDER BY score DESC, doc_id ASC LIMIT {_RRF_CAND_K}
+),
+cosr AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY {_SCORE} DESC, vec_id ASC)
+         AS INTEGER) AS rank_2
+  FROM embeddings ORDER BY {_SCORE} DESC, vec_id ASC LIMIT {_RRF_CAND_K}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.rank_1, c.rank_2,
+         ROUND(COALESCE(CAST(1 AS DOUBLE) / ({_RRF_C} + b.rank_1), 0.0)
+             + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_C} + c.rank_2), 0.0), 6)
+           AS rrf
+  FROM bm25r b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE(rank_1, 0) AS INTEGER) AS rank_1,
+       CAST(COALESCE(rank_2, 0) AS INTEGER) AS rank_2,
+       rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {_RRF_K}
+"""
+
+
+@register("rrf_hybrid_topk", _RRF_SQL)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by Reciprocal Rank Fusion of the BM25 top-50 and the
+    exact-cosine top-50 — rank-only combination of the lexical and
+    vector rails; docs appearing in both lists rise, lists stay
+    broadcast-sized, the corpus is only touched by the two upstream
+    rankers."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.functions.vector import cosine_score
+    from vector_db_handler_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    bm25r = bm25_topk(docs, list(_BM25_TERMS), k=_RRF_CAND_K).select("doc_id", "rank")
+    scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_score(F.col("embedding"), QUERY_VEC).alias("_s"),
+    )
+    cos_top = scored.orderBy(F.col("_s").desc(), F.col("doc_id").asc()).limit(
+        _RRF_CAND_K
+    )
+    wc = Window.orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+    cosr = cos_top.withColumn("rank", F.row_number().over(wc)).select(
+        "doc_id", "rank"
+    )
+    # 0 = "absent from that list": no NULL cells at the driver
+    # boundary (repo convention — NULL equality is hash-hostile).
+    return rrf_fuse([bm25r, cosr], k=_RRF_K, c=_RRF_C).select(
+        "doc_id",
+        F.coalesce(F.col("rank_1"), F.lit(0)).cast("int").alias("rank_1"),
+        F.coalesce(F.col("rank_2"), F.lit(0)).cast("int").alias("rank_2"),
+        "rrf",
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TV-distance drift monitor (operators/features.py:tv_drift_by): the
+# exact-arithmetic alternative to PSI/KL — the statistic reduces to a
+# BIGINT numerator Σ|n1i·N2 − n2i·N1| over 2·N1·N2, so the report is
+# partition-order-proof; only the final displayed ratio divides.
+# ---------------------------------------------------------------------------
+
+_TV_DRIFT_SQL = """
+WITH bounds AS (
+  SELECT event_type, epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+  FROM events GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN epoch_us(e.ts) <= (b.lo + b.hi) // 2 THEN 1 ELSE 2 END
+           AS period,
+         CAST(FLOOR(e.value / 50.0) AS BIGINT) AS bin
+  FROM events e JOIN bounds b USING (event_type)
+),
+census AS (
+  SELECT event_type, bin,
+         COALESCE(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END), 0) AS n1i,
+         COALESCE(SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END), 0) AS n2i
+  FROM binned GROUP BY event_type, bin
+),
+totals AS (
+  SELECT event_type, SUM(n1i) AS n1, SUM(n2i) AS n2 FROM census
+  GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(t.n1 AS BIGINT) AS n1,
+       CAST(t.n2 AS BIGINT) AS n2,
+       CAST(SUM(abs(c.n1i * t.n2 - c.n2i * t.n1)) AS BIGINT) AS tv_num,
+       CAST(2 * t.n1 * t.n2 AS BIGINT) AS tv_den,
+       ROUND(CAST(SUM(abs(c.n1i * t.n2 - c.n2i * t.n1)) AS DOUBLE)
+             / CAST(2 * t.n1 * t.n2 AS DOUBLE), 6) AS tv
+FROM census c JOIN totals t USING (event_type)
+GROUP BY c.event_type, t.n1, t.n2
+"""
+
+
+@register("value_drift_tv", _TV_DRIFT_SQL)
+def value_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type total-variation distance between first-half and
+    second-half value distributions (50-unit bins, per-group integer
+    midpoint split) — the feed-drift gate a training pipeline runs
+    before accepting a new snapshot, in exact integers."""
+    from vector_db_handler_spark.operators.features import tv_drift_by
+
+    return tv_drift_by(
+        load(spark, sf_dir, "events"), "event_type", "value", "ts", bin_width=50
+    )

@@ -441,3 +441,78 @@ def mad_outliers_by(
             ),
         )
     )
+
+
+def tv_drift_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    bin_width: int = 50,
+) -> DataFrame:
+    """Distribution-drift monitor: per-group TOTAL VARIATION distance
+    between the value distributions of the first and second halves of
+    the group's time range — the exact-arithmetic alternative to
+    PSI/KL (whose ln() terms cannot be hash-checked cross-engine).
+
+    TV = ½ Σ_bins |p₁ᵢ − p₂ᵢ| has an all-integer form: with bin
+    counts n₁ᵢ/n₂ᵢ and totals N₁/N₂,
+
+        TV = Σ |n₁ᵢ·N₂ − n₂ᵢ·N₁|  /  (2·N₁·N₂)
+
+    so the statistic is an exact BIGINT numerator over an exact
+    denominator — partition-order-proof, engine-portable — plus one
+    final IEEE division for the reported ratio in [0, 1].
+
+    The period split is the integer midpoint of the group's own
+    [min, max] event time (first half inclusive), and bins are
+    ``floor(value / bin_width)`` — the floor of an IEEE quotient,
+    identical in both engines (a double→int CAST would not be:
+    Spark truncates, DuckDB rounds half-even).  Scale
+    shape: one pass for the per-group time bounds (map-side
+    combined, vocabulary-sized broadcast back), one pass for the
+    (group, period, bin) census, one reduce per group; no exchange
+    carries more than the bin vocabulary.  Output: ``(group, n1, n2,
+    tv_num, tv_den, tv)``."""
+    g = F.col(group_col)
+    bounds = df.groupBy(group_col).agg(
+        F.unix_micros(F.min(ts_col)).alias("_lo"),
+        F.unix_micros(F.max(ts_col)).alias("_hi"),
+    )
+    binned = (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            "_period",
+            F.when(
+                F.unix_micros(F.col(ts_col)) <= F.expr("(_lo + _hi) div 2"), 1
+            ).otherwise(2),
+        )
+        # floor of the IEEE quotient — identical in both engines;
+        # a double→int CAST would diverge (Spark truncates, DuckDB
+        # rounds half-even).
+        .withColumn(
+            "_bin", F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("long")
+        )
+    )
+    census = binned.groupBy(group_col, "_bin").agg(
+        F.sum((F.col("_period") == 1).cast("long")).alias("n1i"),
+        F.sum((F.col("_period") == 2).cast("long")).alias("n2i"),
+    )
+    totals = census.groupBy(group_col).agg(
+        F.sum("n1i").alias("n1"), F.sum("n2i").alias("n2")
+    )
+    return (
+        census.join(F.broadcast(totals), group_col)
+        .groupBy(g.alias(group_col))
+        .agg(
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+            F.sum(F.abs(F.col("n1i") * F.col("n2") - F.col("n2i") * F.col("n1"))).alias(
+                "tv_num"
+            ),
+        )
+        .withColumn("tv_den", F.expr("2 * n1 * n2"))
+        .withColumn(
+            "tv", F.round(F.col("tv_num").cast("double") / F.col("tv_den"), 6)
+        )
+    )

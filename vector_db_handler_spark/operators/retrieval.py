@@ -98,3 +98,49 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", "rank"
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) of N ranked
+    lists: ``rrf(d) = Σ_r 1/(c + rank_r(d))`` over the rankers that
+    returned ``d`` — the standard score-free way to combine lexical
+    and vector retrieval (no score normalization across incomparable
+    scales, which is why production hybrid search defaults to it over
+    linear score mixing).
+
+    Each input carries ``(id_col, rank)`` with rank from 1.  The
+    fused score is deterministic cross-engine: ranks are integers,
+    each ``1/(c+rank)`` is one correctly-rounded IEEE division, and
+    the contributions are summed in the FIXED written order of the
+    expression (never a data-order aggregate), so equal rank profiles
+    give bit-equal scores; ties break by id.
+
+    Scale shape: candidate lists are top-k (driver-bounded, broadcast
+    by construction), so fusion is a chain of small full-outer joins
+    + one codegen projection — the corpus is never touched here; the
+    cost lives in the upstream rankers.  Output:
+    ``(id_col, rank_1..rank_N, rrf, rank)``."""
+    if not rankings:
+        raise ValueError("no rankings given")
+    fused = None
+    for i, r in enumerate(rankings, 1):
+        side = r.select(F.col(id_col), F.col("rank").alias(f"rank_{i}"))
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    contrib = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        for i in range(1, len(rankings) + 1)
+    ]
+    total = contrib[0]
+    for term in contrib[1:]:
+        total = total + term
+    scored = fused.withColumn("rrf", F.round(total, 6))
+    topk = scored.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(int(k))
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w))
