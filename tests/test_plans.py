@@ -440,3 +440,22 @@ def test_basket_lift_joins_on_basket_key(spark, sf_dir):
     plan = _plan(dq.basket_part_lift(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_funnel_single_exchange(spark, sf_dir):
+    """The whole step cascade must plan ONE hash exchange (all windows
+    share the (user, order) spec) — chain length adds expressions,
+    never shuffles."""
+    from vector_db_handler_spark.operators.windows import sequence_funnel
+    from vector_db_handler_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        sequence_funnel(
+            ev, ["view", "click", "purchase"], span_us=3_600_000_000
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]

@@ -152,3 +152,75 @@ def test_bpe_training_matches_literal_replay(spark, texts):
         for r in bpe_train_merges(docs, n_merges=3).orderBy("step").collect()
     ]
     assert got == _bpe_reference(texts, 3)
+
+
+# ---------------------------------------------------------------------------
+# sequence_funnel
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_funnel_semantics(spark):
+    """Hand-built timelines: in-order chain completes; out-of-order
+    never; span overflow fails; the LATEST viable chain decides;
+    4-step chains work."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.operators.windows import sequence_funnel
+
+    m = 60_000_000  # one minute in us
+
+    def run(rows, steps, span_us):
+        df = spark.createDataFrame(
+            rows, ["event_id", "us", "user_id", "event_type"]
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        return {
+            r.event_id: r.completed
+            for r in sequence_funnel(df, steps, span_us).collect()
+        }
+
+    steps = ["view", "click", "purchase"]
+    # in-order within span
+    assert run(
+        [(1, 0, 7, "view"), (2, m, 7, "click"), (3, 2 * m, 7, "purchase")],
+        steps, 10 * m,
+    ) == {3: True}
+    # click before view: no chain
+    assert run(
+        [(1, 0, 7, "click"), (2, m, 7, "view"), (3, 2 * m, 7, "purchase")],
+        steps, 10 * m,
+    ) == {3: False}
+    # chain exists but span exceeded (view at 0, purchase at 20m, span 10m)
+    assert run(
+        [(1, 0, 7, "view"), (2, m, 7, "click"), (3, 20 * m, 7, "purchase")],
+        steps, 10 * m,
+    ) == {3: False}
+    # an old stale view + a fresh view→click: LATEST viable chain wins
+    assert run(
+        [
+            (1, 0, 7, "view"),
+            (2, 30 * m, 7, "view"),
+            (3, 31 * m, 7, "click"),
+            (4, 32 * m, 7, "purchase"),
+        ],
+        steps, 5 * m,
+    ) == {4: True}
+    # users are independent
+    assert run(
+        [(1, 0, 1, "view"), (2, m, 2, "click"), (3, 2 * m, 2, "purchase")],
+        steps, 10 * m,
+    ) == {3: False}
+    # 4-step chain
+    assert run(
+        [
+            (1, 0, 7, "signup"),
+            (2, m, 7, "view"),
+            (3, 2 * m, 7, "click"),
+            (4, 3 * m, 7, "purchase"),
+        ],
+        ["signup", "view", "click", "purchase"], 10 * m,
+    ) == {4: True}

@@ -159,3 +159,66 @@ def test_resample_epoch_repeats_and_fractional_gate(spark):
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert any(other[d] != per_doc[d] for d in range(200))
+
+
+# ---------------------------------------------------------------------------
+# weighted_systematic_sample
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+from vector_db_handler_spark.operators.sampling import weighted_systematic_sample
+
+
+def _wdf(spark, rows):
+    return spark.createDataFrame(rows, "id long, w long")
+
+
+def test_wss_matches_sequential_reference_and_partition_invariant(spark):
+    """Hit counts equal a sequential Python replay of the Madow
+    interleave, identically at 1 and 32 partitions."""
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    k = 17
+    want = {}
+    cum = 0
+    total = sum(w for _, w in rows)  # order by id == order_cols
+    for i, w in rows:
+        lo, hi = cum, cum + w
+        hits = (hi * k) // total - (lo * k) // total
+        if hits > 0:
+            want[i] = (lo, hits)
+        cum = hi
+    for parts in (1, 32):
+        got = {
+            r.id: (r.cum_lo, r.n_hits)
+            for r in weighted_systematic_sample(
+                _wdf(spark, rows).repartition(parts), "w", k, ["id"]
+            ).collect()
+        }
+        assert got == want
+    assert sum(h for _, h in want.values()) == k  # exactly k hits total
+
+
+def test_wss_heavy_item_hits_multiple_times(spark):
+    rows = [(1, 1), (2, 100), (3, 1)]
+    got = {
+        r.id: r.n_hits
+        for r in weighted_systematic_sample(_wdf(spark, rows), "w", 10, ["id"]).collect()
+    }
+    assert got[2] >= 9  # ~100/102 of the mass
+    assert sum(got.values()) == 10
+
+
+def test_wss_guards(spark):
+    with _pytest.raises(ValueError):
+        weighted_systematic_sample(_wdf(spark, [(1, 1)]), "w", 0, ["id"])
+    with _pytest.raises(ValueError):
+        weighted_systematic_sample(
+            _wdf(spark, [(1, -5), (2, 3)]), "w", 2, ["id"]
+        )
+    with _pytest.raises(ValueError):
+        weighted_systematic_sample(_wdf(spark, [(1, 0), (2, 0)]), "w", 2, ["id"])
+    with _pytest.raises(ValueError):
+        weighted_systematic_sample(
+            spark.createDataFrame([(None, 2)], "id long, w long"), "w", 2, ["id"]
+        )

@@ -201,6 +201,8 @@ _DRIVER_FRONT: list[str] = [
     "dbscan_embedding_clusters",
     "rrf_hybrid_topk",
     "value_drift_tv",
+    "weighted_doc_sample",
+    "funnel_view_click_purchase",
 ]
 
 
@@ -8754,4 +8756,125 @@ def value_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return tv_drift_by(
         load(spark, sf_dir, "events"), "event_type", "value", "ts", bin_width=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling (operators/sampling.py): the weighted
+# tier of the deterministic-sampling family (hash-stratified /
+# per-lang top-k are the uniform tiers).  Madow interleave over the
+# md5-60 permutation: n_hits = (cum_hi·k) div W − (cum_lo·k) div W —
+# all BIGINT, no u^(1/w) transcendental (the A-ES reservoir trick is
+# engine-divergent; this is not).  The oracle replays the cumsum with
+# a single HUGEINT window (different physical plan, same integers).
+# ---------------------------------------------------------------------------
+
+_WSS_K = 40
+
+_WSS_SQL = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substr(md5('wss|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars, hv,
+         CAST(SUM(n_chars) OVER (ORDER BY hv, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hi,
+         CAST(SUM(n_chars) OVER () AS BIGINT) AS w_total
+  FROM h
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(cum_hi - n_chars AS BIGINT) AS cum_lo,
+       CAST((cum_hi * {_WSS_K}) // w_total
+            - ((cum_hi - n_chars) * {_WSS_K}) // w_total AS BIGINT) AS n_hits
+FROM c
+WHERE (cum_hi * {_WSS_K}) // w_total
+      - ((cum_hi - n_chars) * {_WSS_K}) // w_total > 0
+"""
+
+
+@register("weighted_doc_sample", _WSS_SQL)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~40 documents drawn with probability proportional to length
+    (the upsampling weight a mixing recipe assigns): systematic
+    selection over the content-hash permutation, distributed prefix
+    sum, exact integer hit counts."""
+    from vector_db_handler_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        text_fns.portable_hash60(
+            F.concat(F.lit("wss|"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    out = weighted_systematic_sample(
+        docs, "n_chars", _WSS_K, order_cols=["hv", "doc_id"]
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        "cum_lo",
+        "n_hits",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern funnel (operators/windows.py:sequence_funnel): the
+# MATCH_RECOGNIZE shape as cascaded conditional windows — every step
+# one running MAX carrying the chain START forward, ALL steps on one
+# (user, order) window spec = ONE exchange + one sort regardless of
+# chain length (the EXISTS lowering pays a banded join per step).
+# Deterministic: each step links the LATEST viable predecessor.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SPAN_US = 3_600_000_000  # 1 hour
+
+_FUNNEL3_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+s1 AS (
+  SELECT *, MAX(CASE WHEN event_type = 'view' THEN us END) OVER
+    (PARTITION BY user_id ORDER BY us, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c0
+  FROM e
+),
+s2 AS (
+  SELECT *, MAX(CASE WHEN event_type = 'click' THEN c0 END) OVER
+    (PARTITION BY user_id ORDER BY us, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c1
+  FROM s1
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(SUM(CASE WHEN c1 IS NOT NULL
+                               AND c1 >= us - {_FUNNEL_SPAN_US}
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_completed
+FROM s2 WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+@register("funnel_view_click_purchase", _FUNNEL3_SQL)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-step ordered funnel (view → click → purchase, whole
+    chain within 1 hour): purchases vs completions — the sequence-
+    pattern census behind conversion dashboards, exact and
+    single-exchange at any chain length."""
+    from vector_db_handler_spark.operators.windows import sequence_funnel
+
+    ev = load(spark, sf_dir, "events")
+    runs = sequence_funnel(
+        ev, ["view", "click", "purchase"], span_us=_FUNNEL_SPAN_US
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.coalesce(F.sum(F.col("completed").cast("long")), F.lit(0)).alias(
+            "n_completed"
+        ),
     )

@@ -191,3 +191,87 @@ def resample_epoch(
         )
         .drop("_n_copies")
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact weighted sampling by SYSTEMATIC selection (Madow '49):
+    lay every row's integer weight end-to-end along the deterministic
+    total order ``order_cols`` (pass a content-hash column for an
+    unbiased deterministic permutation), then take the k evenly-spaced
+    points ``j·W/k``; a row is selected once per point falling inside
+    its weight interval.  Inclusion expectation is exactly ``k·w/W``
+    with zero variance beyond the interleave — and, unlike A-ES /
+    exponential-keys weighted reservoirs, there is NO ``u^(1/w)``
+    transcendental to diverge between engines: the whole decision is
+
+        n_hits(row) = (cum_hi·k) div W − (cum_lo·k) div W
+
+    in BIGINT arithmetic (caller must keep ``W·k < 2^63``; asserted).
+
+    The cumulative sum is distributed the same way as
+    ``features.global_rank``: range-repartition on the order key,
+    per-partition weight census to the driver (numPartitions rows),
+    prefix offsets re-broadcast as a join relation, within-partition
+    cumsum window — no single-partition stage anywhere.  Rows with
+    ``w ≥ W/k`` can be hit multiple times (heavy docs legitimately
+    repeat in a weighted epoch); ``n_hits`` reports it.  Returns the
+    selected rows with ``(cum_lo, n_hits)`` appended."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    cols = [F.col(c).asc_nulls_last() for c in order_cols]
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    bad_w = F.col(weight_col).isNull() | (F.col(weight_col) < 0)
+    null_guard = None
+    for c in order_cols:
+        cond = F.col(c).isNull()
+        null_guard = cond if null_guard is None else (null_guard | cond)
+    ranged = (
+        df.repartitionByRange(int(parts), *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    census = ranged.groupBy("_pid").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("ws"),
+        F.sum(bad_w.cast("long")).alias("n_bad_w"),
+        F.sum(F.when(null_guard, 1).otherwise(0)).alias("n_null_keys"),
+    ).collect()
+    if sum(r.n_bad_w or 0 for r in census):
+        raise ValueError("weighted_systematic_sample: null/negative weights")
+    if sum(r.n_null_keys or 0 for r in census):
+        raise ValueError("weighted_systematic_sample: NULL order keys")
+    sums = {r._pid: (r.ws or 0) for r in census}
+    total_w = sum(sums.values())
+    if total_w <= 0:
+        raise ValueError("weighted_systematic_sample: total weight is 0")
+    if total_w * k >= 2**63:
+        raise ValueError("weighted_systematic_sample: W*k overflows int64")
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid]
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid INT, _woff BIGINT")
+    w = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        ranged.withColumn("_cum", F.sum(F.col(weight_col).cast("long")).over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("cum_lo", (F.col("_cum") + F.col("_woff") - F.col(weight_col)).cast("long"))
+    )
+    hits = F.expr(
+        f"((cum_lo + {weight_col}) * {int(k)}) div {total_w} "
+        f"- (cum_lo * {int(k)}) div {total_w}"
+    )
+    return (
+        cum.withColumn("n_hits", hits.cast("long"))
+        .filter(F.col("n_hits") > 0)
+        .drop("_pid", "_woff", "_cum")
+    )

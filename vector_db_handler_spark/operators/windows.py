@@ -92,3 +92,63 @@ def sessionize(
             F.max(F.unix_micros(F.col(ts_col))).alias("session_end_us"),
         )
     )
+
+
+def sequence_funnel(
+    events: DataFrame,
+    steps: list[str],
+    span_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ordered sequence-pattern matching (the MATCH_RECOGNIZE shape)
+    lowered to cascaded conditional windows: a final-step event
+    COMPLETES the funnel when it is preceded — strictly, in
+    (event-time, tiebreak) order — by a chain of the earlier steps in
+    order, and the whole chain spans at most ``span_us`` microseconds
+    (measured first step → final step).  Chain choice is pinned: each
+    step links to the LATEST viable occurrence of its predecessor, so
+    the reported ``chain_start`` is the tightest chain and the
+    completion decision is deterministic (engine-portable: integer
+    microsecond comparisons only).
+
+    Lowering: step i adds one conditional running MAX that carries the
+    chain's START timestamp forward —
+
+        c₀ = max(ts  WHERE type = step₀)             over preceding
+        cᵢ = max(c₍ᵢ₋₁₎ WHERE type = stepᵢ)           over preceding
+        completed = type = step_N ∧ c₍N₋₁₎ ≥ ts − span
+
+    ALL windows share one (user, order) spec, so the whole cascade —
+    any number of steps — costs exactly ONE hash exchange + one sort;
+    Spark evaluates the chained selects over the same sorted runs.
+    No self-joins: the naive EXISTS chain is one banded join per step.
+    Returns the final-step rows with ``(chain_start, completed)``."""
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(us.asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = events.withColumn("_us", us)
+    carry = None
+    for i, step in enumerate(steps[:-1]):
+        src = F.col("_us") if i == 0 else F.col(f"_c{i - 1}")
+        out = out.withColumn(
+            f"_c{i}",
+            F.max(F.when(F.col(type_col) == step, src)).over(w),
+        )
+    carry = F.col(f"_c{len(steps) - 2}")
+    return (
+        out.filter(F.col(type_col) == steps[-1])
+        .withColumn(
+            "completed",
+            carry.isNotNull() & (carry >= F.col("_us") - F.lit(int(span_us))),
+        )
+        .withColumn("chain_start", carry)
+        .drop("_us", *[f"_c{i}" for i in range(len(steps) - 1)])
+    )
