@@ -245,3 +245,45 @@ def test_mrl_prefix_stage_reads_only_prefix(spark, sf_dir):
         ).alias("embedding"),
     ).select("vec_id", cosine_score(F.slice("embedding", 1, 16), q16).alias("s"))
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, corrupted.collect()))
+
+
+# ---------------------------------------------------------------------------
+# mine_hard_triplets
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+from vector_db_handler_spark.operators.similarity import mine_hard_triplets
+
+
+def test_triplets_planted_structure(spark):
+    """8 deterministic 4-d vectors: the positive must be the best
+    non-self neighbor, negatives exactly the requested rank band, and
+    margins non-negative (ranks are score-ordered)."""
+    import math
+
+    rows = []
+    for i in range(8):
+        a = 2 * math.pi * i / 16
+        rows.append((i, [math.cos(a), math.sin(a), 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mine_hard_triplets(
+        emb, emb.filter("vec_id = 0"), n_neg=2, neg_start_rank=4
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.query_id == 0
+        assert r.pos_id == 1  # adjacent angle = highest cosine (id tiebreak)
+        assert r.neg_id in (4, 5)  # ranks 4 and 5 (ids ordered by angle)
+        assert r.margin >= 0
+        assert r.margin == round(round(r.pos_score, 6) - round(r.neg_score, 6), 6)
+
+
+def test_triplets_rejects_bad_params(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        mine_hard_triplets(emb, emb, n_neg=0)
+    with _pytest.raises(ValueError):
+        mine_hard_triplets(emb, emb, neg_start_rank=1)

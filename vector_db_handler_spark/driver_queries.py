@@ -203,6 +203,8 @@ _DRIVER_FRONT: list[str] = [
     "value_drift_tv",
     "weighted_doc_sample",
     "funnel_view_click_purchase",
+    "hard_negative_triplets",
+    "weighted_jaccard_pairs",
 ]
 
 
@@ -8878,3 +8880,120 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_completed"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative triplet mining (operators/similarity.py:
+# mine_hard_triplets): the retrieval-side TRAINING-DATA product —
+# (anchor, positive, hard-negative) rows for triplet-loss fine-tuning
+# and reranker distillation.  Downstream of the no-corpus-shuffle
+# batch KNN; pairing joins query-bounded relations only.
+# ---------------------------------------------------------------------------
+
+_TRIP_NEG_START, _TRIP_N_NEG = 30, 5
+
+_TRIPLETS_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_PAIR_SQL} AS score
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+pos AS (SELECT query_id, neighbor_id AS pos_id, score AS ps FROM ranked WHERE rank = 1),
+neg AS (
+  SELECT query_id, neighbor_id AS neg_id, score AS ns FROM ranked
+  WHERE rank >= {_TRIP_NEG_START} AND rank < {_TRIP_NEG_START + _TRIP_N_NEG}
+)
+SELECT pos.query_id, pos_id, neg_id,
+       ROUND(ps, 6) AS pos_score,
+       ROUND(ns, 6) AS neg_score,
+       ROUND(ROUND(ps, 6) - ROUND(ns, 6), 6) AS margin
+FROM pos JOIN neg USING (query_id)
+"""
+
+
+@register("hard_negative_triplets", _TRIPLETS_SQL)
+def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard-negative) mining for the 5 fixture
+    queries: positive = best non-self neighbor, negatives = ranks
+    30-34 (similar enough to teach, far enough to be wrong) — the
+    contrastive-training export a retrieval fine-tune consumes."""
+    from vector_db_handler_spark.operators.similarity import mine_hard_triplets
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mine_hard_triplets(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        n_neg=_TRIP_N_NEG,
+        neg_start_rank=_TRIP_NEG_START,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IDF-weighted Jaccard verify (operators/dedup.py:
+# weighted_jaccard_verify): the template-text-robust twin of
+# minhash_jaccard_estimate over the SAME LSH candidate pairs —
+# w(shingle) = N div df, so boilerplate shared by everything weighs ~1
+# and a rare shared shingle weighs ~N.  Exact BIGINT sums; one emit
+# division.
+# ---------------------------------------------------------------------------
+
+_WJACCARD_SQL = f"""
+WITH cand AS (SELECT d1, d2 FROM ({_MINHASH_LSH_SQL})),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         unnest(generate_series(1, len(toks) - 2)) AS g(i)
+  )
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT h, CAST(n_docs AS BIGINT) // COUNT(*) AS w
+  FROM sh, n GROUP BY h, n_docs
+),
+shw AS (SELECT doc_id, sh.h, w FROM sh JOIN w ON sh.h = w.h),
+tot AS (SELECT doc_id, SUM(w) AS tw FROM shw GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, SUM(a.w) AS iw
+  FROM cand c
+  JOIN shw a ON a.doc_id = c.d1
+  JOIN shw b ON b.doc_id = c.d2 AND b.h = a.h
+  GROUP BY c.d1, c.d2
+)
+SELECT c.d1, c.d2,
+       CAST(COALESCE(inter.iw, 0) AS BIGINT) AS wj_num,
+       CAST(t1.tw + t2.tw - COALESCE(inter.iw, 0) AS BIGINT) AS wj_den,
+       ROUND(CAST(COALESCE(inter.iw, 0) AS DOUBLE)
+             / CAST(t1.tw + t2.tw - COALESCE(inter.iw, 0) AS DOUBLE), 6)
+         AS wjaccard
+FROM cand c
+LEFT JOIN inter ON inter.d1 = c.d1 AND inter.d2 = c.d2
+JOIN tot t1 ON t1.doc_id = c.d1
+JOIN tot t2 ON t2.doc_id = c.d2
+"""
+
+
+@register("weighted_jaccard_pairs", _WJACCARD_SQL)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted shingle Jaccard for every MinHash-LSH candidate
+    pair — the crawl-corpus-robust verify where shared boilerplate
+    cannot fake a near-dup; exact integer weight sums both engines
+    derive independently."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD).select(
+        "d1", "d2"
+    )
+    return dedup_ops.weighted_jaccard_verify(docs, pairs)

@@ -1304,3 +1304,67 @@ def span_dedup_corpus(
         )
         .select("doc_id", "n_spans", "n_kept", "kept_text")
     )
+
+
+def weighted_jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """IDF-weighted shingle Jaccard for a given candidate-pair
+    relation: WJ(A,B) = Σ_{t∈A∩B} w(t) / Σ_{t∈A∪B} w(t) with
+    w(t) = N div df(t) — boilerplate shared by everything weighs ~1,
+    a rare shared shingle weighs ~N, so excerpt pairs glued together
+    by template text stop scoring as near-dups (the failure mode of
+    unweighted Jaccard on crawl corpora with common headers/footers).
+
+    Everything is exact integers: weights are one non-negative
+    integer division each, intersections/unions are BIGINT sums, and
+    the final ratio divides once at emit.  Scale shape: the shingle
+    index is built ONCE (the same (id, hash-60) relation every dedup
+    operator here shares); per-doc total weights are one map-side-
+    combined aggregate; the intersection join runs PAIR-side — cost
+    ∝ candidate pairs × shared shingles, never corpus².  Output:
+    ``(d1, d2, wj_num, wj_den, wjaccard)``."""
+    sh = hashed_shingle_index(docs, text_col, id_col, k).localCheckpoint(eager=True)
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    dfc = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("h", F.expr("_n div _df").alias("w"))
+    )
+    shw = sh.join(dfc, "h").localCheckpoint(eager=True)
+
+    totals = shw.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    p = pairs.select(F.col(src).alias("d1"), F.col(dst).alias("d2"))
+    inter = (
+        p.join(shw.select(F.col("doc_id").alias("d1"), "h", "w"), "d1")
+        .join(
+            shw.select(F.col("doc_id").alias("d2"), F.col("h")),
+            ["d2", "h"],
+        )
+        .groupBy("d1", "d2")
+        .agg(F.sum("w").alias("iw"))
+    )
+    return (
+        p.join(inter, ["d1", "d2"], "left")
+        .join(totals.select(F.col("doc_id").alias("d1"), F.col("tw").alias("tw1")), "d1")
+        .join(totals.select(F.col("doc_id").alias("d2"), F.col("tw").alias("tw2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.coalesce(F.col("iw"), F.lit(0)).cast("long").alias("wj_num"),
+            (F.col("tw1") + F.col("tw2") - F.coalesce(F.col("iw"), F.lit(0)))
+            .cast("long")
+            .alias("wj_den"),
+        )
+        .withColumn(
+            "wjaccard",
+            F.round(F.col("wj_num").cast("double") / F.col("wj_den"), 6),
+        )
+    )

@@ -606,3 +606,71 @@ def mrl_prefix_rerank(
         .limit(k)
         .select(id_col, "pre_score", F.round("score_raw", 6).alias("score"))
     )
+
+
+def mine_hard_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_neg: int = 5,
+    neg_start_rank: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-training triplet mining — the retrieval-side
+    TRAINING-DATA operator: for every query (anchor), pair its best
+    non-self neighbor (positive) with ``n_neg`` mid-ranked neighbors
+    starting at ``neg_start_rank`` (HARD negatives: similar enough to
+    be informative, far enough to be wrong — the standard recipe for
+    embedding fine-tuning and reranker distillation; random negatives
+    are too easy and top negatives are often unlabeled positives).
+
+    Output: ``(query_id, pos_id, neg_id, pos_score, neg_score,
+    margin)`` — one row per (anchor, negative), the layout a triplet-
+    loss trainer consumes directly.
+
+    Scale shape: everything downstream of ``cosine_topk_join`` (one
+    corpus scan, per-partition local top-k, P·Q·k candidate rows, no
+    corpus shuffle); the positive⋈negatives pairing joins two
+    query-bounded relations (Q and Q·n_neg rows).  Determinism:
+    ranks use the pinned (score DESC, id ASC) order; scores round
+    once at emit."""
+    if n_neg < 1 or neg_start_rank <= 1:
+        raise ValueError(f"need n_neg >= 1 and neg_start_rank > 1, got {n_neg=} {neg_start_rank=}")
+    ranked = cosine_topk_join(
+        corpus,
+        queries,
+        k=neg_start_rank + n_neg - 1,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=True,
+    )
+    pos = ranked.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("score").alias("_pos_raw"),
+    )
+    negs = ranked.filter(
+        (F.col("rank") >= neg_start_rank)
+        & (F.col("rank") < neg_start_rank + n_neg)
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("score").alias("_neg_raw"),
+    )
+    return (
+        pos.join(negs, "query_id")
+        .select(
+            "query_id",
+            "pos_id",
+            "neg_id",
+            F.round("_pos_raw", 6).alias("pos_score"),
+            F.round("_neg_raw", 6).alias("neg_score"),
+            # margin over the ROUNDED scores: the raw difference sits
+            # on rounding boundaries whenever two dot products differ
+            # only in summation order (numpy pairwise vs sequential),
+            # while rounded inputs subtract identically everywhere.
+            F.round(F.round("_pos_raw", 6) - F.round("_neg_raw", 6), 6).alias(
+                "margin"
+            ),
+        )
+    )
