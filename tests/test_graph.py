@@ -218,3 +218,75 @@ def test_triangle_random_graph_matches_brute_force(spark):
         for r in triangle_count(_edges(spark, pairs), "src", "dst").collect()
     }
     assert got == _tri_brute(pairs)
+
+
+# ---------------------------------------------------------------------------
+# kcore_nodes
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.graph import kcore_nodes
+
+
+def _kcore_brute(pairs, k):
+    adj = {}
+    for u, v in pairs:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    while True:
+        drop = [n for n, s in adj.items() if len(s) < k]
+        if not drop:
+            return {n: len(s) for n, s in adj.items()}
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+
+
+def test_kcore_known_shapes(spark):
+    """K4 + pendant: 3-core is exactly the K4 (pendant and its anchor
+    edge peeled); a pure chain has an EMPTY 2-core while a cycle IS
+    its own 2-core."""
+    from itertools import combinations
+
+    k4p = list(combinations(range(4), 2)) + [(3, 9)]
+    got = {
+        r.node: r.core_degree
+        for r in kcore_nodes(_edges(spark, k4p), k=3, src="src", dst="dst").collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    chain = [(i, i + 1) for i in range(6)]
+    assert kcore_nodes(_edges(spark, chain), 2, "src", "dst").count() == 0
+
+    cycle = chain + [(6, 0)]
+    got = {
+        r.node: r.core_degree
+        for r in kcore_nodes(_edges(spark, cycle), 2, "src", "dst").collect()
+    }
+    assert got == {i: 2 for i in range(7)}
+
+
+def test_kcore_matches_brute_force_on_random_graph(spark):
+    pairs, x = [], 5
+    for _ in range(260):
+        x = (x * 1103515245 + 12345) % (2**31)
+        u = x % 40
+        x = (x * 1103515245 + 12345) % (2**31)
+        v = x % 40
+        pairs.append((u, v))
+    for k in (2, 3, 4):
+        got = {
+            r.node: r.core_degree
+            for r in kcore_nodes(_edges(spark, pairs), k, "src", "dst").collect()
+        }
+        assert got == _kcore_brute(pairs, k), f"k={k}"
+
+
+def test_kcore_round_guard_raises(spark):
+    import pytest as _pt
+
+    chain = [(i, i + 1) for i in range(12)]
+    with _pt.raises(RuntimeError):
+        # a 12-chain needs 6 peel rounds at k=2; cap at 2 must fail loudly
+        kcore_nodes(_edges(spark, chain), 2, "src", "dst", max_rounds=2)

@@ -205,6 +205,10 @@ _DRIVER_FRONT: list[str] = [
     "funnel_view_click_purchase",
     "hard_negative_triplets",
     "weighted_jaccard_pairs",
+    "kcore_part_graph",
+    # operator-code change in this session (same-round re-evidence):
+    # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
+    # already fronted in block (c)-equivalent position above.
 ]
 
 
@@ -8997,3 +9001,72 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1", "d2"
     )
     return dedup_ops.weighted_jaccard_verify(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# k-core (operators/graph.py:kcore_nodes): global-density rail of the
+# graph family.  Spark iterates peeling to CONVERGENCE; the oracle
+# unrolls 14 synchronous peel rounds over the same co-order graph —
+# sound because extra rounds past stability are no-ops, and the
+# fixture peels in 10 (probed; margin 4).  A green row is therefore
+# also a convergence-depth witness.
+# ---------------------------------------------------------------------------
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 14) -> str:
+    ctes = [
+        """e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT u, COUNT(*) AS d FROM (
+    SELECT u, v FROM e{p} UNION ALL SELECT v, u FROM e{p}
+  ) GROUP BY u
+)"""
+        )
+        ctes.append(f"k{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE d >= {k})")
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{p} e
+  JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT u, v FROM e{rounds} UNION ALL SELECT v, u FROM e{rounds}
+) GROUP BY u
+"""
+    )
+
+
+@register("kcore_part_graph", _kcore_oracle())
+def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the part co-purchase graph (935 of 2,000 parts at
+    sf0.01): iterative degree peeling with per-round lineage pinning —
+    the cohesion filter that extracts the dense interior before
+    community/recommendation passes."""
+    from vector_db_handler_spark.operators.graph import kcore_nodes
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return kcore_nodes(edges, k=3)

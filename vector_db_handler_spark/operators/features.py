@@ -409,14 +409,31 @@ def mad_outliers_by(
     g, v = F.col(group_col), F.col(value_col)
     w = Window.partitionBy(group_col).orderBy(v.asc(), F.col(order_col).asc())
     wc = Window.partitionBy(group_col)
-    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(wc)
+    # Materialize the ranked relation ONCE (eager localCheckpoint):
+    # med, the deviation pass, and the final aggregate all derive from
+    # it — without the pin, Catalyst plans an independent scan+shuffle
+    # of the input for each subtree (4 passes measured), because the
+    # med/mad filters make the subtrees non-identical and ineligible
+    # for exchange reuse.  After the pin the input is scanned once
+    # (4 scans + 4 shuffles -> 1 scan + the pin shuffle + 2 group-key
+    # re-exchanges of pinned rows, measured at sf0.01); all windows
+    # stay keyed on the same vocabulary-sized group column.
+    ranked = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .localCheckpoint(eager=True)
     )
     med = (
         ranked.filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
         .select(g.alias("_g"), v.alias("_med"))
     )
-    dev = df.join(
+    # Chain the deviation pass off RANKED (already hash-partitioned on
+    # the group key by the first window), not off the raw input: the
+    # broadcast med join preserves that partitioning, so the deviation
+    # window and the final group aggregate reuse the SAME exchange —
+    # one shuffle of the data total instead of re-scanning+re-shuffling
+    # the relation for every pass (plan-pinned in tests).
+    dev = ranked.drop("_rn", "_n").join(
         F.broadcast(med), F.col(group_col) == F.col("_g")
     ).withColumn("_dev", F.abs(v - F.col("_med")))
     wd = Window.partitionBy(group_col).orderBy(
