@@ -35,3 +35,52 @@ def test_profile_is_one_scan(spark, sf_dir):
     )
     assert plan.count("FileScan") == 1, plan[:500]
     assert "Generate stack" in plan  # the unpivot (no per-column scans)
+
+
+# ---------------------------------------------------------------------------
+# join_size_estimate
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+from vector_db_handler_spark.operators.profile import join_size_estimate
+
+
+def test_join_size_estimate_unbiased_on_skewed_join(spark):
+    """Skewed join (one hot key with 200×50 fan-out): a large
+    coordinated sample must land within 3× of the exact size, and
+    rate_denom=1 must be EXACT (every key survives)."""
+    a_rows = [(f"hot",)] * 200 + [(f"a{i}",) for i in range(400)]
+    b_rows = [(f"hot",)] * 50 + [(f"a{i}",) for i in range(400)]
+    a = spark.createDataFrame(a_rows, "k string")
+    b = spark.createDataFrame(b_rows, "k string")
+    exact = a.join(b, "k").count()
+
+    r1 = join_size_estimate(a, b, "k", "k", rate_denom=1).collect()[0]
+    assert r1.est_pairs == exact == r1.sample_pairs
+
+    r4 = join_size_estimate(a, b, "k", "k", rate_denom=4).collect()[0]
+    assert r4.est_pairs == r4.sample_pairs * 4
+    # the cut is a pure function of the key — replay it exactly
+    import hashlib
+    from collections import Counter
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    cut = (1 << 60) // 4
+    ca = Counter(k for (k,) in a_rows if h60(k) < cut)
+    cb = Counter(k for (k,) in b_rows if h60(k) < cut)
+    want = sum(ca[k] * cb[k] for k in ca)
+    assert r4.sample_pairs == want
+
+
+def test_join_size_estimate_deterministic_and_guarded(spark):
+    a = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    r = [
+        tuple(join_size_estimate(a, a, "k", "k", 16).collect()[0])
+        for _ in range(2)
+    ]
+    assert r[0] == r[1]
+    with _pytest.raises(ValueError):
+        join_size_estimate(a, a, "k", "k", 0)

@@ -206,6 +206,7 @@ _DRIVER_FRONT: list[str] = [
     "hard_negative_triplets",
     "weighted_jaccard_pairs",
     "kcore_part_graph",
+    "join_size_estimate_ol",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9070,3 +9071,53 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return kcore_nodes(edges, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation (operators/profile.py:join_size_estimate): the
+# optimizer-statistics rail next to the relation profiler — coordinated
+# key-domain sampling (same hash cut both sides) keeps true per-key
+# fan-out, where row-level Bernoulli sampling biases skewed joins by
+# p².  The driver row reports estimate AND exact side by side, so the
+# green hash doubles as an estimator-accuracy record at this sf.
+# ---------------------------------------------------------------------------
+
+_JSE_DENOM = 64
+
+_JSE_SQL = f"""
+WITH sa AS (
+  SELECT o_orderkey AS k FROM orders
+  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+        < {(1 << 60) // _JSE_DENOM}
+),
+sb AS (
+  SELECT l_orderkey AS k FROM lineitem
+  WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+        < {(1 << 60) // _JSE_DENOM}
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS sample_pairs
+      FROM sa JOIN sb ON sa.k = sb.k),
+x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT s.sample_pairs,
+       CAST(s.sample_pairs * {_JSE_DENOM} AS BIGINT) AS est_pairs,
+       x.exact_pairs
+FROM s, x
+"""
+
+
+@register("join_size_estimate_ol", _JSE_SQL)
+def join_size_estimate_ol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated vs exact cardinality of orders⋈lineitem from a 1/64
+    coordinated key sample — the statistic a cost-based join reorder
+    consumes, deterministic by construction."""
+    from vector_db_handler_spark.operators.profile import join_size_estimate
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    est = join_size_estimate(orders, li, "o_orderkey", "l_orderkey", _JSE_DENOM)
+    exact = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("exact_pairs"))
+    )
+    return est.crossJoin(exact)

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_db_handler_spark.functions.text import portable_hash60
+
 
 def profile_relation(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact profile of ``cols`` → one row per column:
@@ -58,4 +60,54 @@ def profile_relation(df: DataFrame, cols: list[str]) -> DataFrame:
             ),
         )
         .withColumnRenamed("col", "col_name")
+    )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    rate_denom: int = 64,
+) -> DataFrame:
+    """Join-cardinality estimation by COORDINATED key-domain sampling —
+    the optimizer-statistics primitive behind join reordering: both
+    sides keep exactly the rows whose JOIN KEY hashes into the bottom
+    ``1/rate_denom`` of the 60-bit hash space (same portable hash both
+    sides, so the SAME keys survive on both sides), the sample join
+    runs at ~1/rate_denom² the work of the real join, and
+
+        |A ⋈ B|  ≈  rate_denom · |A' ⋈ B'|
+
+    is unbiased: each key group survives with probability 1/d and
+    contributes its FULL n_a·n_b pair count when it does — the
+    estimator sees true per-key fan-out (the thing row-level Bernoulli
+    sampling destroys: sampling rows at rate p scales each key's
+    contribution by p², biasing skewed joins low).  Deterministic:
+    the hash cut is a pure function of the key, so the estimate is
+    reproducible across runs/engines — usable in plan tests, not just
+    dashboards.  Unbiased is not low-variance: a single dominant key
+    contributes all-or-nothing at 1/d probability, so production
+    estimators pair this with exact heavy-hitter counts (the CMS
+    monitor here) and sample only the tail.
+
+    Scale shape: two pushed-down scan filters (the hash predicate
+    prunes before any exchange), one sample-sized shuffle join, one
+    1-row aggregate.  Output: ``(sample_pairs, est_pairs)``."""
+    if rate_denom < 1:
+        raise ValueError(f"need rate_denom >= 1, got {rate_denom}")
+    cut = (1 << 60) // rate_denom
+    ha = portable_hash60(F.col(key_a).cast("string"))
+    hb = portable_hash60(F.col(key_b).cast("string"))
+    sa = a.filter(ha < cut).select(F.col(key_a).alias("_k"))
+    sb = b.filter(hb < cut).select(F.col(key_b).alias("_k"))
+    return (
+        sa.join(sb, "_k")
+        .agg(F.count(F.lit(1)).alias("sample_pairs"))
+        .select(
+            "sample_pairs",
+            (F.col("sample_pairs") * F.lit(rate_denom)).cast("long").alias(
+                "est_pairs"
+            ),
+        )
     )
