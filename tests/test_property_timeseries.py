@@ -143,3 +143,64 @@ def test_ewma_matches_pure_python_reference(spark, rows):
                 micros[t - j] * (1 << (15 - j)) for j in range(16) if t - j >= 0
             )
             assert got[(k, day)] == want, (k, day)
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_daily
+# ---------------------------------------------------------------------------
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.operators.timeseries import TS_SCALE, theil_sen_daily
+
+
+def _daily(spark, rows):
+    """rows: (user, day_str, value)"""
+    return spark.createDataFrame(
+        rows, "user_id long, day string, day_value decimal(18,6)"
+    ).select("user_id", F.col("day").cast("date").alias("day"), "day_value")
+
+
+def test_theil_sen_exact_linear_series(spark):
+    """A perfectly linear series (+2.5/day) has EVERY pairwise slope
+    equal, so the median is exact: 2.5 per day."""
+    rows = [
+        (1, f"2024-01-{d:02d}", Decimal(str(2.5 * d))) for d in range(1, 9)
+    ]
+    out = theil_sen_daily(_daily(spark, rows)).collect()[0]
+    assert out.n_days == 8 and out.n_pairs == 28
+    assert out.slope_scaled == 2_500_000 * TS_SCALE // 1
+    assert out.slope_per_day == 2.5
+
+
+def test_theil_sen_robust_to_one_corrupt_day(spark):
+    """Linear +1/day with one day spiked ×1000: OLS slope flips scale;
+    the Theil-Sen median stays ~1/day (most pairs avoid the spike)."""
+    rows = []
+    for d in range(1, 12):
+        v = 1000.0 if d == 6 else float(d)
+        rows.append((1, f"2024-01-{d:02d}", Decimal(str(v))))
+    out = theil_sen_daily(_daily(spark, rows)).collect()[0]
+    assert abs(out.slope_per_day - 1.0) < 0.2
+
+
+def test_theil_sen_matches_python_reference(spark):
+    """Arbitrary-precision replay of quantized slopes + lower median
+    (including negative slopes — both engines truncate toward zero)."""
+    vals = [5.0, 3.5, 9.25, 1.0, 7.75, 2.0, 8.5]
+    rows = [(1, f"2024-02-{d + 1:02d}", Decimal(str(v))) for d, v in enumerate(vals)]
+    out = theil_sen_daily(_daily(spark, rows)).collect()[0]
+
+    micro = [int(Decimal(str(v)) * 1_000_000) for v in vals]
+    slopes = []
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            num = (micro[j] - micro[i]) * TS_SCALE
+            den = j - i
+            q = abs(num) // den  # truncation toward zero, sign restored
+            slopes.append(q if num >= 0 else -q)
+    slopes.sort()
+    want = slopes[(len(slopes) + 1) // 2 - 1]
+    assert out.slope_scaled == want

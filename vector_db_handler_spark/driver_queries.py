@@ -207,6 +207,7 @@ _DRIVER_FRONT: list[str] = [
     "weighted_jaccard_pairs",
     "kcore_part_graph",
     "join_size_estimate_ol",
+    "theil_sen_user_trend",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9121,3 +9122,58 @@ def join_size_estimate_ol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_pairs"))
     )
     return est.crossJoin(exact)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen trend (operators/timeseries.py:theil_sen_daily): robust
+# trend per user over the dense gap-filled series — median of pairwise
+# slopes, breakdown 29% (the trend companion of the MAD level gate).
+# Slopes quantized to integers both engines derive identically (both
+# truncate integer division toward zero); median is a discrete order
+# statistic.  Pair cost is O(window²) per key by design — bounded
+# trailing windows, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+_THEIL_SEN_SQL = (
+    _GAPFILL_BASE
+    + """
+, base AS (
+  SELECT user_id,
+         CAST(day - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(day_value * 1000000 AS BIGINT) AS m
+  FROM gf
+),
+slopes AS (
+  SELECT a.user_id, a.d AS d1, b.d AS d2,
+         ((b.m - a.m) * 720720) // (b.d - a.d) AS s
+  FROM base a JOIN base b ON a.user_id = b.user_id AND a.d < b.d
+),
+r AS (
+  SELECT user_id, s,
+         row_number() OVER (PARTITION BY user_id ORDER BY s, d1, d2) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM slopes
+),
+days AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days FROM base GROUP BY 1)
+SELECT r.user_id, days.n_days,
+       CAST(r.n AS BIGINT) AS n_pairs,
+       CAST(r.s AS BIGINT) AS slope_scaled,
+       ROUND(CAST(r.s AS DOUBLE) / 720720000000.0, 9) AS slope_per_day
+FROM r JOIN days ON days.user_id = r.user_id
+WHERE rn = (n + 1) // 2
+"""
+)
+
+
+@register("theil_sen_user_trend", _THEIL_SEN_SQL)
+def theil_sen_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust daily-value trend (users < 40, same slice as
+    the gap-fill family): Theil-Sen median slope in exact quantized
+    integers — one corrupt day cannot flip a trend sign."""
+    from vector_db_handler_spark.operators.timeseries import (
+        gapfill_daily,
+        theil_sen_daily,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return theil_sen_daily(gapfill_daily(ev))

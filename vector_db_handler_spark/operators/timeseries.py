@@ -261,3 +261,90 @@ def ewma_daily(
         num.alias("ewma_num"),
         (num.cast("double") / float(1 << lookback) / 1e6).alias("ewma"),
     )
+
+
+#: Theil-Sen slope quantization: lcm(1..16)·4 — divisible by every
+#: day-gap up to 16 and by common larger gaps, so short-series slopes
+#: are often EXACT rationals; quantization error is bounded by
+#: 1/TS_SCALE micro-units/day regardless.
+TS_SCALE = 720_720
+
+
+def theil_sen_daily(
+    gapfilled: DataFrame,
+    user_col: str = "user_id",
+    day_col: str = "day",
+    value_col: str = "day_value",
+) -> DataFrame:
+    """Theil-Sen robust trend per key over a dense daily series: the
+    MEDIAN of all pairwise slopes — breakdown point 29%, so a burst of
+    corrupt days cannot flip the trend sign the way it drags an OLS
+    fit (the robust-statistics companion of ``mad_outliers_by``, for
+    trends instead of levels).
+
+    Engine-exact construction: values in integer micro-units, slopes
+    quantized to ``slope_scaled = ((m2−m1)·TS_SCALE) div (d2−d1)`` —
+    BOTH engines truncate integer division toward zero, so every
+    quantized slope is identical; the median is a DISCRETE order
+    statistic under the total order (slope, d1, d2).  Overflow bound:
+    |Δmicro|·TS_SCALE must stay under 2^63 — fine to ~10^12
+    micro-units of daily delta.
+
+    Scale shape: the pair self-join is per-key O(d²) in SERIES LENGTH
+    — constant per key when applied the standard way (a bounded
+    trailing window, e.g. 30–90 days of a monitoring series), never
+    corpus-sized; one exchange on the key serves the join, the
+    ranking window, and the final aggregate.  Output: ``(user_id,
+    n_days, n_pairs, slope_scaled, slope_per_day)``."""
+    epoch = F.lit("1970-01-01").cast("date")
+    base = gapfilled.select(
+        F.col(user_col),
+        F.datediff(F.col(day_col), epoch).alias("_d"),
+        (F.col(value_col).cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("_m"),
+    )
+    a = base.select(
+        F.col(user_col), F.col("_d").alias("d1"), F.col("_m").alias("m1")
+    )
+    b = base.select(
+        F.col(user_col), F.col("_d").alias("d2"), F.col("_m").alias("m2")
+    )
+    slopes = (
+        a.join(b, user_col)
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.col(user_col),
+            "d1",
+            "d2",
+            F.expr(f"((m2 - m1) * {TS_SCALE}) div (d2 - d1)").alias("s"),
+        )
+    )
+    w = W.partitionBy(user_col).orderBy(
+        F.col("s").asc(), F.col("d1").asc(), F.col("d2").asc()
+    )
+    wc = W.partitionBy(user_col)
+    ranked = slopes.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    med = ranked.filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+    days = base.groupBy(user_col).agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        med.select(
+            F.col(user_col),
+            F.col("_n").alias("n_pairs"),
+            F.col("s").alias("slope_scaled"),
+        )
+        .join(days, user_col)
+        .select(
+            user_col,
+            "n_days",
+            "n_pairs",
+            "slope_scaled",
+            F.round(
+                F.col("slope_scaled").cast("double")
+                / F.lit(float(TS_SCALE) * 1_000_000.0),
+                9,
+            ).alias("slope_per_day"),
+        )
+    )
