@@ -204,3 +204,40 @@ def test_theil_sen_matches_python_reference(spark):
     slopes.sort()
     want = slopes[(len(slopes) + 1) // 2 - 1]
     assert out.slope_scaled == want
+
+
+# ---------------------------------------------------------------------------
+# cusum_alarms_daily
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.timeseries import cusum_alarms_daily
+
+
+def test_cusum_matches_recurrence_reference(spark):
+    """The window identity S_i = P_i − min(0, min P_j) must equal the
+    textbook recurrence S_i = max(0, S_{i−1} + d_i) — replayed in
+    arbitrary precision, including a planted level shift that alarms."""
+    vals = [10.0] * 6 + [60.0] * 4  # shift up at day 7
+    rows = [(1, f"2024-03-{d + 1:02d}", Decimal(str(v))) for d, v in enumerate(vals)]
+    out = cusum_alarms_daily(_daily(spark, rows)).collect()[0]
+
+    micro = [int(Decimal(str(v)) * 1_000_000) for v in vals]
+    med = sorted(micro)[(len(micro) + 1) // 2 - 1]
+    slack = (med * 20) // 100
+    h = (med * 300) // 100
+    s, alarms, first = 0, 0, None
+    for d, m in enumerate(micro):
+        s = max(0, s + (m - med - slack))
+        if s > h:
+            alarms += 1
+            first = first or f"2024-03-{d + 1:02d}"
+    assert out.baseline_micro == med
+    assert out.n_alarm_days == alarms > 0
+    assert out.first_alarm_day == first
+
+
+def test_cusum_stable_series_never_alarms(spark):
+    rows = [(1, f"2024-03-{d + 1:02d}", Decimal("10.0")) for d in range(10)]
+    out = cusum_alarms_daily(_daily(spark, rows)).collect()[0]
+    assert out.n_alarm_days == 0
+    assert out.first_alarm_day == "none"

@@ -208,6 +208,7 @@ _DRIVER_FRONT: list[str] = [
     "kcore_part_graph",
     "join_size_estimate_ol",
     "theil_sen_user_trend",
+    "cusum_user_alarms",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9177,3 +9178,65 @@ def theil_sen_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
     return theil_sen_daily(gapfill_daily(ev))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change points (operators/timeseries.py:cusum_alarms_daily): the
+# sequential-detection classic made window-expressible through the
+# exact identity S_i = P_i − min(0, min_{j≤i} P_j) — no recurrence
+# state, no UDF, one (key, day) window spec for prefix sum AND running
+# min, exact BIGINT micro-units; baseline/slack/threshold self-
+# calibrate from the key's own discrete median.
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = (
+    _GAPFILL_BASE
+    + """
+, base AS (
+  SELECT user_id, day, CAST(day_value * 1000000 AS BIGINT) AS m FROM gf
+),
+r AS (
+  SELECT user_id, m,
+         row_number() OVER (PARTITION BY user_id ORDER BY m, day) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM base
+),
+med AS (SELECT user_id, m AS med FROM r WHERE rn = (n + 1) // 2),
+scored AS (
+  SELECT b.user_id, b.day, med.med,
+         CAST(SUM(b.m - med.med - (med.med * 20) // 100) OVER
+           (PARTITION BY b.user_id ORDER BY b.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM base b JOIN med ON med.user_id = b.user_id
+),
+s AS (
+  SELECT user_id, day, med, p,
+         p - LEAST(CAST(0 AS BIGINT),
+                   CAST(MIN(p) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS cusum
+  FROM scored
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MIN(med) AS BIGINT) AS baseline_micro,
+       CAST(COALESCE(SUM(CASE WHEN cusum > (med * 300) // 100
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_alarm_days,
+       COALESCE(MIN(CASE WHEN cusum > (med * 300) // 100
+                    THEN CAST(day AS VARCHAR) END), 'none') AS first_alarm_day
+FROM s GROUP BY user_id
+"""
+)
+
+
+@register("cusum_user_alarms", _CUSUM_SQL)
+def cusum_user_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift alarms over the gap-filled daily series
+    (baseline = own median, slack 20%, threshold 300% of baseline) —
+    the sequential change-point monitor, stateless-windows edition."""
+    from vector_db_handler_spark.operators.timeseries import (
+        cusum_alarms_daily,
+        gapfill_daily,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return cusum_alarms_daily(gapfill_daily(ev))

@@ -348,3 +348,70 @@ def theil_sen_daily(
             ).alias("slope_per_day"),
         )
     )
+
+
+def cusum_alarms_daily(
+    gapfilled: DataFrame,
+    threshold_pct: int = 300,
+    slack_pct: int = 20,
+    user_col: str = "user_id",
+    day_col: str = "day",
+    value_col: str = "day_value",
+) -> DataFrame:
+    """One-sided upper CUSUM change-point monitor per key over the
+    dense daily series — the sequential-detection classic (Page '54):
+    alarm when the cumulative positive drift of ``value − (baseline +
+    slack)`` exceeds a threshold.  Baseline is the key's own DISCRETE
+    median day value; slack and threshold are percentages of it, so
+    the monitor is self-calibrating per key.
+
+    The recurrence ``S_i = max(0, S_{i−1} + d_i)`` looks
+    window-inexpressible, but has the exact prefix identity
+
+        S_i = P_i − min(0, min_{j≤i} P_j),   P_i = Σ_{j≤i} d_j
+
+    so the whole monitor is: one prefix-sum window + one running-min
+    window + a comparison — ALL on the same (key, day-order) window
+    spec, one exchange total, exact BIGINT micro-unit arithmetic end
+    to end (no recurrence state, no UDF).
+
+    Returns per key: ``(user_id, n_days, baseline_micro, n_alarm_days,
+    first_alarm_day)`` with ``first_alarm_day`` the string date of the
+    first S > threshold day or ``'none'`` (sentinel, not NULL)."""
+    mu = (F.col(value_col).cast("decimal(18,6)") * 1_000_000).cast("long")
+    base = gapfilled.select(F.col(user_col), F.col(day_col).alias("_day"), mu.alias("_m"))
+
+    wv = W.partitionBy(user_col).orderBy(F.col("_m").asc(), F.col("_day").asc())
+    wc = W.partitionBy(user_col)
+    ranked = base.withColumn("_rn", F.row_number().over(wv)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    med = ranked.filter(F.col("_rn") == F.expr("(_n + 1) div 2")).select(
+        F.col(user_col).alias("_g"), F.col("_m").alias("_med")
+    )
+
+    wd = W.partitionBy(user_col).orderBy(F.col("_day").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    scored = (
+        base.join(F.broadcast(med), F.col(user_col) == F.col("_g"))
+        .withColumn(
+            "_d",
+            F.col("_m") - F.col("_med") - F.expr(f"(_med * {slack_pct}) div 100"),
+        )
+        .withColumn("_p", F.sum("_d").over(wd))
+        .withColumn("_minp", F.least(F.lit(0).cast("long"), F.min("_p").over(wd)))
+        .withColumn("_s", F.col("_p") - F.col("_minp"))
+        .withColumn(
+            "_alarm", F.col("_s") > F.expr(f"(_med * {threshold_pct}) div 100")
+        )
+    )
+    return scored.groupBy(F.col(user_col)).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("_med").alias("baseline_micro"),
+        F.sum(F.col("_alarm").cast("long")).alias("n_alarm_days"),
+        F.coalesce(
+            F.min(F.when(F.col("_alarm"), F.col("_day").cast("string"))),
+            F.lit("none"),
+        ).alias("first_alarm_day"),
+    )
