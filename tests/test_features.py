@@ -284,3 +284,50 @@ def test_tv_partition_invariance(spark):
     assert sorted(map(tuple, tv_drift_by(d1, "g", "v", "ts").collect())) == sorted(
         map(tuple, tv_drift_by(d32, "g", "v", "ts").collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# frequent_triples
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.features import frequent_triples
+
+
+def test_frequent_triples_matches_brute_force(spark):
+    """Pseudo-random baskets: the Apriori-pruned result equals full
+    triple enumeration (downward closure is lossless)."""
+    from itertools import combinations
+
+    rows, x = [], 3
+    for o in range(60):
+        x = (x * 48271) % (2**31 - 1)
+        size = 2 + x % 4
+        items = set()
+        for _ in range(size):
+            x = (x * 48271) % (2**31 - 1)
+            items.add(x % 15)
+        rows += [(o, p) for p in items]
+    df = spark.createDataFrame(rows, "o long, p long")
+    got = {
+        (r.p1, r.p2, r.p3): r.support
+        for r in frequent_triples(df, "o", "p", min_support=2).collect()
+    }
+    from collections import Counter
+
+    baskets = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    cnt = Counter()
+    for items in baskets.values():
+        for t in combinations(sorted(items), 3):
+            cnt[t] += 1
+    want = {t: c for t, c in cnt.items() if c >= 2}
+    assert got == want and len(want) > 0
+
+
+def test_frequent_triples_empty_when_support_unreachable(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3)], "o long, p long"
+    )
+    assert frequent_triples(df, "o", "p", min_support=2).count() == 0
+    assert frequent_triples(df, "o", "p", min_support=1).count() == 1

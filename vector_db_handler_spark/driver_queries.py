@@ -209,6 +209,7 @@ _DRIVER_FRONT: list[str] = [
     "join_size_estimate_ol",
     "theil_sen_user_trend",
     "cusum_user_alarms",
+    "frequent_part_triples",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9240,3 +9241,36 @@ def cusum_user_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
     return cusum_alarms_daily(gapfill_daily(ev))
+
+
+# ---------------------------------------------------------------------------
+# Frequent 3-itemsets (operators/features.py:frequent_triples): Apriori
+# downward closure — triples are only counted when all three sub-pairs
+# are frequent, so candidate volume tracks the frequent-pair graph,
+# never the in-basket triple explosion.  The oracle brute-forces the
+# 3-way join with NO prune — a green row is a cross-algorithm proof
+# that the prune is lossless.
+# ---------------------------------------------------------------------------
+
+_TRIPLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM li a
+JOIN li b ON a.o = b.o AND a.p < b.p
+JOIN li c ON a.o = c.o AND b.p < c.p
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("frequent_part_triples", _TRIPLES_SQL)
+def frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part triples co-ordered in >= 2 distinct orders, found through
+    the Apriori frequent-pair prune — the market-basket layer above
+    pair lift, lossless by downward closure."""
+    from vector_db_handler_spark.operators.features import frequent_triples
+
+    return frequent_triples(
+        load(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=2
+    )

@@ -533,3 +533,65 @@ def tv_drift_by(
             "tv", F.round(F.col("tv_num").cast("double") / F.col("tv_den"), 6)
         )
     )
+
+
+def frequent_triples(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent 3-itemsets by the Apriori level-wise prune (Agrawal &
+    Srikant, VLDB'94) — the next layer above ``cooccurrence_lift``'s
+    pairs: a triple is only COUNTED if all three of its sub-pairs are
+    already frequent (downward closure), so candidate volume tracks
+    the frequent-pair graph, never the raw in-basket triple explosion
+    (a 10⁴-item hub basket alone holds ~10¹¹ triples; its frequent
+    sub-pairs are what bound the work).
+
+    Plan: in-basket pair census (map-side combined) → frequent pairs
+    → in-basket frequent EDGES (pair relation semi-joined back to
+    baskets) → extend each edge by a third in-basket item, keeping
+    only extensions whose two closing pairs are frequent (two
+    semi-joins on integer pair keys) → final census.  Every exchange
+    carries (basket, item) or (item, item) integer keys.  Output:
+    ``(p1, p2, p3, support)`` with p1 < p2 < p3."""
+    li = baskets.select(
+        F.col(basket_col).alias("o"), F.col(item_col).alias("p")
+    ).distinct()
+    a = li.select("o", F.col("p").alias("p1"))
+    b = li.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    fp = pairs.filter(F.col("sup") >= min_support).select("p1", "p2")
+    fp = fp.localCheckpoint(eager=True)
+
+    eb = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(fp, ["p1", "p2"], "left_semi")
+    )
+    c = li.select("o", F.col("p").alias("p3"))
+    cand = (
+        eb.join(c, "o")
+        .filter(F.col("p3") > F.col("p2"))
+        .join(
+            fp.select(F.col("p1"), F.col("p2").alias("p3")),
+            ["p1", "p3"],
+            "left_semi",
+        )
+        .join(
+            fp.select(F.col("p1").alias("p2"), F.col("p2").alias("p3")),
+            ["p2", "p3"],
+            "left_semi",
+        )
+    )
+    return (
+        cand.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
