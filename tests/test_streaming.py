@@ -595,3 +595,50 @@ def test_latest_value_stream_event_time_ttl_retires_idle_key(spark, tmp_path):
     # user 5's second appearance started from scratch: n_updates == 1
     assert final[5].n_updates == 1
     assert final[5].last_event_id == 3
+
+
+def test_left_outer_stream_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """A purchase with no view inside its window emits null-padded
+    (sentinel -1) ONLY once a later batch advances the watermark past
+    its window; matched purchases emit with their view."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    h = 3_600 * 1_000_000
+    base = 1_700_000_000 * 1_000_000  # events at epoch 0 are born late
+    # batch 1: user 1 view+purchase (matched); user 2 purchase alone
+    b1 = [
+        (1, base, 1, "view"),
+        (2, base + 10 * 60 * 1_000_000, 1, "purchase"),
+        (3, base + 10 * 60 * 1_000_000, 2, "purchase"),
+    ]
+    # batch 2: far-future event advances the watermark (2h + window past)
+    b2 = [(9, base + 10 * h, 99, "view"), (10, base + 10 * h, 99, "purchase")]
+    src = str(tmp_path / "ssl")
+    for rows in (b1, b2):
+        (
+            spark.createDataFrame(rows, ["event_id", "us", "user_id", "event_type"])
+            .select(
+                "event_id",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id",
+                "event_type",
+                F.lit(1.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)  # distinct mtimes pin micro-batch order
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_ops.stream_stream_attribution_left(stream, window_minutes=30)
+    stream_ops.run_to_memory(out, "t_ss_left", mode="append")
+    got = {r.purchase_id: (r.view_id, r.v_us) for r in spark.table("t_ss_left").collect()}
+    base = 1_700_000_000 * 1_000_000
+    assert got[2] == (1, base)       # matched: real view id + its time
+    assert got[3] == (-1, -1)        # unmatched: sentinel after watermark

@@ -210,6 +210,7 @@ _DRIVER_FRONT: list[str] = [
     "theil_sen_user_trend",
     "cusum_user_alarms",
     "frequent_part_triples",
+    "stream_stream_left_outer",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9273,4 +9274,74 @@ def frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return frequent_triples(
         load(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER stream-stream join (stream_ops.stream_stream_attribution_
+# left): the watermark-closed null-emission semantics the inner twin
+# cannot give — purchases with NO attributable view still appear.  The
+# comparison region is the provably-closed prefix (p_ts at least
+# watermark + window + margin older than the stream's max event time),
+# computed from the data itself, so the subset is deterministic even
+# though outer emission timing is watermark-driven.  Sentinels (-1),
+# never NULLs, at the driver boundary.
+# ---------------------------------------------------------------------------
+
+_SS_LEFT_MARGIN_US = 2 * 3_600_000_000 + 1_800_000_000 + 1_800_000_000
+
+_SS_LEFT_SQL = f"""
+WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT LEAST((SELECT MAX(v_us) FROM v), (SELECT MAX(p_us) FROM p))
+         - {_SS_LEFT_MARGIN_US} AS cutoff
+)
+SELECT p.user_id, purchase_id,
+       COALESCE(view_id, -1) AS view_id,
+       p_us,
+       COALESCE(v_us, -1) AS v_us
+FROM p
+LEFT JOIN v ON p.user_id = v.user_id
+            AND v_us <= p_us
+            AND v_us >= p_us - 1800000000
+CROSS JOIN wm
+WHERE p_us <= wm.cutoff
+"""
+
+
+@register("stream_stream_left_outer", _SS_LEFT_SQL)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases with and WITHOUT an attributable view from the
+    left-outer streaming join, compared over the provably-closed
+    region — unattributed conversions are exactly the rows the inner
+    join drops."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    joined = stream_ops.stream_stream_attribution_left(ev, window_minutes=30)
+    stream_ops.run_to_memory(joined, "dq_ss_left", mode="append")
+
+    batch = load(spark, sf_dir, "events")
+    vmax = batch.filter(F.col("event_type") == "view").agg(
+        F.max(F.unix_micros("ts")).alias("m")
+    )
+    pmax = batch.filter(F.col("event_type") == "purchase").agg(
+        F.max(F.unix_micros("ts")).alias("m")
+    )
+    cutoff = (
+        vmax.crossJoin(pmax.withColumnRenamed("m", "m2"))
+        .select(
+            (F.least(F.col("m"), F.col("m2")) - F.lit(_SS_LEFT_MARGIN_US)).alias(
+                "cutoff"
+            )
+        )
+    )
+    return (
+        spark.table("dq_ss_left")
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("p_us") <= F.col("cutoff"))
+        .drop("cutoff")
     )

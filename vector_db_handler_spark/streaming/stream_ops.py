@@ -1037,3 +1037,62 @@ def latest_snapshot_view(snapshots: DataFrame) -> DataFrame:
         )
         .select("user_id", "s.last_ts", "s.last_event_id", "s.last_value", "s.n_updates")
     )
+
+
+def stream_stream_attribution_left(
+    events: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantics the inner
+    attribution join cannot give: purchases with NO view inside the
+    window still emit, carrying nulls, once the watermark proves no
+    matching view can still arrive (a buffered purchase is released
+    when the global watermark passes its latest possible match time).
+    This is the streaming form of "conversion without attribution" —
+    the rows a funnel-health dashboard needs most.
+
+    Mechanics: same key + time-range condition as the inner join;
+    matched pairs emit promptly, unmatched left rows emit null-padded
+    only at watermark passage — so the unmatched subset visible after
+    a drain depends on how far the final watermark advanced.  Callers
+    comparing against a batch oracle should post-filter both sides to
+    ``p_ts`` at least ``watermark + window`` older than the stream's
+    max event time (the provably-closed region, deterministic from
+    the data alone); the registered driver query does exactly that.
+    State bounds and late-data behavior are identical to the inner
+    twin."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (
+            F.col("v_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {int(window_minutes)} MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "purchase_id",
+        F.coalesce(F.col("view_id"), F.lit(-1)).alias("view_id"),
+        F.unix_micros(F.col("p_ts")).alias("p_us"),
+        F.coalesce(F.unix_micros(F.col("v_ts")), F.lit(-1)).alias("v_us"),
+    )
