@@ -79,3 +79,30 @@ def test_custom_block_and_null_names(spark):
         block=F.substring("name", 1, 2),
     ).collect()
     assert [(r.id1, r.id2, r.dist) for r in out] == [(1, 2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# golden_records
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.linkage import golden_records
+
+
+def test_golden_records_chain_consolidation_and_survivorship(spark):
+    """A chain of pairwise matches (A~B, B~C) is ONE entity even though
+    A and C never matched directly; the longest name survives, min id
+    breaks length ties; unmatched rows don't appear."""
+    rows = [(1, "acme corp"), (2, "acme corpx"), (3, "acme corpxy"),
+            (7, "zebra"), (8, "zebraa"), (9, "lonely")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id1 long, id2 long"
+    )
+    got = {
+        r.cluster: (r.n_members, r.golden_id, r.golden_name)
+        for r in golden_records(df, pairs, "id", "name").collect()
+    }
+    assert got[1] == (3, 3, "acme corpxy")   # chain merged, longest wins
+    assert got[7] == (2, 8, "zebraa")
+    assert 9 not in {g for (_, g, _) in got.values()}
+    assert len(got) == 2

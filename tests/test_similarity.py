@@ -287,3 +287,43 @@ def test_triplets_rejects_bad_params(spark):
         mine_hard_triplets(emb, emb, n_neg=0)
     with _pytest.raises(ValueError):
         mine_hard_triplets(emb, emb, neg_start_rank=1)
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_report
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.similarity import ann_recall_report
+
+
+def test_ann_recall_is_one_when_probing_all_cells(spark):
+    """With nprobe = #centroids the probe IS brute force, so recall@k
+    must be exactly 1.0 for every query."""
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.37 + d) for d in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = emb.filter("vec_id % 10 = 0")  # 4 cells
+    out = ann_recall_report(
+        emb, cents, emb.filter("vec_id < 3"), k=5, nprobe=4
+    ).collect()
+    assert len(out) == 3
+    assert all(r.recall == 1.0 and r.n_hits == 5 for r in out)
+
+
+def test_ann_recall_bounded_and_monotone_in_nprobe(spark):
+    import math
+
+    rows = [
+        (i, [math.sin(i * 0.11 + d * 0.7) for d in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = emb.filter("vec_id % 12 = 0")  # 5 cells
+    r1 = {r.query_id: r.n_hits for r in ann_recall_report(
+        emb, cents, emb.filter("vec_id < 3"), k=5, nprobe=1).collect()}
+    r5 = {r.query_id: r.n_hits for r in ann_recall_report(
+        emb, cents, emb.filter("vec_id < 3"), k=5, nprobe=5).collect()}
+    for q in r1:
+        assert 0 <= r1[q] <= r5[q] == 5

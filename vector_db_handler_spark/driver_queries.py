@@ -211,6 +211,8 @@ _DRIVER_FRONT: list[str] = [
     "cusum_user_alarms",
     "frequent_part_triples",
     "stream_stream_left_outer",
+    "ann_recall_report",
+    "er_golden_records",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9345,3 +9347,162 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_us") <= F.col("cutoff"))
         .drop("cutoff")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report (operators/similarity.py:ann_recall_report): the
+# index-quality evaluation harness — recall@10 of the IVF probe vs
+# exact brute force, per query, both rankers deterministic so the
+# numbers are exact measurements, not Monte-Carlo.  The oracle replays
+# assignment → per-query probe cells → candidate ranking → exact
+# ranking → intersection, all in SQL.
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+
+_ANN_RECALL_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE {_IVF_CENTROID_PRED}
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+asg_scored AS (
+  SELECT corpus.vec_id, cents.cell_id,
+         list_dot_product(corpus.ev, cents.cv) /
+         (sqrt(list_dot_product(corpus.ev, corpus.ev)) *
+          sqrt(list_dot_product(cents.cv, cents.cv))) AS cs
+  FROM corpus CROSS JOIN cents
+),
+asg AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cs DESC, cell_id ASC) AS rn
+    FROM asg_scored
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT qid, cell_id FROM (
+    SELECT q.qid, cents.cell_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_dot_product(cents.cv, q.qv) /
+               (sqrt(list_dot_product(cents.cv, cents.cv)) *
+                sqrt(list_dot_product(q.qv, q.qv))) DESC,
+               cents.cell_id ASC) AS rn
+    FROM cents CROSS JOIN q
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, c.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_dot_product(c.ev, q.qv) /
+             (sqrt(list_dot_product(c.ev, c.ev)) *
+              sqrt(list_dot_product(q.qv, q.qv))) DESC, c.vec_id ASC) AS rn
+    FROM corpus c
+    JOIN asg ON asg.vec_id = c.vec_id
+    JOIN probe ON probe.cell_id = asg.cell_id
+    JOIN q ON q.qid = probe.qid
+    WHERE c.vec_id <> q.qid
+  ) WHERE rn <= {_RECALL_K}
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, c.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_dot_product(c.ev, q.qv) /
+             (sqrt(list_dot_product(c.ev, c.ev)) *
+              sqrt(list_dot_product(q.qv, q.qv))) DESC, c.vec_id ASC) AS rn
+    FROM corpus c CROSS JOIN q
+    WHERE c.vec_id <> q.qid
+  ) WHERE rn <= {_RECALL_K}
+),
+hits AS (
+  SELECT a.qid, COUNT(*) AS n_hits
+  FROM approx a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+  GROUP BY a.qid
+)
+SELECT q.qid AS query_id,
+       CAST({_RECALL_K} AS BIGINT) AS k,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / {float(_RECALL_K)!r}, 6)
+         AS recall
+FROM q LEFT JOIN hits ON hits.qid = q.qid
+"""
+
+
+@register("ann_recall_report", _ANN_RECALL_SQL)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF(nprobe=2) probe against exact brute force
+    for the 5 fixture queries — the tuning measurement an index ships
+    on, computed exactly."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.expr(_IVF_CENTROID_PRED))
+    return sim_ops.ann_recall_report(
+        emb, cents, emb.filter(F.col("vec_id") < 5), k=_RECALL_K, nprobe=_IVF_NPROBE
+    )
+
+
+# ---------------------------------------------------------------------------
+# ER golden records (operators/linkage.py:golden_records): the second
+# half of entity resolution — match pairs → star-contraction entity
+# clusters → deterministic survivorship (longest name, then min id).
+# Oracle: recursive-CTE closure over the same blocked-Levenshtein
+# pairs + a window replaying the survivorship rule.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_SQL = f"""
+WITH RECURSIVE cand AS ({_FUZZY_SQL.strip()}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM cand
+  UNION SELECT id2, id1 FROM cand
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+named AS (
+  SELECT c.component, c.node, n.p_name
+  FROM comp c
+  JOIN (SELECT MIN(p_partkey) AS pid, p_name FROM part GROUP BY p_name) n
+    ON n.pid = c.node
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+            ORDER BY length(p_name) DESC, node ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY component) AS n_members
+  FROM named
+)
+SELECT component AS cluster,
+       CAST(n_members AS BIGINT) AS n_members,
+       node AS golden_id,
+       p_name AS golden_name
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("er_golden_records", _GOLDEN_SQL)
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One golden record per fuzzy-matched part-name entity: clusters
+    from the blocked-Levenshtein pairs, survivor = longest name then
+    smallest key — the consolidated catalog a dedup merge writes."""
+    from vector_db_handler_spark.operators.linkage import (
+        blocked_levenshtein_pairs,
+        golden_records,
+    )
+
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("pid"))
+    )
+    pairs = blocked_levenshtein_pairs(names, "pid", "p_name", max_dist=3).select(
+        "id1", "id2"
+    )
+    return golden_records(names, pairs, "pid", "p_name")

@@ -75,3 +75,50 @@ def blocked_levenshtein_pairs(
         .filter(F.col("dist") >= 0)
         .select("id1", "id2", "name1", "name2", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def golden_records(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Entity consolidation — the second half of record linkage: the
+    match pairs become entity CLUSTERS (star-contraction components,
+    any diameter: chains of pairwise matches are exactly how name
+    variants link), and each cluster elects one GOLDEN record by a
+    deterministic survivorship rule (longest value, then smallest id
+    — the "most complete wins" default; richer rules drop into the
+    same window).  Returns one row per multi-member entity:
+    ``(cluster, n_members, golden_id, golden_name)``.
+
+    Scale shape: components run on the MATCH PAIRS (bounded by the
+    blocked comparison upstream, never corpus²); the survivorship
+    window partitions by cluster — group size = entity size, bounded
+    by the match graph, not the relation."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.operators.graph import connected_components_star
+
+    comp = connected_components_star(pairs, src=src, dst=dst)
+    members = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(text_col).alias("_name")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.length("_name").desc(), F.col("node").asc()
+    )
+    ranked = members.withColumn("_rn", F.row_number().over(w))
+    sizes = members.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .join(sizes, "component")
+        .select(
+            F.col("component").alias("cluster"),
+            "n_members",
+            F.col("node").alias("golden_id"),
+            F.col("_name").alias("golden_name"),
+        )
+    )

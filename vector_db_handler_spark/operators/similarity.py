@@ -674,3 +674,68 @@ def mine_hard_triplets(
             ),
         )
     )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-quality evaluation harness: recall@k of the IVF probe
+    against exact brute-force, per query — the measurement that
+    decides nprobe/K tuning before an index ships (the faiss bench
+    loop, as a first-class relational operator).  Both rankers are
+    deterministic here, so the recall numbers are exact and
+    hash-checkable, not Monte-Carlo estimates.
+
+    Shape: the index is built ONCE and pinned; the exact ranking is
+    the no-corpus-shuffle batch KNN; each query's probe touches only
+    its ``nprobe`` cells.  The report is |queries| rows — evaluation
+    cost scales with the query batch, the corpus is scanned once per
+    ranker.  Output: ``(query_id, k, n_hits, recall)`` where
+    ``n_hits = |exact@k ∩ approx@k|`` excluding self-matches on both
+    sides."""
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    indexed = build_ivf_index(corpus, centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    exact = cosine_topk_join(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col, exclude_self=True
+    ).select("query_id", "neighbor_id")
+
+    approx_parts = []
+    for r in q_rows:
+        qid, qv = r[0], list(r[1])
+        per = (
+            ivf_probe(indexed, centroids, qv, k + 1, nprobe, id_col, vec_col)
+            .filter(F.col(id_col) != F.lit(qid))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(
+                F.lit(qid).alias("query_id"), F.col(id_col).alias("neighbor_id")
+            )
+        )
+        approx_parts.append(per)
+    approx = approx_parts[0]
+    for p in approx_parts[1:]:
+        approx = approx.unionByName(p)
+
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    base = queries.select(F.col(id_col).alias("query_id"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(int(k)).cast("long").alias("k"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hits").cast("double") / F.lit(float(k)), 6)
+        )
+    )
