@@ -290,3 +290,52 @@ def test_kcore_round_guard_raises(spark):
     with _pt.raises(RuntimeError):
         # a 12-chain needs 6 peel rounds at k=2; cap at 2 must fail loudly
         kcore_nodes(_edges(spark, chain), 2, "src", "dst", max_rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.graph import bfs_hops
+
+
+def _seeds(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def test_bfs_chain_distances_and_horizon(spark):
+    """Chain 0-1-2-3-4-5, seed {0}: hops = index, truncated at the
+    horizon; a disconnected node never appears."""
+    chain = [(i, i + 1) for i in range(5)] + [(100, 101)]
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(
+            _edges(spark, chain), _seeds(spark, [0]), max_hops=3,
+            src="src", dst="dst",
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_multi_seed_takes_minimum(spark):
+    """Seeds at both chain ends: distance is min over seeds; early
+    convergence when the frontier empties."""
+    chain = [(i, i + 1) for i in range(6)]
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(
+            _edges(spark, chain), _seeds(spark, [0, 6]), max_hops=10,
+            src="src", dst="dst",
+        ).collect()
+    }
+    assert got == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}
+
+
+def test_bfs_zero_horizon_and_guard(spark):
+    import pytest as _pt
+
+    e = _edges(spark, [(0, 1)])
+    got = bfs_hops(e, _seeds(spark, [0]), max_hops=0, src="src", dst="dst").collect()
+    assert [(r.node, r.hops) for r in got] == [(0, 0)]
+    with _pt.raises(ValueError):
+        bfs_hops(e, _seeds(spark, [0]), max_hops=-1, src="src", dst="dst")

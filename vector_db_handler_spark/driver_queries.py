@@ -213,6 +213,7 @@ _DRIVER_FRONT: list[str] = [
     "stream_stream_left_outer",
     "ann_recall_report",
     "er_golden_records",
+    "bfs_brand_seed_hops",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9506,3 +9507,69 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1", "id2"
     )
     return golden_records(names, pairs, "pid", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# Bounded-horizon BFS (operators/graph.py:bfs_hops): seed-expansion —
+# hop distance from the Brand#1 parts over the co-order graph, horizon
+# 3.  The bounded horizon IS the scale contract (rounds = the cost
+# dial; unbounded reachability is the components question).  Oracle:
+# unrolled per-level MIN CTEs.
+# ---------------------------------------------------------------------------
+
+_BFS_SQL = """
+WITH e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+d0 AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#1'),
+d1 AS MATERIALIZED (
+  SELECT DISTINCT sym.v AS node FROM sym JOIN d0 ON sym.u = d0.node
+  WHERE sym.v NOT IN (SELECT node FROM d0)
+),
+d2 AS MATERIALIZED (
+  SELECT DISTINCT sym.v AS node FROM sym JOIN d1 ON sym.u = d1.node
+  WHERE sym.v NOT IN (SELECT node FROM d0)
+    AND sym.v NOT IN (SELECT node FROM d1)
+),
+d3 AS MATERIALIZED (
+  SELECT DISTINCT sym.v AS node FROM sym JOIN d2 ON sym.u = d2.node
+  WHERE sym.v NOT IN (SELECT node FROM d0)
+    AND sym.v NOT IN (SELECT node FROM d1)
+    AND sym.v NOT IN (SELECT node FROM d2)
+)
+SELECT node, CAST(0 AS BIGINT) AS hops FROM d0
+UNION ALL SELECT node, 1 FROM d1
+UNION ALL SELECT node, 2 FROM d2
+UNION ALL SELECT node, 3 FROM d3
+"""
+
+
+@register("bfs_brand_seed_hops", _BFS_SQL)
+def bfs_brand_seed_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (≤3) of every part from the Brand#1 seed set over
+    the co-order graph — the trust/contamination blast-radius query,
+    level-synchronous and exact."""
+    from vector_db_handler_spark.operators.graph import bfs_hops
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    seeds = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_hops(edges, seeds, max_hops=3)

@@ -329,3 +329,61 @@ def kcore_nodes(
     return sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "u",
+    dst: str = "v",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Bounded-horizon BFS: exact minimum hop distance from a SEED SET
+    over an undirected graph, up to ``max_hops`` — the seed-expansion
+    primitive of curation (trust propagation from vetted sources,
+    contamination blast-radius from flagged docs, neighborhood
+    retrieval around labeled examples).  Unreached-within-horizon
+    nodes are simply absent (callers needing a sentinel left-join).
+
+    Level-synchronous frontier expansion: round ``h`` joins the
+    current frontier to the edge list and anti-joins already-labeled
+    nodes — each round is one join + one distinct + one anti-join on
+    integer node keys, frontier-sized (never corpus-sized), with
+    lineage pinned per round.  Exactly ``max_hops`` rounds by
+    construction: the bounded horizon is the SCALE CONTRACT (rounds
+    are the cost dial, and 2-4 hops is what trust/contamination
+    semantics mean — an unbounded BFS is a components question and
+    belongs to star contraction).  Returns ``(node, hops)``."""
+    if max_hops < 0:
+        raise ValueError(f"need max_hops >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labeled = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = labeled.select("node")
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(labeled.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nbrs.limit(1).count() == 0:
+            break
+        labeled = labeled.unionByName(
+            nbrs.withColumn("hops", F.lit(h).cast("long"))
+        ).localCheckpoint(eager=True)
+        frontier = nbrs
+    return labeled
