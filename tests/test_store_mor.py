@@ -200,3 +200,60 @@ def test_streaming_ingest_exactly_once_into_versioned_store(spark, tmp_path):
     run(str(tmp_path / "cp2"))
     assert store.read_tenant("t1").count() == 15
     assert len(store.versions()) == 2
+
+
+# ---------------------------------------------------------------------------
+# optimistic concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_commit_expected_version_conflict(spark, tmp_path):
+    """Two writers hold the same base version; the one committing on a
+    stale base fails with ConcurrentCommitError, and succeeds after
+    re-reading the head."""
+    from vector_db_handler_spark.store_mor import (
+        ConcurrentCommitError,
+        VersionedMorPointsStore,
+    )
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "occ"), vector_size=DIM)
+    _seed(store)
+    base = store.versions()[-1]
+
+    v_a = store.commit(expected_version=base)  # writer A lands
+    assert v_a == base + 1
+
+    with pytest.raises(ConcurrentCommitError):
+        store.commit(expected_version=base)    # writer B's stale base
+
+    assert store.commit(expected_version=v_a) == v_a + 1  # B retries
+
+
+def test_commit_occupied_version_slot_raises(spark, tmp_path):
+    """A writer that loses the version-file race raises instead of
+    silently clobbering history, and the table's committed history
+    stays readable."""
+    import json
+    import os
+
+    from vector_db_handler_spark.store_mor import (
+        ConcurrentCommitError,
+        VersionedMorPointsStore,
+    )
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "occ2"), vector_size=DIM)
+    _seed(store)
+    head = store.versions()[-1]
+    cdir = os.path.join(str(tmp_path / "occ2"), "_commits")
+    with open(os.path.join(cdir, f"v{head + 1:05d}.json"), "w") as fh:
+        json.dump({"version": head + 1, "data": {}, "deletes": {}}, fh)
+    # Simulate the race window: the writer listed versions BEFORE the
+    # racer's file landed, so it targets the now-occupied v{head+1}.
+    from unittest import mock
+
+    with mock.patch.object(
+        VersionedMorPointsStore, "versions", return_value=list(range(1, head + 1))
+    ):
+        with pytest.raises(ConcurrentCommitError):
+            store.commit()
+    assert head + 1 in store.versions()  # the planted commit owns the slot

@@ -51,6 +51,12 @@ from vector_db_handler_spark.store import POINTS_SCHEMA, PointsStore
 _DV_SCHEMA = "file_path string, row_index long"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this writer's read and its
+    commit attempt (optimistic-concurrency conflict) — re-read the
+    table state and retry the transaction."""
+
+
 def _row_hash():
     """Full-row fingerprint: mutation deltas are computed content-wise,
     so ANY pure transform (filter-deletes AND update_vector's
@@ -253,16 +259,34 @@ class VersionedMorPointsStore(MorPointsStore):
             out[st.getPath().getName()] = sorted(files)
         return out
 
-    def commit(self, extra: dict | None = None) -> int:
+    def commit(
+        self, extra: dict | None = None, expected_version: int | None = None
+    ) -> int:
         """Snapshot the current file sets as the next version.
         ``extra`` lands in the manifest verbatim — the transaction-
         metadata slot (e.g. ``{"ingest_batch": id}`` for idempotent
-        streaming sinks, Delta's txnAppId/txnVersion analog)."""
+        streaming sinks, Delta's txnAppId/txnVersion analog).
+
+        Optimistic concurrency (the Delta/Iceberg commit protocol):
+        pass ``expected_version`` = the version this writer READ its
+        base state from; if another writer committed meanwhile, the
+        commit fails with :class:`ConcurrentCommitError` and the
+        caller re-reads + retries.  Independent of that precondition,
+        the version file itself is the atomic arbiter: a rename onto
+        an existing ``vNNNNN.json`` does not replace it, so even two
+        racing writers that both passed the check cannot both own a
+        version — the loser detects the occupied slot and raises."""
         import json
 
         fs, jvm = self._fs()
         versions = self.versions()
-        v = (versions[-1] if versions else 0) + 1
+        latest = versions[-1] if versions else 0
+        if expected_version is not None and latest != int(expected_version):
+            raise ConcurrentCommitError(
+                f"commit based on v{expected_version} but table is at "
+                f"v{latest} — re-read and retry"
+            )
+        v = latest + 1
         manifest = {
             "version": v,
             "data": self._list_tenant_files(fs, jvm),
@@ -275,8 +299,15 @@ class VersionedMorPointsStore(MorPointsStore):
         out = fs.create(tmp, True)
         out.write(bytearray(json.dumps(manifest).encode()))
         out.close()
-        # O(1) rename = the atomic commit point (single writer).
-        fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(cp, f"v{v:05d}.json"))
+        # O(1) rename = the atomic commit point; a rename onto an
+        # existing destination FAILS (returns false) instead of
+        # replacing it, which is exactly the arbiter semantics.
+        dest = jvm.org.apache.hadoop.fs.Path(cp, f"v{v:05d}.json")
+        if fs.exists(dest) or not fs.rename(tmp, dest):
+            fs.delete(tmp, False)
+            raise ConcurrentCommitError(
+                f"lost the race for v{v} — another writer committed first"
+            )
         return v
 
     def versions(self) -> list[int]:
