@@ -146,3 +146,44 @@ def test_ivm_join_delta_broadcasts_delta_terms(spark):
     )
     assert plan.count("BroadcastHashJoin") == 3, plan[:1200]
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# scd2_asof_join
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.merge import scd2_asof_join
+
+
+def test_asof_join_picks_the_effective_version(spark):
+    """Two versions of key 1 (boundary 2000-06-01): facts before the
+    boundary get v1, at/after get v2 (valid_from inclusive, valid_to
+    exclusive); keys with no effective version drop; no fan-out."""
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [
+            (1, "v1", "2000-01-01", "2000-06-01"),
+            (1, "v2", "2000-06-01", None),
+            (2, "w1", "2000-01-01", None),
+        ],
+        "k long, tag string, valid_from string, valid_to string",
+    ).select(
+        "k", "tag",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, "2000-03-01"),   # v1
+            (11, 1, "2000-06-01"),   # boundary day -> v2 (vt exclusive)
+            (12, 1, "2001-01-01"),   # v2 (open)
+            (13, 2, "1999-12-31"),   # before any version -> dropped
+            (14, 9, "2000-03-01"),   # unknown key -> dropped
+        ],
+        "fid long, k long, d string",
+    ).select("fid", "k", F.col("d").cast("date").alias("d"))
+    out = scd2_asof_join(facts, hist, "k", "k", "d")
+    got = {r.fid: r.tag for r in out.collect()}
+    assert got == {10: "v1", 11: "v2", 12: "v2"}
+    assert out.count() == 3  # exactly one version per surviving fact

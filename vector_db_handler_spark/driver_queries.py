@@ -214,6 +214,7 @@ _DRIVER_FRONT: list[str] = [
     "ann_recall_report",
     "er_golden_records",
     "bfs_brand_seed_hops",
+    "scd2_asof_order_lookup",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9573,3 +9574,101 @@ def bfs_brand_seed_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("node"))
     )
     return bfs_hops(edges, seeds, max_hops=3)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of lookup (operators/merge.py:scd2_asof_join): the READ side
+# of the SCD2 story — every order joined to the customer version
+# effective AT ORDER TIME (history built by the same scd2_merge with
+# 1995/1998 effective dates so the fixture's orders straddle the
+# change).  Joining facts to the CURRENT version instead is the
+# classic feature-leakage bug this operator exists to prevent.  An
+# equi-join with interval residual: versions are disjoint, so no
+# fan-out, and the broadcast history never shuffles the fact side.
+# ---------------------------------------------------------------------------
+
+_SCD2_ASOF_SQL = """
+WITH dim AS (
+  SELECT c_custkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+         c_mktsegment AS segment,
+         DATE '1995-01-01' AS vf, CAST(NULL AS DATE) AS vt
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2))
+              + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS acctbal,
+         c_mktsegment AS segment
+  FROM customer WHERE c_custkey % 7 = 0
+),
+j AS (
+  SELECT d.c_custkey AS dk, d.acctbal AS da, d.segment AS ds, d.vf, d.vt,
+         u.c_custkey AS uk, u.acctbal AS ua, u.segment AS us,
+         (d.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+          AND (d.acctbal <> u.acctbal OR d.segment <> u.segment)) AS chg
+  FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
+),
+hist AS (
+  SELECT dk AS c_custkey, da AS acctbal, ds AS segment, vf, vt
+  FROM j WHERE dk IS NOT NULL AND NOT chg
+  UNION ALL
+  SELECT dk, da, ds, vf, DATE '1998-01-01' FROM j WHERE chg
+  UNION ALL
+  SELECT uk, ua, us, DATE '1998-01-01', NULL FROM j WHERE chg
+),
+looked AS (
+  SELECT h.vf, h.segment, o.o_totalprice
+  FROM orders o JOIN hist h
+    ON o.o_custkey = h.c_custkey
+   AND o.o_orderdate >= h.vf
+   AND (h.vt IS NULL OR o.o_orderdate < h.vt)
+)
+SELECT CAST(vf AS VARCHAR) AS version_from, segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM looked GROUP BY vf, segment
+"""
+
+
+@register("scd2_asof_order_lookup", _SCD2_ASOF_SQL)
+def scd2_asof_order_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders attributed to the customer version effective at order
+    time: per (version, segment) order counts and DECIMAL-exact
+    totals — point-in-time-correct dimension lookup, the
+    anti-feature-leakage join."""
+    from vector_db_handler_spark.operators.merge import scd2_asof_join, scd2_merge
+
+    cust = load(spark, sf_dir, "customer")
+    dec = "decimal(18,2)"
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast(dec).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("1995-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal").cast(dec) + F.lit(100).cast(dec)).cast(dec).alias(
+            "acctbal"
+        ),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    hist = scd2_merge(
+        dim, F.broadcast(updates), "c_custkey", ["acctbal", "segment"], "1998-01-01"
+    ).drop("is_current")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("o_day"), "o_totalprice"
+    )
+    looked = scd2_asof_join(orders, hist, "o_custkey", "c_custkey", "o_day")
+    return looked.groupBy(
+        F.col("valid_from").cast("string").alias("version_from"),
+        "segment",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )

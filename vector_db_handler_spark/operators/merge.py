@@ -203,3 +203,50 @@ def ivm_join_delta(
         .unionByName(a.join(F.broadcast(delta_b), keys))
         .unionByName(F.broadcast(delta_a).join(delta_b, keys))
     )
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    history: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """The READ side of slowly-changing dimensions: join each fact row
+    to the dimension version that was effective AT ITS EVENT TIME —
+    ``valid_from <= ts < valid_to`` (open intervals via NULL or the
+    9999-12-31 sentinel).  Point-in-time correctness is the entire
+    reason SCD2 history exists: joining facts to the CURRENT version
+    silently rewrites the past (the classic feature-leakage bug in
+    training-data builds).
+
+    Scale shape: this is an EQUI-join on the natural key with the
+    interval predicate as a residual filter — never a range join:
+    versions of one key are disjoint, so at most one version survives
+    per fact row (no fan-out), and the per-key version count (a few)
+    bounds the residual work.  History is usually dimension-sized —
+    broadcast it; facts never shuffle."""
+    h = history.select(
+        F.col(dim_key).alias("_hk"),
+        F.col(valid_from).alias("_vf"),
+        F.col(valid_to).alias("_vt"),
+        *[
+            c
+            for c in history.columns
+            if c not in (dim_key, valid_from, valid_to)
+        ],
+    )
+    ts = F.col(ts_col)
+    cond = (
+        (F.col(fact_key) == F.col("_hk"))
+        & (ts >= F.col("_vf"))
+        & (F.col("_vt").isNull() | (ts < F.col("_vt")))
+    )
+    return (
+        facts.join(F.broadcast(h), cond, "inner")
+        .drop("_hk")
+        .withColumnRenamed("_vf", valid_from)
+        .withColumnRenamed("_vt", valid_to)
+    )
