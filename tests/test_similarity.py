@@ -327,3 +327,32 @@ def test_ann_recall_bounded_and_monotone_in_nprobe(spark):
         emb, cents, emb.filter("vec_id < 3"), k=5, nprobe=5).collect()}
     for q in r1:
         assert 0 <= r1[q] <= r5[q] == 5
+
+
+# ---------------------------------------------------------------------------
+# mrl_recall_curve
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.similarity import mrl_recall_curve
+
+
+def test_mrl_curve_full_prefix_is_perfect_and_curve_bounded(spark):
+    """The full-dimension prefix IS the exact ranker (recall 1.0);
+    every shorter prefix lands in [0, 1]; denominators are Q·k."""
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.31 + d * 0.17) for d in range(16)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.prefix_dim: r
+        for r in mrl_recall_curve(
+            emb, emb.filter("vec_id < 4"), prefixes=(4, 8, 16), k=6
+        ).collect()
+    }
+    assert out[16].recall == 1.0 and out[16].n_hits == 4 * 6
+    for p in (4, 8):
+        assert 0.0 <= out[p].recall <= 1.0
+        assert out[p].n_queries == 4

@@ -215,6 +215,7 @@ _DRIVER_FRONT: list[str] = [
     "er_golden_records",
     "bfs_brand_seed_hops",
     "scd2_asof_order_lookup",
+    "mrl_recall_curve",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9672,3 +9673,62 @@ def scd2_asof_order_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MRL recall curve (operators/similarity.py:mrl_recall_curve): the
+# accuracy/dimension trade-off behind mrl_prefix_rerank's stage-1
+# choice, measured exactly — recall@10 of prefix-{8,16,32,64} cosine
+# vs full-dim exact for the 5 fixture queries.  Both rankers are the
+# deterministic batch KNN, so the curve is a measurement, not an
+# estimate.
+# ---------------------------------------------------------------------------
+
+
+def _mrl_curve_oracle(prefixes=(8, 16, 32, 64), k: int = 10) -> str:
+    def ranking(dim_expr: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, c.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_dot_product({dim_expr.format(s='c.ev')}, {dim_expr.format(s='q.qv')}) /
+             (sqrt(list_dot_product({dim_expr.format(s='c.ev')}, {dim_expr.format(s='c.ev')})) *
+              sqrt(list_dot_product({dim_expr.format(s='q.qv')}, {dim_expr.format(s='q.qv')}))) DESC,
+             c.vec_id ASC) AS rn
+    FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.qid
+  ) WHERE rn <= {k}
+)"""
+
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)",
+        "q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5)",
+        ranking("{s}", "exact"),
+    ]
+    selects = []
+    for p in prefixes:
+        ctes.append(ranking(f"{{s}}[1:{p}]", f"a{p}"))
+        selects.append(
+            f"""SELECT CAST({p} AS BIGINT) AS prefix_dim,
+       (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM q) AS n_queries,
+       CAST(COALESCE((SELECT COUNT(*) FROM a{p} x
+                      JOIN exact e ON e.qid = x.qid
+                                  AND e.vec_id = x.vec_id), 0) AS BIGINT)
+         AS n_hits,
+       ROUND(CAST(COALESCE((SELECT COUNT(*) FROM a{p} x
+                            JOIN exact e ON e.qid = x.qid
+                                        AND e.vec_id = x.vec_id), 0) AS DOUBLE)
+             / {float(5 * k)!r}, 6) AS recall"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("mrl_recall_curve", _mrl_curve_oracle())
+def mrl_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact recall@10 at embedding prefixes 8/16/32/64 vs the full 64
+    dims — the curve that justifies (or rejects) a Matryoshka stage-1
+    prefix on THIS corpus."""
+    from vector_db_handler_spark.operators.similarity import mrl_recall_curve
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mrl_recall_curve(emb, emb.filter(F.col("vec_id") < 5), k=10)

@@ -739,3 +739,60 @@ def ann_recall_report(
             "recall", F.round(F.col("n_hits").cast("double") / F.lit(float(k)), 6)
         )
     )
+
+
+def mrl_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefixes: Sequence[int] = (8, 16, 32, 64),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka quality curve: recall@k of PREFIX-dimension cosine
+    retrieval against full-dimension exact retrieval, per prefix
+    length — the measurement that picks the cheapest usable prefix
+    for `mrl_prefix_rerank`'s first stage (the MRL paper's accuracy/
+    dimension trade-off, computed exactly on this corpus).
+
+    Each prefix ranking is the same no-corpus-shuffle batch KNN over
+    sliced vectors; recall aggregates over the query batch.  Output:
+    ``(prefix_dim, n_queries, n_hits, recall)`` with
+    ``recall = n_hits / (|queries|·k)`` — one row per prefix, exact
+    integers behind the one reported division."""
+    exact = cosine_topk_join(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col, exclude_self=True
+    ).select("query_id", "neighbor_id")
+    n_q = queries.count()
+    parts = []
+    for p in prefixes:
+        sliced_corpus = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(p)).alias(vec_col)
+        )
+        sliced_queries = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(p)).alias(vec_col)
+        )
+        approx = cosine_topk_join(
+            sliced_corpus,
+            sliced_queries,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            exclude_self=True,
+        ).select("query_id", "neighbor_id")
+        hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        parts.append(hits.select(F.lit(int(p)).cast("long").alias("prefix_dim"), "n_hits"))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    denom = float(n_q * k)
+    return out.select(
+        "prefix_dim",
+        F.lit(int(n_q)).cast("long").alias("n_queries"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / denom, 6).alias(
+            "recall"
+        ),
+    )
