@@ -216,6 +216,7 @@ _DRIVER_FRONT: list[str] = [
     "bfs_brand_seed_hops",
     "scd2_asof_order_lookup",
     "mrl_recall_curve",
+    "split_leakage_pairs",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9732,3 +9733,62 @@ def mrl_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return mrl_recall_curve(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-duplicate pairs whose members landed in
+# DIFFERENT dataset splits — the eval-contamination check every LLM
+# data build runs before training (a test doc with a train-side
+# near-dup inflates eval scores).  Pure composition of two verified
+# rails: the MinHash-LSH near-dup pairs and the content-hash split
+# assignment; cost is the pair relation, the corpus adds one narrow
+# projection.  Zero rows = clean; each emitted row is an actionable
+# violation (quarantine one side or re-split by CLUSTER, the fix this
+# report motivates).
+# ---------------------------------------------------------------------------
+
+_LEAKAGE_SQL = f"""
+WITH cand AS (SELECT d1, d2 FROM ({_MINHASH_LSH_SQL})),
+assigned AS (
+  SELECT doc_id,
+         CASE WHEN h % 100 < 80 THEN 'train'
+              WHEN h % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+    FROM documents
+  )
+)
+SELECT c.d1, c.d2, a1.split AS split1, a2.split AS split2
+FROM cand c
+JOIN assigned a1 ON a1.doc_id = c.d1
+JOIN assigned a2 ON a2.doc_id = c.d2
+WHERE a1.split <> a2.split
+"""
+
+
+@register("split_leakage_pairs", _LEAKAGE_SQL)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs straddling split boundaries (train|val|test) —
+    the contamination audit run before every training build; emitted
+    rows are the violations a cluster-aware re-split removes."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD).select(
+        "d1", "d2"
+    )
+    h = text_fns.portable_hash60(F.col("text"))
+    split = (
+        F.when(h % 100 < 80, F.lit("train"))
+        .when(h % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = docs.select("doc_id", split.alias("split"))
+    a1 = assigned.select(F.col("doc_id").alias("d1"), F.col("split").alias("split1"))
+    a2 = assigned.select(F.col("doc_id").alias("d2"), F.col("split").alias("split2"))
+    return (
+        pairs.join(a1, "d1")
+        .join(a2, "d2")
+        .filter(F.col("split1") != F.col("split2"))
+        .select("d1", "d2", "split1", "split2")
+    )
