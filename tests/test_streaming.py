@@ -642,3 +642,45 @@ def test_left_outer_stream_join_emits_unmatched_after_watermark(spark, tmp_path)
     base = 1_700_000_000 * 1_000_000
     assert got[2] == (1, base)       # matched: real view id + its time
     assert got[3] == (-1, -1)        # unmatched: sentinel after watermark
+
+
+def test_streaming_funnel_chain_spans_micro_batches(spark, tmp_path):
+    """The chain state must carry ACROSS batches: view in batch 1,
+    click in batch 2, purchase in batch 3 completes; a purchase with
+    only a post-dated view never does."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    m = 60 * 1_000_000
+    base = 1_700_000_000 * 1_000_000
+    batches = [
+        [(1, base + 0 * m, 7, "view"), (50, base + 0 * m, 8, "purchase")],
+        [(2, base + 5 * m, 7, "click")],
+        [(3, base + 9 * m, 7, "purchase"), (51, base + 10 * m, 8, "view")],
+    ]
+    src = str(tmp_path / "sfun")
+    for rows in batches:
+        (
+            spark.createDataFrame(rows, ["event_id", "us", "user_id", "event_type"])
+            .select(
+                "event_id",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id",
+                "event_type",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_ops.streaming_sequence_funnel_gs(
+        stream, ["view", "click", "purchase"], span_us=30 * m
+    )
+    stream_ops.run_to_memory(out, "t_sfun", mode="append")
+    got = {r.event_id: (r.completed, r.chain_start) for r in spark.table("t_sfun").collect()}
+    assert got[3] == (True, 1_700_000_000 * 1_000_000)  # cross-batch chain
+    assert got[50] == (False, -1)  # purchase before any view

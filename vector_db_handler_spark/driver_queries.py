@@ -217,6 +217,7 @@ _DRIVER_FRONT: list[str] = [
     "scd2_asof_order_lookup",
     "mrl_recall_curve",
     "split_leakage_pairs",
+    "funnel_stream_counts",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9791,4 +9792,30 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(a2, "d2")
         .filter(F.col("split1") != F.col("split2"))
         .select("d1", "d2", "split1", "split2")
+    )
+
+
+@register("funnel_stream_counts", _FUNNEL3_SQL)
+def funnel_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of funnel_view_click_purchase: the same per-user
+    3-step funnel census computed by the custom stateful operator
+    (chain-start carries live in state, one BIGINT per intermediate
+    step per user) — hash-checked against the SAME batch-window
+    oracle, so stream ≡ batch is proven, not assumed."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    runs = stream_ops.streaming_sequence_funnel_gs(
+        ev, ["view", "click", "purchase"], span_us=_FUNNEL_SPAN_US
+    )
+    stream_ops.run_to_memory(runs, "dq_funnel_stream", mode="append")
+    return (
+        spark.table("dq_funnel_stream")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.coalesce(F.sum(F.col("completed").cast("long")), F.lit(0)).alias(
+                "n_completed"
+            ),
+        )
     )

@@ -1096,3 +1096,81 @@ def stream_stream_attribution_left(
         F.unix_micros(F.col("p_ts")).alias("p_us"),
         F.coalesce(F.unix_micros(F.col("v_ts")), F.lit(-1)).alias("v_us"),
     )
+
+
+def streaming_sequence_funnel_gs(
+    events_stream: DataFrame,
+    steps: list[str],
+    span_us: int,
+) -> DataFrame:
+    """Streaming twin of ``windows.sequence_funnel`` — MATCH_RECOGNIZE
+    as a CUSTOM STATEFUL operator: per user, the chain-start carries
+    ``c_i`` (the step-0 timestamp of the latest viable chain reaching
+    step i) live in ``applyInPandasWithState`` state — one BIGINT per
+    intermediate step per user, constant bytes — and every final-step
+    event emits its completion verdict incrementally, batch after
+    batch.  Same pinned semantics as the batch cascade (latest viable
+    predecessor; span measured chain-start → final step), so the
+    single-batch replay is hash-identical to the batch operator and
+    the cross-batch behavior is the only new surface (pytest-pinned).
+
+    Ordering contract: rows are processed in (event-time, event_id)
+    order WITHIN each micro-batch; an out-of-order row arriving in a
+    LATER batch folds into state at its arrival batch (the same
+    arrival-order caveat as the running-total/anomaly operators —
+    exact under ordered replays, watermark-bounded drift live)."""
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    n_carry = len(steps) - 1
+    unset = -(1 << 62)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("chain_start", T.LongType()),
+            T.StructField("completed", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("carry", T.ArrayType(T.LongType()))])
+
+    def funnel(key, pdfs, state):
+        import pandas as _pd
+
+        pdf = _pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        carry = list(state.get[0]) if state.exists else [unset] * n_carry
+        out = []
+        us_col = pdf["ts"].astype("int64") // 1_000
+        for eid, us, et in zip(pdf["event_id"], us_col, pdf["event_type"]):
+            us = int(us)
+            if et == steps[0]:
+                carry[0] = max(carry[0], us)
+            elif et == steps[-1]:
+                start = carry[n_carry - 1]
+                done = start != unset and start >= us - int(span_us)
+                out.append(
+                    (int(eid), int(key[0]), us, start if start != unset else -1, done)
+                )
+            else:
+                for i in range(1, n_carry):
+                    if et == steps[i] and carry[i - 1] != unset:
+                        carry[i] = max(carry[i], carry[i - 1])
+        state.update((carry,))
+        if out:
+            yield _pd.DataFrame(
+                out,
+                columns=["event_id", "user_id", "ts_us", "chain_start", "completed"],
+            )
+
+    stream = events_stream.select("event_id", "ts", "user_id", "event_type")
+    return stream.groupBy("user_id").applyInPandasWithState(
+        funnel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
