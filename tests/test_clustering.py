@@ -202,3 +202,39 @@ def test_dbscan_matches_brute_force_reference(spark):
             adj = [lbl[v] for v in nbr[n] if v in core]
             want[n] = ("border", min(adj)) if adj else ("noise", -1)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_rounds
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.clustering import label_propagation_rounds
+
+
+def test_label_propagation_majority_ties_and_rounds(spark):
+    """Node 10 has two 'a'-labeled and one 'b'-labeled neighbors →
+    adopts a.  Node 20's neighbors tie 1-1 → min label wins.  Node 30
+    is two hops from any seed → labeled only in round 2, via 10's
+    round-1 label.  Node 99 is isolated → absent."""
+    pairs = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (10, 30)],
+        "id1 long, id2 long",
+    )
+    seeds = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9), (4, 9), (5, 7)], "node long, label long"
+    )
+    got = {
+        r.node: (r.label, r.origin)
+        for r in label_propagation_rounds(pairs, seeds, rounds=2).collect()
+    }
+    assert got[10] == (7, "propagated")   # majority 7 (2 vs 1)
+    assert got[20] == (7, "propagated")   # tie 7 vs 9 -> min label 7
+    assert got[30] == (7, "propagated")   # second round, via node 10
+    assert got[1] == (7, "seed")
+    assert 99 not in got
+
+    one_round = {
+        r.node
+        for r in label_propagation_rounds(pairs, seeds, rounds=1).collect()
+    }
+    assert 30 not in one_round  # needs the second hop

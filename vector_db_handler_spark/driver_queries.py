@@ -218,6 +218,7 @@ _DRIVER_FRONT: list[str] = [
     "mrl_recall_curve",
     "split_leakage_pairs",
     "funnel_stream_counts",
+    "label_propagation_embeddings",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9819,3 +9820,81 @@ def funnel_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (operators/clustering.py:label_propagation_rounds):
+# semi-supervised densification — seed labels (embeddings with
+# vec_id % 3 != 0 keep their label; the rest are masked) spread to
+# unlabeled ε-neighbors by exact-integer majority vote, ties to the
+# min label, 2 synchronous rounds.  Deterministic where classic async
+# propagation is visit-order-dependent.  Oracle: 2 unrolled rounds.
+# ---------------------------------------------------------------------------
+
+_LABEL_PROP_SQL = f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id1, bb.vec_id AS id2
+  FROM b a JOIN b bb ON a.vec_id < bb.vec_id
+  WHERE list_dot_product(a.v, bb.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+        >= {_DBSCAN_EPS}
+),
+e AS (SELECT id1 AS u, id2 AS v FROM p UNION SELECT id2, id1 FROM p),
+l0 AS (
+  SELECT vec_id AS node, CAST(label AS BIGINT) AS label
+  FROM embeddings WHERE vec_id % 3 <> 0
+),
+v1 AS (
+  SELECT e.v AS node, l0.label, COUNT(*) AS n
+  FROM e JOIN l0 ON e.u = l0.node
+  WHERE e.v NOT IN (SELECT node FROM l0)
+  GROUP BY e.v, l0.label
+),
+a1 AS (
+  SELECT node, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY node
+              ORDER BY n DESC, label ASC) AS rn FROM v1
+  ) WHERE rn = 1
+),
+l1 AS (
+  SELECT node, label FROM l0
+  UNION ALL SELECT node, label FROM a1
+),
+v2 AS (
+  SELECT e.v AS node, l1.label, COUNT(*) AS n
+  FROM e JOIN l1 ON e.u = l1.node
+  WHERE e.v NOT IN (SELECT node FROM l1)
+  GROUP BY e.v, l1.label
+),
+a2 AS (
+  SELECT node, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY node
+              ORDER BY n DESC, label ASC) AS rn FROM v2
+  ) WHERE rn = 1
+)
+SELECT node, label, 'seed' AS origin FROM l0
+UNION ALL SELECT node, label, 'propagated' FROM a1
+UNION ALL SELECT node, label, 'propagated' FROM a2
+"""
+
+
+@register("label_propagation_embeddings", _LABEL_PROP_SQL)
+def label_propagation_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of deterministic majority-vote label spreading over
+    the cosine ε-graph: a third of the labels are masked and
+    recovered from neighbors — the weak-labeling densification pass,
+    exact and partition-order-proof."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+    from vector_db_handler_spark.operators.clustering import (
+        label_propagation_rounds,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = sim_ops.cosine_neardup_pairs(emb, threshold=_DBSCAN_EPS).select(
+        "id1", "id2"
+    )
+    seeds = emb.filter(F.col("vec_id") % 3 != 0).select(
+        F.col("vec_id").alias("node"), F.col("label").cast("long").alias("label")
+    )
+    return label_propagation_rounds(pairs, seeds, rounds=2)

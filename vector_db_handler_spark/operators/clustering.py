@@ -30,7 +30,7 @@ cluster because each seed is a member of its own cluster at distance
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_db_handler_spark.operators.quantize import quantize_int8
@@ -322,3 +322,57 @@ def dbscan_labels(
         "node", F.lit("noise").alias("role"), F.lit(-1).cast("long").alias("cluster")
     )
     return labeled.unionByName(noise_rows)
+
+
+def label_propagation_rounds(
+    pairs: DataFrame,
+    labels: DataFrame,
+    rounds: int = 2,
+    node_col: str = "node",
+    label_col: str = "label",
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Semi-supervised label propagation over a similarity graph:
+    unlabeled nodes adopt the MAJORITY label of their already-labeled
+    neighbors, ties broken by the minimum label, for a fixed number
+    of synchronous rounds — the cheap label-densification pass that
+    turns a small curated seed set into corpus-scale weak labels
+    (each round reaches one more hop of the ε-graph; a fixed round
+    budget is the semantics, not an approximation of convergence).
+
+    Determinism: the vote is an exact integer count and the
+    (−count, label) argmin is a total order, so any partitioning
+    yields identical labels — unlike classic async label propagation,
+    whose result depends on visit order.  Per round: one join of
+    edges→labels (labeled side only), one map-side-combined vote
+    count, one argmin window per node, lineage pinned.  Returns
+    ``(node, label, origin)`` with origin 'seed' or 'propagated'."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    )
+    cur = seeds.withColumn("origin", F.lit("seed")).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        votes = (
+            sym.join(cur.withColumnRenamed("node", "u").select("u", "label"), "u")
+            .select(F.col("v").alias("node"), "label")
+            .join(cur.select("node"), "node", "left_anti")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("n").desc(), F.col("label").asc()
+        )
+        adopted = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label", F.lit("propagated").alias("origin"))
+        )
+        cur = cur.unionByName(adopted).localCheckpoint(eager=True)
+    return cur
