@@ -257,3 +257,55 @@ def test_commit_occupied_version_slot_raises(spark, tmp_path):
         with pytest.raises(ConcurrentCommitError):
             store.commit()
     assert head + 1 in store.versions()  # the planted commit owns the slot
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish
+# ---------------------------------------------------------------------------
+
+
+def _wap_points(spark, titles, start_doc=50):
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(titles)]
+    return spark.createDataFrame(rows, "i long, title string").select(
+        F.expr("uuid()").alias("point_id"),
+        F.lit("t1").alias("user_id"),
+        (F.col("i") + start_doc).alias("doc_id"),
+        F.lit(0).cast("long").alias("chunk_id"),
+        F.col("title"),
+        F.create_map().cast("map<string,string>").alias("payload"),
+        F.array(*[F.lit(1.0).cast("float")] * DIM).alias("embedding"),
+        F.lit(float(DIM) ** 0.5).alias("embedding_norm"),
+    )
+
+
+def test_write_audit_publish_gates_bad_batches(spark, tmp_path):
+    """A staged batch that breaks a constraint is rolled back — no new
+    version, no staged rows remain; a clean batch publishes."""
+    from vector_db_handler_spark.operators import dq
+    from vector_db_handler_spark.store_mor import (
+        AuditFailedError,
+        VersionedMorPointsStore,
+        write_audit_publish,
+    )
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "wap"), vector_size=DIM)
+    _seed(store)
+    head = store.versions()[-1]
+    n_before = store.read_tenant("t1").count()
+
+    with pytest.raises(AuditFailedError) as ei:
+        write_audit_publish(
+            store, _wap_points(spark, ["ok", None]), [dq.completeness("title")]
+        )
+    assert "completeness" in str(ei.value)
+    assert store.versions()[-1] == head              # nothing published
+    assert store.read_tenant("t1").count() == n_before  # rolled back
+
+    v = write_audit_publish(
+        store, _wap_points(spark, ["good"], start_doc=90),
+        [dq.completeness("title")],
+    )
+    assert v == head + 1
+    assert store.read_tenant("t1").count() == n_before + 1

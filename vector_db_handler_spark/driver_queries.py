@@ -219,6 +219,7 @@ _DRIVER_FRONT: list[str] = [
     "split_leakage_pairs",
     "funnel_stream_counts",
     "label_propagation_embeddings",
+    "sq8_distortion_by_label",
     # operator-code change in this session (same-round re-evidence):
     # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
     # already fronted in block (c)-equivalent position above.
@@ -9898,3 +9899,81 @@ def label_propagation_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("node"), F.col("label").cast("long").alias("label")
     )
     return label_propagation_rounds(pairs, seeds, rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 distortion report: quantization QA for the int8 tier — per-label
+# mean absolute reconstruction error |x − q·s/127|, the measurement
+# that decides whether SQ8 is safe for a corpus before the index
+# builds on it.  Per-element errors are IEEE-identical in both
+# engines; each is cast to DECIMAL(18,9) nano-units (one defined
+# rounding) and summed as exact BIGINTs — partition-order-proof.
+# ---------------------------------------------------------------------------
+
+_SQ8_ERR = (
+    "abs(x - CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(127.0 * x / s + 0.5)))"
+    " AS BIGINT) * s / 127.0)"
+)
+
+_SQ8_DISTORTION_SQL = f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+elems AS (
+  SELECT e.label,
+         CAST(CAST({_SQ8_ERR} AS DECIMAL(18,9)) * 1000000000 AS BIGINT)
+           AS err_nano
+  FROM (
+    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings
+  ) e, scale
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_elems,
+       CAST(SUM(err_nano) AS BIGINT) AS sum_err_nano,
+       ROUND(CAST(SUM(err_nano) AS DOUBLE) / (COUNT(*) * 1000000000.0), 6)
+         AS avg_err
+FROM elems GROUP BY label
+"""
+
+
+@register("sq8_distortion_by_label", _SQ8_DISTORTION_SQL)
+def sq8_distortion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean absolute int8 reconstruction error per label — the
+    quantization-safety gate before any SQ8 index build, in exact
+    nano-unit integers."""
+    from vector_db_handler_spark.operators.quantize import max_abs_scale
+
+    emb = load(spark, sf_dir, "embeddings")
+    scale = max_abs_scale(emb)
+    q_expr = (
+        "CAST(GREATEST(-127.0D, LEAST(127.0D, FLOOR(127.0D * x / s + 0.5D)))"
+        " AS BIGINT)"
+    )
+    elems = (
+        emb.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "_p", "x"
+            ),
+        )
+        .crossJoin(F.broadcast(scale))
+        .withColumn("_err", F.expr(f"abs(x - {q_expr} * s / 127.0D)"))
+        .select(
+            "label",
+            (F.col("_err").cast("decimal(18,9)") * F.lit(1_000_000_000))
+            .cast("long")
+            .alias("err_nano"),
+        )
+    )
+    return elems.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_elems"),
+        F.sum("err_nano").alias("sum_err_nano"),
+        F.round(
+            F.sum("err_nano").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1_000_000_000.0)),
+            6,
+        ).alias("avg_err"),
+    )

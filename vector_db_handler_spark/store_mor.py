@@ -454,3 +454,56 @@ def streaming_ingest_exactly_once(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"ingest did not drain within {timeout_sec}s")
+
+
+class AuditFailedError(RuntimeError):
+    """The write-audit-publish gate rejected a staged batch; nothing
+    was committed and the staged files were rolled back."""
+
+    def __init__(self, failures):
+        self.failures = failures
+        desc = "; ".join(
+            f"{f.check}({f.col}): {f.metric_num}/{f.metric_den}" for f in failures
+        )
+        super().__init__(f"audit failed, batch rolled back: {desc}")
+
+
+def write_audit_publish(
+    store: "VersionedMorPointsStore", points_df, checks
+) -> int:
+    """The Write-Audit-Publish pattern (Iceberg's WAP / Delta's staged
+    commits) on the versioned MOR store: STAGE the batch as ordinary
+    data files, AUDIT the would-be table state with the one-scan DQ
+    constraint suite, and only then PUBLISH a commit — snapshot
+    readers (``read_version``) can never observe a batch that failed
+    its constraints, because the commit is the only thing that makes
+    data visible to them.  On failure the staged files are deleted
+    (physical rollback) and :class:`AuditFailedError` carries the
+    per-constraint report.
+
+    Returns the published version.  Scale: the audit is one scan of
+    the staged table state (the DQ suite's contract); rollback is a
+    metadata-sized file delete."""
+    from vector_db_handler_spark.operators.dq import dq_check
+
+    fs, jvm = store._fs()
+    before = {
+        tenant: set(files)
+        for tenant, files in store._list_tenant_files(fs, jvm).items()
+    }
+    MorPointsStore.append(store, points_df)  # stage WITHOUT commit
+    report = dq_check(store.read(), checks).collect()
+    failures = [r for r in report if not r.passed]
+    if failures:
+        after = store._list_tenant_files(fs, jvm)
+        for tenant, files in after.items():
+            for f in files:
+                if f not in before.get(tenant, set()):
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{store.root}/{tenant}/{f}"
+                        ),
+                        False,
+                    )
+        raise AuditFailedError(failures)
+    return store.commit()
