@@ -117,79 +117,27 @@ def register(name: str, oracle: str | None = None):
 #: media_modality_stats, media_phash, media_resize_fingerprint,
 #: tpch_q3/q5/q6) pass today's local oracle replay and are FIRST IN
 #: LINE for the r7 window.
-#: Round 7: (a) the 3 rows that were driver-red in r6 on the oracle
-#: HUGEINT typing bug, re-checked with their casts fixed; (b) the 12
-#: queries whose newest driver evidence was r3 (the stalest in the
-#: registry — named first-in-line by the r6 verdict); (c) the 5 queries
-#: whose OPERATOR CODE changed this round (scd2_merge restructured to
-#: broadcast legs; global_rank offsets now a broadcast join feeding the
-#: decile/RFM queries; the two custom stateful streams gained the
-#: null-value drop) — changed code re-evidences in its own round, same
-#: spirit as the new-registration rule; (d) 30 of the 45 r4-vintage
-#: queries (the remaining 15, mostly the TPC-H tail, rotate in r8).
-#: New r7 registrations are appended in their registration commits per
-#: the §8.0 process rule, displacing entries from the (d) block tail.
+#: Round 7 (FINAL window — the driver hash-checks only the FIRST 50
+#: entries, so membership below the 50th row means "not checked this
+#: round").  The continuation session took the registry from 169 to
+#: 200 queries; priority for the window is everything that has NEVER
+#: been driver-checked, then the r6 red-row re-checks, then the
+#: stalest evidence:
+#:
+#:   (a) 31 continuation-session registrations (never checked);
+#:   (b) 11 early-r7 registrations (never checked);
+#:   (c) the 3 rows driver-red in r6 on the oracle HUGEINT bug,
+#:       re-checked with their casts fixed;
+#:   (d) 5 stalest r3-vintage refreshes (cosine_neardup_pairs,
+#:       cosine_topk_join, ivf_topk, text_quality,
+#:       sketch_accuracy_by_lang) — exactly filling slot 50.
+#:
+#: The r6-planned (c)/(d) refresh blocks (operator-code re-evidence +
+#: r4-vintage rotation) are displaced below the window by the 42
+#: never-checked registrations — they all pass today's local oracle
+#: replay and rotate into the r8 window first.
 _DRIVER_FRONT: list[str] = [
-    # (a) r6 driver-red, oracle cast fixed this round
-    "tpch_q12",
-    "decayed_type_scores",
-    "pack_sequences",
-    # (b) r3-vintage evidence refresh
-    "cosine_neardup_pairs",
-    "cosine_topk_join",
-    "ivf_topk",
-    "text_quality",
-    "sketch_accuracy_by_lang",
-    "streaming_dedup_first",
-    "media_modality_stats",
-    "media_phash",
-    "media_resize_fingerprint",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    # (c) operator code changed in r7
-    "scd2_customer_merge",
-    "value_decile_bins",
-    "rfm_user_segments",
-    "user_anomaly_stream",
-    "running_user_value_stream",
-    # (d) stalest r4-vintage refresh (30 of 45)
-    "upsert_scroll_roundtrip",
-    "scroll_page2",
-    "decontamination_pairs",
-    "bloom_incremental_novel",
-    "salted_join_agg",
-    "bucketed_join_agg",
-    "neardup_components",
-    "neardup_canonical_docs",
-    "deduped_corpus",
-    "media_neardup_pairs",
-    "simhash_neardup_pairs",
-    "minhash_jaccard_estimate",
-    "anti_join_novel_docs",
-    "cosine_neardup_ann",
-    "pipeline_ingest_search_checked",
-    "quantized_knn_topk",
-    "ivfsq_probe_topk",
-    "ivfsq_batch_probe",
-    "sample_stratified_docs",
-    # r7 registrations (same-commit rule); tpch_q14,
-    # top_customers_per_nation, media_real_decode_stats,
-    # grouped_embedding_norms, label_centroids, cube_source_lang,
-    # doc_repetition, vocab_topk_tokens, source_quality_report and
-    # sample_per_lang_topk displaced to r8
-    "mor_delete_doc_scroll",
-    "chain_components_star",
-    "pii_redaction_stats",
-    "epoch_resample_counts",
-    "profile_events_table",
-    "bpe_train_merges",
-    "bpe_token_counts_by_source",
-    "streaming_knn_serve_topk",
-    "xml_roundtrip_stats",
-    "lm_quality_by_lang",
-    "maxsim_topk",
-    # r7 continuation session registrations (same-commit rule)
+    # (a) continuation-session registrations
     "triangle_brand_stats",
     "doc_chunks",
     "dq_events_report",
@@ -220,9 +168,42 @@ _DRIVER_FRONT: list[str] = [
     "funnel_stream_counts",
     "label_propagation_embeddings",
     "sq8_distortion_by_label",
-    # operator-code change in this session (same-round re-evidence):
-    # mad_value_outliers' plan refactor (4 scans -> 1 pinned pass) is
-    # already fronted in block (c)-equivalent position above.
+    "embedding_dim_robust_stats",
+    # (b) early-r7 registrations
+    "mor_delete_doc_scroll",
+    "chain_components_star",
+    "pii_redaction_stats",
+    "epoch_resample_counts",
+    "profile_events_table",
+    "bpe_train_merges",
+    "bpe_token_counts_by_source",
+    "streaming_knn_serve_topk",
+    "xml_roundtrip_stats",
+    "lm_quality_by_lang",
+    "maxsim_topk",
+    # (c) r6 driver-red, oracle casts fixed in r7
+    "tpch_q12",
+    "decayed_type_scores",
+    "pack_sequences",
+    # (d) stalest r3-vintage refresh (fills the window to exactly 50)
+    "cosine_neardup_pairs",
+    "cosine_topk_join",
+    "ivf_topk",
+    "text_quality",
+    "sketch_accuracy_by_lang",
+    # --- row 51+ (below the checked window; r8 rotates these in) ---
+    "streaming_dedup_first",
+    "media_modality_stats",
+    "media_phash",
+    "media_resize_fingerprint",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "scd2_customer_merge",
+    "value_decile_bins",
+    "rfm_user_segments",
+    "user_anomaly_stream",
+    "running_user_value_stream",
 ]
 
 
@@ -9976,4 +9957,73 @@ def sq8_distortion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(1_000_000_000.0)),
             6,
         ).alias("avg_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust per-dimension embedding stats: the median/quartile twin of
+# embedding_dim_stats (mean/std) — outlier-resistant normalization
+# parameters (RobustScaler shape).  Discrete order statistics at ranks
+# ceil(p·n) under the total order (value, vec_id): actual data values,
+# no interpolation arithmetic to diverge on; |dims| output rows at any
+# corpus size; one exchange on the dimension key serves the ranking
+# window and the final aggregate.
+# ---------------------------------------------------------------------------
+
+_DIM_ROBUST_SQL = """
+WITH e AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (
+    SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+),
+r AS (
+  SELECT pos, x,
+         row_number() OVER (PARTITION BY pos ORDER BY x, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY pos) AS n
+  FROM e
+)
+SELECT pos,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = (n + 3) // 4 THEN x END) AS q1,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS median,
+       MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN x END) AS q3,
+       MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN x END)
+         - MAX(CASE WHEN rn = (n + 3) // 4 THEN x END) AS iqr
+FROM r GROUP BY pos
+"""
+
+
+@register("embedding_dim_robust_stats", _DIM_ROBUST_SQL)
+def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension q1/median/q3/IQR over the embedding corpus — the
+    outlier-resistant scaling profile (RobustScaler parameters) next
+    to the mean/std profile; exact discrete order statistics."""
+    from pyspark.sql import Window
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+    )
+    w = Window.partitionBy("pos").orderBy(F.col("x").asc(), F.col("vec_id").asc())
+    wc = Window.partitionBy("pos")
+    r = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    pick = lambda expr: F.max(F.when(F.col("rn") == F.expr(expr), F.col("x")))  # noqa: E731
+    q1 = pick("(n + 3) div 4")
+    q3 = pick("(3 * n + 3) div 4")
+    return r.groupBy("pos").agg(
+        F.max("n").alias("n"),
+        q1.alias("q1"),
+        pick("(n + 1) div 2").alias("median"),
+        q3.alias("q3"),
+        (q3 - q1).alias("iqr"),
     )
