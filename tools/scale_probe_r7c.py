@@ -91,5 +91,35 @@ def main() -> None:
         print(f"points={n:>9,} -> {census}  {wall:6.1f}s")
 
 
+
+
+def probe_kcore_bfs() -> None:
+    spark = get_spark("scale-probe-r7d")
+    spark.sparkContext.setLogLevel("ERROR")
+    from vector_db_handler_spark.operators.graph import bfs_hops, kcore_nodes
+
+    print("== kcore_nodes (k=3) ==")
+    for factor in (1, 4, 16):
+        n = 50_000 * factor
+        edges = synth_edges(spark, n, avg_deg=4, hub=False)
+        t0 = time.time()
+        rows = kcore_nodes(edges, k=3).count()
+        print(f"nodes={n:>9,} -> {rows:>9,} core nodes  {time.time() - t0:6.1f}s")
+
+    print("== bfs_hops (3 hops, 1% seeds) ==")
+    for factor in (1, 4, 16):
+        n = 50_000 * factor
+        edges = synth_edges(spark, n, avg_deg=4, hub=False)
+        seeds = spark.range(0, n, 100).select(F.col("id").alias("node"))
+        t0 = time.time()
+        rows = bfs_hops(edges, seeds, max_hops=3).count()
+        print(f"nodes={n:>9,} -> {rows:>9,} reached    {time.time() - t0:6.1f}s")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "kcore":
+        probe_kcore_bfs()
+    else:
+        main()
