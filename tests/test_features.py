@@ -331,3 +331,39 @@ def test_frequent_triples_empty_when_support_unreachable(spark):
     )
     assert frequent_triples(df, "o", "p", min_support=2).count() == 0
     assert frequent_triples(df, "o", "p", min_support=1).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_mean_ci
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.features import bootstrap_mean_ci
+
+
+def test_bootstrap_ci_deterministic_and_sane(spark):
+    """Identical output under different partitionings; the interval
+    brackets the sample mean and is ordered; weight~Poisson(1) makes
+    replicate means hover near the sample mean."""
+    rows = [("g", float((i * 13) % 47), i) for i in range(800)]
+    d1 = spark.createDataFrame(rows, "g string, v double, i long").repartition(1)
+    d32 = spark.createDataFrame(rows, "g string, v double, i long").repartition(32)
+    r1 = bootstrap_mean_ci(d1, "g", "v", "i").collect()[0]
+    r32 = bootstrap_mean_ci(d32, "g", "v", "i").collect()[0]
+    assert tuple(r1) == tuple(r32)
+    assert r1.ci_lo <= r1.mean <= r1.ci_hi
+    assert r1.n == 800
+    # interval is non-degenerate but far narrower than the data range
+    assert 0 < (r1.ci_hi - r1.ci_lo) < 47
+
+
+def test_bootstrap_ci_narrows_with_sample_size(spark):
+    """4x the rows → roughly half the CI width (the 1/sqrt(n) law,
+    asserted loosely)."""
+    def width(n):
+        rows = [("g", float((i * 29) % 101), i) for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, v double, i long")
+        r = bootstrap_mean_ci(df, "g", "v", "i").collect()[0]
+        return r.ci_hi - r.ci_lo
+
+    w_small, w_big = width(250), width(4000)
+    assert w_big < w_small * 0.7

@@ -169,6 +169,7 @@ _DRIVER_FRONT: list[str] = [
     "label_propagation_embeddings",
     "sq8_distortion_by_label",
     "embedding_dim_robust_stats",
+    "bootstrap_value_ci",
     # (b) early-r7 registrations
     "mor_delete_doc_scroll",
     "chain_components_star",
@@ -10026,4 +10027,84 @@ def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("(n + 1) div 2").alias("median"),
         q3.alias("q3"),
         (q3 - q1).alias("iqr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (operators/features.py:
+# bootstrap_mean_ci): uncertainty for massive data without global
+# resampling coordination — each row gets a per-replicate Poisson(1)
+# weight from a pure hash function cut against fixed truncated-CDF
+# thresholds, so the resamples are engine-portable (no rand()).
+# Replicate means in exact micro-ints; CI bounds are discrete order
+# stats over the replicate means.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+_BOOT_W_SQL = " + ".join(
+    f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)"
+    for t in (
+        424136118829305344,
+        848272237658610688,
+        1060340297073263360,
+        1131029650211480960,
+        1148701988496035328,
+    )
+)
+
+_BOOT_SQL = f"""
+WITH base AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+  FROM events
+),
+e AS (
+  SELECT g, id, m, unnest(generate_series(0, {_BOOT_B - 1})) AS rep FROM base
+),
+wts AS (
+  SELECT g, rep, m, {_BOOT_W_SQL} AS w
+  FROM (
+    SELECT *, CAST('0x' || substr(md5('boot|' || CAST(id AS VARCHAR) || '|'
+                 || CAST(rep AS VARCHAR)), 1, 15) AS BIGINT) AS h
+    FROM e
+  )
+),
+reps AS (
+  SELECT g, rep,
+         CAST(SUM(w * m) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 1000000.0
+           AS rep_mean
+  FROM wts GROUP BY g, rep HAVING SUM(w) > 0
+),
+r AS (
+  SELECT g, rep, rep_mean,
+         row_number() OVER (PARTITION BY g ORDER BY rep_mean, rep) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS nb
+  FROM reps
+),
+stats AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(m) AS DOUBLE) / COUNT(*) / 1000000.0 AS mn
+  FROM base GROUP BY g
+)
+SELECT r.g AS event_type, stats.n,
+       ROUND(stats.mn, 6) AS mean,
+       ROUND(MAX(CASE WHEN rn = (25 * nb + 999) // 1000 THEN rep_mean END), 6)
+         AS ci_lo,
+       ROUND(MAX(CASE WHEN rn = (975 * nb + 999) // 1000 THEN rep_mean END), 6)
+         AS ci_hi
+FROM r JOIN stats ON stats.g = r.g
+GROUP BY r.g, stats.n, stats.mn
+"""
+
+
+@register("bootstrap_value_ci", _BOOT_SQL)
+def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean event value per type from 32
+    deterministic Poisson resamples — reproducible uncertainty, the
+    thing a rand() bootstrap can never hash-check."""
+    from vector_db_handler_spark.operators.features import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        load(spark, sf_dir, "events"), "event_type", "value", "event_id",
+        n_replicates=_BOOT_B,
     )

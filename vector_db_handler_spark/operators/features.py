@@ -595,3 +595,95 @@ def frequent_triples(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+#: Truncated-Poisson(1) CDF thresholds on the md5-60 hash space:
+#: weight w = #thresholds the hash clears, capped at 5 (tail mass
+#: ~3.7e-3 collapses onto w=5 — a fixed, documented truncation that
+#: keeps the resample EXACTLY reproducible in any engine).
+POISSON1_THRESHOLDS = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the MEAN — the
+    Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google TR 2012): instead of resampling n
+    rows with replacement (impossible distributed — it needs global
+    coordination), each row independently receives a Poisson(1)
+    weight per replicate.  Made DETERMINISTIC here: the weight is a
+    pure function of (row id, replicate, salt) — an md5-60 hash cut
+    against fixed truncated-Poisson CDF thresholds — so the
+    "resamples" are engine-portable and hash-checkable, unlike any
+    rand()-based bootstrap.
+
+    Replicate means accumulate in exact micro-unit integers; the CI
+    bounds are DISCRETE order statistics over the ``n_replicates``
+    replicate means (ranks ceil(0.025·B) and ceil(0.975·B)).  Scale
+    shape: one explode ×B (the documented cost dial — B=32 keeps the
+    blow-up modest because only the skinny (group, replicate, value)
+    projection explodes), one map-side-combined aggregate on
+    (group, replicate), one vocabulary-sized ranking window.  Output:
+    ``(group, n, mean, ci_lo, ci_hi)``."""
+    b = int(n_replicates)
+    micro = (F.col(value_col).cast("decimal(18,6)") * 1_000_000).cast("long")
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("_id"), micro.alias("m")
+    )
+    from vector_db_handler_spark.functions.text import portable_hash60
+
+    h = portable_hash60(
+        F.concat(
+            F.lit(salt + "|"),
+            F.col("_id").cast("string"),
+            F.lit("|"),
+            F.col("rep").cast("string"),
+        )
+    )
+    w = sum(
+        (h >= F.lit(t)).cast("long") for t in POISSON1_THRESHOLDS
+    )  # fixed written order: no data-order float/int ambiguity
+    exploded = base.select(
+        "g", "m", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"), "_id"
+    ).withColumn("w", w)
+    reps = (
+        exploded.groupBy("g", "rep")
+        .agg(F.sum(F.col("w") * F.col("m")).alias("ws"), F.sum("w").alias("wn"))
+        .filter(F.col("wn") > 0)
+        .withColumn("rep_mean", F.col("ws").cast("double") / F.col("wn") / 1e6)
+    )
+    wrank = Window.partitionBy("g").orderBy(F.col("rep_mean").asc(), F.col("rep").asc())
+    wcnt = Window.partitionBy("g")
+    ranked = reps.withColumn("_rn", F.row_number().over(wrank)).withColumn(
+        "_nb", F.count(F.lit(1)).over(wcnt)
+    )
+    lo = F.max(F.when(F.col("_rn") == F.expr("(25 * _nb + 999) div 1000"), F.col("rep_mean")))
+    hi = F.max(F.when(F.col("_rn") == F.expr("(975 * _nb + 999) div 1000"), F.col("rep_mean")))
+    stats = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("m").cast("double") / F.count(F.lit(1)) / 1e6).alias("_mean"),
+    )
+    return (
+        ranked.groupBy("g")
+        .agg(lo.alias("_lo"), hi.alias("_hi"))
+        .join(stats, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            F.round("_mean", 6).alias("mean"),
+            F.round("_lo", 6).alias("ci_lo"),
+            F.round("_hi", 6).alias("ci_hi"),
+        )
+    )
