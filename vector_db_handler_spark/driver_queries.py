@@ -170,6 +170,7 @@ _DRIVER_FRONT: list[str] = [
     "sq8_distortion_by_label",
     "embedding_dim_robust_stats",
     "bootstrap_value_ci",
+    "clustering_coefficient_parts",
     # (b) early-r7 registrations
     "mor_delete_doc_scroll",
     "chain_components_star",
@@ -10107,4 +10108,84 @@ def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(
         load(spark, sf_dir, "events"), "event_type", "value", "event_id",
         n_replicates=_BOOT_B,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient: triangles ÷ wedges per node — the
+# classic cohesion ratio, composed from the verified triangle rail and
+# a degree census (no new kernel): cc = 2T / (d(d−1)) as an exact
+# integer pair (num=2T, den=d(d−1)) plus one reported division.
+# Nodes of degree < 2 are excluded (the ratio is undefined there).
+# ---------------------------------------------------------------------------
+
+_CLUST_COEF_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+members AS (
+  SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t
+),
+tri AS (SELECT node, COUNT(*) AS n_tri FROM members GROUP BY node)
+SELECT deg.node,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(2 * COALESCE(tri.n_tri, 0) AS BIGINT) AS cc_num,
+       CAST(deg.d * (deg.d - 1) AS BIGINT) AS cc_den,
+       ROUND(CAST(2 * COALESCE(tri.n_tri, 0) AS DOUBLE)
+             / (deg.d * (deg.d - 1)), 6) AS clustering_coef
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+WHERE deg.d >= 2
+"""
+
+
+@register("clustering_coefficient_parts", _CLUST_COEF_SQL)
+def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient over the co-purchase
+    graph — how clique-like each node's neighborhood is, from the
+    degree-oriented triangle counts (exact integer numerators and
+    denominators; one reported division)."""
+    from vector_db_handler_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    tri = triangle_count(edges)
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            (F.coalesce(F.col("n_triangles"), F.lit(0)) * 2)
+            .cast("long")
+            .alias("cc_num"),
+            (F.col("d") * (F.col("d") - 1)).cast("long").alias("cc_den"),
+            F.round(
+                (F.coalesce(F.col("n_triangles"), F.lit(0)) * 2).cast("double")
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coef"),
+        )
     )
