@@ -171,6 +171,8 @@ _DRIVER_FRONT: list[str] = [
     "embedding_dim_robust_stats",
     "bootstrap_value_ci",
     "clustering_coefficient_parts",
+    "cohort_retention_matrix",
+    "value_drift_tv_stream",
     # (b) early-r7 registrations
     "mor_delete_doc_scroll",
     "chain_components_star",
@@ -10187,5 +10189,161 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("d") * (F.col("d") - 1)),
                 6,
             ).alias("clustering_coef"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix: the signup-cohort × week-offset triangle —
+# each user's cohort is their FIRST activity week; cell (c, k) counts
+# cohort-c users active in week c+k.  Two map-side-combined aggregates
+# + one broadcast-sized join back on the user key; the matrix is
+# |cohorts|·|offsets| rows at any event volume.
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM weekly GROUP BY user_id)
+SELECT CAST(c.cohort_wk AS VARCHAR) AS cohort_week,
+       CAST((w.wk - c.cohort_wk) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM weekly w JOIN cohort c USING (user_id)
+GROUP BY c.cohort_wk, (w.wk - c.cohort_wk) // 7
+"""
+
+
+@register("cohort_retention_matrix", _COHORT_SQL)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle: users grouped by first-activity week,
+    counted in each subsequent week they return — the canonical
+    cohort dashboard, exact and two-aggregate cheap."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_wk").cast("string").alias("cohort_week"),
+            F.expr("datediff(wk, cohort_wk) div 7").cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: the STREAMING twin of value_drift_tv — a
+# watermarked daily (window × value-bin) census maintained by the
+# stream, TV distance computed over the SINK against the broadcast
+# full-corpus reference distribution (serving-view split, like the
+# trending/distinct entries): Σ|n_day_i·N_ref − ref_i·N_day| over
+# 2·N_day·N_ref — exact BIGINT numerator per day, one reported
+# division.
+# ---------------------------------------------------------------------------
+
+_TV_STREAM_SQL = """
+WITH binned AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(FLOOR(value / 50.0) AS BIGINT) AS bin
+  FROM events
+),
+daily AS (SELECT day, bin, COUNT(*) AS n FROM binned GROUP BY day, bin),
+ref AS (SELECT bin, COUNT(*) AS rn FROM binned GROUP BY bin),
+tot AS (
+  SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM daily) AS n_ref
+),
+dtot AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n_day FROM daily GROUP BY day),
+full_grid AS (
+  SELECT d.day, r.bin, r.rn, COALESCE(dl.n, 0) AS n
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN ref r
+  LEFT JOIN daily dl ON dl.day = d.day AND dl.bin = r.bin
+)
+SELECT CAST(g.day AS VARCHAR) AS day,
+       dtot.n_day,
+       CAST(SUM(abs(g.n * tot.n_ref - g.rn * dtot.n_day)) AS BIGINT) AS tv_num,
+       CAST(2 * dtot.n_day * tot.n_ref AS BIGINT) AS tv_den,
+       ROUND(CAST(SUM(abs(g.n * tot.n_ref - g.rn * dtot.n_day)) AS DOUBLE)
+             / CAST(2 * dtot.n_day * tot.n_ref AS DOUBLE), 6) AS tv
+FROM full_grid g
+JOIN dtot ON dtot.day = g.day
+CROSS JOIN tot
+GROUP BY g.day, dtot.n_day, tot.n_ref
+"""
+
+
+@register("value_drift_tv_stream", _TV_STREAM_SQL)
+def value_drift_tv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day TV distance of the streaming value distribution against
+    the full-corpus reference: the stream maintains only the
+    watermarked (day, bin) census; the exact-integer TV rolls up over
+    the sink with the reference as a broadcast — live drift alarms
+    with hash-exact arithmetic."""
+    from vector_db_handler_spark.streaming import stream_ops
+
+    ev = stream_ops.stream_events(spark, sf_dir)
+    census = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("date").alias("day"), "bin", "n")
+    )
+    # Complete mode: append would withhold the final (still-open)
+    # daily window under an availableNow replay — same contract as
+    # the other tumbling census entries.
+    stream_ops.run_to_memory(census, "dq_tv_stream", mode="complete")
+    # Pin the sink once: the day-grid construction joins the census
+    # against itself (days × ref bins ⟕ counts), and a leaf
+    # LogicalRDD self-join deduplicates attributes cleanly where the
+    # in-memory-table plan does not.
+    daily = spark.table("dq_tv_stream").localCheckpoint(eager=True)
+
+    batch = load(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bin")
+    )
+    ref = batch.groupBy("bin").agg(F.count(F.lit(1)).alias("rn"))
+    n_ref = batch.agg(F.count(F.lit(1)).alias("n_ref"))
+    dtot = daily.groupBy("day").agg(F.sum("n").alias("n_day"))
+    grid = (
+        daily.select("day").distinct()
+        .crossJoin(F.broadcast(ref))
+        .join(daily, ["day", "bin"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    return (
+        grid.join(dtot, "day")
+        .crossJoin(F.broadcast(n_ref))
+        .groupBy(
+            F.col("day").cast("string").alias("day"),
+            "n_day",
+        )
+        .agg(
+            F.sum(
+                F.abs(F.col("n") * F.col("n_ref") - F.col("rn") * F.col("n_day"))
+            )
+            .cast("long")
+            .alias("tv_num"),
+            (F.lit(2) * F.first("n_day") * F.first("n_ref"))
+            .cast("long")
+            .alias("tv_den"),
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("n") * F.col("n_ref") - F.col("rn") * F.col("n_day")
+                    )
+                ).cast("double")
+                / (F.lit(2) * F.first("n_day") * F.first("n_ref")).cast("double"),
+                6,
+            ).alias("tv"),
         )
     )
