@@ -339,3 +339,43 @@ def test_bfs_zero_horizon_and_guard(spark):
     assert [(r.node, r.hops) for r in got] == [(0, 0)]
     with _pt.raises(ValueError):
         bfs_hops(e, _seeds(spark, [0]), max_hops=-1, src="src", dst="dst")
+
+
+# ---------------------------------------------------------------------------
+# components_apply_batch
+# ---------------------------------------------------------------------------
+
+from vector_db_handler_spark.operators.graph import (
+    components_apply_batch,
+    connected_components_star,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "d1 long, d2 long")
+
+
+def test_incremental_components_match_full_recompute(spark):
+    """Fold two edge batches into a maintained labeling; after each
+    fold the labels equal a full recompute over all edges seen —
+    including a batch that BRIDGES two existing components and one
+    that introduces brand-new nodes."""
+    base = [(1, 2), (3, 4), (10, 11)]
+    labels = connected_components_star(_pairs(spark, base))
+
+    batch1 = [(2, 3)]  # bridges {1,2} and {3,4}
+    labels = components_apply_batch(labels, _pairs(spark, batch1))
+    full1 = connected_components_star(_pairs(spark, base + batch1))
+    assert sorted(map(tuple, labels.collect())) == sorted(
+        map(tuple, full1.collect())
+    )
+
+    batch2 = [(20, 21), (11, 20)]  # new nodes + attach to {10,11}
+    labels = components_apply_batch(labels, _pairs(spark, batch2))
+    full2 = connected_components_star(_pairs(spark, base + batch1 + batch2))
+    assert sorted(map(tuple, labels.collect())) == sorted(
+        map(tuple, full2.collect())
+    )
+    got = {r.node: r.component for r in labels.collect()}
+    assert got[21] == got[10] == 10  # merged into the min-labeled comp
+    assert got[1] == got[4] == 1

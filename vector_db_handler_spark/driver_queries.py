@@ -173,6 +173,7 @@ _DRIVER_FRONT: list[str] = [
     "clustering_coefficient_parts",
     "cohort_retention_matrix",
     "value_drift_tv_stream",
+    "incremental_neardup_components",
     # (b) early-r7 registrations
     "mor_delete_doc_scroll",
     "chain_components_star",
@@ -10346,4 +10347,47 @@ def value_drift_tv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("tv"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental components (operators/graph.py:components_apply_batch):
+# graph IVM — an existing near-dup labeling folds in the pairs of an
+# ingest batch WITHOUT re-running components over pair history (the
+# old labeling is already a star forest; the collapsed graph has
+# |V| + |Δ| edges).  The oracle is the FULL recursive-CTE closure over
+# all pairs — hash equality proves maintained ≡ recomputed.
+# ---------------------------------------------------------------------------
+
+
+@register("incremental_neardup_components", _COMPONENTS_SQL)
+def incremental_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's near-dup components MAINTAINED incrementally: the
+    labeling of the first 400 docs folds in the LSH pairs touching
+    the newer docs as one batch — and must hash-equal the full
+    closure over everything."""
+    from vector_db_handler_spark.operators.graph import components_apply_batch
+
+    docs = load(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") < 400)
+    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD).select(
+        "d1", "d2"
+    ).localCheckpoint(eager=True)
+    old_pairs = pairs.filter((F.col("d1") < 400) & (F.col("d2") < 400))
+    new_pairs = pairs.filter((F.col("d1") >= 400) | (F.col("d2") >= 400))
+
+    from vector_db_handler_spark.operators.graph import connected_components_star
+
+    base_labels = connected_components_star(
+        old_pairs, nodes=old_docs, node_col="doc_id"
+    )
+    maintained = components_apply_batch(base_labels, new_pairs)
+    # docs untouched by any pair or the base labeling stay singletons
+    singles = (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(maintained.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return maintained.unionByName(singles).select(
+        F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
     )

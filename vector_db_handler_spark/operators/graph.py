@@ -387,3 +387,37 @@ def bfs_hops(
         ).localCheckpoint(eager=True)
         frontier = nbrs
     return labeled
+
+
+def components_apply_batch(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """INCREMENTAL connected-components maintenance: fold a batch of
+    newly-discovered edges into an existing ``(node, component)``
+    labeling without re-running components over the full pair corpus
+    — the graph sibling of the rollup/join IVM entries.  The insight:
+    the old labeling IS a star forest (node → component minimum), so
+    the merged graph [star edges ∪ new pairs] is label-equivalent to
+    [all old pairs ∪ new pairs] but only |V| + |Δ| edges — star
+    contraction on it costs rounds over the COLLAPSED graph, whose
+    diameter is ~2 + the batch's bridging structure, regardless of how
+    long the original pair history was.
+
+    New nodes appearing only in the batch label themselves.  Returns
+    the refreshed ``(node, component)`` — same contract as the full
+    operators, so a maintained labeling can keep folding batches."""
+    star = labels.select(F.col("node").alias("u"), F.col("component").alias("v"))
+    batch = new_pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    merged = star.unionByName(batch)
+    nodes = (
+        labels.select("node")
+        .unionByName(new_pairs.select(F.col(src).alias("node")))
+        .unionByName(new_pairs.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return connected_components_star(
+        merged, src="u", dst="v", nodes=nodes, node_col="node"
+    )
