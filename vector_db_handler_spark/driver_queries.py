@@ -124,13 +124,15 @@ def register(name: str, oracle: str | None = None):
 #: been driver-checked, then the r6 red-row re-checks, then the
 #: stalest evidence:
 #:
-#:   (a) 35 continuation-session registrations (never checked);
+#:   (a) 36 continuation-session registrations (never checked);
 #:   (b) 11 early-r7 registrations (never checked);
 #:   (c) the 3 rows driver-red in r6 on the oracle HUGEINT bug,
-#:       re-checked with their casts fixed;
-#:   (d) the single stalest r3-vintage refresh
-#:       (cosine_neardup_pairs) — exactly filling slot 50; the other
-#:       r3-vintage rows sit at 51+ and lead the r8 window.
+#:       re-checked with their casts fixed — filling slot 50 exactly.
+#:
+#: 47 never-checked + 3 re-checks = the whole window; registration
+#: stopped here BY DESIGN (one more query would push a never-checked
+#: row out).  The r3/r4-vintage refreshes sit at 51+ and lead the r8
+#: window.
 #:
 #: The r6-planned (c)/(d) refresh blocks (operator-code re-evidence +
 #: r4-vintage rotation) are displaced below the window by the 42
