@@ -103,3 +103,51 @@ def test_report_is_one_scan(spark, sf_dir):
         .toString()
     )
     assert plan.count("FileScan") == 1, plan[:800]
+
+
+def test_streaming_dq_monitor_logs_per_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Two micro-batches produce two tagged verdict sets (the second
+    batch violates the bound); a full replay from a fresh checkpoint
+    overwrites rather than duplicates."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.streaming.stream_ops import streaming_dq_monitor
+
+    src = str(tmp_path / "dqsrc")
+    import time
+
+    for lo, hi, bad in ((0, 50, False), (50, 80, True)):
+        df = spark.range(lo, hi).select(
+            F.col("id"),
+            (F.lit(500.0) if bad else F.lit(5.0)).alias("v"),
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    checks = [dq.bounds("v", 0.0, 100.0), dq.row_count_between(1, 1000)]
+    log = str(tmp_path / "dqlog")
+
+    def run(cp):
+        streaming_dq_monitor(
+            spark.readStream.schema("id long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            checks,
+            log,
+            cp,
+        )
+
+    run(str(tmp_path / "cp1"))
+    rep = spark.read.parquet(log)
+    got = {
+        (r.batch_id, r.check): r.passed for r in rep.collect()
+    }
+    assert got[(0, "bounds")] is True
+    assert got[(1, "bounds")] is False     # the bad batch flagged
+    assert got[(0, "row_count")] is True
+    assert rep.count() == 4  # 2 checks × 2 batches
+
+    run(str(tmp_path / "cp2"))  # full replay: overwrite, no duplication
+    assert spark.read.parquet(log).count() == 4

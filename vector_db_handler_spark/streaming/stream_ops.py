@@ -1174,3 +1174,49 @@ def streaming_sequence_funnel_gs(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_dq_monitor(
+    stream_df: DataFrame,
+    checks: list[dict],
+    log_path: str,
+    checkpoint: str,
+) -> None:
+    """Per-micro-batch data-quality monitoring: every batch runs the
+    ONE-SCAN DQ constraint suite (``operators/dq.py``) over its own
+    rows and appends the verdict report — tagged with the batch id —
+    to a parquet log.  This is the STREAMING sibling of
+    write-audit-publish: WAP gates a batch before commit; this
+    monitors a flowing pipeline and leaves an auditable per-batch
+    constraint history (the alerting query is a plain read of the
+    log).  foreachBatch + checkpoint make the log exactly-once per
+    batch id under replays (re-delivered batches overwrite their own
+    partition, the idempotent-sink pattern).
+
+    Scale: the report is |checks| rows per batch; the only cost on the
+    stream is the DQ suite's single aggregate per batch."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.operators.dq import dq_check
+
+    def audit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = dq_check(batch_df, checks).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        (
+            report.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(log_path)
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(audit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
