@@ -75,7 +75,50 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         "rfm_user_segments",
         "pivot_user_type_matrix",
         "unpivot_user_type_matrix",
+        # round-7 continuation (documents/embeddings/events-based)
+        "doc_chunks",
+        "kmv_user_overlap_pairs",
+        "mad_value_outliers",
+        "latest_user_value_stream",
+        "dbscan_embedding_clusters",
+        "rrf_hybrid_topk",
+        "value_drift_tv",
+        "funnel_view_click_purchase",
+        "hard_negative_triplets",
+        "weighted_jaccard_pairs",
+        "theil_sen_user_trend",
+        "cusum_user_alarms",
+        "stream_stream_left_outer",
+        "ann_recall_report",
+        "mrl_recall_curve",
+        "split_leakage_pairs",
+        "funnel_stream_counts",
+        "label_propagation_embeddings",
+        "sq8_distortion_by_label",
+        "embedding_dim_robust_stats",
+        "bootstrap_value_ci",
+        "cohort_retention_matrix",
+        "incremental_neardup_components",
     ],
 )
 def test_query_survives_empty_corpus(spark, empty_dir, name):
     assert dq.queries()[name](spark, empty_dir).collect() == []
+
+
+def test_dq_report_on_empty_corpus_is_vacuous_not_empty(spark, empty_dir):
+    """The DQ report is per-CONSTRAINT, not per-row: an empty relation
+    yields 7 verdict rows (vacuous truths + a failing row_count), not
+    zero rows — the one registered query whose empty-corpus contract
+    is deliberately non-empty."""
+    rows = dq.queries()["dq_events_report"](spark, empty_dir).collect()
+    assert len(rows) == 7
+    got = {(r.check, r.col): r.passed for r in rows}
+    assert got[("row_count", "*")] is False  # 0 rows < the 1000 floor
+    assert got[("uniqueness", "event_id")] is True  # vacuous
+
+
+def test_weighted_sample_raises_loudly_on_empty_corpus(spark, empty_dir):
+    """Zero total weight cannot produce a weighted sample — the
+    operator fails loudly instead of returning a silent empty."""
+    with pytest.raises(ValueError, match="total weight"):
+        dq.queries()["weighted_doc_sample"](spark, empty_dir).collect()

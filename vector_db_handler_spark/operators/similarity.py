@@ -700,6 +700,12 @@ def ann_recall_report(
     ``n_hits = |exact@k ∩ approx@k|`` excluding self-matches on both
     sides."""
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        # no queries ⇒ an empty report, not a 0-denominator plan
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {corpus.schema[id_col].dataType.simpleString()}, "
+                "k long, n_hits long, recall double"
+        )
     indexed = build_ivf_index(corpus, centroids, id_col, vec_col).localCheckpoint(
         eager=True
     )
@@ -764,6 +770,11 @@ def mrl_recall_curve(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col, exclude_self=True
     ).select("query_id", "neighbor_id")
     n_q = queries.count()
+    if n_q == 0:
+        # no queries ⇒ an empty curve, not a 0-denominator plan
+        return corpus.sparkSession.createDataFrame(
+            [], "prefix_dim long, n_queries long, n_hits long, recall double"
+        )
     parts = []
     for p in prefixes:
         sliced_corpus = corpus.select(
