@@ -122,3 +122,44 @@ def test_weighted_sample_raises_loudly_on_empty_corpus(spark, empty_dir):
     operator fails loudly instead of returning a silent empty."""
     with pytest.raises(ValueError, match="total weight"):
         dq.queries()["weighted_doc_sample"](spark, empty_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def empty_all_dir(spark, sf_dir, tmp_path_factory):
+    """Every fixture table empty — lets the relational/graph queries
+    join the doc/emb/events trio in the sweep."""
+    root = tmp_path_factory.mktemp("empty_all_fixture")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in [
+        "documents", "embeddings", "events", "region", "nation",
+        "customer", "supplier", "part", "orders", "lineitem",
+    ]:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.filter(F.lit(False)).coalesce(1).write.parquet(str(root / f"{t}.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # round-7 continuation: relational/graph-table queries
+        "triangle_brand_stats",
+        "kcore_part_graph",
+        "bfs_brand_seed_hops",
+        "clustering_coefficient_parts",
+        "fuzzy_part_name_pairs",
+        "er_golden_records",
+        "frequent_part_triples",
+        "ivm_join_orders_customer",
+        "scd2_asof_order_lookup",
+    ],
+)
+def test_relational_query_survives_empty_tables(spark, empty_all_dir, name):
+    assert dq.queries()[name](spark, empty_all_dir).collect() == []
+
+
+def test_join_size_estimate_on_empty_tables_is_zero(spark, empty_all_dir):
+    """The estimator's aggregate contract: one row, zero counts."""
+    rows = dq.queries()["join_size_estimate_ol"](spark, empty_all_dir).collect()
+    assert len(rows) == 1
+    assert (rows[0].sample_pairs, rows[0].est_pairs, rows[0].exact_pairs) == (0, 0, 0)
