@@ -367,3 +367,27 @@ def test_bootstrap_ci_narrows_with_sample_size(spark):
 
     w_small, w_big = width(250), width(4000)
     assert w_big < w_small * 0.7
+
+
+def test_new_stats_operators_drop_null_values(spark):
+    """MAD, TV drift, and the bootstrap all drop null-value rows
+    declaratively — a null ranking key would diverge cross-engine
+    (Spark NULLS FIRST vs DuckDB NULLS LAST)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.operators.features import tv_drift_by
+
+    rows = [("g", 1.0, 0), ("g", None, 1), ("g", 3.0, 2), ("g", None, 3)]
+    df = spark.createDataFrame(rows, "g string, v double, i long")
+
+    m = mad_outliers_by(df, "g", "v", "i").collect()[0]
+    assert m.n == 2  # nulls gone before the count
+
+    tdf = df.select(
+        "g", F.timestamp_micros(F.col("i") * 86_400_000_000).alias("ts"), "v"
+    )
+    t = tv_drift_by(tdf, "g", "v", "ts").collect()[0]
+    assert t.n1 + t.n2 == 2
+
+    bci = bootstrap_mean_ci(df, "g", "v", "i").collect()[0]
+    assert bci.n == 2

@@ -8443,12 +8443,13 @@ WITH r AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
 dev AS (
   SELECT e.event_type, abs(e.value - m.med) AS d, m.med, e.event_id
   FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
 ),
 dr AS (
   SELECT event_type, d,
@@ -8723,7 +8724,7 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TV_DRIFT_SQL = """
 WITH bounds AS (
   SELECT event_type, epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
-  FROM events GROUP BY event_type
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
 ),
 binned AS (
   SELECT e.event_type,
@@ -8731,6 +8732,7 @@ binned AS (
            AS period,
          CAST(FLOOR(e.value / 50.0) AS BIGINT) AS bin
   FROM events e JOIN bounds b USING (event_type)
+  WHERE e.value IS NOT NULL
 ),
 census AS (
   SELECT event_type, bin,
@@ -10062,7 +10064,7 @@ _BOOT_SQL = f"""
 WITH base AS (
   SELECT event_type AS g, event_id AS id,
          CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 e AS (
   SELECT g, id, m, unnest(generate_series(0, {_BOOT_B - 1})) AS rep FROM base

@@ -407,6 +407,11 @@ def mad_outliers_by(
     The per-group medians relation is vocabulary-sized and joins back
     by broadcast.  Output: ``(group, n, median, mad, n_outliers)``."""
     g, v = F.col(group_col), F.col(value_col)
+    # Null values are DROPPED declaratively (the filter rides the
+    # scan): a null in the ranking key would diverge cross-engine
+    # (Spark asc sorts NULLS FIRST, DuckDB NULLS LAST) and a null
+    # deviation can't be compared against the gate anyway.
+    df = df.filter(v.isNotNull())
     w = Window.partitionBy(group_col).orderBy(v.asc(), F.col(order_col).asc())
     wc = Window.partitionBy(group_col)
     # Materialize the ranked relation ONCE (eager localCheckpoint):
@@ -492,6 +497,9 @@ def tv_drift_by(
     carries more than the bin vocabulary.  Output: ``(group, n1, n2,
     tv_num, tv_den, tv)``."""
     g = F.col(group_col)
+    # null values carry no bin; drop them declaratively so both
+    # engines census identical rows
+    df = df.filter(F.col(value_col).isNotNull())
     bounds = df.groupBy(group_col).agg(
         F.unix_micros(F.min(ts_col)).alias("_lo"),
         F.unix_micros(F.max(ts_col)).alias("_hi"),
@@ -639,6 +647,7 @@ def bootstrap_mean_ci(
     ``(group, n, mean, ci_lo, ci_hi)``."""
     b = int(n_replicates)
     micro = (F.col(value_col).cast("decimal(18,6)") * 1_000_000).cast("long")
+    df = df.filter(F.col(value_col).isNotNull())  # null rows resample nothing
     base = df.select(
         F.col(group_col).alias("g"), F.col(id_col).alias("_id"), micro.alias("m")
     )
