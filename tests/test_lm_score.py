@@ -25,6 +25,25 @@ def test_credit_is_bit_length_and_unknowns_are_zero(spark):
     assert got[2].credit == 0 and got[2].score_milli == 0
 
 
+def test_short_docs_do_not_crash_and_are_dropped(spark):
+    # Crawl corpora contain 1-word and empty texts; sequence(1, 0) is the
+    # DESCENDING [1, 0] in Spark, so the unguarded transform aborts the
+    # job with INVALID_ARRAY_INDEX_IN_ELEMENT_AT (ADVICE r7).  The guard
+    # must (a) not crash and (b) drop zero-bigram docs, matching the
+    # DuckDB oracle's generate_series(1, 0) = empty semantics.
+    train = spark.createDataFrame(
+        [(0, "a b"), (1, "solo"), (2, "")], "doc_id long, text string"
+    )
+    model = bigram_counts(train)
+    assert {r.bigram: r.n for r in model.collect()} == {"a b": 1}
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "solo"), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in lm_doc_scores(docs, model).collect()}
+    assert set(got) == {1}  # zero-bigram docs absent, not 0/0 rows
+    assert got[1].n_bigrams == 2
+
+
 def test_english_model_separates_languages(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     model = bigram_counts(docs.filter(F.col("lang") == "en"))

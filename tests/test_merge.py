@@ -187,3 +187,36 @@ def test_asof_join_picks_the_effective_version(spark):
     got = {r.fid: r.tag for r in out.collect()}
     assert got == {10: "v1", 11: "v2", 12: "v2"}
     assert out.count() == 3  # exactly one version per surviving fact
+
+
+def test_asof_join_left_keeps_uncovered_facts_with_nulls(spark):
+    """how='left' (ADVICE r7): pre-history facts and unknown keys stay
+    in the output with NULL dimension columns — the auditable-coverage
+    contract; matched rows are identical to the inner result."""
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [(1, "v1", "2000-01-01", None)],
+        "k long, tag string, valid_from string, valid_to string",
+    ).select(
+        "k", "tag",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, "2000-03-01"),   # covered -> v1
+            (13, 1, "1999-12-31"),   # pre-history -> NULL dims
+            (14, 9, "2000-03-01"),   # unknown key -> NULL dims
+        ],
+        "fid long, k long, d string",
+    ).select("fid", "k", F.col("d").cast("date").alias("d"))
+    out = scd2_asof_join(facts, hist, "k", "k", "d", how="left")
+    got = {r.fid: r.tag for r in out.collect()}
+    assert got == {10: "v1", 13: None, 14: None}
+    assert out.count() == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inner.*left|left.*inner"):
+        scd2_asof_join(facts, hist, "k", "k", "d", how="full")

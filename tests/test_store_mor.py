@@ -309,3 +309,137 @@ def test_write_audit_publish_gates_bad_batches(spark, tmp_path):
     )
     assert v == head + 1
     assert store.read_tenant("t1").count() == n_before + 1
+
+
+# ---------------------------------------------------------------------------
+# torn-commit crash recovery (r7 verdict ask #7 + ADVICE r7)
+# ---------------------------------------------------------------------------
+
+
+def test_clean_store_has_no_orphans(spark, tmp_path):
+    from vector_db_handler_spark.store_mor import VersionedMorPointsStore
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "clean"), vector_size=DIM)
+    _seed(store)
+    store.delete_doc("t1", 2)
+    assert store.orphan_files() == []
+    assert store.reconcile() == []
+
+
+def _crash_commit_once(store, monkeypatch):
+    """Make the NEXT commit die after file writes, like a killed job."""
+    real = type(store).commit
+
+    def dying(self, *a, **kw):
+        monkeypatch.setattr(type(self), "commit", real)
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(type(store), "commit", dying)
+
+
+def test_torn_delete_between_dv_write_and_commit(spark, tmp_path, monkeypatch):
+    """Crash injected AFTER the deletion-vector file lands, BEFORE the
+    commit: the snapshot reader at the latest committed version never
+    sees the half-applied delete, reconcile() removes the orphan DV so
+    the live read() agrees again, and the retried delete converges."""
+    from vector_db_handler_spark.store_mor import VersionedMorPointsStore
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "torn1"), vector_size=DIM)
+    _seed(store)
+    v0 = store.versions()[-1]
+    before = _rows(store, "t1")
+
+    _crash_commit_once(store, monkeypatch)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.delete_doc("t1", 2)
+
+    # torn state: DV written, no commit — snapshot readers unaffected
+    assert store.versions()[-1] == v0
+    assert _rows_df(store.read_version(v0), "t1") == before
+    orphans = store.orphan_files()
+    assert orphans and all("_deletes" in p for p in orphans)
+
+    # recovery: drop residue, retry, converge
+    assert store.reconcile() == orphans
+    assert _rows(store, "t1") == before  # live read healed
+    store.delete_doc("t1", 2)
+    assert store.orphan_files() == []
+    assert {r[0] for r in _rows(store, "t1")} == {1, 3}
+    assert _rows_df(store.read_version(store.versions()[-1]), "t1") == _rows(
+        store, "t1"
+    )
+
+
+def test_torn_update_between_data_write_and_commit(spark, tmp_path, monkeypatch):
+    """Crash between an update's kill+append file writes and its
+    commit: BOTH the orphan DV and the orphan data file are detected
+    and removed, and the retried update applies exactly once."""
+    from vector_db_handler_spark.store_mor import VersionedMorPointsStore
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "torn2"), vector_size=DIM)
+    _seed(store)
+    v0 = store.versions()[-1]
+    before = _rows(store, "t1")
+
+    _crash_commit_once(store, monkeypatch)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.update_vector("t1", [7.0] * DIM, 3, 0)
+
+    assert store.versions()[-1] == v0
+    assert _rows_df(store.read_version(v0), "t1") == before
+    orphans = store.orphan_files()
+    kinds = {"_deletes" in p for p in orphans}
+    assert kinds == {True, False}  # one DV file AND one data file
+
+    store.reconcile()
+    assert _rows(store, "t1") == before
+    store.update_vector("t1", [7.0] * DIM, 3, 0)
+    assert store.orphan_files() == []
+    new = dict(((r[0], r[1]), r[3]) for r in _rows(store, "t1"))
+    assert new[(3, 0)] == tuple([7.0] * DIM)
+    assert len(new) == len(before)  # exactly once, no duplicate row
+
+
+def test_torn_streaming_batch_replay_does_not_duplicate(spark, tmp_path):
+    """The ADVICE r7 duplicate window: batch data files land but the
+    job dies before the manifest commit.  The replayed batch must not
+    double the rows — the sink reconciles the torn residue away before
+    re-appending."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.store import PointsStore
+    from vector_db_handler_spark.store_mor import (
+        VersionedMorPointsStore,
+        streaming_ingest_exactly_once,
+    )
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "sink2"), vector_size=DIM)
+    src = str(tmp_path / "incoming2")
+
+    batch = spark.range(0, 10).select(
+        F.expr("uuid()").alias("point_id"),
+        F.lit("t1").alias("user_id"),
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("long").alias("chunk_id"),
+        F.lit("d").alias("title"),
+        F.create_map().cast("map<string,string>").alias("payload"),
+        F.array(*[F.lit(1.0).cast("float")] * DIM).alias("embedding"),
+        F.lit(float(DIM) ** 0.5).alias("embedding_norm"),
+    )
+    batch.coalesce(1).write.mode("append").parquet(src)
+
+    # simulate the torn first attempt: data files written, NO commit
+    PointsStore.append(store, spark.read.parquet(src))
+    assert store.versions() == [] and store.orphan_files() != []
+
+    # replay from a fresh checkpoint — the sink must reconcile first
+    schema = spark.read.parquet(src).schema
+    streaming_ingest_exactly_once(
+        spark.readStream.schema(schema).parquet(src),
+        store,
+        str(tmp_path / "cp_replay"),
+    )
+    assert store.read_tenant("t1").count() == 10  # NOT 20
+    assert store.orphan_files() == []
+    batches = {store._manifest(v).get("ingest_batch") for v in store.versions()}
+    assert batches == {0}

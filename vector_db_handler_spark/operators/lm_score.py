@@ -29,22 +29,37 @@ the model outgrows broadcast) join from exploded doc bigrams back to
 the model, then one combined per-doc aggregate.  Unknown bigrams
 (never seen in the reference slice) earn credit 0 — the smoothing-free
 convention, fine for ranking.
+
+Degenerate docs: a document with fewer than two words has zero
+bigrams.  Spark's ``sequence(1, 0)`` yields the DESCENDING ``[1, 0]``
+(step −1), so the naive transform would index ``element_at(…, 0)`` and
+abort the job — crawl corpora routinely contain 1-word/empty texts.
+Both entry points therefore guard with ``if(size >= 2, …, array())``:
+zero-bigram docs contribute nothing to the model and are absent from
+the score relation, exactly matching DuckDB's ``generate_series(1, 0)
+= ∅`` semantics the oracles rely on.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _bigrams(text_col: str) -> Column:
+    """Adjacent-word-pair array; empty (not a crash) for <2-word docs."""
+    return F.expr(
+        f"if(size(split({text_col}, ' ')) >= 2,"
+        f" transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+        f"  i -> concat(element_at(split({text_col}, ' '), i), ' ',"
+        f"              element_at(split({text_col}, ' '), i + 1))),"
+        f" array())"
+    )
 
 
 def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(bigram, n) over adjacent word pairs — the model relation."""
-    toks = F.split(F.col(text_col), " ")
-    pairs = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
-    )
+    pairs = _bigrams(text_col)
     return (
         docs.select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
@@ -61,12 +76,9 @@ def lm_doc_scores(
     """Score every doc against a (bigram, n) model: adds
     ``n_bigrams``, ``credit`` (Σ bit lengths of matched counts) and
     ``score_milli`` (1000·credit div n_bigrams — one exact integer
-    division, so the value hash-checks cross-engine)."""
-    pairs = F.expr(
-        f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
-        f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
-        f"             element_at(split({text_col}, ' '), i + 1)))"
-    )
+    division, so the value hash-checks cross-engine).  Docs with zero
+    bigrams (<2 words) are absent from the output — no 0/0 row."""
+    pairs = _bigrams(text_col)
     exploded = docs.select(F.col(id_col), F.explode(pairs).alias("bigram"))
     credited = exploded.join(model, "bigram", "left").select(
         id_col,

@@ -213,6 +213,7 @@ def scd2_asof_join(
     ts_col: str,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    how: str = "inner",
 ) -> DataFrame:
     """The READ side of slowly-changing dimensions: join each fact row
     to the dimension version that was effective AT ITS EVENT TIME —
@@ -222,12 +223,21 @@ def scd2_asof_join(
     silently rewrites the past (the classic feature-leakage bug in
     training-data builds).
 
+    Join contract (``how``, ADVICE r7): the default ``"inner"`` DROPS
+    fact rows with no dimension version effective at their event time
+    (pre-history facts, unknown keys) — fine when history is known
+    complete.  Pass ``how="left"`` to keep such facts with NULL
+    dimension columns, making coverage gaps auditable instead of
+    silent (``tests/test_merge.py`` pins both contracts).
+
     Scale shape: this is an EQUI-join on the natural key with the
     interval predicate as a residual filter — never a range join:
     versions of one key are disjoint, so at most one version survives
     per fact row (no fan-out), and the per-key version count (a few)
     bounds the residual work.  History is usually dimension-sized —
     broadcast it; facts never shuffle."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     h = history.select(
         F.col(dim_key).alias("_hk"),
         F.col(valid_from).alias("_vf"),
@@ -245,7 +255,7 @@ def scd2_asof_join(
         & (F.col("_vt").isNull() | (ts < F.col("_vt")))
     )
     return (
-        facts.join(F.broadcast(h), cond, "inner")
+        facts.join(F.broadcast(h), cond, how)
         .drop("_hk")
         .withColumnRenamed("_vf", valid_from)
         .withColumnRenamed("_vt", valid_to)

@@ -245,7 +245,7 @@ def build_bloom(
     seen_hashes: DataFrame,
     hash_col: str = "text_hash",
     fpp: float = 0.01,
-    distributed: bool = False,
+    distributed: bool = True,
     n_hint: int | None = None,
 ) -> tuple["np.ndarray", int, int] | None:
     """Build the (bits, m, k) Bloom state from a hash relation; ``None``
@@ -254,18 +254,20 @@ def build_bloom(
     Two builds with IDENTICAL output bitmaps (``tests/test_sketches.py``
     pins this):
 
-    * driver (default) — collect the KEYS and set bits locally.  Fine
-      for the dedup-ledger sizes a bloom guard targets (~1.2 MB of
-      bitmap per 10⁶ keys at 1% fpp), but the collect itself carries
-      every key.
-    * ``distributed=True`` — each partition folds its keys into a
-      sparse local bitmap inside one Arrow-batched ``mapInPandas``
-      pass, emitting only its NONZERO (word_idx, word) pairs; a
+    * ``distributed=True`` (DEFAULT since r8, per the r7 verdict:
+      collecting every key to the driver must never be what you get
+      without asking) — each partition folds its keys into a sparse
+      local bitmap inside one Arrow-batched ``mapInPandas`` pass,
+      emitting only its NONZERO (word_idx, word) pairs; a
       ``groupBy(word).bit_or`` — map-side combined, so the shuffle
       carries ≤ P×nonzero-words rows of two longs — OR-merges them,
       and only the final ~m/64-word bitmap reaches the driver.  This
       is the 100 TB build: driver traffic is the bitmap, never the
       keys.
+    * ``distributed=False`` — collect the KEYS and set bits locally.
+      Opt-in for tiny ledgers where the two-job distributed build's
+      fixed overhead dominates (or pass ``n_hint`` to make the
+      distributed build one-scan).
     """
     if distributed:
         # Sizing needs n before any bit is set; without ``n_hint`` the
@@ -329,7 +331,7 @@ def bloom_maybe_seen(
     hash_col: str = "text_hash",
     fpp: float = 0.01,
     flag_col: str = "maybe_seen",
-    distributed: bool = False,
+    distributed: bool = True,
     n_hint: int | None = None,
 ) -> DataFrame:
     """``new_docs`` + a boolean ``flag_col``: True iff the row's hash
@@ -375,7 +377,7 @@ def dedup_bloom_prefilter(
     seen_hashes: DataFrame,
     hash_col: str = "text_hash",
     fpp: float = 0.01,
-    distributed: bool = False,
+    distributed: bool = True,
     n_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``new_docs`` into ``(definitely_novel, maybe_seen)``.
@@ -402,7 +404,7 @@ def incremental_novel_docs(
     seen_hashes: DataFrame,
     hash_col: str = "text_hash",
     fpp: float = 0.01,
-    distributed: bool = False,
+    distributed: bool = True,
     n_hint: int | None = None,
 ) -> DataFrame:
     """EXACTLY the rows of ``new_docs`` whose hash is absent from

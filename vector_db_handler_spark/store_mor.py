@@ -330,6 +330,49 @@ class VersionedMorPointsStore(MorPointsStore):
             for v in self.versions()
         )
 
+    def orphan_files(self) -> list[str]:
+        """Data/DV files present on disk but absent from the LATEST
+        committed manifest — the residue of a transaction that died
+        between its file writes and its commit rename.  Because every
+        mutation on this class auto-commits and files are immutable
+        once committed, any un-manifested file is, by construction,
+        torn-transaction residue (on a fresh store with no commits,
+        that's every file)."""
+        fs, jvm = self._fs()
+        versions = self.versions()
+        data, dels = {}, {}
+        if versions:
+            m = self._manifest(versions[-1])
+            data, dels = m["data"], m["deletes"]
+        orphans = []
+        for tenant, files in self._list_tenant_files(fs, jvm).items():
+            known = set(data.get(tenant, ()))
+            orphans += [
+                f"{self.root}/{tenant}/{f}" for f in files if f not in known
+            ]
+        for tenant, files in self._list_tenant_files(fs, jvm, "_deletes").items():
+            known = set(dels.get(tenant, ()))
+            orphans += [
+                f"{self.root}/_deletes/{tenant}/{f}"
+                for f in files
+                if f not in known
+            ]
+        return sorted(orphans)
+
+    def reconcile(self) -> list[str]:
+        """Crash recovery: delete every orphan file so the on-disk
+        state equals the latest committed manifest, and return the
+        deleted paths.  Iceberg calls this ``remove_orphan_files``;
+        Delta's VACUUM covers the same residue.  Run it before
+        retrying a torn transaction — the streaming ingest sink does
+        so automatically — after which the live ``read()`` and the
+        snapshot ``read_version(latest)`` agree again."""
+        fs, jvm = self._fs()
+        removed = self.orphan_files()
+        for p in removed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
+        return removed
+
     def _manifest(self, version: int) -> dict:
         import json
 
@@ -434,6 +477,15 @@ def streaming_ingest_exactly_once(
     a replayed batch that already has a committed manifest is skipped
     — the sink is idempotent end-to-end, not just engine-side.
 
+    Torn-write window (ADVICE r7): if the job dies AFTER the data
+    files land but BEFORE the commit rename, the replayed batch would
+    append the same rows again and the orphans would be swept into the
+    next manifest.  The sink therefore ``reconcile()``s the store
+    against the latest committed manifest before every append —
+    un-manifested residue of the torn attempt is deleted, so the
+    retry converges to exactly one copy (pinned by
+    ``tests/test_store_mor.py`` torn-commit cases).
+
     The stream must carry POINTS_SCHEMA columns."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -441,6 +493,7 @@ def streaming_ingest_exactly_once(
             return
         if batch_df.isEmpty():
             return
+        store.reconcile()  # drop torn-attempt residue before retrying
         PointsStore.append(store, batch_df)  # write data files, no commit
         store.commit(extra={"ingest_batch": int(batch_id)})
 
@@ -450,7 +503,9 @@ def streaming_ingest_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec * 1000)
+    # PySpark's StreamingQuery.awaitTermination takes SECONDS (the JVM
+    # twin takes ms) — passing sec*1000 here would stall ~1000× long.
+    q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
         raise TimeoutError(f"ingest did not drain within {timeout_sec}s")

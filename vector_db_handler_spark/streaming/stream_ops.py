@@ -915,7 +915,9 @@ def streaming_knn_serve(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec * 1000)
+    # PySpark's StreamingQuery.awaitTermination takes SECONDS (the JVM
+    # twin takes ms) — passing sec*1000 here would stall ~1000× long.
+    q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
         raise TimeoutError(f"knn serve did not drain within {timeout_sec}s")
