@@ -158,27 +158,38 @@ def main() -> None:
 
     total = round(sum(timings.values()), 2)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "queries": timings,
-                "errors": errors,
-                "reps": reps,
-                "agg": "min",
-                "per_rep": rep_detail,
-                "shuffle_bytes": shuffle_bytes,
-                "sentinel_op": "spark.range(1e6).sum() collect, timed before each rep",
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail = {
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": timings,
+        "errors": errors,
+        "reps": reps,
+        "agg": "min",
+        "per_rep": rep_detail,
+        "shuffle_bytes": shuffle_bytes,
+        "sentinel_op": "spark.range(1e6).sum() collect, timed before each rep",
+    }
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-round archive (r7/r8 verdict ask): the overwrite-in-place
+    # sidecar left no per-rep/sentinel/shuffle history to adjudicate
+    # wall-time wobbles (r8's unexplained +42% pagerank swing).  Stamp
+    # the current round as 1 + the newest BENCH_r{N}.json the driver
+    # has committed — the driver records BENCH_r{N} AFTER running this
+    # script, so at bench time the newest committed round is N-1.
+    # Mid-round local runs overwrite the same stamp; the driver's
+    # end-of-round run is the last writer and wins.
+    rounds = [
+        int(fn[len("BENCH_r") : -len(".json")])
+        for fn in os.listdir(repo)
+        if fn.startswith("BENCH_r") and fn.endswith(".json")
+        and fn[len("BENCH_r") : -len(".json")].isdigit()
+    ]
+    this_round = (max(rounds) if rounds else 0) + 1
+    with open(os.path.join(repo, f"BENCH_DETAIL_r{this_round:02d}.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     # Final line stays short enough for the driver's captured output
     # tail (r03's full 94-query line was truncated mid-line): inline only
     # the 15 slowest queries at 2 decimals, compact separators, flushed

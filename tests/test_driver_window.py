@@ -1,0 +1,109 @@
+"""Window-arithmetic guard for the driver-evidence rotation.
+
+The correctness driver hash-checks only the FIRST ``DRIVER_WINDOW``
+entries of ``queries()``.  Round 8 shipped a rotation that never took
+effect because a comment mis-counted the window (the refresh names sat
+at rank 51+ and the driver re-hashed the byte-identical round-7 set).
+These tests make that failure mode impossible to ship again:
+
+* the intended window is an explicit constant (``_R9_WINDOW``) of
+  EXACTLY ``DRIVER_WINDOW`` names — no prose arithmetic;
+* ``queries()`` / ``oracle_sql()`` must begin with it verbatim;
+* every fronted name must be registered, exactly once;
+* the new window must not overlap the previous round's checked set
+  (re-buying evidence we already have is the round-8 failure);
+* after this window lands, no registered query's latest driver
+  evidence may be older than round 4 (the r8 verdict's done-bar).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from vector_db_handler_spark import driver_queries as dq
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: The previous round's correctness artifact: the set the driver checked
+#: last round.  Bump alongside _R9_WINDOW when planning the next window.
+_PREV_CORRECTNESS = os.path.join(_REPO, "CORRECTNESS_r08.json")
+
+#: Latest round with driver evidence for each query, derived from every
+#: CORRECTNESS_r*.json in the repo root.
+def _latest_evidence() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for fn in sorted(os.listdir(_REPO)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            rnd = int(fn[len("CORRECTNESS_r") : -len(".json")])
+            with open(os.path.join(_REPO, fn)) as f:
+                for name in json.load(f):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def test_window_is_exactly_driver_window_names():
+    assert len(dq._R9_WINDOW) == dq.DRIVER_WINDOW, (
+        f"_R9_WINDOW has {len(dq._R9_WINDOW)} names, the driver checks "
+        f"exactly {dq.DRIVER_WINDOW} — a mis-count here silently wastes "
+        "the round's evidence window"
+    )
+    assert len(set(dq._R9_WINDOW)) == len(dq._R9_WINDOW), "duplicate names"
+
+
+def test_every_fronted_name_is_registered():
+    registered = set(dq._QUERIES)
+    missing = [n for n in dq._DRIVER_FRONT if n not in registered]
+    assert not missing, f"fronted but not registered (typo?): {missing}"
+
+
+def test_queries_begin_with_the_intended_window():
+    got = list(dq.queries())[: dq.DRIVER_WINDOW]
+    assert got == dq._R9_WINDOW, (
+        "queries() does not start with the intended window — the "
+        "rotation sort is not applying _R9_WINDOW verbatim"
+    )
+
+
+def test_oracles_rotated_consistently():
+    # Oracle iteration order must match queries() for the names that
+    # have oracles (the driver zips them by key, but keep order sane).
+    q_order = [n for n in dq.queries() if n in dq._ORACLES]
+    assert q_order == list(dq.oracle_sql())
+
+
+def test_window_does_not_overlap_previous_round():
+    with open(_PREV_CORRECTNESS) as f:
+        prev = set(json.load(f))
+    overlap = sorted(set(dq._R9_WINDOW) & prev)
+    assert not overlap, (
+        f"window re-checks {len(overlap)} queries the driver already "
+        f"hashed last round: {overlap[:10]} — rotate stale evidence in "
+        "instead (round-8 failure mode)"
+    )
+
+
+def test_no_query_left_older_than_round4_after_this_window():
+    latest = _latest_evidence()
+    window = set(dq._R9_WINDOW)
+    stale = sorted(
+        n
+        for n in dq._QUERIES
+        if latest.get(n, 0) < 4 and n not in window
+    )
+    assert not stale, (
+        f"queries with pre-r4 evidence not in this round's window: {stale}"
+    )
+
+
+def test_r7_restructured_queries_are_in_the_window():
+    # merge.py / features.py / stream_ops.py were restructured in r7;
+    # the driver has never hashed the current plans for these five.
+    for name in (
+        "scd2_customer_merge",
+        "value_decile_bins",
+        "rfm_user_segments",
+        "user_anomaly_stream",
+        "running_user_value_stream",
+    ):
+        assert name in dq._R9_WINDOW, name

@@ -117,101 +117,121 @@ def register(name: str, oracle: str | None = None):
 #: media_modality_stats, media_phash, media_resize_fingerprint,
 #: tpch_q3/q5/q6) pass today's local oracle replay and are FIRST IN
 #: LINE for the r7 window.
-#: Round 7 (FINAL window — the driver hash-checks only the FIRST 50
-#: entries, so membership below the 50th row means "not checked this
-#: round").  The continuation session took the registry from 169 to
-#: 200 queries; priority for the window is everything that has NEVER
-#: been driver-checked, then the r6 red-row re-checks, then the
-#: stalest evidence:
+#: Round 7 window: (a) 36 continuation-session registrations +
+#: (b) 11 early-r7 registrations + (c) 3 r6 red-row re-checks =
+#: exactly 50; the r3/r4-vintage refreshes sat at rank 51+.
 #:
-#:   (a) 36 continuation-session registrations (never checked);
-#:   (b) 11 early-r7 registrations (never checked);
-#:   (c) the 3 rows driver-red in r6 on the oracle HUGEINT bug,
-#:       re-checked with their casts fixed — filling slot 50 exactly.
+#: Round 8 POST-MORTEM: the r8 session appended the refresh names under
+#: a comment claiming they "fill the window", but sections (a)+(b)+(c)
+#: already totalled 50 — the refreshes landed at rank 51+ and the driver
+#: re-hashed the byte-identical r7 set.  A round's driver window is the
+#: scarcest evidence resource in this loop, and prose arithmetic about
+#: it cannot be trusted.  From round 9 on the window is an explicit,
+#: machine-checked constant: ``_R9_WINDOW`` must hold exactly
+#: ``DRIVER_WINDOW`` names, ``queries()`` must begin with it verbatim,
+#: and ``tests/test_driver_window.py`` fails the suite if either drifts,
+#: if any name is unregistered/duplicated, or if the window overlaps the
+#: previous round's checked set (``CORRECTNESS_r08.json``).
 #:
-#: 47 never-checked + 3 re-checks = the whole window; registration
-#: stopped here BY DESIGN (one more query would push a never-checked
-#: row out).  The r3/r4-vintage refreshes sit at 51+ and lead the r8
-#: window.
+#: Round 9 (FINAL window) — per the r8 verdict's top ask, the 50 slots
+#: go to the stalest evidence, strictly in this order:
 #:
-#: The r6-planned (c)/(d) refresh blocks (operator-code re-evidence +
-#: r4-vintage rotation) are displaced below the window by the 42
-#: never-checked registrations — they all pass today's local oracle
-#: replay and rotate into the r8 window first.
-_DRIVER_FRONT: list[str] = [
-    # (a) continuation-session registrations
-    "triangle_brand_stats",
-    "doc_chunks",
-    "dq_events_report",
-    "ivm_join_orders_customer",
-    "kmv_user_overlap_pairs",
-    "mad_value_outliers",
-    "fuzzy_part_name_pairs",
-    "latest_user_value_stream",
-    "dbscan_embedding_clusters",
-    "rrf_hybrid_topk",
-    "value_drift_tv",
-    "weighted_doc_sample",
-    "funnel_view_click_purchase",
-    "hard_negative_triplets",
-    "weighted_jaccard_pairs",
-    "kcore_part_graph",
-    "join_size_estimate_ol",
-    "theil_sen_user_trend",
-    "cusum_user_alarms",
-    "frequent_part_triples",
-    "stream_stream_left_outer",
-    "ann_recall_report",
-    "er_golden_records",
-    "bfs_brand_seed_hops",
-    "scd2_asof_order_lookup",
-    "mrl_recall_curve",
-    "split_leakage_pairs",
-    "funnel_stream_counts",
-    "label_propagation_embeddings",
-    "sq8_distortion_by_label",
-    "embedding_dim_robust_stats",
-    "bootstrap_value_ci",
-    "clustering_coefficient_parts",
-    "cohort_retention_matrix",
-    "value_drift_tv_stream",
-    "incremental_neardup_components",
-    # (b) early-r7 registrations
-    "mor_delete_doc_scroll",
-    "chain_components_star",
-    "pii_redaction_stats",
-    "epoch_resample_counts",
-    "profile_events_table",
-    "bpe_train_merges",
-    "bpe_token_counts_by_source",
-    "streaming_knn_serve_topk",
-    "xml_roundtrip_stats",
-    "lm_quality_by_lang",
-    "maxsim_topk",
-    # (c) r6 driver-red, oracle casts fixed in r7
-    "tpch_q12",
-    "decayed_type_scores",
-    "pack_sequences",
-    # (d) stalest r3-vintage refresh (fills the window to exactly 50)
-    "cosine_neardup_pairs",
-    "cosine_topk_join",
-    "ivf_topk",
-    "text_quality",
-    "sketch_accuracy_by_lang",
-    # --- row 51+ (below the checked window; r8 rotates these in) ---
-    "streaming_dedup_first",
-    "media_modality_stats",
-    "media_phash",
-    "media_resize_fingerprint",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
+#:   (a) the 5 queries whose operator code was restructured in r7
+#:       (merge.py:35 / features.py:86-99 / stream_ops rewrites) but
+#:       whose only driver rows predate the change;
+#:   (b) all 13 r3-vintage rows (five rounds stale);
+#:   (c) the 32 stalest r4-vintage rows in registration order (the
+#:       TPC-H tail, the scroll/upsert roundtrips, the r4 dedup wave).
+#:
+#: Nothing new is registered this round BY DESIGN — a new registration
+#: would displace a stale row, and the verdict's done-criterion is that
+#: no query's latest evidence is older than r4 after this window lands.
+#: The 13 remaining r4 rows lead the r10 window (``_BELOW_WINDOW``).
+
+#: Number of leading ``queries()`` entries the correctness driver
+#: hash-checks each round.  Pinned by tests/test_driver_window.py.
+DRIVER_WINDOW: int = 50
+
+#: EXACTLY the 50 names intended for this round's driver window, in
+#: check order.  tests/test_driver_window.py asserts len == 50, all
+#: registered, no duplicates, queries() starts with this list verbatim,
+#: and zero overlap with CORRECTNESS_r08.json's checked set.
+_R9_WINDOW: list[str] = [
+    # (a) operator code restructured in r7; driver has never hashed the
+    #     current plans
     "scd2_customer_merge",
     "value_decile_bins",
     "rfm_user_segments",
     "user_anomaly_stream",
     "running_user_value_stream",
+    # (b) r3-vintage evidence (five rounds stale)
+    "cosine_topk_join",
+    "cosine_neardup_pairs",
+    "ivf_topk",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "media_modality_stats",
+    "media_phash",
+    "media_resize_fingerprint",
+    "streaming_dedup_first",
+    "sketch_accuracy_by_lang",
+    "text_quality",
+    "pipeline_ingest_search",
+    # (c) the 32 stalest r4-vintage rows, registration order
+    "cosine_neardup_ann",
+    "media_real_decode_stats",
+    "pipeline_ingest_search_checked",
+    "top_customers_per_nation",
+    "tpch_q14",
+    "tpch_q7",
+    "tpch_q18",
+    "simhash_neardup_pairs",
+    "label_centroids",
+    "scroll_page2",
+    "upsert_scroll_roundtrip",
+    "decontamination_pairs",
+    "bloom_incremental_novel",
+    "salted_join_agg",
+    "bucketed_join_agg",
+    "tpch_q4",
+    "tpch_q21",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "neardup_components",
+    "neardup_canonical_docs",
+    "sample_stratified_docs",
 ]
+
+#: Rank 51+: below the checked window; these 13 remaining r4-vintage
+#: rows lead the r10 window.
+_BELOW_WINDOW: list[str] = [
+    "sample_per_lang_topk",
+    "doc_repetition",
+    "quantized_knn_topk",
+    "source_quality_report",
+    "vocab_topk_tokens",
+    "ivfsq_probe_topk",
+    "deduped_corpus",
+    "media_neardup_pairs",
+    "cube_source_lang",
+    "ivfsq_batch_probe",
+    "minhash_jaccard_estimate",
+    "anti_join_novel_docs",
+    "grouped_embedding_norms",
+]
+
+_DRIVER_FRONT: list[str] = _R9_WINDOW + _BELOW_WINDOW
 
 
 def _rotated(entries: dict) -> dict:
