@@ -443,3 +443,143 @@ def test_torn_streaming_batch_replay_does_not_duplicate(spark, tmp_path):
     assert store.orphan_files() == []
     batches = {store._manifest(v).get("ingest_batch") for v in store.versions()}
     assert batches == {0}
+
+
+# ---------------------------------------------------------------------------
+# reconcile() hardening (r8 verdict ask #5 + ADVICE r8)
+# ---------------------------------------------------------------------------
+
+
+def _plant_residue(store, uid="t1", name="torn-residue.parquet"):
+    """Copy a committed data file under a new name — the exact on-disk
+    shape of a transaction that died between its file writes and its
+    commit rename (or of a concurrent writer's pre-commit window)."""
+    import glob
+    import shutil as sh
+
+    src = glob.glob(f"{store.root}/user_id={uid}/*.parquet")[0]
+    dst = f"{store.root}/user_id={uid}/{name}"
+    sh.copyfile(src, dst)
+    return dst
+
+
+def test_reconcile_age_guard(spark, tmp_path):
+    """min_age_sec is the multi-writer escape hatch (Iceberg
+    remove_orphan_files `older_than`): a just-written un-manifested
+    file — indistinguishable from a live writer's staging file — must
+    survive an age-guarded reconcile, and default reconcile (the
+    single-writer contract) must remove it."""
+    import os
+
+    from vector_db_handler_spark.store_mor import VersionedMorPointsStore
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "age"), vector_size=DIM)
+    _seed(store)
+    residue = _plant_residue(store)
+
+    assert store.orphan_files() == [residue]
+    # the file is seconds old: an hour-wide age guard classifies it as
+    # possibly-live and leaves it alone
+    assert store.orphan_files(min_age_sec=3600) == []
+    assert store.reconcile(min_age_sec=3600) == []
+    assert os.path.exists(residue)
+    # a file older than the guard IS removed: backdate its mtime
+    os.utime(residue, (1, 1))
+    assert store.reconcile(min_age_sec=3600) == [residue]
+    assert not os.path.exists(residue)
+
+
+def test_mutation_sweeps_unrelated_residue(spark, tmp_path):
+    """ADVICE r8: an auto-committing mutation must not manifest (or
+    read) the residue of an UNRELATED torn transaction — it reconciles
+    first, so the failed transaction stays failed."""
+    import os
+
+    from vector_db_handler_spark.store_mor import VersionedMorPointsStore
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "sweep"), vector_size=DIM)
+    _seed(store)
+    n_t2 = store.read_tenant("t2").count()
+    residue = _plant_residue(store, uid="t2")
+    assert store.read_tenant("t2").count() == 2 * n_t2  # residue visible pre-fix
+
+    store.delete_doc("t1", 2)  # unrelated mutation on another tenant
+
+    assert not os.path.exists(residue)
+    assert store.read_tenant("t2").count() == n_t2
+    m = store._manifest(store.versions()[-1])
+    assert "torn-residue.parquet" not in set(m["data"].get("user_id=t2", ()))
+    assert store.orphan_files() == []
+
+
+def test_replay_of_committed_batch_cleans_residue(spark, tmp_path):
+    """ADVICE r8: the sink's has_ingest_batch/isEmpty early returns must
+    not skip residue cleanup — reconcile runs before the guards, so a
+    replay of an already-committed batch still heals the store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.store_mor import (
+        VersionedMorPointsStore,
+        streaming_ingest_exactly_once,
+    )
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "sink3"), vector_size=DIM)
+    src = str(tmp_path / "incoming3")
+    batch = spark.range(0, 10).select(
+        F.expr("uuid()").alias("point_id"),
+        F.lit("t1").alias("user_id"),
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("long").alias("chunk_id"),
+        F.lit("d").alias("title"),
+        F.create_map().cast("map<string,string>").alias("payload"),
+        F.array(*[F.lit(1.0).cast("float")] * DIM).alias("embedding"),
+        F.lit(float(DIM) ** 0.5).alias("embedding_norm"),
+    )
+    batch.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_ingest_exactly_once(
+        spark.readStream.schema(schema).parquet(src),
+        store,
+        str(tmp_path / "cp_a"),
+    )
+    assert store.read_tenant("t1").count() == 10
+
+    residue = _plant_residue(store)  # unrelated torn transaction
+
+    # fresh checkpoint ⇒ batch 0 replays; has_ingest_batch short-circuits
+    # the append, but the reconcile must already have run
+    streaming_ingest_exactly_once(
+        spark.readStream.schema(schema).parquet(src),
+        store,
+        str(tmp_path / "cp_b"),
+    )
+    assert not os.path.exists(residue)
+    assert store.orphan_files() == []
+    assert store.read_tenant("t1").count() == 10
+
+
+def test_wap_stage_does_not_publish_unrelated_residue(spark, tmp_path):
+    """write_audit_publish reconciles before staging, so a torn
+    transaction's residue cannot ride into the published manifest."""
+    import os
+
+    from vector_db_handler_spark.operators import dq
+    from vector_db_handler_spark.store_mor import (
+        VersionedMorPointsStore,
+        write_audit_publish,
+    )
+
+    store = VersionedMorPointsStore(spark, str(tmp_path / "wap2"), vector_size=DIM)
+    _seed(store)
+    n_before = store.read_tenant("t1").count()
+    residue = _plant_residue(store)
+
+    v = write_audit_publish(
+        store, _wap_points(spark, ["good"]), [dq.completeness("title")]
+    )
+    assert not os.path.exists(residue)
+    m = store._manifest(v)
+    assert "torn-residue.parquet" not in set(m["data"].get("user_id=t1", ()))
+    assert store.read_tenant("t1").count() == n_before + 1

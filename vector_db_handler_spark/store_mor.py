@@ -330,14 +330,27 @@ class VersionedMorPointsStore(MorPointsStore):
             for v in self.versions()
         )
 
-    def orphan_files(self) -> list[str]:
+    def orphan_files(self, min_age_sec: float = 0.0) -> list[str]:
         """Data/DV files present on disk but absent from the LATEST
         committed manifest — the residue of a transaction that died
         between its file writes and its commit rename.  Because every
         mutation on this class auto-commits and files are immutable
         once committed, any un-manifested file is, by construction,
         torn-transaction residue (on a fresh store with no commits,
-        that's every file)."""
+        that's every file).
+
+        SINGLE-WRITER CONTRACT: "un-manifested" is also exactly the
+        shape of a CONCURRENT writer's in-flight pre-commit files and
+        of :func:`write_audit_publish`'s staged-but-unaudited batch.
+        This classification is therefore only sound while NO other
+        transaction (mutation, ingest batch, or WAP stage) is in
+        flight on this table.  For a multi-writer deployment pass
+        ``min_age_sec`` — only files older than the threshold are
+        classified as orphans, which is precisely how Iceberg's
+        ``remove_orphan_files`` (default 3-day ``older_than``) avoids
+        deleting a live writer's staging files."""
+        import time
+
         fs, jvm = self._fs()
         versions = self.versions()
         data, dels = {}, {}
@@ -357,18 +370,40 @@ class VersionedMorPointsStore(MorPointsStore):
                 for f in files
                 if f not in known
             ]
+        if min_age_sec > 0:
+            horizon_ms = (time.time() - min_age_sec) * 1000.0
+            orphans = [
+                p
+                for p in orphans
+                if fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(p)
+                ).getModificationTime()
+                <= horizon_ms
+            ]
         return sorted(orphans)
 
-    def reconcile(self) -> list[str]:
+    def reconcile(self, min_age_sec: float = 0.0) -> list[str]:
         """Crash recovery: delete every orphan file so the on-disk
         state equals the latest committed manifest, and return the
         deleted paths.  Iceberg calls this ``remove_orphan_files``;
         Delta's VACUUM covers the same residue.  Run it before
-        retrying a torn transaction — the streaming ingest sink does
-        so automatically — after which the live ``read()`` and the
-        snapshot ``read_version(latest)`` agree again."""
+        retrying a torn transaction — every auto-committing mutation
+        and the streaming ingest sink do so automatically — after
+        which the live ``read()`` and the snapshot
+        ``read_version(latest)`` agree again.
+
+        MUTUAL EXCLUSION REQUIRED: must never run while any other
+        transaction is in flight on this table (another writer's
+        pre-commit window, a WAP stage) — their staged files are
+        indistinguishable from torn residue and would be deleted,
+        making the racing commit manifest missing files.  The
+        auto-callers rely on the store-wide single-writer contract;
+        a multi-writer deployment must pass ``min_age_sec`` larger
+        than any transaction's stage-to-commit window (Iceberg
+        ``remove_orphan_files older_than`` semantics, pinned by
+        ``tests/test_store_mor.py::test_reconcile_age_guard``)."""
         fs, jvm = self._fs()
-        removed = self.orphan_files()
+        removed = self.orphan_files(min_age_sec)
         for p in removed:
             fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
         return removed
@@ -388,20 +423,33 @@ class VersionedMorPointsStore(MorPointsStore):
         return json.loads("\n".join(r.value for r in lines))
 
     # -- mutations auto-commit ---------------------------------------
+    #
+    # Each mutation reconciles FIRST (ADVICE r8): commit() manifests a
+    # whole-disk listing, so residue of an UNRELATED torn transaction
+    # (e.g. a failed delete's DV file) would otherwise be silently
+    # swept into this mutation's manifest and take effect even though
+    # the original call raised — and the pre-commit read()/transform
+    # would see the residue rows too.  reconcile() is a no-op on a
+    # clean store; safety under the store's single-writer contract is
+    # documented on reconcile() itself.
 
     def append(self, points_df) -> None:
+        self.reconcile()
         super().append(points_df)
         self.commit()
 
     def _apply(self, user_id: str, transform) -> None:
+        self.reconcile()
         super()._apply(user_id, transform)
         self.commit()
 
     def compact(self, user_id: str) -> None:
+        self.reconcile()
         super().compact(user_id)
         self.commit()
 
     def truncate_collection(self, user_id: str) -> None:
+        self.reconcile()
         super().truncate_collection(user_id)
         self.commit()
 
@@ -456,6 +504,7 @@ class VersionedMorPointsStore(MorPointsStore):
         ).drop("_dv_file", "_dv_pos")
 
     def drop_collection(self, user_id: str) -> None:
+        self.reconcile()
         super().drop_collection(user_id)
         fs, jvm = self._fs()
         dv_path = jvm.org.apache.hadoop.fs.Path(self._dv_dir(user_id))
@@ -489,11 +538,17 @@ def streaming_ingest_exactly_once(
     The stream must carry POINTS_SCHEMA columns."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # Reconcile BEFORE the replay guards (ADVICE r8): if the
+        # replayed batch is empty or already committed, the early
+        # returns would otherwise skip cleanup and the torn residue
+        # would be swept into the NEXT batch's whole-disk manifest.
+        # No-op on a clean store; single-writer contract per
+        # reconcile()'s docstring.
+        store.reconcile()
         if store.has_ingest_batch(batch_id):
             return
         if batch_df.isEmpty():
             return
-        store.reconcile()  # drop torn-attempt residue before retrying
         PointsStore.append(store, batch_df)  # write data files, no commit
         store.commit(extra={"ingest_batch": int(batch_id)})
 
@@ -538,9 +593,20 @@ def write_audit_publish(
 
     Returns the published version.  Scale: the audit is one scan of
     the staged table state (the DQ suite's contract); rollback is a
-    metadata-sized file delete."""
+    metadata-sized file delete.
+
+    Runs under the store's single-writer contract: the stage window
+    (between ``append`` and ``commit``) leaves files on disk that any
+    concurrent ``reconcile()`` — including the one every auto-
+    committing mutation now runs — would classify as torn residue and
+    delete.  No mutation may run on this store while a WAP stage is in
+    flight; see :meth:`VersionedMorPointsStore.reconcile`."""
     from vector_db_handler_spark.operators.dq import dq_check
 
+    # Unrelated torn residue must not ride into the published manifest
+    # (or pollute the audit's read()); safe here for the same
+    # single-writer reason the stage itself is.
+    store.reconcile()
     fs, jvm = store._fs()
     before = {
         tenant: set(files)
