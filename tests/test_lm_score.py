@@ -57,3 +57,19 @@ def test_english_model_separates_languages(spark, sf_dir):
     }
     en = per_lang.pop("en")
     assert all(en > v for v in per_lang.values()), per_lang | {"en": en}
+
+
+def test_bigrams_quotes_awkward_column_names(spark):
+    """ADVICE r8: a column name needing backticks must work, and a
+    name smuggling an expression/backtick must be rejected, not parsed."""
+    import pytest
+
+    from vector_db_handler_spark.operators import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, `my text.col` string"
+    ).withColumnRenamed("my text.col", "my text.col")
+    out = df.select(lm_score._bigrams("my text.col").alias("bg")).collect()
+    assert out[0]["bg"] == ["a b", "b c"]
+    with pytest.raises(ValueError, match="backtick"):
+        lm_score._bigrams("x`) ; drop --")

@@ -212,3 +212,25 @@ def test_kmv_overlap_partition_invariant(spark):
     r32 = sorted(map(tuple, kmv_overlap_pairs(df32, "g", "v", k=32).collect()))
     assert r1 == r32
     assert len(r1) == 3  # 3 groups -> 3 pairs
+
+
+def test_bloom_small_ledger_autoselect_is_bit_identical(spark, sf_dir):
+    """ADVICE r8: below driver_threshold the distributed entry point
+    builds driver-side with the distributed (m, k) sizing — the bitmap
+    must be bit-identical to the forced-distributed build, including
+    under an n_hint over-estimate."""
+    docs = _hashed_docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select("text_hash").repartition(7)
+    forced = sketches.build_bloom(seen, distributed=True, driver_threshold=0)
+    auto = sketches.build_bloom(seen, distributed=True)  # small -> driver path
+    assert forced is not None and auto is not None
+    assert (forced[1], forced[2]) == (auto[1], auto[2])
+    assert (forced[0] == auto[0]).all()
+    # n_hint over-estimate: sizing comes from the hint on BOTH paths
+    hint = seen.count() * 3
+    forced_h = sketches.build_bloom(
+        seen, distributed=True, n_hint=hint, driver_threshold=0
+    )
+    auto_h = sketches.build_bloom(seen, distributed=True, n_hint=hint)
+    assert (forced_h[1], forced_h[2]) == (auto_h[1], auto_h[2])
+    assert (forced_h[0] == auto_h[0]).all()

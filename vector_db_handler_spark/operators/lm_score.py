@@ -47,12 +47,20 @@ from pyspark.sql import functions as F
 
 
 def _bigrams(text_col: str) -> Column:
-    """Adjacent-word-pair array; empty (not a crash) for <2-word docs."""
+    """Adjacent-word-pair array; empty (not a crash) for <2-word docs.
+
+    ``text_col`` is a COLUMN NAME, not an expression (ADVICE r8: the
+    raw interpolation broke names needing backticks and let arbitrary
+    SQL ride in through the parameter) — it is validated and
+    backtick-quoted before entering the expr string."""
+    if "`" in text_col:
+        raise ValueError(f"column name may not contain backticks: {text_col!r}")
+    c = f"`{text_col}`"
     return F.expr(
-        f"if(size(split({text_col}, ' ')) >= 2,"
-        f" transform(sequence(1, size(split({text_col}, ' ')) - 1),"
-        f"  i -> concat(element_at(split({text_col}, ' '), i), ' ',"
-        f"              element_at(split({text_col}, ' '), i + 1))),"
+        f"if(size(split({c}, ' ')) >= 2,"
+        f" transform(sequence(1, size(split({c}, ' ')) - 1),"
+        f"  i -> concat(element_at(split({c}, ' '), i), ' ',"
+        f"              element_at(split({c}, ' '), i + 1))),"
         f" array())"
     )
 

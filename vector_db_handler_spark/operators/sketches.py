@@ -247,6 +247,7 @@ def build_bloom(
     fpp: float = 0.01,
     distributed: bool = True,
     n_hint: int | None = None,
+    driver_threshold: int = 100_000,
 ) -> tuple["np.ndarray", int, int] | None:
     """Build the (bits, m, k) Bloom state from a hash relation; ``None``
     when the relation is empty.
@@ -265,9 +266,17 @@ def build_bloom(
       is the 100 TB build: driver traffic is the bitmap, never the
       keys.
     * ``distributed=False`` — collect the KEYS and set bits locally.
-      Opt-in for tiny ledgers where the two-job distributed build's
-      fixed overhead dominates (or pass ``n_hint`` to make the
-      distributed build one-scan).
+      Explicit opt-in; sizes (m, k) from the observed key count.
+
+    ADVICE r8 small-ledger auto-select: flipping the default to
+    distributed made every tiny build pay a mapInPandas + shuffle job
+    it doesn't need.  On the distributed path, once ``n`` is known
+    (hint or count — a cost already paid), ledgers of at most
+    ``driver_threshold`` keys are built driver-side with the SAME
+    (m, k) sizing, so the bitmap stays bit-identical to the
+    distributed build while skipping both extra jobs; collecting
+    ≤100k int64 keys is under a megabyte.  Set ``driver_threshold=0``
+    to force the distributed build regardless of size.
     """
     if distributed:
         # Sizing needs n before any bit is set; without ``n_hint`` the
@@ -282,6 +291,19 @@ def build_bloom(
         m, k = _bloom_params(n, fpp)
         n_words = (m + 63) // 64
         _, set_bits_f = _make_bloom_fns()
+        if n <= driver_threshold:
+            # Small-ledger fast path: same (m, k), same bits, no
+            # distributed jobs.  An n_hint over-estimate keeps the
+            # distributed sizing here too, so the bitmaps stay
+            # comparable across paths.
+            keys = np.array(
+                [r[0] for r in seen_hashes.select(hash_col).collect()],
+                dtype=np.uint64,
+            )
+            bits = np.zeros(n_words, dtype=np.uint64)
+            if keys.size:
+                set_bits_f(bits, keys, m, k)
+            return bits, m, k
 
         def partial(batches):
             import numpy as _np
