@@ -893,6 +893,292 @@ def r7b(mult: int = 16) -> None:
         )
 
 
+
+def r9(mult: int = 4) -> None:
+    """Round-9 probes for the three unprobed r7 families (r7 verdict
+    ask #6, carried through r8):
+
+    * ``frequent_part_triples`` (Apriori, features.py:546) — prove the
+      CANDIDATE volume tracks the frequent-pair graph, not the raw
+      in-basket triple explosion: per min_support, re-derive the
+      operator's own candidate relation (same plan, features.py
+      pipeline mirrored) and compare its row count against the
+      analytic raw volume Σ_baskets C(n,3).
+    * ``clustering_coefficient_parts`` — wedge volume under the
+      (degree, id) orientation vs the naive Σ d(d−1)/2 expansion, and
+      wall vs disjoint m× graph replication (wedges and wall should
+      both scale ~m×, never d²).
+    * ``components_apply_batch`` (graph.py:392) — cost vs |Δ| with the
+      maintained labeling HELD CONSTANT, then cost vs pair-HISTORY
+      length with |Δ| held constant: the fold must track |V| + |Δ|,
+      not how many pairs ever built the labeling.
+    """
+    from vector_db_handler_spark.operators.features import frequent_triples
+    from vector_db_handler_spark.operators.graph import (
+        components_apply_batch,
+        connected_components_star,
+    )
+
+    spark = get_spark("r9-probe")
+    sf = "/root/testdata/sf0.1"
+
+    # -- Apriori candidate volume vs frequent-pair graph ---------------
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .cache()
+    )
+    raw = (
+        li.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("n") - 1) * (F.col("n") - 2) / 6
+            ).alias("raw_triples")
+        )
+        .collect()[0]["raw_triples"]
+    )
+    print(f"apriori: raw in-basket triple volume = {int(raw)}")
+    a = li.select("o", F.col("p").alias("p1"))
+    b = li.select("o", F.col("p").alias("p2"))
+    pair_census = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .cache()
+    )
+    pair_census.count()
+    for s in (2, 3, 5):
+        fp = pair_census.filter(F.col("sup") >= s).select("p1", "p2")
+        n_fp = fp.count()
+        # the operator's candidate relation, mirrored (features.py:546)
+        eb = (
+            a.join(b, "o")
+            .filter(F.col("p1") < F.col("p2"))
+            .join(fp, ["p1", "p2"], "left_semi")
+        )
+        c = li.select("o", F.col("p").alias("p3"))
+        cand = (
+            eb.join(c, "o")
+            .filter(F.col("p3") > F.col("p2"))
+            .join(
+                fp.select(F.col("p1"), F.col("p2").alias("p3")),
+                ["p1", "p3"],
+                "left_semi",
+            )
+            .join(
+                fp.select(F.col("p1").alias("p2"), F.col("p2").alias("p3")),
+                ["p2", "p3"],
+                "left_semi",
+            )
+        )
+        n_cand = cand.count()
+        t0 = time.perf_counter()
+        n_out = frequent_triples(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            "l_orderkey",
+            "l_partkey",
+            min_support=s,
+        ).count()
+        wall = time.perf_counter() - t0
+        print(
+            f"apriori s={s}: frequent pairs {n_fp}, candidates {n_cand} "
+            f"({n_cand / max(raw, 1):.2e} of raw), triples {n_out}, "
+            f"end-to-end wall {wall:.1f}s"
+        )
+    pair_census.unpersist()
+
+    # Planted-structure variant: TPC-H baskets are too sparse to stress
+    # the prune (the frequent-pair graph is near-empty), so synthesize
+    # baskets with a hot core + cold noise: 20k baskets of 3 items from
+    # a 50-item hot pool (dense frequent structure) and 5 items from a
+    # 100k-item cold pool (raw volume, no frequent pairs).  Candidates
+    # must track the hot wedge count, never the raw C(8,3) explosion.
+    hot = spark.range(20_000).select(
+        F.col("id").alias("o"),
+        F.array(
+            *[((F.col("id") * p + i * 17) % 50).cast("long") for i, p in
+              enumerate((7919, 104729, 1299709))]
+        ).alias("items"),
+    )
+    cold = spark.range(20_000).select(
+        F.col("id").alias("o"),
+        F.array(
+            *[(50 + (F.col("id") * p + i * 13) % 100_000).cast("long")
+              for i, p in enumerate((15485863, 32452843, 49979687, 67867967, 86028121))]
+        ).alias("items"),
+    )
+    baskets = (
+        hot.unionByName(cold)
+        .select("o", F.explode("items").alias("p"))
+        .distinct()
+        .cache()
+    )
+    raw_syn = (
+        baskets.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) * (F.col("n") - 2) / 6).alias("r"))
+        .collect()[0]["r"]
+    )
+    for s in (50, 200):
+        t0 = time.perf_counter()
+        tri_df = frequent_triples(baskets, "o", "p", min_support=s)
+        n_tri = tri_df.count()
+        wall = time.perf_counter() - t0
+        a2 = baskets.select("o", F.col("p").alias("p1"))
+        b2 = baskets.select("o", F.col("p").alias("p2"))
+        fp2 = (
+            a2.join(b2, "o")
+            .filter(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= s)
+        )
+        n_fp2 = fp2.count()
+        eb2 = (
+            a2.join(b2, "o")
+            .filter(F.col("p1") < F.col("p2"))
+            .join(fp2.select("p1", "p2"), ["p1", "p2"], "left_semi")
+        )
+        c2 = baskets.select("o", F.col("p").alias("p3"))
+        cand2 = (
+            eb2.join(c2, "o")
+            .filter(F.col("p3") > F.col("p2"))
+            .join(
+                fp2.select(F.col("p1"), F.col("p2").alias("p3")),
+                ["p1", "p3"],
+                "left_semi",
+            )
+            .join(
+                fp2.select(F.col("p1").alias("p2"), F.col("p2").alias("p3")),
+                ["p2", "p3"],
+                "left_semi",
+            )
+        )
+        n_cand2 = cand2.count()
+        print(
+            f"apriori planted s={s}: raw {int(raw_syn)}, frequent pairs "
+            f"{n_fp2}, candidates {n_cand2} ({n_cand2 / max(raw_syn, 1):.1%} "
+            f"of raw), triples {n_tri}, wall {wall:.1f}s"
+        )
+    baskets.unpersist()
+
+    # -- clustering coefficient: oriented vs naive wedge volume --------
+    e0 = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .cache()
+    )
+    m_edges = e0.count()
+    li.unpersist()
+    for m in (1, mult):
+        e = e0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            shift = F.col("rep") * 10_000_000
+            e = e0.crossJoin(reps).select(
+                (F.col("u") + shift).alias("u"), (F.col("v") + shift).alias("v")
+            )
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        naive = deg.agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
+        ).collect()[0]["w"]
+        # out-degree under the (deg, id) total order = oriented wedges
+        du = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+        dv = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+        und = e.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).distinct()
+        keyed = und.join(du, "a").join(dv, "b")
+        outdeg = (
+            keyed.select(
+                F.when(
+                    F.struct("da", "a") < F.struct(F.col("db").alias("da"), F.col("b").alias("a")),
+                    F.col("a"),
+                )
+                .otherwise(F.col("b"))
+                .alias("src")
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("od"))
+        )
+        oriented = outdeg.agg(
+            F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w")
+        ).collect()[0]["w"]
+        t0 = time.perf_counter()
+        n_nodes = dq.clustering_coefficient_parts(spark, sf) if m == 1 else None
+        if m == 1:
+            n_rows = n_nodes.count()
+            wall = time.perf_counter() - t0
+            print(
+                f"clustcoef m=1: {m_edges} edges, naive wedges {int(naive)}, "
+                f"oriented wedges {int(oriented)} "
+                f"({oriented / max(naive, 1):.0%}), full query wall {wall:.1f}s "
+                f"({n_rows} rows)"
+            )
+        else:
+            from vector_db_handler_spark.operators.graph import triangle_count
+
+            tri = triangle_count(e).count()
+            wall = time.perf_counter() - t0
+            print(
+                f"clustcoef m={m}: {m_edges * m} edges, naive wedges "
+                f"{int(naive)}, oriented wedges {int(oriented)}, "
+                f"triangle_count wall {wall:.1f}s ({tri} triangle nodes)"
+            )
+    e0.unpersist()
+
+    # -- incremental CC: cost vs |delta| at fixed history ----------------
+    hist = spark.range(200_000).select(
+        (F.col("id") % 50_000).alias("d1"),
+        ((F.col("id") * 7919 + 13) % 50_000).alias("d2"),
+    )
+    labels = connected_components_star(
+        hist, src="d1", dst="d2", max_rounds=40
+    ).localCheckpoint(eager=True)
+    n_v = labels.count()
+    for delta in (100, 1_000, 10_000, 100_000):
+        batch = spark.range(delta).select(
+            ((F.col("id") * 31 + 7) % 50_000).alias("d1"),
+            (50_000 + F.col("id") % 25_000).alias("d2"),
+        )
+        t0 = time.perf_counter()
+        out = components_apply_batch(labels, batch)
+        n_out = out.count()
+        print(
+            f"incremental |V|={n_v} |delta|={delta}: fold wall "
+            f"{time.perf_counter() - t0:.1f}s ({n_out} labeled nodes)"
+        )
+    # history axis: 10x the pair HISTORY behind the same |V| labeling —
+    # the fold must not get slower, because it only ever sees the star
+    # forest, never the history.
+    for h in (200_000, 2_000_000):
+        hist_h = spark.range(h).select(
+            (F.col("id") % 50_000).alias("d1"),
+            ((F.col("id") * 7919 + 13) % 50_000).alias("d2"),
+        )
+        labels_h = connected_components_star(
+            hist_h, src="d1", dst="d2", max_rounds=40
+        ).localCheckpoint(eager=True)
+        batch = spark.range(10_000).select(
+            ((F.col("id") * 31 + 7) % 50_000).alias("d1"),
+            (50_000 + F.col("id") % 25_000).alias("d2"),
+        )
+        t0 = time.perf_counter()
+        components_apply_batch(labels_h, batch).count()
+        print(
+            f"incremental history={h} pairs (|V|={labels_h.count()}) "
+            f"|delta|=10000: fold wall {time.perf_counter() - t0:.1f}s"
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -925,6 +1211,8 @@ if __name__ == "__main__":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r9":
+        r9(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "ann":
         ann_neardup(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000)
     else:
