@@ -684,3 +684,116 @@ def test_streaming_funnel_chain_spans_micro_batches(spark, tmp_path):
     got = {r.event_id: (r.completed, r.chain_start) for r in spark.table("t_sfun").collect()}
     assert got[3] == (True, 1_700_000_000 * 1_000_000)  # cross-batch chain
     assert got[50] == (False, -1)  # purchase before any view
+
+
+def test_left_outer_join_state_bounded_by_watermark_horizon(spark, tmp_path):
+    """r8 verdict stretch ask: under a long replay (50 hours of event
+    time across 5 time-ordered micro-batches) the stream-stream LEFT
+    OUTER join's state store must hold only rows inside the watermark
+    horizon (2 h watermark + 30 min window), never the full history —
+    the property that makes the operator runnable forever."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.streaming import stream_ops
+
+    # 50 hours; per hour: 10 users emit view@t + purchase@t+10min, and
+    # 10 purchase-only users exercise the outer (null) side.
+    hours = 50
+    base = spark.range(hours).select(F.col("id").alias("h"))
+    users = spark.range(20).select(F.col("id").alias("u"))
+    ev = (
+        base.join(users)
+        .select(
+            (F.col("h") * 100 + F.col("u")).alias("pair_id"),
+            F.col("u").alias("user_id"),
+            F.to_timestamp(
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(hours=F.col("h"))
+            ).alias("t0"),
+            (F.col("u") < 10).alias("has_view"),
+        )
+        .select(
+            "pair_id",
+            "user_id",
+            "t0",
+            "has_view",
+        )
+    )
+    views = ev.filter("has_view").select(
+        (F.col("pair_id") * 2).alias("event_id"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.col("t0").alias("ts"),
+    )
+    purchases = ev.select(
+        (F.col("pair_id") * 2 + 1).alias("event_id"),
+        "user_id",
+        F.lit("purchase").alias("event_type"),
+        (F.col("t0") + F.expr("INTERVAL 10 MINUTES")).alias("ts"),
+    )
+    all_ev = views.unionByName(purchases)
+    n_total = all_ev.count()
+    assert n_total == hours * 30  # 10 views + 20 purchases per hour
+
+    src = str(tmp_path / "long_replay")
+    slice_hours = 10
+    for i in range(hours // slice_hours):
+        all_ev.filter(
+            (F.hour("ts") + (F.dayofyear("ts") - 1) * 24)
+            .between(i * slice_hours, (i + 1) * slice_hours - 1)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(all_ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    joined = stream_ops.stream_stream_attribution_left(
+        stream, window_minutes=30, watermark="2 hours"
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("t_ss_left_state")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240), "replay did not drain"
+        progresses = [_json.loads(p.json) for p in q.recentProgress]
+    finally:
+        for qq in spark.streams.active:
+            qq.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    state_rows = [
+        so["numRowsTotal"]
+        for p in progresses
+        for so in p.get("stateOperators", [])
+        if so.get("numRowsTotal") is not None
+    ]
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in progresses
+        for so in p.get("stateOperators", [])
+    )
+    processed = sum(int(p.get("numInputRows", 0)) for p in progresses)
+    # the self-join scans the source once per branch (views, purchases)
+    assert processed == 2 * n_total
+    assert len(state_rows) >= 3  # multiple micro-batches actually ran
+    # horizon = 2h watermark + 30min window + one-batch eviction lag
+    # (10h slice = 300 rows); full history would be ~1500 rows.
+    per_batch = 30 * slice_hours
+    horizon_rows = 30 * 3  # 2.5h rounded up
+    bound = per_batch + horizon_rows + 100
+    assert max(state_rows) <= bound, (
+        f"join state grew to {max(state_rows)} rows (> {bound}): state is "
+        f"tracking history, not the watermark horizon; total fed {n_total}"
+    )
+    assert removed > 0, "watermark never evicted anything"
+    # matched rows emit promptly: every has_view purchase pairs its view
+    out = spark.table("t_ss_left_state")
+    assert out.filter("view_id >= 0").count() == hours * 10
