@@ -55,6 +55,10 @@ def test_every_fronted_name_is_registered():
     registered = set(dq._QUERIES)
     missing = [n for n in dq._DRIVER_FRONT if n not in registered]
     assert not missing, f"fronted but not registered (typo?): {missing}"
+    assert len(set(dq._DRIVER_FRONT)) == len(dq._DRIVER_FRONT), (
+        "duplicate in _DRIVER_FRONT — a name listed in both the window "
+        "and _BELOW_WINDOW silently shifts every rank below it"
+    )
 
 
 def test_queries_begin_with_the_intended_window():
