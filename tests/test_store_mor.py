@@ -583,3 +583,70 @@ def test_wap_stage_does_not_publish_unrelated_residue(spark, tmp_path):
     m = store._manifest(v)
     assert "torn-residue.parquet" not in set(m["data"].get("user_id=t1", ()))
     assert store.read_tenant("t1").count() == n_before + 1
+
+
+def test_random_mutation_walk_invariants(spark, tmp_path):
+    """Seeded 12-step random walk over every mutation class on the
+    versioned store.  After EVERY step three invariants must hold —
+    the contract the r9 reconcile hardening is meant to preserve under
+    arbitrary interleavings, not just the scripted scenarios:
+
+    * no orphan files (auto-commit + reconcile leave a clean disk);
+    * the live ``read()`` equals the latest snapshot
+      ``read_version(latest)`` row-for-row;
+    * every mutation advances the version (composite mutations like
+      truncate — which delegates to drop — may commit more than one
+      valid snapshot).
+    """
+    import random
+
+    from vector_db_handler_spark.store_mor import VersionedMorPointsStore
+
+    rng = random.Random(20260814)
+    store = VersionedMorPointsStore(spark, str(tmp_path / "walk"), vector_size=DIM)
+    _seed(store)
+
+    def check():
+        assert store.orphan_files() == []
+        live = _rows(store, "t1") + _rows(store, "t2")
+        v = store.versions()[-1]
+        snap = sorted(
+            (r["doc_id"], r["chunk_id"], r["title"], tuple(r["embedding"]))
+            for r in store.read_version(v)
+            .filter("user_id in ('t1','t2')")
+            .collect()
+        )
+        assert live == snap, f"live read != snapshot v{v}"
+
+    next_doc = 100
+    ops = ["upsert", "delete_doc", "delete_chunk", "update", "compact", "truncate"]
+    for step in range(12):
+        op = rng.choice(ops)
+        uid = rng.choice(["t1", "t2"])
+        v_before = store.versions()[-1]
+        if op == "upsert":
+            store.upsert_vectors(
+                uid,
+                [[float(next_doc)] * DIM],
+                [{"DocId": next_doc, "ChunkId": 0, "Title": f"d{next_doc}"}],
+            )
+            next_doc += 1
+        elif op == "delete_doc":
+            docs = [r[0] for r in _rows(store, uid)]
+            store.delete_doc(uid, rng.choice(docs) if docs else 1)
+        elif op == "delete_chunk":
+            rows = _rows(store, uid)
+            d, c = (rows[0][0], rows[0][1]) if rows else (1, 0)
+            store.delete_chunk(uid, d, c)
+        elif op == "update":
+            rows = _rows(store, uid)
+            d, c = (rows[-1][0], rows[-1][1]) if rows else (1, 0)
+            store.update_vector(uid, [float(step) + 0.5] * DIM, d, c)
+        elif op == "compact":
+            store.compact(uid)
+        elif op == "truncate":
+            store.truncate_collection(uid)
+        assert store.versions()[-1] >= v_before + 1, f"step {step} ({op})"
+        check()
+    # the walk must have exercised more than one mutation class
+    assert next_doc > 100
