@@ -1368,3 +1368,81 @@ def weighted_jaccard_verify(
             F.round(F.col("wj_num").cast("double") / F.col("wj_den"), 6),
         )
     )
+
+
+def duplicated_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication intervals, shingle-granular — the
+    distributed shape of suffix-array dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL'22): for every document, every MAXIMAL token interval whose
+    every ``k``-token sliding window also occurs somewhere else in the
+    corpus (another document, or another position of the same one).
+    Unlike ``span_dedup_corpus`` (fixed non-overlapping C4 spans) this
+    finds duplication at ARBITRARY offsets: a 40-token boilerplate
+    block pasted mid-sentence surfaces as one (start, end) interval
+    regardless of alignment, which is exactly what the suffix-array
+    pass in the paper extracts (any shared substring of >= k tokens is
+    covered by construction; shorter ones are invisible — the paper's
+    min-match-length dial).
+
+    Returns ``(doc_id, span_start, span_end, n_tokens, n_dup_grams)``
+    with 0-based inclusive token offsets.
+
+    Scale shape (100 TB): gram extraction is IN-ROW (`transform` over a
+    `sequence`, no per-token explode until the gram relation, which is
+    ~n_tokens rows per doc — the same linear relation winnowing
+    already pays); the duplication census is ONE map-side-combined
+    groupBy on the 60-bit gram hash; marking is a semi-join back on
+    that hash (Catalyst reuses the census exchange); run-merging is
+    the gaps-and-islands window partitioned BY DOCUMENT — per-doc
+    ordering only, no global sort, and a hub gram shared by millions
+    of docs contributes one census row and one postings row per
+    occurrence, never pairs.  No reference analog (the reference has
+    no dedup at all — ``app/core/document_ingestor.py:105`` mints a
+    fresh uuid per upsert)."""
+    toks = F.split(F.col(text_col), " ", -1)
+    grams = (
+        docs.filter(F.size(toks) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: portable_hash60(
+                        F.array_join(F.slice(toks, i + 1, k), " ")
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("h")
+    )
+    dup = grams.join(dup_hashes, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn("run", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+            F.col("n_dup_grams").cast("long"),
+        )
+    )
