@@ -1446,3 +1446,112 @@ def duplicated_substring_spans(
             F.col("n_dup_grams").cast("long"),
         )
     )
+
+
+#: (bands, rows_per_band) ladder over the 8-permutation signature —
+#: the S-curve family an LSH deployment chooses from: more bands =
+#: higher recall and more candidates; band keys are folded
+#: ``key = (key*131 + mh) % MINHASH_P`` so every intermediate stays
+#: far inside int64 in BOTH engines (DuckDB raises on BIGINT overflow
+#: where Spark wraps — a raw polynomial fold would diverge).
+LSH_CONFIGS: tuple[tuple[int, int], ...] = ((1, 8), (2, 4), (4, 2), (8, 1))
+
+
+def _band_keys_folded(sig: DataFrame, b: int, r: int) -> DataFrame:
+    entries = []
+    for i in range(b):
+        key = F.lit(0).cast("long")
+        for j in range(r):
+            key = (key * F.lit(131) + F.col(f"mh{i * r + j}")) % F.lit(MINHASH_P)
+        entries.append(F.struct(F.lit(i).alias("band"), key.alias("key")))
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_frac: float = 0.01,
+) -> DataFrame:
+    """LSH band-configuration evaluation — the dedup twin of
+    ``similarity.ann_recall_report``: for every (bands, rows_per_band)
+    split of the 8-permutation MinHash signature, measure how many of
+    the TRUE near-dup pairs (exact shingle Jaccard ≥ ``threshold``,
+    computed by the verified ``ngram_jaccard_pairs`` rail with its
+    stop-shingle guard) the banded candidate join would surface, and
+    at what candidate volume.  This is the measurement behind choosing
+    a production band width: the S-curve says (4, 2) bands catch
+    J ≥ 0.5 pairs with high probability while (1, 8) only fires on
+    near-identical docs; this report replaces the formula with the
+    corpus's actual numbers.
+
+    Returns one row per config:
+    ``(n_bands, rows_per_band, n_candidates, n_hits, n_true, recall)``
+    with ``recall`` = hits/true rounded to 6 (NULL when no true
+    pairs).
+
+    Scale shape: signatures are one map-side-combined groupBy over the
+    shared shingle index; each config's candidates come from a banded
+    equi-join on (band, key) — candidate volume, not corpus size, is
+    each config's cost, and the truth set is computed ONCE.  The four
+    per-config aggregates are 1-row relations crossed onto the 1-row
+    truth count (bounded broadcast, the repo's standard scalar
+    pattern)."""
+    truth = (
+        ngram_jaccard_pairs(
+            docs, threshold, text_col, id_col, k, max_doc_frac=max_doc_frac
+        )
+        .select("d1", "d2")
+        .cache()
+    )
+    n_true = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
+    sig = minhash_signatures(docs, text_col, id_col, k).cache()
+    reports = []
+    for b, r in LSH_CONFIGS:
+        bands = _band_keys_folded(sig, b, r)
+        x, y = bands.alias("x"), bands.alias("y")
+        cands = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.key") == F.col("y.key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+            )
+            .distinct()
+        )
+        stats = (
+            cands.join(
+                truth.withColumn("is_true", F.lit(1)), ["d1", "d2"], "left"
+            )
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.coalesce(F.sum("is_true"), F.lit(0)).alias("n_hits"),
+            )
+            .crossJoin(n_true)
+            .select(
+                F.lit(b).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.col("n_candidates").cast("long"),
+                F.col("n_hits").cast("long"),
+                F.col("n_true").cast("long"),
+                F.when(
+                    F.col("n_true") > 0,
+                    F.round(
+                        F.col("n_hits").cast("double") / F.col("n_true"), 6
+                    ),
+                ).alias("recall"),
+            )
+        )
+        reports.append(stats)
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
