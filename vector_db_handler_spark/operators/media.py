@@ -481,3 +481,195 @@ def media_phash(
             yield _pd.DataFrame({"media_id": ids, "phash_hi": his, "phash_lo": los})
 
     return media.filter(F.col(media_col).isNotNull()).mapInPandas(fingerprint, schema=schema)
+
+
+def audio_landmarks(
+    media: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    frame: int = 64,
+    hop: int = 32,
+    n_bands: int = 8,
+    max_dt: int = 3,
+) -> DataFrame:
+    """Shazam-style constellation landmarks for RIFF/WAVE audio
+    (Wang, ISMIR'03): per analysis frame, the peak spectral bin in
+    each of ``n_bands`` bands; a landmark chains a peak with the SAME
+    band's peaks ``dt`` and ``2·dt`` frames later (``dt = 1..max_dt``)
+    plus the exact bit lengths of the first and last peak magnitudes
+    (clamped to 15), packed as
+    ``(((((band·64+b1)·64+b2)·64+b3)·4+dt)·16+bl1)·16+bl3``.
+    Wang's original pairs are peak BIGRAMS; band-local note content
+    here is only ~8 values wide, so bigrams of unrelated clips collide
+    by birthday effect — the TRIPLET (three-peak sequence) plus the
+    coarse-loudness digits is what makes the landmark discriminative
+    at this frame size.  Bit length is exact integer arithmetic
+    (``frexp``'s exponent, exact for integers below 2⁵³) and, like
+    the Δt-only time encoding, invariant to when the clip starts.
+
+    The spectral transform is the exact integer Walsh–Hadamard
+    transform (±1 butterflies, int64): deterministic on every
+    platform, unlike a float FFT whose peak ties can flip with libm —
+    the repo's reproducibility bar.  Frames are centered int32 PCM
+    (from the stdlib WAV decoder); silent bands (|coef| = 0) emit no
+    peak, so leading/trailing silence contributes nothing.
+
+    Returns DISTINCT ``(media_id, landmark)``.  Time-shift invariance
+    by construction: landmarks carry only Δt, so prepending whole hops
+    of silence leaves the set (bar frame-boundary effects) intact —
+    pinned by ``tests/test_audio_fingerprint.py``.
+
+    Scale shape: decode → WHT → peaks → landmark emission happen in
+    ONE self-contained ``mapInPandas`` pass (no shuffle; binary
+    signals never enter SQL rows); output volume is
+    ~(n_frames · n_bands · max_dt) ints per clip.  Not
+    SQL-expressible (the butterfly recursion has no tractable
+    relational form), so a driver registration is rows-only by
+    documented necessity — the pytest suite pins the semantics
+    instead.  No reference analog (reference stores media nowhere);
+    extension surface from the builder brief."""
+    if frame & (frame - 1):
+        raise ValueError(f"frame must be a power of two for the WHT: {frame}")
+    decode_fn = make_stdlib_decoder()
+    id_type = media.schema[id_col].dataType.simpleString()
+    band_w = frame // n_bands
+
+    def emit(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def wht(rows):
+            # exact integer fast WHT over the last axis (length=frame)
+            a = rows.astype(_np.int64).copy()
+            h = 1
+            while h < a.shape[1]:
+                for start in range(0, a.shape[1], 2 * h):
+                    left = a[:, start : start + h].copy()
+                    right = a[:, start + h : start + 2 * h].copy()
+                    a[:, start : start + h] = left + right
+                    a[:, start + h : start + 2 * h] = left - right
+                h *= 2
+            return a
+
+        for pdf in batches:
+            ids, lms = [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(blob)
+                if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                    continue  # landmarks are an audio-only concept
+                s = decode_fn(b).astype(_np.int32) - 128
+                n_frames = (len(s) - frame) // hop + 1 if len(s) >= frame else 0
+                if n_frames <= max_dt:
+                    continue
+                idx = (
+                    _np.arange(n_frames)[:, None] * hop
+                    + _np.arange(frame)[None, :]
+                )
+                spec = _np.abs(wht(s[idx]))
+                spec[:, 0] = 0  # drop DC (the frame sum)
+                bands = spec.reshape(n_frames, n_bands, band_w)
+                peak_off = bands.argmax(axis=2)  # first max = lowest bin
+                peak_mag = bands.max(axis=2)
+                bins = peak_off + _np.arange(n_bands)[None, :] * band_w
+                # exact bit length: frexp's exponent is exact for ints
+                # < 2^53 (WHT coefs are bounded by frame·128 = 8192)
+                bl = _np.minimum(
+                    _np.frexp(peak_mag.astype(_np.float64))[1], 15
+                ).astype(_np.int64)
+                for dt in range(1, max_dt + 1):
+                    if n_frames <= 2 * dt:
+                        continue
+                    b1 = bins[: -2 * dt]
+                    b2 = bins[dt:-dt]
+                    b3 = bins[2 * dt :]
+                    live = (
+                        (peak_mag[: -2 * dt] > 0)
+                        & (peak_mag[dt:-dt] > 0)
+                        & (peak_mag[2 * dt :] > 0)
+                    )
+                    band_ids = _np.broadcast_to(
+                        _np.arange(n_bands)[None, :], b1.shape
+                    )
+                    lm = (
+                        ((((band_ids * 64 + b1) * 64 + b2) * 64 + b3) * 4 + dt)
+                        * 16
+                        + bl[: -2 * dt]
+                    ) * 16 + bl[2 * dt :]
+                    sel = lm[live]
+                    if sel.size:
+                        uniq = _np.unique(sel)
+                        ids.extend([mid] * len(uniq))
+                        lms.extend(int(v) for v in uniq)
+            yield _pd.DataFrame({"media_id": ids, "landmark": lms})
+
+    return (
+        media.select(id_col, media_col)
+        .mapInPandas(emit, schema=f"media_id {id_type}, landmark long")
+        .distinct()
+    )
+
+
+def audio_neardup_pairs(
+    media: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    min_shared: int = 5,
+    min_containment: float = 0.5,
+    max_df: int | None = None,
+    **landmark_kwargs,
+) -> DataFrame:
+    """Audio near-dup pairs by shared constellation landmarks — the
+    audio twin of the banded pHash image path.  The decision variable
+    is CONTAINMENT (shared landmarks / the smaller clip's landmark
+    count, the winnowing-rail convention): a copy — shifted, trimmed,
+    or embedded in a longer recording — scores ≈ 1 regardless of clip
+    lengths, while structurally unrelated clips sit far below even
+    when their absolute overlap is large (stationary segments make
+    raw shared-counts a brittle threshold; the fraction is not).
+
+    Returns ``(a, b, n_shared, containment)`` with a < b, containment
+    rounded to 6.
+
+    Scale shape: the landmark relation is the bucket join — pairs come
+    from an equi-join on the landmark key, so candidate volume tracks
+    true co-occurrence, never N²; per-clip sizes ride a skinny
+    aggregate joined onto the pair relation.  ``max_df`` is the
+    hot-bucket guard (a landmark present in more than ``max_df``
+    clips — silence patterns, test tones — is dropped before the
+    join, the same postings-guard shape as every other banded join in
+    this repo; sizes are computed AFTER the guard so containment
+    stays consistent with the joined space)."""
+    lms = audio_landmarks(media, media_col, id_col, **landmark_kwargs)
+    if max_df is not None:
+        hot = (
+            lms.groupBy("landmark")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("landmark")
+        )
+        lms = lms.join(F.broadcast(hot), "landmark", "left_anti")
+    lms = lms.localCheckpoint(eager=False)
+    sizes = lms.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_lm"))
+    x, y = lms.alias("x"), lms.alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.landmark") == F.col("y.landmark"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .groupBy(
+            F.col("x.media_id").alias("a"), F.col("y.media_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("media_id").alias("a"), F.col("n_lm").alias("na"))
+    sb = sizes.select(F.col("media_id").alias("b"), F.col("n_lm").alias("nb"))
+    cont = F.col("n_shared") / F.least("na", "nb")
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .filter(
+            (F.col("n_shared") >= min_shared) & (cont >= min_containment)
+        )
+        .select("a", "b", "n_shared", F.round(cont, 6).alias("containment"))
+    )
