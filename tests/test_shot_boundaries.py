@@ -1,0 +1,92 @@
+"""Shot-boundary detection over fixed-stride frames: planted-scene
+semantics plus the cross-engine DuckDB replay (the per-byte distance
+is exact integer arithmetic over ASCII fixture bytes).  Staged for
+r10 driver registration."""
+
+from __future__ import annotations
+
+from tests.oracle_check import compare
+from vector_db_handler_spark.operators.media import (
+    shot_boundaries,
+    synthesize_media,
+)
+
+FB = 64  # small frames keep the planted fixtures readable
+
+#: DuckDB twin over synthesize_media(documents) — frames are substr
+#: slices of the UTF-8 text (ASCII fixture: ord(char) == byte), the
+#: diff is a list_sum over per-position absolute differences, and the
+#: boundary rule is the same exact integer comparison.
+ORACLE_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS L FROM documents
+  WHERE text IS NOT NULL
+),
+frames AS (
+  SELECT media_id, i AS frame_idx,
+         substr(text, (i - 1) * {FB} + 1, {FB}) AS prev_f,
+         substr(text, i * {FB} + 1, {FB}) AS cur_f
+  FROM m, unnest(generate_series(1, CAST(ceil(L / {FB}.0) AS BIGINT) - 1)) AS s(i)
+),
+diffs AS (
+  SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+         CAST(least(length(prev_f), length(cur_f)) AS INT) AS cmp_bytes,
+         CAST(coalesce(list_sum(list_transform(
+           generate_series(1, least(length(prev_f), length(cur_f))),
+           i -> abs(ord(substr(prev_f, i, 1)) - ord(substr(cur_f, i, 1)))
+         )), 0) AS BIGINT) AS diff_sum
+  FROM frames
+)
+SELECT media_id, frame_idx, cmp_bytes, diff_sum,
+       diff_sum * 1000 > 120 * 255 * cmp_bytes AS is_boundary
+FROM diffs
+"""
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, media binary")
+
+
+def test_planted_scene_cut_is_the_only_boundary(spark):
+    """Two 'scenes' of repeated frames: intra-scene diffs are zero, the
+    single cut exceeds any sane threshold — exactly one boundary, at
+    the scene join."""
+    scene_a = bytes([40, 200] * (FB // 2)) * 4
+    scene_b = bytes([220, 10] * (FB // 2)) * 3
+    media = _media(spark, [(1, scene_a + scene_b)])
+    rows = {
+        r["frame_idx"]: r
+        for r in shot_boundaries(media, frame_bytes=FB).collect()
+    }
+    assert len(rows) == 6  # 7 frames -> 6 consecutive diffs
+    assert [j for j, r in sorted(rows.items()) if r["is_boundary"]] == [4]
+    assert rows[1]["diff_sum"] == 0 and rows[5]["diff_sum"] == 0
+    assert rows[4]["diff_sum"] == (180 + 190) * (FB // 2)
+
+
+def test_threshold_dial_and_ragged_tail(spark):
+    """A mild gradient sits under the default threshold but above a
+    stricter one; the final short frame compares over min-length."""
+    mild = bytes([100] * FB + [110] * FB + [110] * 10)
+    media = _media(spark, [(1, mild)])
+    default = {
+        r["frame_idx"]: r for r in shot_boundaries(media, frame_bytes=FB).collect()
+    }
+    assert default[1]["diff_sum"] == 10 * FB  # per-byte 10 < 12% of 255
+    assert not default[1]["is_boundary"]
+    assert default[2]["cmp_bytes"] == 10 and default[2]["diff_sum"] == 0
+    strict = {
+        r["frame_idx"]: r
+        for r in shot_boundaries(
+            media, frame_bytes=FB, boundary_permille=30
+        ).collect()
+    }
+    assert strict[1]["is_boundary"]  # 10/255 = 3.9% > 3.0%
+
+
+def test_cross_engine_oracle_replay(spark, sf_dir, duck):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthesize_media(docs.filter("text is not null")).select(
+        "media_id", "media"
+    )
+    compare(shot_boundaries(media, frame_bytes=FB), duck, ORACLE_SQL)

@@ -673,3 +673,79 @@ def audio_neardup_pairs(
         )
         .select("a", "b", "n_shared", F.round(cont, 6).alias("containment"))
     )
+
+
+def shot_boundaries(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    boundary_permille: int = 120,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Shot-boundary detection over fixed-stride frames — the keyframe
+    primitive of a video curation pipeline (sample one frame per shot
+    instead of one per N): consecutive-frame byte distance
+    ``diff = Σ |frame_j[i] − frame_{j−1}[i]|`` over the first
+    ``min(len_prev, len_cur)`` bytes, with a boundary wherever the
+    PER-BYTE distance exceeds ``boundary_permille``/1000 of the
+    maximum (255) — i.e. ``diff·1000 > permille·255·cmp_bytes``, all
+    exact integer arithmetic, so the decision replays bit-identically
+    in SQL.  With a real codec the frames come from the container
+    (same seam as :func:`frame_sample`); the threshold-on-frame-
+    distance rule is the standard hard-cut detector (histogram/pixel
+    difference thresholding, e.g. Boreczky & Rowe, SPIE'96).
+
+    Emits one row per frame index ≥ 1:
+    ``(media_id, frame_idx, cmp_bytes, diff_sum, is_boundary)``.
+
+    Scale shape: slicing + the vectorized diff happen in ONE
+    ``mapInPandas`` pass per blob (no shuffle, no per-frame row
+    explosion before the diff); output is one skinny row per frame.
+    No reference analog; extension surface from the builder brief."""
+    fb = int(frame_bytes)
+    perm = int(boundary_permille)
+    id_type = media.schema[id_col].dataType.simpleString()
+    schema = (
+        f"media_id {id_type}, frame_idx int, cmp_bytes int, "
+        "diff_sum long, is_boundary boolean"
+    )
+
+    def detect(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, cbs, diffs, flags = [], [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(blob)
+                n_frames = (len(b) + fb - 1) // fb
+                prev = None
+                for j in range(n_frames):
+                    cur = _np.frombuffer(b[j * fb : (j + 1) * fb], dtype=_np.uint8)
+                    if prev is not None:
+                        n = min(len(prev), len(cur))
+                        d = int(
+                            _np.abs(
+                                prev[:n].astype(_np.int32)
+                                - cur[:n].astype(_np.int32)
+                            ).sum()
+                        )
+                        ids.append(mid)
+                        idxs.append(j)
+                        cbs.append(n)
+                        diffs.append(d)
+                        flags.append(d * 1000 > perm * 255 * n)
+                    prev = cur
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": _np.array(idxs, dtype=_np.int32),
+                    "cmp_bytes": _np.array(cbs, dtype=_np.int32),
+                    "diff_sum": _np.array(diffs, dtype=_np.int64),
+                    "is_boundary": _np.array(flags, dtype=bool),
+                }
+            )
+
+    return media.filter(F.col(media_col).isNotNull()).mapInPandas(
+        detect, schema=schema
+    )
