@@ -1179,6 +1179,88 @@ def r9(mult: int = 4) -> None:
         )
 
 
+
+def r9b(mult: int = 4) -> None:
+    """Linearity probes for the round-9 STAGED operators (registered in
+    r10; probed before registration so the scale claims ship with the
+    code):
+
+    * ``duplicated_substring_spans`` — wall vs corpus under disjoint
+      m× replication (gram census + semi-join + per-doc islands: all
+      linear in gram count; replicated docs also multiply the
+      duplicated mass, the worst case for the islands stage).
+    * ``audio_landmarks`` / ``audio_neardup_pairs`` — wall vs clip
+      count at fixed clip length (kernel is per-clip; the pair join is
+      bucketed on the landmark key behind the max_df guard).
+    * ``shot_boundaries`` — wall vs corpus (pure per-blob kernel,
+      scan-bound).
+    """
+    from vector_db_handler_spark.operators.dedup import duplicated_substring_spans
+    from vector_db_handler_spark.operators.media import (
+        audio_neardup_pairs,
+        shot_boundaries,
+        synthesize_containers,
+        synthesize_media,
+    )
+
+    spark = get_spark("r9b-probe")
+    sf = "/root/testdata/sf0.1"
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("text is not null")
+
+    for m in (1, mult):
+        docs = docs0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            docs = docs0.crossJoin(reps).select(
+                (F.col("doc_id") * m + F.col("rep")).alias("doc_id"), "text"
+            )
+        rows = docs.count()
+        t0 = time.perf_counter()
+        spans = duplicated_substring_spans(docs, k=8)
+        n_spans = spans.count()
+        n_dup_tokens = spans.agg(F.sum("n_tokens")).collect()[0][0]
+        print(
+            f"substring_spans @ {rows} docs: {n_spans} spans, "
+            f"{n_dup_tokens} dup tokens, wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    media0 = synthesize_containers(docs0, body_bytes=4096).filter(
+        "modality = 'audio'"
+    ).select("media_id", "media")
+    for m in (1, mult):
+        media = media0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            media = media0.crossJoin(reps).select(
+                (F.col("media_id") * m + F.col("rep")).alias("media_id"), "media"
+            )
+        clips = media.count()
+        t0 = time.perf_counter()
+        n_pairs = audio_neardup_pairs(media, max_df=64).count()
+        print(
+            f"audio_neardup @ {clips} clips: {n_pairs} pairs, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    m0 = synthesize_media(docs0).select("media_id", "media")
+    for m in (1, mult):
+        media = m0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            media = m0.crossJoin(reps).select(
+                (F.col("media_id") * m + F.col("rep")).alias("media_id"), "media"
+            )
+        blobs = media.count()
+        t0 = time.perf_counter()
+        nb = shot_boundaries(media).filter("is_boundary").count()
+        print(
+            f"shot_boundaries @ {blobs} blobs: {nb} cuts, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -1211,6 +1293,8 @@ if __name__ == "__main__":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r9b":
+        r9b(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r9":
         r9(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "ann":
