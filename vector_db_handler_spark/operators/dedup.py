@@ -1523,15 +1523,21 @@ def lsh_recall_report(
     per-config aggregates are 1-row relations crossed onto the 1-row
     truth count (bounded broadcast, the repo's standard scalar
     pattern)."""
+    # Both relations feed multiple downstream jobs (4 configs × joins);
+    # eager localCheckpoint materializes them once WITHOUT an open-ended
+    # cache (the cache-hygiene gate's contract): truth is pair-sized,
+    # sig is one row per doc.
     truth = (
         ngram_jaccard_pairs(
             docs, threshold, text_col, id_col, k, max_doc_frac=max_doc_frac
         )
         .select("d1", "d2")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     n_true = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
-    sig = minhash_signatures(docs, text_col, id_col, k).cache()
+    sig = minhash_signatures(docs, text_col, id_col, k).localCheckpoint(
+        eager=True
+    )
     reports = []
     for b, r in LSH_CONFIGS:
         bands = _band_keys_folded(sig, b, r)
