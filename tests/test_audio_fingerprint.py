@@ -123,3 +123,11 @@ def test_non_audio_media_is_skipped(spark):
     media = _media(spark, [(1, b"P5 2 2 255 \x00\x01\x02\x03"), (2, _wav(_tone(1_500, 3)))])
     got = _lm_sets(audio_landmarks(media))
     assert 1 not in got and 2 in got
+
+
+def test_null_blobs_are_dropped_declaratively(spark):
+    media = spark.createDataFrame(
+        [(1, None), (2, _wav(_tone(1_500, 3)))], "media_id long, media binary"
+    )
+    got = _lm_sets(audio_landmarks(media))
+    assert 1 not in got and 2 in got

@@ -118,3 +118,19 @@ def test_cross_engine_oracle_replay_on_fixture_corpus(spark, sf_dir, duck):
     so the r10 fronting starts green."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     compare(duplicated_substring_spans(docs, k=K), duck, ORACLE_SQL)
+
+
+def test_null_and_degenerate_docs_are_tolerated(spark):
+    """Crawl corpora carry extraction failures: null text must be
+    dropped declaratively (no 'None'-string phantom grams), empty and
+    sub-k docs emit nothing, multi-byte text hashes without error."""
+    docs = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "one two"),
+            (3, "héllo wörld 中文 テキスト x1 x2 x3 x4 x5"),
+        ],
+        "doc_id long, text string",
+    )
+    assert duplicated_substring_spans(docs, k=K).count() == 0

@@ -1439,8 +1439,10 @@ def duplicated_substring_spans(
                 }
             )
 
-    grams = docs.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        gen, schema=f"doc_id {id_type}, pos int, h long"
+    grams = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias(id_col), F.col(text_col))
+        .mapInPandas(gen, schema=f"doc_id {id_type}, pos int, h long")
     )
     dup_hashes = (
         grams.groupBy("h")

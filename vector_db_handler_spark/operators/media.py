@@ -603,7 +603,8 @@ def audio_landmarks(
             yield _pd.DataFrame({"media_id": ids, "landmark": lms})
 
     return (
-        media.select(id_col, media_col)
+        media.filter(F.col(media_col).isNotNull())
+        .select(id_col, media_col)
         .mapInPandas(emit, schema=f"media_id {id_type}, landmark long")
         .distinct()
     )
