@@ -111,3 +111,22 @@ def test_r7_restructured_queries_are_in_the_window():
         "running_user_value_stream",
     ):
         assert name in dq._R9_WINDOW, name
+
+
+def test_next_window_planner_is_well_formed():
+    """tools/plan_next_window.py is how the next round's window gets
+    built — it must emit exactly DRIVER_WINDOW registered, distinct
+    names, never-checked queries first (process rule), then the
+    staged _BELOW_WINDOW rows."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from plan_next_window import plan
+
+    names = plan(dq.DRIVER_WINDOW)
+    assert len(names) == dq.DRIVER_WINDOW
+    assert len(set(names)) == len(names)
+    assert all(n in dq._QUERIES for n in names)
+    latest = _latest_evidence()
+    never = [n for n in dq._QUERIES if n not in latest]
+    assert names[: len(never)] == never  # never-checked lead the window
