@@ -696,3 +696,84 @@ def bootstrap_mean_ci(
             F.round("_hi", 6).alias("ci_hi"),
         )
     )
+
+
+def rank_sum_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum drift per group between the first and
+    second halves of the group's own time range (same integer-midpoint
+    split as :func:`tv_drift_by`) — the RANK-based drift monitor that
+    complements TV distance: TV sees any shape change but needs bins;
+    the U statistic is bin-free and directly measures a location shift
+    (its normalization is P(first-half value > second-half value), the
+    AUC).
+
+    Everything before the one reported division is EXACT INTEGER
+    arithmetic, ties included: tied values take the average rank,
+    which is a half-integer, so the operator carries DOUBLED ranks —
+    a tied block spanning positions [lo, hi] contributes
+    ``rank2 = lo + hi`` to each member — and the doubled statistic
+    ``u2_first = Σ c₁·rank2 − n₁(n₁+1)`` satisfies the exact identity
+    ``u2_first + u2_second = 2·n₁·n₂`` (pinned in tests).  The AUC is
+    ``u2_first / (2·n₁·n₂)``, rounded to 6; NULL when a half is empty
+    (single-timestamp group).
+
+    Scale shape: one map-side-combined pass for the per-group time
+    bounds (vocabulary-sized broadcast back), one (group, value,
+    period) census, then a window over the per-group DISTINCT-VALUE
+    census rows — the window input is the value vocabulary per group,
+    not the event rows, so the sort is small even when the group is
+    huge.  Output: ``(group, n1, n2, u2_first, u2_second, auc)``."""
+    g = F.col(group_col)
+    tu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = df.filter(
+        g.isNotNull() & F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(g.alias("grp"), F.col(value_col).alias("v"), tu.alias("tu"))
+    bounds = d.groupBy("grp").agg(
+        F.min("tu").alias("lo"), F.max("tu").alias("hi")
+    )
+    p = d.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "v",
+        F.when(F.col("tu") * 2 <= F.col("lo") + F.col("hi"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("period"),
+    )
+    census = p.groupBy("grp", "v").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt = F.col("c1") + F.col("c2")
+    ranked = census.withColumn(
+        "rank2", F.sum(cnt).over(w) * 2 - cnt + 1
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("rank2")).cast("long").alias("r2_1"),
+        F.sum(F.col("c2") * F.col("rank2")).cast("long").alias("r2_2"),
+    )
+    u2_first = F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)
+    u2_second = F.col("r2_2") - F.col("n2") * (F.col("n2") + 1)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n1",
+        "n2",
+        u2_first.cast("long").alias("u2_first"),
+        u2_second.cast("long").alias("u2_second"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.round(
+                u2_first.cast("double") / (2.0 * F.col("n1") * F.col("n2")), 6
+            ),
+        ).alias("auc"),
+    )
