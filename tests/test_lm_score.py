@@ -60,9 +60,11 @@ def test_english_model_separates_languages(spark, sf_dir):
 
 
 def test_bigrams_quotes_awkward_column_names(spark):
-    """ADVICE r8: a column name needing backticks must work, and a
-    name smuggling an expression/backtick must be rejected, not parsed."""
-    import pytest
+    """ADVICE r8+r9: a column name needing backticks must work, and a
+    name CONTAINING a backtick must be escaped by doubling (Spark's
+    identifier-quoting convention) — usable as a name, never parsed as
+    an expression."""
+    from pyspark.sql import functions as F
 
     from vector_db_handler_spark.operators import lm_score
 
@@ -71,5 +73,14 @@ def test_bigrams_quotes_awkward_column_names(spark):
     ).withColumnRenamed("my text.col", "my text.col")
     out = df.select(lm_score._bigrams("my text.col").alias("bg")).collect()
     assert out[0]["bg"] == ["a b", "b c"]
-    with pytest.raises(ValueError, match="backtick"):
-        lm_score._bigrams("x`) ; drop --")
+
+    # A backtick IN the name is data, not syntax: the doubled-backtick
+    # escape resolves the literal column, so an expression smuggled
+    # through the parameter is looked up as a (missing) identifier —
+    # an AnalysisException, never executed SQL.
+    hostile = "x`) ; drop --"
+    df2 = spark.createDataFrame([(1, "p q")], "doc_id long, v string").select(
+        "doc_id", F.col("v").alias(hostile)
+    )
+    out2 = df2.select(lm_score._bigrams(hostile).alias("bg")).collect()
+    assert out2[0]["bg"] == ["p q"]

@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 #: Punctuation-ish characters (keep in sync with the SQL oracles).
 PUNCT_PATTERN = r"[^\w\s]"
 
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote a COLUMN NAME for interpolation into ``F.expr``
+    strings, escaping embedded backticks by doubling (Spark's
+    identifier-quoting convention).  Every operator that splices a
+    caller-supplied column name into an expr string routes through
+    this (ADVICE r8/r9): raw interpolation both broke legitimate
+    names needing quoting and let arbitrary SQL ride in through a
+    'column name' parameter."""
+    return "`" + name.replace("`", "``") + "`"
+
 #: Marker vocabularies for the n-gram/stopword language-ID heuristic.
 #: Deterministic and tiny by design — the classifier is a scoring rule,
 #: not a model, so the oracle can replay it exactly.

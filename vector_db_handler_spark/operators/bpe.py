@@ -98,8 +98,15 @@ def bpe_train_merges(
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         out.append((step, l, r, l + r, cnt))
+        # F.replace with literal COLUMNS, not an interpolated expr
+        # string: l/r come from corpus data, and a token containing a
+        # quote or backslash must be data, never SQL syntax (same
+        # ADVICE-r9 class as the quote_ident sweep).
         words = words.withColumn(
-            "sym", F.expr(f"replace(sym, ' {l} {r} ', ' {l}{r} ')")
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+            ),
         ).localCheckpoint(eager=True)
 
     return spark.createDataFrame(
@@ -123,8 +130,13 @@ def bpe_segment_words(
     )
     out = words.withColumn("sym", sym)
     for l, r in merges:
+        # Literal columns, not an interpolated expr string — merge
+        # tokens are corpus data and must never be parsed as SQL.
         out = out.withColumn(
-            "sym", F.expr(f"replace(sym, ' {l} {r} ', ' {l}{r} ')")
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+            ),
         )
     return out.withColumn(
         "n_tokens", F.size(F.split(F.trim(F.col("sym")), " "))

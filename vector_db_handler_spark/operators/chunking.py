@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_db_handler_spark.functions.text import quote_ident
+
 
 def chunk_documents(
     docs: DataFrame,
@@ -50,13 +52,14 @@ def chunk_documents(
     if not 0 <= overlap < size:
         raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
     stride = size - overlap
+    tq = quote_ident(text_col)
     n = F.length(F.col(text_col))
     # ceil((n - size) / stride) + 1, in exact integer arithmetic; the
     # <= size branch also swallows n == 0 via the explicit filter below.
     n_chunks = (
         F.when(n <= size, F.lit(1).cast("long"))
         .otherwise(
-            F.expr(f"(length({text_col}) - {size} + {stride - 1}) div {stride}")
+            F.expr(f"(length({tq}) - {size} + {stride - 1}) div {stride}")
             + F.lit(1)
         )
         .cast("long")
@@ -75,7 +78,7 @@ def chunk_documents(
             id_col,
             "chunk_idx",
             F.expr(
-                f"substring({text_col}, cast(chunk_idx * {stride} + 1 as int), {size})"
+                f"substring({tq}, cast(chunk_idx * {stride} + 1 as int), {size})"
             ).alias("chunk_text"),
         )
     )

@@ -45,17 +45,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vector_db_handler_spark.functions.text import quote_ident
+
 
 def _bigrams(text_col: str) -> Column:
     """Adjacent-word-pair array; empty (not a crash) for <2-word docs.
 
     ``text_col`` is a COLUMN NAME, not an expression (ADVICE r8: the
     raw interpolation broke names needing backticks and let arbitrary
-    SQL ride in through the parameter) — it is validated and
-    backtick-quoted before entering the expr string."""
-    if "`" in text_col:
-        raise ValueError(f"column name may not contain backticks: {text_col!r}")
-    c = f"`{text_col}`"
+    SQL ride in through the parameter) — it is backtick-quoted before
+    entering the expr string, with embedded backticks escaped by
+    doubling per Spark's identifier-quoting convention (ADVICE r9:
+    rejecting such names outright was an unnecessary usability gap)."""
+    c = quote_ident(text_col)
     return F.expr(
         f"if(size(split({c}, ' ')) >= 2,"
         f" transform(sequence(1, size(split({c}, ' ')) - 1),"

@@ -497,8 +497,12 @@ def audio_landmarks(
     each of ``n_bands`` bands; a landmark chains a peak with the SAME
     band's peaks ``dt`` and ``2·dt`` frames later (``dt = 1..max_dt``)
     plus the exact bit lengths of the first and last peak magnitudes
-    (clamped to 15), packed as
-    ``(((((band·64+b1)·64+b2)·64+b3)·4+dt)·16+bl1)·16+bl3``.
+    (clamped to 15), packed in mixed radix as
+    ``(((((band·F+b1)·F+b2)·F+b3)·(max_dt+1)+dt)·16+bl1)·16+bl3``
+    with ``F = frame`` — bins range up to ``frame-1``, so the bin
+    radix must be ``frame`` (a fixed radix 64 would alias distinct
+    landmarks for any ``frame > 64``; at the default ``frame=64`` the
+    two packings coincide, which keeps the pinned test values stable).
     Wang's original pairs are peak BIGRAMS; band-local note content
     here is only ~8 values wide, so bigrams of unrelated clips collide
     by birthday effect — the TRIPLET (three-peak sequence) plus the
@@ -530,6 +534,19 @@ def audio_landmarks(
     extension surface from the builder brief."""
     if frame & (frame - 1):
         raise ValueError(f"frame must be a power of two for the WHT: {frame}")
+    if frame % n_bands:
+        raise ValueError(
+            f"frame ({frame}) must divide evenly into n_bands ({n_bands}) "
+            "bands; an uneven split would drop the trailing bins"
+        )
+    if max_dt < 1:
+        raise ValueError(f"max_dt must be >= 1: {max_dt}")
+    # packed landmark bound: n_bands·frame³·(max_dt+1)·256 must fit int64
+    if n_bands * frame**3 * (max_dt + 1) * 256 >= 2**63:
+        raise ValueError(
+            f"landmark packing overflows int64 for frame={frame}, "
+            f"n_bands={n_bands}, max_dt={max_dt}"
+        )
     decode_fn = make_stdlib_decoder()
     id_type = media.schema[id_col].dataType.simpleString()
     band_w = frame // n_bands
@@ -590,8 +607,14 @@ def audio_landmarks(
                     band_ids = _np.broadcast_to(
                         _np.arange(n_bands)[None, :], b1.shape
                     )
+                    # bin radix = frame (bins span 0..frame-1); dt radix
+                    # = max_dt+1 — mixed radix keeps codes collision-free
                     lm = (
-                        ((((band_ids * 64 + b1) * 64 + b2) * 64 + b3) * 4 + dt)
+                        (
+                            (((band_ids * frame + b1) * frame + b2) * frame + b3)
+                            * (max_dt + 1)
+                            + dt
+                        )
                         * 16
                         + bl[: -2 * dt]
                     ) * 16 + bl[2 * dt :]

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vector_db_handler_spark.functions.text import portable_hash60
+from vector_db_handler_spark.functions.text import portable_hash60, quote_ident
 
 
 def profile_relation(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -42,7 +42,8 @@ def profile_relation(df: DataFrame, cols: list[str]) -> DataFrame:
     engine-specific, so floats belong in a typed numeric profile, not
     this portable one."""
     pairs = ", ".join(
-        f"'{c}', CAST({c} AS STRING)" for c in cols
+        "'{}', CAST({} AS STRING)".format(c.replace("'", "''"), quote_ident(c))
+        for c in cols
     )
     long = df.select(
         F.expr(f"stack({len(cols)}, {pairs}) AS (col, val)")

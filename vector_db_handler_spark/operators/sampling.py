@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_db_handler_spark.functions.text import portable_hash60
+from vector_db_handler_spark.functions.text import portable_hash60, quote_ident
 
 #: Hash-range denominator: rates are expressed in basis points out of
 #: 10_000, so fractions down to 0.01% are exact and the SQL twin is
@@ -177,7 +177,9 @@ def resample_epoch(
     # `div` (exact integer division), not `/`+cast — float quotients of
     # basis points truncate correctly today but the exactness contract
     # should not ride on double rounding behavior.
-    reps = F.expr(f"CAST({rate_bp_col} AS BIGINT) div {SAMPLE_BUCKETS}")
+    reps = F.expr(
+        f"CAST({quote_ident(rate_bp_col)} AS BIGINT) div {SAMPLE_BUCKETS}"
+    )
     gate = (
         sample_bucket(F.col(key_col), salt) < F.col(rate_bp_col) % SAMPLE_BUCKETS
     ).cast("long")

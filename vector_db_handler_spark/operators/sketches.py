@@ -275,8 +275,12 @@ def build_bloom(
     ``driver_threshold`` keys are built driver-side with the SAME
     (m, k) sizing, so the bitmap stays bit-identical to the
     distributed build while skipping both extra jobs; collecting
-    ≤100k int64 keys is under a megabyte.  Set ``driver_threshold=0``
-    to force the distributed build regardless of size.
+    ≤100k int64 keys is under a megabyte.  A HINTED small n is first
+    confirmed by a bounded ``limit(threshold+1).count()`` probe so an
+    under-estimated hint on a huge relation can never trigger a
+    driver-side collect of the whole key set.  Set
+    ``driver_threshold=0`` to force the distributed build regardless
+    of size.
     """
     if distributed:
         # Sizing needs n before any bit is set; without ``n_hint`` the
@@ -291,15 +295,32 @@ def build_bloom(
         m, k = _bloom_params(n, fpp)
         n_words = (m + 63) // 64
         _, set_bits_f = _make_bloom_fns()
-        if n <= driver_threshold:
+        # ADVICE r9: the fast path must never trust an UNDER-estimated
+        # hint into collecting a huge relation driver-side.  A hinted n
+        # under the threshold is confirmed by a bounded probe
+        # (limit(threshold+1).count() — stops at threshold+1 rows, never
+        # materializes the relation); only a confirmed-small ledger
+        # collects.  A hint that probes large falls through to the
+        # distributed build (keeping the hint-based sizing, whose
+        # under-estimate cost is the documented fpp drift, not an OOM).
+        small = n <= driver_threshold
+        if small and n_hint is not None:
+            small = (
+                seen_hashes.limit(driver_threshold + 1).count()
+                <= driver_threshold
+            )
+        if small:
             # Small-ledger fast path: same (m, k), same bits, no
             # distributed jobs.  An n_hint over-estimate keeps the
             # distributed sizing here too, so the bitmaps stay
-            # comparable across paths.
+            # comparable across paths.  Keys land as int64 then
+            # reinterpret to uint64 — np.array(dtype=uint64) on negative
+            # hashes raises on NumPy>=2 (the distributed path already
+            # converts this way).
             keys = np.array(
                 [r[0] for r in seen_hashes.select(hash_col).collect()],
-                dtype=np.uint64,
-            )
+                dtype=np.int64,
+            ).view(np.uint64)
             bits = np.zeros(n_words, dtype=np.uint64)
             if keys.size:
                 set_bits_f(bits, keys, m, k)

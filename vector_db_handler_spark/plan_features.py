@@ -14,9 +14,16 @@ re-baselined deliberately (snapshot-test discipline).
 Counts are taken from the "simple" explain string — one line per
 physical node, so substring counting is exact.  Under AQE the string
 is the INITIAL plan (``isFinalPlan=false``), which is deterministic
-for a fixed sf directory and config; runtime re-optimizations only
-ever REMOVE work (e.g. convert SMJ→BHJ), so gating the initial plan
-gates the worst case.
+for a fixed sf directory and config.  The gate is a SNAPSHOT of that
+initial plan, not a bound on the executed one: AQE's runtime
+re-optimizations usually shed work (SMJ→BHJ conversion, coalesced
+partitions) but can also reshape it — skew-join handling splits
+partitions, ``OptimizeShuffleWithLocalRead`` changes exchange shapes —
+so the executed plan may legitimately differ from the fingerprint
+(ADVICE r9).  What the gate guarantees is narrower and still the
+point: any change to the DECLARED plan (a new shuffle, a lost
+broadcast) is visible at test time, before wall-clock noise could
+hide it.
 """
 
 from __future__ import annotations

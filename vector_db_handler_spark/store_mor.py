@@ -43,10 +43,14 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_db_handler_spark.store import POINTS_SCHEMA, PointsStore
+from vector_db_handler_spark.store import (
+    DEFAULT_VECTOR_SIZE,
+    POINTS_SCHEMA,
+    PointsStore,
+)
 
 _DV_SCHEMA = "file_path string, row_index long"
 
@@ -232,7 +236,28 @@ class VersionedMorPointsStore(MorPointsStore):
     read — that is VACUUM semantics (Delta time travel also dies at
     the vacuum horizon), surfaced loudly instead of silently serving
     partial data.  Single-writer by assumption, like the rest of the
-    store."""
+    store.
+
+    ``reconcile_min_age_sec`` (ADVICE r9) is the STORE-LEVEL age guard
+    every auto-invoked :meth:`reconcile` uses: the auto-callers
+    (append/_apply/compact/truncate/drop and the streaming sink) run
+    orphan cleanup implicitly, and before this knob a multi-writer
+    deployment had no way to apply the documented ``min_age_sec``
+    protection to those calls — the single-writer assumption was
+    silently load-bearing on every mutation.  Set it larger than any
+    writer's stage-to-commit window and implicit reconciles will skip
+    young (possibly in-flight) files; explicit ``reconcile(0.0)``
+    still forces a full sweep."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        vector_size: int = DEFAULT_VECTOR_SIZE,
+        reconcile_min_age_sec: float = 0.0,
+    ):
+        super().__init__(spark, root, vector_size)
+        self.reconcile_min_age_sec = float(reconcile_min_age_sec)
 
     # -- commit log ---------------------------------------------------
 
@@ -382,7 +407,7 @@ class VersionedMorPointsStore(MorPointsStore):
             ]
         return sorted(orphans)
 
-    def reconcile(self, min_age_sec: float = 0.0) -> list[str]:
+    def reconcile(self, min_age_sec: float | None = None) -> list[str]:
         """Crash recovery: delete every orphan file so the on-disk
         state equals the latest committed manifest, and return the
         deleted paths.  Iceberg calls this ``remove_orphan_files``;
@@ -398,10 +423,14 @@ class VersionedMorPointsStore(MorPointsStore):
         indistinguishable from torn residue and would be deleted,
         making the racing commit manifest missing files.  The
         auto-callers rely on the store-wide single-writer contract;
-        a multi-writer deployment must pass ``min_age_sec`` larger
-        than any transaction's stage-to-commit window (Iceberg
-        ``remove_orphan_files older_than`` semantics, pinned by
+        a multi-writer deployment must set the constructor's
+        ``reconcile_min_age_sec`` (which every implicit call inherits
+        when ``min_age_sec`` is None) larger than any transaction's
+        stage-to-commit window (Iceberg ``remove_orphan_files
+        older_than`` semantics, pinned by
         ``tests/test_store_mor.py::test_reconcile_age_guard``)."""
+        if min_age_sec is None:
+            min_age_sec = self.reconcile_min_age_sec
         fs, jvm = self._fs()
         removed = self.orphan_files(min_age_sec)
         for p in removed:
