@@ -6,7 +6,7 @@ effect because a comment mis-counted the window (the refresh names sat
 at rank 51+ and the driver re-hashed the byte-identical round-7 set).
 These tests make that failure mode impossible to ship again:
 
-* the intended window is an explicit constant (``_R9_WINDOW``) of
+* the intended window is an explicit constant (``_R10_WINDOW``) of
   EXACTLY ``DRIVER_WINDOW`` names — no prose arithmetic;
 * ``queries()`` / ``oracle_sql()`` must begin with it verbatim;
 * every fronted name must be registered, exactly once;
@@ -26,8 +26,8 @@ from vector_db_handler_spark import driver_queries as dq
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: The previous round's correctness artifact: the set the driver checked
-#: last round.  Bump alongside _R9_WINDOW when planning the next window.
-_PREV_CORRECTNESS = os.path.join(_REPO, "CORRECTNESS_r08.json")
+#: last round.  Bump alongside _R10_WINDOW when planning the next window.
+_PREV_CORRECTNESS = os.path.join(_REPO, "CORRECTNESS_r09.json")
 
 #: Latest round with driver evidence for each query, derived from every
 #: CORRECTNESS_r*.json in the repo root.
@@ -43,12 +43,12 @@ def _latest_evidence() -> dict[str, int]:
 
 
 def test_window_is_exactly_driver_window_names():
-    assert len(dq._R9_WINDOW) == dq.DRIVER_WINDOW, (
-        f"_R9_WINDOW has {len(dq._R9_WINDOW)} names, the driver checks "
+    assert len(dq._R10_WINDOW) == dq.DRIVER_WINDOW, (
+        f"_R10_WINDOW has {len(dq._R10_WINDOW)} names, the driver checks "
         f"exactly {dq.DRIVER_WINDOW} — a mis-count here silently wastes "
         "the round's evidence window"
     )
-    assert len(set(dq._R9_WINDOW)) == len(dq._R9_WINDOW), "duplicate names"
+    assert len(set(dq._R10_WINDOW)) == len(dq._R10_WINDOW), "duplicate names"
 
 
 def test_every_fronted_name_is_registered():
@@ -63,9 +63,9 @@ def test_every_fronted_name_is_registered():
 
 def test_queries_begin_with_the_intended_window():
     got = list(dq.queries())[: dq.DRIVER_WINDOW]
-    assert got == dq._R9_WINDOW, (
+    assert got == dq._R10_WINDOW, (
         "queries() does not start with the intended window — the "
-        "rotation sort is not applying _R9_WINDOW verbatim"
+        "rotation sort is not applying _R10_WINDOW verbatim"
     )
 
 
@@ -79,7 +79,7 @@ def test_oracles_rotated_consistently():
 def test_window_does_not_overlap_previous_round():
     with open(_PREV_CORRECTNESS) as f:
         prev = set(json.load(f))
-    overlap = sorted(set(dq._R9_WINDOW) & prev)
+    overlap = sorted(set(dq._R10_WINDOW) & prev)
     assert not overlap, (
         f"window re-checks {len(overlap)} queries the driver already "
         f"hashed last round: {overlap[:10]} — rotate stale evidence in "
@@ -87,30 +87,32 @@ def test_window_does_not_overlap_previous_round():
     )
 
 
-def test_no_query_left_older_than_round4_after_this_window():
+def test_no_query_left_older_than_round5_after_this_window():
+    # After r9 cleared the r3/r4 backlog, the done-bar tightens: every
+    # query not in this round's window must have r5-or-newer evidence
+    # (the 13 staged r4 rows are IN the window).
     latest = _latest_evidence()
-    window = set(dq._R9_WINDOW)
+    window = set(dq._R10_WINDOW)
     stale = sorted(
         n
         for n in dq._QUERIES
-        if latest.get(n, 0) < 4 and n not in window
+        if latest.get(n, 0) < 5 and n not in window
     )
     assert not stale, (
-        f"queries with pre-r4 evidence not in this round's window: {stale}"
+        f"queries with pre-r5 evidence not in this round's window: {stale}"
     )
 
 
-def test_r7_restructured_queries_are_in_the_window():
-    # merge.py / features.py / stream_ops.py were restructured in r7;
-    # the driver has never hashed the current plans for these five.
-    for name in (
-        "scd2_customer_merge",
-        "value_decile_bins",
-        "rfm_user_segments",
-        "user_anomaly_stream",
-        "running_user_value_stream",
-    ):
-        assert name in dq._R9_WINDOW, name
+def test_new_registrations_front_in_their_own_round():
+    # Process rule (SURVEY §8.0): every query registered this round is
+    # inside the window, so it gets first-round driver evidence.
+    latest = _latest_evidence()
+    never_checked = [n for n in dq._QUERIES if n not in latest]
+    missing = [n for n in never_checked if n not in dq._R10_WINDOW]
+    assert not missing, (
+        f"registered but not fronted (violates the same-commit rule): "
+        f"{missing}"
+    )
 
 
 def test_next_window_planner_is_well_formed():

@@ -24,6 +24,11 @@ ROWS_ONLY = {
     # md5-seeded PCG64 embedder is not SQL-expressible; shape/score
     # semantics are pytest-asserted in test_golden_scenario.py.
     "pipeline_ingest_search",
+    # The exact-integer Walsh-Hadamard butterfly behind the audio
+    # constellation landmarks has no relational form; semantics
+    # (determinism, shift invariance, planted-copy recovery, hot-bucket
+    # guard) are pytest-pinned in test_audio_fingerprint.py.
+    "audio_neardup_pairs",
 }
 
 

@@ -7,51 +7,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.features import rank_sum_drift
 
-#: DuckDB twin over the events fixture — the SQL an r10 registration
-#: will carry.
-ORACLE_SQL = """
-WITH d AS (
-  SELECT event_type AS grp, value AS v, epoch_us(CAST(ts AS TIMESTAMP)) AS tu
-  FROM events
-  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
-),
-b AS (SELECT grp, min(tu) AS lo, max(tu) AS hi FROM d GROUP BY grp),
-p AS (
-  SELECT d.grp, v,
-         CASE WHEN 2 * tu <= lo + hi THEN 1 ELSE 2 END AS period
-  FROM d JOIN b USING (grp)
-),
-c AS (
-  SELECT grp, v,
-         count(*) FILTER (WHERE period = 1) AS c1,
-         count(*) FILTER (WHERE period = 2) AS c2
-  FROM p GROUP BY grp, v
-),
-r AS (
-  SELECT grp, c1, c2,
-         2 * sum(c1 + c2) OVER (PARTITION BY grp ORDER BY v
-                                ROWS UNBOUNDED PRECEDING) - (c1 + c2) + 1
-           AS rank2
-  FROM c
-),
-a AS (
-  SELECT grp,
-         CAST(sum(c1) AS BIGINT) AS n1,
-         CAST(sum(c2) AS BIGINT) AS n2,
-         CAST(sum(c1 * rank2) AS BIGINT) AS r2_1,
-         CAST(sum(c2 * rank2) AS BIGINT) AS r2_2
-  FROM r GROUP BY grp
-)
-SELECT grp AS event_type, n1, n2,
-       CAST(r2_1 - n1 * (n1 + 1) AS BIGINT) AS u2_first,
-       CAST(r2_2 - n2 * (n2 + 1) AS BIGINT) AS u2_second,
-       CASE WHEN n1 > 0 AND n2 > 0 THEN
-         ROUND(CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * n2), 6)
-       END AS auc
-FROM a
-"""
+#: The REGISTERED oracle (driver_queries is the single source of truth
+#: since the r10 registration).
+ORACLE_SQL = dq._RANK_SUM_SQL
+
 
 
 def _events(spark, rows):

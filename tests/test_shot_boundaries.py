@@ -6,41 +6,20 @@ r10 driver registration."""
 from __future__ import annotations
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.media import (
     shot_boundaries,
     synthesize_media,
 )
 
-FB = 64  # small frames keep the planted fixtures readable
+FB = dq._SHOT_FRAME_BYTES  # 64 — the registered frame size
 
 #: DuckDB twin over synthesize_media(documents) — frames are substr
 #: slices of the UTF-8 text (ASCII fixture: ord(char) == byte), the
 #: diff is a list_sum over per-position absolute differences, and the
 #: boundary rule is the same exact integer comparison.
-ORACLE_SQL = f"""
-WITH m AS (
-  SELECT doc_id AS media_id, text, length(text) AS L FROM documents
-  WHERE text IS NOT NULL
-),
-frames AS (
-  SELECT media_id, i AS frame_idx,
-         substr(text, (i - 1) * {FB} + 1, {FB}) AS prev_f,
-         substr(text, i * {FB} + 1, {FB}) AS cur_f
-  FROM m, unnest(generate_series(1, CAST(ceil(L / {FB}.0) AS BIGINT) - 1)) AS s(i)
-),
-diffs AS (
-  SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-         CAST(least(length(prev_f), length(cur_f)) AS INT) AS cmp_bytes,
-         CAST(coalesce(list_sum(list_transform(
-           generate_series(1, least(length(prev_f), length(cur_f))),
-           i -> abs(ord(substr(prev_f, i, 1)) - ord(substr(cur_f, i, 1)))
-         )), 0) AS BIGINT) AS diff_sum
-  FROM frames
-)
-SELECT media_id, frame_idx, cmp_bytes, diff_sum,
-       diff_sum * 1000 > 120 * 255 * cmp_bytes AS is_boundary
-FROM diffs
-"""
+ORACLE_SQL = dq._SHOT_BOUNDARIES_SQL
+
 
 
 def _media(spark, rows):

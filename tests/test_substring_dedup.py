@@ -8,36 +8,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.dedup import duplicated_substring_spans
 
-K = 8
+K = dq._SUBSTRING_K  # 8 — the registered dial
 
-#: DuckDB twin of the operator — the exact SQL an r10 registration
-#: will carry (same hash convention as the winnowing oracles).
-ORACLE_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-g AS (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         CAST('0x' || substr(md5(array_to_string(t[i:i+{K - 1}], ' ')), 1, 15)
-              AS BIGINT) AS h
-  FROM toks, unnest(generate_series(1, len(t) - {K - 1})) AS s(i)
-),
-dup AS (
-  SELECT doc_id, pos FROM g
-  WHERE h IN (SELECT h FROM g GROUP BY h HAVING count(*) >= 2)
-),
-runs AS (
-  SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
-  FROM dup
-)
-SELECT doc_id,
-       CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + {K - 1} AS BIGINT) AS span_end,
-       CAST(max(pos) + {K - 1} - min(pos) + 1 AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS n_dup_grams
-FROM runs GROUP BY doc_id, run
-"""
+#: The REGISTERED oracle (driver_queries carries the single source of
+#: truth since the r10 registration); kept here only as the import.
+ORACLE_SQL = dq._SUBSTRING_SPANS_SQL
+
 
 
 def _docs(spark, rows):

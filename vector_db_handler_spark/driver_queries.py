@@ -155,67 +155,21 @@ DRIVER_WINDOW: int = 50
 #: EXACTLY the 50 names intended for this round's driver window, in
 #: check order.  tests/test_driver_window.py asserts len == 50, all
 #: registered, no duplicates, queries() starts with this list verbatim,
-#: and zero overlap with CORRECTNESS_r08.json's checked set.
-_R9_WINDOW: list[str] = [
-    # (a) operator code restructured in r7; driver has never hashed the
-    #     current plans
-    "scd2_customer_merge",
-    "value_decile_bins",
-    "rfm_user_segments",
-    "user_anomaly_stream",
-    "running_user_value_stream",
-    # (b) r3-vintage evidence (five rounds stale)
-    "cosine_topk_join",
-    "cosine_neardup_pairs",
-    "ivf_topk",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "media_modality_stats",
-    "media_phash",
-    "media_resize_fingerprint",
-    "streaming_dedup_first",
-    "sketch_accuracy_by_lang",
-    "text_quality",
-    "pipeline_ingest_search",
-    # (c) the 32 stalest r4-vintage rows, registration order
-    "cosine_neardup_ann",
-    "media_real_decode_stats",
-    "pipeline_ingest_search_checked",
-    "top_customers_per_nation",
-    "tpch_q14",
-    "tpch_q7",
-    "tpch_q18",
-    "simhash_neardup_pairs",
-    "label_centroids",
-    "scroll_page2",
-    "upsert_scroll_roundtrip",
-    "decontamination_pairs",
-    "bloom_incremental_novel",
-    "salted_join_agg",
-    "bucketed_join_agg",
-    "tpch_q4",
-    "tpch_q21",
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    "neardup_components",
-    "neardup_canonical_docs",
-    "sample_stratified_docs",
-]
-
-#: Rank 51+: below the checked window; these 13 remaining r4-vintage
-#: rows lead the r10 window.
-_BELOW_WINDOW: list[str] = [
+#: and zero overlap with CORRECTNESS_r09.json's checked set.
+#:
+#: Round 10 (emitted verbatim by ``tools/plan_next_window.py``):
+#: (a) the 5 round-10 registrations (the operator families staged in
+#: r9 — process rule: new queries front in their own round); (b) the
+#: 13 r4-vintage rows staged in r9's ``_BELOW_WINDOW``; (c) the 32
+#: stalest r5-vintage rows in registration order.
+_R10_WINDOW: list[str] = [
+    # (a) round-10 registrations, never driver-checked
+    "substring_dup_spans",
+    "lsh_recall_report",
+    "shot_boundaries",
+    "rank_sum_drift",
+    "audio_neardup_pairs",
+    # (b) the 13 r4-vintage rows staged by round 9
     "sample_per_lang_topk",
     "doc_repetition",
     "quantized_knn_topk",
@@ -229,9 +183,64 @@ _BELOW_WINDOW: list[str] = [
     "minhash_jaccard_estimate",
     "anti_join_novel_docs",
     "grouped_embedding_norms",
+    # (c) the 32 stalest r5-vintage rows, registration order
+    "knn_topk",
+    "knn_filtered",
+    "knn_filtered_empty_ids",
+    "knn_score_threshold",
+    "scroll_collection",
+    "scroll_doc",
+    "scroll_docs",
+    "scroll_docs_empty",
+    "delete_doc",
+    "delete_by_id_list",
+    "delete_doc_by_title",
+    "delete_chunk",
+    "delete_by_id",
+    "truncate_collection",
+    "scroll_chunk",
+    "update_vector_first_match",
+    "list_collections",
+    "tpch_q1",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "lsh_index_probe",
+    "simhash64",
+    "text_stats",
+    "lang_id_counts",
+    "doc_fingerprint",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "winnowing_containment_pairs",
+    "tumbling_events",
+    "sliding_events",
+    "sessionize_events",
 ]
 
-_DRIVER_FRONT: list[str] = _R9_WINDOW + _BELOW_WINDOW
+#: Rank 51+: below the checked window; these 17 remaining r5-vintage
+#: rows lead the r11 window.
+_BELOW_WINDOW: list[str] = [
+    "tumbling_events_stream",
+    "sliding_events_stream",
+    "sessionize_events_stream",
+    "stream_stream_join_attribution",
+    "jsonl_roundtrip_stats",
+    "csv_roundtrip_stats",
+    "orc_roundtrip_stats",
+    "asof_join_purchase_view",
+    "range_join_pairs",
+    "rollup_day_type",
+    "json_props_stats",
+    "bigram_novelty",
+    "kmeans_int8_2iter",
+    "user_retention_weekly",
+    "funnel_view_purchase",
+    "value_outliers",
+    "running_user_value",
+]
+
+_DRIVER_FRONT: list[str] = _R10_WINDOW + _BELOW_WINDOW
 
 
 def _rotated(entries: dict) -> dict:
@@ -10414,4 +10423,264 @@ def incremental_neardup_components(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return maintained.unionByName(singles).select(
         F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 registrations — the operator families BUILT and pytest-pinned
+# in round 9 (SURVEY §8.0), registered + fronted in the same commit per
+# the binding process rule.  Each oracle is the exact DuckDB twin the
+# staging tests verified pre-registration.
+# ---------------------------------------------------------------------------
+
+#: Min-match length (in tokens) for substring-duplication spans — the
+#: suffix-array paper's dial (Lee et al. ACL'22 use 50 BPE tokens; the
+#: fixture corpus is word-tokenized and small, so 8).
+_SUBSTRING_K = 8
+
+_SUBSTRING_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         CAST('0x' || substr(md5(array_to_string(t[i:i+{_SUBSTRING_K - 1}], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM toks, unnest(generate_series(1, len(t) - {_SUBSTRING_K - 1})) AS s(i)
+),
+dup AS (
+  SELECT doc_id, pos FROM g
+  WHERE h IN (SELECT h FROM g GROUP BY h HAVING count(*) >= 2)
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM dup
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SUBSTRING_K - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {_SUBSTRING_K - 1} - min(pos) + 1 AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM runs GROUP BY doc_id, run
+"""
+
+
+@register("substring_dup_spans", _SUBSTRING_SPANS_SQL)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication intervals at ARBITRARY offsets —
+    the distributed shape of suffix-array dedup (every maximal token
+    interval whose every k-gram occurs >= 2 times corpus-wide).  One
+    map-side-combined gram census + a semi-join + a PER-DOCUMENT
+    gaps-and-islands window; no global sort, no pair explosion."""
+    return dedup_ops.duplicated_substring_spans(
+        load(spark, sf_dir, "documents"), k=_SUBSTRING_K
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    """Compose the lsh_recall_report twin from the SAME verified
+    fragments the minhash_lsh_pairs oracle uses (one band CTE + one
+    candidate CTE per (bands, rows) config, UNION ALL of per-config
+    scalar reports)."""
+    ctes, selects = [], []
+    for b, r in dedup_ops.LSH_CONFIGS:
+        tag = f"{b}_{r}"
+        band_sels = []
+        for i in range(b):
+            expr = "0"
+            for j in range(r):
+                expr = f"(({expr}) * 131 + mh{i * r + j}) % {dedup_ops.MINHASH_P}"
+            band_sels.append(f"SELECT doc_id, {i} AS band, {expr} AS key FROM sig")
+        bands = "\n  UNION ALL\n  ".join(band_sels)
+        ctes.append(f"bands_{tag} AS (\n  {bands}\n)")
+        ctes.append(
+            f"""cands_{tag} AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM bands_{tag} x JOIN bands_{tag} y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({b} AS BIGINT) AS n_bands,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST((SELECT count(*) FROM cands_{tag}) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM cands_{tag} c
+             JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2) AS BIGINT) AS n_hits,
+       (SELECT n_true FROM n_truth) AS n_true,
+       CASE WHEN (SELECT n_true FROM n_truth) > 0 THEN
+         ROUND(CAST((SELECT count(*) FROM cands_{tag} c
+                     JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2) AS DOUBLE)
+               / (SELECT n_true FROM n_truth), 6)
+       END AS recall"""
+        )
+    all_ctes = ",\n".join(ctes)
+    all_selects = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+h AS (SELECT doc_id, {_sql_hash('shingle', 7)} AS h28 FROM sh0),
+sig AS (SELECT doc_id,
+  {_MINHASH_TERMS}
+  FROM h GROUP BY doc_id),
+shh AS (SELECT doc_id, {_sql_hash('shingle', 15)} AS hh FROM sh0),
+hot AS (
+  SELECT hh FROM shh GROUP BY hh
+  HAVING count(*) > 0.01 * (SELECT count(DISTINCT doc_id) FROM documents)
+),
+shg AS (SELECT * FROM shh WHERE hh NOT IN (SELECT hh FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS nc
+  FROM shg a JOIN shg b ON a.hh = b.hh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT d1, d2 FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE CAST(nc AS DOUBLE) / (s1.n + s2.n - nc) >= {_LSH_THRESHOLD}
+),
+n_truth AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+{all_ctes}
+{all_selects}
+"""
+
+
+_LSH_RECALL_SQL = _lsh_recall_oracle()
+
+
+@register("lsh_recall_report", _LSH_RECALL_SQL)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration S-curve measured on the corpus itself:
+    recall + candidate volume of every (bands, rows_per_band) split of
+    the 8-permutation MinHash signature against the exact-Jaccard
+    truth set.  The truth set is computed ONCE; each config is a
+    banded equi-join whose cost is candidate volume, not corpus
+    size."""
+    return dedup_ops.lsh_recall_report(
+        load(spark, sf_dir, "documents"), threshold=_LSH_THRESHOLD
+    )
+
+
+#: Fixed-stride frame size for the shot-boundary detector (64 keeps
+#: several frames per fixture document).
+_SHOT_FRAME_BYTES = 64
+
+_SHOT_BOUNDARIES_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS L FROM documents
+  WHERE text IS NOT NULL
+),
+frames AS (
+  SELECT media_id, i AS frame_idx,
+         substr(text, (i - 1) * {_SHOT_FRAME_BYTES} + 1, {_SHOT_FRAME_BYTES}) AS prev_f,
+         substr(text, i * {_SHOT_FRAME_BYTES} + 1, {_SHOT_FRAME_BYTES}) AS cur_f
+  FROM m, unnest(generate_series(1, CAST(ceil(L / {_SHOT_FRAME_BYTES}.0) AS BIGINT) - 1)) AS s(i)
+),
+diffs AS (
+  SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+         CAST(least(length(prev_f), length(cur_f)) AS INT) AS cmp_bytes,
+         CAST(coalesce(list_sum(list_transform(
+           generate_series(1, least(length(prev_f), length(cur_f))),
+           i -> abs(ord(substr(prev_f, i, 1)) - ord(substr(cur_f, i, 1)))
+         )), 0) AS BIGINT) AS diff_sum
+  FROM frames
+)
+SELECT media_id, frame_idx, cmp_bytes, diff_sum,
+       diff_sum * 1000 > 120 * 255 * cmp_bytes AS is_boundary
+FROM diffs
+"""
+
+
+@register("shot_boundaries", _SHOT_BOUNDARIES_SQL)
+def shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-cut shot boundaries over fixed-stride frames: exact integer
+    per-byte distance between consecutive frames, thresholded in
+    permille of the max — slicing + the vectorized diff run in ONE
+    mapInPandas pass per blob, output is one skinny row per frame."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = media_ops.synthesize_media(docs).select("media_id", "media")
+    return media_ops.shot_boundaries(media, frame_bytes=_SHOT_FRAME_BYTES)
+
+
+_RANK_SUM_SQL = """
+WITH d AS (
+  SELECT event_type AS grp, value AS v, epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+),
+b AS (SELECT grp, min(tu) AS lo, max(tu) AS hi FROM d GROUP BY grp),
+p AS (
+  SELECT d.grp, v,
+         CASE WHEN 2 * tu <= lo + hi THEN 1 ELSE 2 END AS period
+  FROM d JOIN b USING (grp)
+),
+c AS (
+  SELECT grp, v,
+         count(*) FILTER (WHERE period = 1) AS c1,
+         count(*) FILTER (WHERE period = 2) AS c2
+  FROM p GROUP BY grp, v
+),
+r AS (
+  SELECT grp, c1, c2,
+         2 * sum(c1 + c2) OVER (PARTITION BY grp ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) - (c1 + c2) + 1
+           AS rank2
+  FROM c
+),
+a AS (
+  SELECT grp,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * rank2) AS BIGINT) AS r2_1,
+         CAST(sum(c2 * rank2) AS BIGINT) AS r2_2
+  FROM r GROUP BY grp
+)
+SELECT grp AS event_type, n1, n2,
+       CAST(r2_1 - n1 * (n1 + 1) AS BIGINT) AS u2_first,
+       CAST(r2_2 - n2 * (n2 + 1) AS BIGINT) AS u2_second,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         ROUND(CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * n2), 6)
+       END AS auc
+FROM a
+"""
+
+
+@register("rank_sum_drift", _RANK_SUM_SQL)
+def rank_sum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U drift per event type between the first and second
+    halves of each type's time range, in exact doubled-rank integer
+    arithmetic (ties take average rank as a half-integer ×2).  The
+    window runs over the per-group DISTINCT-VALUE census, not event
+    rows, so the sort input is the value vocabulary."""
+    from vector_db_handler_spark.operators.features import rank_sum_drift as _rsd
+
+    return _rsd(load(spark, sf_dir, "events"), "event_type", "value", "ts")
+
+
+@register("audio_neardup_pairs")  # rows-only: the WHT butterfly has no
+# relational form (documented necessity, same class as
+# pipeline_ingest_search); semantics are pytest-pinned in
+# tests/test_audio_fingerprint.py and the landmark kernel is exact
+# integer, so rows are deterministic.
+def audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs by shared Shazam-style constellation
+    landmarks (exact-integer WHT spectral peaks chained into
+    band-local triplets): pairs come from an equi-join on the landmark
+    key behind a hot-bucket guard — candidate volume tracks true
+    co-occurrence, never N².  Containment (shared / smaller clip's
+    landmark count) is the decision variable, so shifted or trimmed
+    copies score ≈ 1.  The fixture adapter plants a silence-shifted
+    copy of every 9th clip (id + 1_000_000) — the positives the
+    shift-invariant constellation must recover; text-exact duplicate
+    docs surface as additional containment-1 pairs."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    clips = media_ops.synthesize_audio_with_copies(docs)
+    return media_ops.audio_neardup_pairs(
+        clips,
+        min_shared=5,
+        min_containment=0.5,
+        max_df=50,
     )

@@ -111,6 +111,58 @@ def synthesize_containers(
     ).withColumn("byte_len", F.length("media"))
 
 
+def _wav_header(n_data_bytes: int) -> bytes:
+    """Canonical RIFF/WAVE header for ``n_data_bytes`` of 8-bit PCM
+    mono 8 kHz — the same framing :func:`synthesize_containers` uses."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_data_bytes)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + struct.pack("<I", n_data_bytes)
+    )
+
+
+def synthesize_audio_with_copies(
+    docs: DataFrame,
+    body_bytes: int = 256,
+    shift_bytes: int = 64,
+    copy_modulus: int = 9,
+    id_offset: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixture adapter for the audio near-dup rail: every document
+    becomes a valid 8-bit PCM WAV clip (its padded/truncated UTF-8
+    bytes as samples), and every ``copy_modulus``-th document ALSO
+    emits a silence-prefixed copy (``shift_bytes`` of 0x20 prepended,
+    id + ``id_offset``) — planted positives whose landmark sets the
+    shift-invariant constellation must recover, the fixture stand-in
+    for a re-encoded or trimmed excerpt in a real corpus.
+    ``shift_bytes`` should be a multiple of the landmark hop so the
+    copy's frames align with the original's.  Padding/shift bytes are
+    constant (silence): those frames carry only DC energy and emit no
+    landmarks.  Returns ``(media_id, media)``."""
+    nb, sb = int(body_bytes), int(shift_bytes)
+    body = F.encode(
+        F.rpad(F.substring(F.col(text_col), 1, nb), nb, " "), "UTF-8"
+    )
+    orig = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.concat(F.lit(_wav_header(nb)), body).alias("media"),
+    )
+    shifted = docs.filter(F.col(id_col) % copy_modulus == 0).select(
+        (F.col(id_col) + id_offset).alias("media_id"),
+        F.concat(
+            F.lit(_wav_header(nb + sb) + b" " * sb), body
+        ).alias("media"),
+    )
+    return orig.unionByName(shifted)
+
+
 def decode_signal(
     media: DataFrame,
     media_col: str = "media",
@@ -772,4 +824,77 @@ def shot_boundaries(
 
     return media.filter(F.col(media_col).isNotNull()).mapInPandas(
         detect, schema=schema
+    )
+
+
+def shot_segments(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    boundary_permille: int = 120,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-shot segments from :func:`shot_boundaries` — the
+    gaps-and-islands rollup that turns frame-level cut flags into the
+    curation primitive a video pipeline actually consumes: one row per
+    shot with its frame span and a keyframe to sample ("one frame per
+    shot" beats "one frame per N" exactly when shots are what you want
+    to cover).
+
+    A boundary at frame j STARTS a new shot at j; frame 0 starts shot
+    0.  Emits ``(media_id, shot_idx, start_frame, end_frame, n_frames,
+    keyframe, motion)`` where ``keyframe = start_frame`` (the first
+    frame of the shot, the standard cheap pick) and ``motion`` is the
+    summed intra-shot frame distance (the cut distances themselves are
+    excluded — they measure the transition, not the shot).  All exact
+    integers; replays in SQL via the same cumulative-boundary-count
+    islands idiom the span-dedup rail uses.
+
+    Scale shape: one mapInPandas pass (the boundary kernel), then a
+    PER-CLIP cumulative-sum window (partition = media_id, ordered by
+    frame index — bounded by frames-per-clip, never a global sort) and
+    one map-side-combined rollup."""
+    from pyspark.sql import Window
+
+    b = shot_boundaries(
+        media, frame_bytes, boundary_permille, media_col, id_col
+    )
+    # Frame 0 has no diff row; materialize it as the shot-0 anchor so
+    # every frame belongs to exactly one segment.  Anchored from the
+    # MEDIA relation (not the boundary relation) so a clip shorter
+    # than two frames still emits its single degenerate shot.
+    frame0 = (
+        media.filter(
+            F.col(media_col).isNotNull() & (F.length(F.col(media_col)) >= 1)
+        )
+        .select(
+            F.col(id_col).alias("media_id"),
+            F.lit(0).cast("int").alias("frame_idx"),
+            F.lit(0).cast("long").alias("diff_sum"),
+            F.lit(False).alias("is_boundary"),
+        )
+    )
+    frames = b.select(
+        "media_id", "frame_idx", "diff_sum", "is_boundary"
+    ).unionByName(frame0)
+    w = (
+        Window.partitionBy("media_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_shot = frames.withColumn(
+        "shot_idx", F.sum(F.col("is_boundary").cast("long")).over(w)
+    )
+    return with_shot.groupBy("media_id", "shot_idx").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.max("frame_idx").cast("int").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.min("frame_idx").cast("int").alias("keyframe"),
+        F.sum(
+            F.when(F.col("is_boundary"), F.lit(0)).otherwise(
+                F.col("diff_sum")
+            )
+        )
+        .cast("long")
+        .alias("motion"),
     )
