@@ -1261,6 +1261,150 @@ def r9b(mult: int = 4) -> None:
         )
 
 
+def r10(mult: int = 4) -> None:
+    """Linearity probes for the round-10 STAGED operators (to register
+    in r11; probed before registration so the scale claims ship with
+    the code):
+
+    * ``nb_holdout_confusion`` — wall vs corpus under disjoint m×
+      replication (census + model join are linear in token volume; the
+      model relation is vocabulary-sized, data-scale invariant — its
+      row count is asserted flat across the replication).
+    * ``functional_dependencies`` — wall vs rows (one stack-unpivot
+      scan + three map-side-combined aggregations; per-pair cost rides
+      the same scan, no rescans).
+    * ``shot_segments`` — wall vs blobs (per-blob kernel + a per-clip
+      window bounded by frames-per-clip).
+    * ``lsh_recall_report`` — wall vs corpus under replication (truth
+      set computed once; per-config candidate joins ride the banded
+      keys; replication multiplies true pairs, the worst case).
+    * ``seasonal_decompose_daily`` — wall vs EVENT volume at a fixed
+      calendar grid (replicated events, same day span): only the
+      first daily aggregate should feel the volume; the windows run
+      over the |keys| x |days| rollup.
+    """
+    from vector_db_handler_spark.functions import text as text_fns
+    from vector_db_handler_spark.operators.dedup import lsh_recall_report
+    from vector_db_handler_spark.operators.media import (
+        shot_segments,
+        synthesize_media,
+    )
+    from vector_db_handler_spark.operators.nb_classifier import (
+        nb_holdout_confusion,
+        nb_train,
+    )
+    from vector_db_handler_spark.operators.profile import (
+        functional_dependencies,
+    )
+    from vector_db_handler_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    spark = get_spark("r10-probe")
+    sf = "/root/testdata/sf0.1"
+    docs0 = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("text is not null")
+        .withColumn("rule_lang", text_fns.lang_id(F.col("text")))
+    )
+
+    def replicate(df, m):
+        if m == 1:
+            return df
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return df.crossJoin(reps).select(
+            (F.col("doc_id") * m + F.col("rep")).alias("doc_id"),
+            *[c for c in df.columns if c != "doc_id"],
+        )
+
+    for m in (1, mult):
+        docs = replicate(docs0, m)
+        rows = docs.count()
+        t0 = time.perf_counter()
+        conf = nb_holdout_confusion(docs, label_col="rule_lang")
+        n_cells = conf.count()
+        model, _ = nb_train(
+            docs.filter(F.col("doc_id") % 5 != 0), label_col="rule_lang"
+        )
+        n_model = model.count()
+        print(
+            f"nb_confusion @ {rows} docs: {n_cells} cells, "
+            f"model {n_model} rows, wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    orders0 = spark.read.parquet(f"{sf}/orders.parquet")
+    fd_pairs = [
+        ("o_orderkey", "o_custkey"),
+        ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderpriority", "o_orderstatus"),
+    ]
+    for m in (1, mult):
+        orders = orders0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            orders = orders0.crossJoin(reps).withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") * m + F.col("rep"),
+            ).drop("rep")
+        rows = orders.count()
+        t0 = time.perf_counter()
+        n = functional_dependencies(orders, fd_pairs).count()
+        print(
+            f"fd_discovery @ {rows} rows x {len(fd_pairs)} pairs: "
+            f"{n} out-rows, wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    media0 = synthesize_media(docs0).select("media_id", "media")
+    for m in (1, mult):
+        media = media0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            media = media0.crossJoin(reps).select(
+                (F.col("media_id") * m + F.col("rep")).alias("media_id"),
+                "media",
+            )
+        blobs = media.count()
+        t0 = time.perf_counter()
+        n_shots = shot_segments(media).count()
+        print(
+            f"shot_segments @ {blobs} blobs: {n_shots} shots, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    for m in (1, mult):
+        docs = replicate(docs0.select("doc_id", "text"), m)
+        rows = docs.count()
+        t0 = time.perf_counter()
+        rep = {
+            (r["n_bands"], r["rows_per_band"]): (
+                r["n_candidates"],
+                r["n_true"],
+            )
+            for r in lsh_recall_report(docs, threshold=0.5).collect()
+        }
+        c42 = rep[(4, 2)]
+        print(
+            f"lsh_recall @ {rows} docs: cands(4,2)={c42[0]} "
+            f"true={c42[1]}, wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    ev0 = spark.read.parquet(f"{sf}/events.parquet")
+    for m in (1, mult):
+        ev = ev0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            ev = ev0.crossJoin(reps).drop("rep")  # m x event volume, same grid
+        rows = ev.count()
+        t0 = time.perf_counter()
+        n = seasonal_decompose_daily(ev).count()
+        print(
+            f"seasonal_decompose @ {rows} events: {n} (key,day) rows, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -1293,6 +1437,8 @@ if __name__ == "__main__":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r10":
+        r10(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r9b":
         r9b(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r9":

@@ -1585,3 +1585,59 @@ def lsh_recall_report(
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CUT the duplicated intervals out of the corpus — the action
+    step of suffix-array dedup (Lee et al. ACL'22 drop the duplicated
+    substring and keep the remainder, preserving the surrounding
+    text): every token covered by a :func:`duplicated_substring_spans`
+    interval is removed; the survivors re-join in order.
+
+    Returns ``(doc_id, clean_text, n_tokens, n_removed)`` for every
+    non-null-text document — docs without spans (including sub-``k``
+    docs) pass through verbatim with ``n_removed = 0``; a fully
+    duplicated doc survives as the empty string (the paper keeps the
+    document, void of the duplicated mass — whole-doc dropping is
+    `deduped_corpus`'s job).
+
+    Scale shape: spans per doc ride ONE aggregation into an interval
+    array (already merged maximal by construction, so the array is
+    small); the cut itself is IN-ROW — a higher-order ``filter`` with
+    index over the token array testing membership against the
+    broadcast-join-attached interval array (tokens × intervals per
+    doc, pure codegen, no token explode, no shuffle beyond the span
+    aggregation the spans operator already pays)."""
+    spans = duplicated_substring_spans(docs, k, text_col, id_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    joined = base.join(per_doc, "doc_id", "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array())
+    )
+    toks = F.split(F.col("_t"), " ")
+    # filter((tok, i) -> no interval covers i): i is 0-based, matching
+    # the spans' token offsets.
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -112,3 +112,63 @@ def join_size_estimate(
             ),
         )
     )
+
+
+def functional_dependencies(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Exact functional-dependency check over candidate column pairs —
+    the schema-discovery primitive next to :func:`profile_relation`
+    (TANE/FDEP-style dependency mining, restricted to a caller-chosen
+    candidate list so the cost is explicit): for every ``(det, dep)``
+    pair, does ``det → dep`` hold, and if not, how badly is it
+    violated?
+
+    Returns one row per pair: ``(determinant, dependent, n_groups,
+    n_violating_groups, max_distinct_dep, g3_keep)`` where
+    ``n_violating_groups`` counts determinant values mapping to >1
+    distinct dependent value, ``max_distinct_dep`` is the worst
+    group's fan-out, and ``g3_keep`` is the g3-error numerator — the
+    maximum number of rows keepable while making the FD hold (Σ per
+    group of the group's modal dependent count; equals row count
+    exactly when the FD holds).  NULL determinants are excluded
+    (standard FD semantics); a NULL dependent counts as one distinct
+    value (it is information).  All exact integers.
+
+    Scale shape: ALL pairs ride ONE scan — a ``stack`` unpivot lowers
+    each pair to ``(pair_id, det, dep)`` rows (narrow Expand, no
+    UDF), then three map-side-combined aggregations climb
+    (pair, det, dep) → (pair, det) → pair.  No per-pair rescans, no
+    windows, no collect; the final relation is |pairs| rows."""
+    if not pairs:
+        raise ValueError("need at least one (determinant, dependent) pair")
+    entries = ", ".join(
+        "'{}', '{}', CAST({} AS STRING), CAST({} AS STRING)".format(
+            d.replace("'", "''"),
+            p.replace("'", "''"),
+            quote_ident(d),
+            quote_ident(p),
+        )
+        for d, p in pairs
+    )
+    long = df.select(
+        F.expr(
+            f"stack({len(pairs)}, {entries}) "
+            "AS (determinant, dependent, det, dep)"
+        )
+    ).filter(F.col("det").isNotNull())
+    per_value = long.groupBy("determinant", "dependent", "det", "dep").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_det = per_value.groupBy("determinant", "dependent", "det").agg(
+        F.count(F.lit(1)).alias("n_dep_values"),
+        F.max("n").alias("modal_n"),
+    )
+    return per_det.groupBy("determinant", "dependent").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n_dep_values") > 1).cast("long")).alias(
+            "n_violating_groups"
+        ),
+        F.max("n_dep_values").cast("long").alias("max_distinct_dep"),
+        F.sum("modal_n").cast("long").alias("g3_keep"),
+    )

@@ -415,3 +415,115 @@ def cusum_alarms_daily(
             F.lit("none"),
         ).alias("first_alarm_day"),
     )
+
+
+def seasonal_decompose_daily(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of each key's dense
+    daily series — value = trend + seasonal + residual — in EXACT
+    integer micro-units, so the decomposition replays bit-for-bit in
+    SQL (statsmodels' ``seasonal_decompose(model='additive')`` shape,
+    the pre-STL classic; STL's loess refits are float-iterative and
+    non-portable by construction).
+
+    Stages, all exact:
+
+    1. dense per-(key, day) sums in micro-units (the gapfill spine —
+       gap days are true zeros);
+    2. trend = centered moving average over ``period`` rows (odd
+       period; integer ``div`` — the one rounding, identical in both
+       engines), NULL at the ``period//2``-row edges where the window
+       is incomplete (standard convention: no partial-window trend);
+    3. seasonal index = per (key, day-of-week slot) integer mean of
+       the detrended values, re-centered by subtracting the per-key
+       mean of the ``period`` indices so Σ seasonal ≈ 0 (again exact
+       ``div``);
+    4. residual = value − trend − seasonal where trend exists.
+
+    Returns ``(key, day, value_micro, trend_micro, seasonal_micro,
+    residual_micro)``.
+
+    Scale shape (100 TB): the ONLY stage that touches event volume is
+    the first map-side-combined daily aggregate; every window below it
+    runs over the |keys| × |days| rollup — time-range-sized, not
+    data-sized (the same posture as ewma/theil_sen/cusum above).  Slot
+    means and re-centering are two more vocabulary-sized aggregates
+    joined back on their own grouping keys."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = period // 2
+    # Null keys/timestamps drop declaratively BEFORE the gapfill: a
+    # null key can never equi-join its own spine rows back (NULL !=
+    # NULL), which would fabricate an all-zero series for it.
+    events = events.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    daily = gapfill_daily(events, key_col, ts_col, value_col).select(
+        F.col(key_col),
+        "day",
+        (F.col("day_value") * 1_000_000).cast("long").alias("value_micro"),
+    )
+    w = W.partitionBy(key_col).orderBy("day").rowsBetween(-half, half)
+    with_trend = (
+        daily.select(
+            key_col,
+            "day",
+            "value_micro",
+            F.sum("value_micro").over(w).alias("_wsum"),
+            F.count(F.lit(1)).over(w).alias("_wcnt"),
+        )
+        .withColumn(
+            "trend_micro",
+            F.when(
+                F.col("_wcnt") == period, F.expr(f"_wsum div {period}")
+            ),
+        )
+        .drop("_wsum", "_wcnt")
+    )
+    detrended = with_trend.withColumn(
+        "_slot", F.dayofweek("day") if period == 7 else (
+            F.datediff("day", F.lit("1970-01-01").cast("date")) % period
+        ),
+    ).withColumn("_det", F.col("value_micro") - F.col("trend_micro"))
+    slot_means = (
+        detrended.filter(F.col("_det").isNotNull())
+        .groupBy(key_col, "_slot")
+        .agg(
+            F.expr("sum(_det) div count(1)").alias("_slot_mean"),
+        )
+    )
+    # Re-center: seasonal components must sum to ~0 per key, else the
+    # mean level leaks from trend into seasonal.
+    centers = slot_means.groupBy(key_col).agg(
+        F.expr("sum(_slot_mean) div count(1)").alias("_center")
+    )
+    seasonal = (
+        slot_means.join(centers, key_col)
+        .select(
+            key_col,
+            "_slot",
+            (F.col("_slot_mean") - F.col("_center")).alias("seasonal_micro"),
+        )
+    )
+    return (
+        detrended.join(seasonal, [key_col, "_slot"], "left")
+        .select(
+            key_col,
+            "day",
+            "value_micro",
+            "trend_micro",
+            F.when(
+                F.col("trend_micro").isNotNull(), F.col("seasonal_micro")
+            ).alias("seasonal_micro"),
+            (
+                F.col("value_micro")
+                - F.col("trend_micro")
+                - F.col("seasonal_micro")
+            ).alias("residual_micro"),
+        )
+    )
