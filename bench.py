@@ -148,6 +148,15 @@ def main() -> None:
                 except Exception:  # noqa: BLE001
                     pass
         rep_detail[name] = {"reps": walls, "sentinel": sentinels}
+        # Measurement isolation: eager localCheckpoint blocks from a
+        # finished query stay in the block manager until Python GC
+        # drops the last DataFrame reference and the ContextCleaner
+        # reaps them — across 200+ queries that pressure accumulates
+        # and bleeds into later walls (the srp r10 wobble).  Collect
+        # now so each query starts from a reclaimed block manager.
+        import gc
+
+        gc.collect()
         if rep_shuffle:
             # max over reps: exchange reuse/caching can make later reps
             # cheaper; the regression signal wants the full-plan volume

@@ -923,6 +923,50 @@ def streaming_knn_serve(
         raise TimeoutError(f"knn serve did not drain within {timeout_sec}s")
 
 
+def streaming_nb_classify(
+    docs_stream: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Online quality/domain classification: a STREAM of documents
+    scored against the batch-trained Naive Bayes model — the serving
+    half of the learned-filter story (the batch half is
+    ``nb_classifier.nb_classify``; this reuses it verbatim inside
+    ``foreachBatch``, so batch and stream predict identically by
+    construction — the same batch=stream equivalence contract as the
+    KNN serve above).
+
+    Shape per micro-batch: the batch's docs census-aggregate locally,
+    the vocabulary-sized model broadcast-joins in (the model relation
+    never shuffles, exactly as in batch), |labels|-row grid, argmax.
+    Cost ∝ documents in THE BATCH.  Exactly-once: ``foreachBatch`` +
+    checkpoint make a re-run skip completed batches — no duplicate
+    sink rows (pinned by the rerun test)."""
+    from vector_db_handler_spark.operators.nb_classifier import nb_classify
+
+    def classify(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        nb_classify(batch_df, model, priors).write.mode("append").parquet(
+            out_path
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(classify)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # SECONDS, not ms (the awaitTermination unit pitfall fixed in r8).
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"nb serve did not drain within {timeout_sec}s")
+
+
 def streaming_latest_value_gs(
     events_stream: DataFrame,
     event_ttl_ms: int | None = None,
