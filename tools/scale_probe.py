@@ -1282,6 +1282,10 @@ def r10(mult: int = 4) -> None:
       calendar grid (replicated events, same day span): only the
       first daily aggregate should feel the volume; the windows run
       over the |keys| x |days| rollup.
+    * ``video_copy_pairs`` — wall vs clip count (frame/gram relations
+      linear in bytes/frame_bytes; the pair join is bucketed on the
+      gram hash behind the hot-gram guard — replication makes every
+      clone group mutually aligned, the worst case).
     """
     from vector_db_handler_spark.functions import text as text_fns
     from vector_db_handler_spark.operators.dedup import lsh_recall_report
@@ -1401,6 +1405,22 @@ def r10(mult: int = 4) -> None:
         n = seasonal_decompose_daily(ev).count()
         print(
             f"seasonal_decompose @ {rows} events: {n} (key,day) rows, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    from vector_db_handler_spark.operators.media import (
+        synthesize_video_with_copies,
+        video_copy_pairs,
+    )
+
+    for m in (1, mult):
+        docs = replicate(docs0.select("doc_id", "text"), m)
+        clips = synthesize_video_with_copies(docs)
+        n_clips = clips.count()
+        t0 = time.perf_counter()
+        n_pairs = video_copy_pairs(clips).count()
+        print(
+            f"video_copy @ {n_clips} clips: {n_pairs} pairs, "
             f"wall {time.perf_counter()-t0:.1f}s"
         )
 

@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from vector_db_handler_spark.functions import text as text_fns
+
 MODALITIES = ["image", "audio", "video"]
 
 N_HIST_BUCKETS = 16
@@ -897,4 +899,169 @@ def shot_segments(
         )
         .cast("long")
         .alias("motion"),
+    )
+
+
+def synthesize_video_with_copies(
+    docs: DataFrame,
+    frame_bytes: int = 64,
+    shift_frames: int = 1,
+    copy_modulus: int = 9,
+    id_offset: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixture adapter for the temporal video-copy rail: every
+    document's UTF-8 bytes stand in for a clip, and every
+    ``copy_modulus``-th document ALSO emits a copy prefixed with
+    ``shift_frames`` whole frames of padding — a planted re-upload
+    whose every frame recurs at a constant ``+shift_frames`` offset,
+    exactly the signal temporal alignment must recover (a bag-of-
+    frames match can't distinguish it from a shuffle).  Returns
+    ``(media_id, media)``."""
+    fb, sh = int(frame_bytes), int(shift_frames)
+    base = docs.filter(F.col(text_col).isNotNull())
+    orig = base.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+    )
+    shifted = base.filter(F.col(id_col) % copy_modulus == 0).select(
+        (F.col(id_col) + id_offset).alias("media_id"),
+        F.encode(
+            F.concat(F.lit(" " * (fb * sh)), F.col(text_col)), "UTF-8"
+        ).alias("media"),
+    )
+    return orig.unionByName(shifted)
+
+
+def video_copy_pairs(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    gram: int = 3,
+    min_aligned: int = 3,
+    min_align_frac: float = 0.5,
+    max_df: int | None = 50,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Temporal video copy detection — frame-hash shingles + offset
+    voting (the classic temporal-alignment copy detector, e.g. Law-To
+    et al., CIVR'07 video copy detection): two clips are a copy pair
+    when many frame-``gram``-grams match at ONE CONSISTENT temporal
+    offset.  Bag-of-frames overlap (the pHash/landmark rails) scores a
+    re-ordered montage the same as a true copy; the offset vote is
+    what says "these frames recur IN SEQUENCE, dt frames apart" —
+    robust to trims and prepended intros by construction.
+
+    Emits ``(a, b, offset, n_aligned, align_frac)`` with a < b:
+    ``offset`` = a's frame index minus b's at the best-voted alignment
+    (ties break to the smallest offset, pinned), ``n_aligned`` = grams
+    agreeing at that offset, ``align_frac`` = n_aligned over the
+    smaller clip's gram count (containment convention, rounded to 6).
+
+    The ONLY fully-codegen multimodal operator: fixed-stride slicing
+    is native ``substring`` on the BINARY column, frame hashing is
+    native ``md5`` — no Python kernel anywhere, so the whole plan
+    stays inside whole-stage codegen and the SQL twin replays it
+    hash-exactly.
+
+    Scale shape (100 TB): frame/gram relations are linear in video
+    bytes ÷ frame size; the gram window is per-clip (bounded, never a
+    global sort); candidates come from the gram-hash equi-join behind
+    the ``max_df`` hot-gram guard (black frames, test cards), so
+    candidate volume tracks true co-occurrence; offset voting is one
+    map-side-combined (a, b, dt) count and the argmax window runs
+    over the per-pair dt census."""
+    from pyspark.sql import Window
+
+    fb, g = int(frame_bytes), int(gram)
+    if g < 2:
+        raise ValueError(f"gram must be >= 2, got {g}")
+    n_frames = F.expr(f"(length({media_col}) + {fb - 1}) div {fb}").cast("int")
+    frames = (
+        media.filter(
+            F.col(media_col).isNotNull() & (F.length(media_col) >= 1)
+        )
+        .select(
+            F.col(id_col).alias("media_id"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("pos"),
+            F.col(media_col),
+        )
+        .select(
+            "media_id",
+            "pos",
+            F.substring(
+                F.md5(
+                    F.expr(
+                        f"substring({media_col}, pos * {fb} + 1, {fb})"
+                    )
+                ),
+                1,
+                15,
+            ).alias("fh"),
+        )
+    )
+    w = Window.partitionBy("media_id").orderBy("pos")
+    parts = [F.col("fh")] + [
+        F.lead("fh", j).over(w).alias(f"fh{j}") for j in range(1, g)
+    ]
+    grams = (
+        frames.select("media_id", "pos", *parts)
+        .filter(F.col(f"fh{g - 1}").isNotNull())
+        .select(
+            "media_id",
+            "pos",
+            text_fns.portable_hash60(
+                F.concat_ws(
+                    "|", "fh", *[f"fh{j}" for j in range(1, g)]
+                )
+            ).alias("gh"),
+        )
+    )
+    if max_df is not None:
+        hot = (
+            grams.groupBy("gh")
+            .agg(F.count_distinct("media_id").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("gh")
+        )
+        grams = grams.join(F.broadcast(hot), "gh", "left_anti")
+    grams = grams.localCheckpoint(eager=False)
+    sizes = grams.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = grams.alias("x"), grams.alias("y")
+    votes = (
+        x.join(
+            y,
+            (F.col("x.gh") == F.col("y.gh"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .groupBy(
+            F.col("x.media_id").alias("a"),
+            F.col("y.media_id").alias("b"),
+            (F.col("x.pos") - F.col("y.pos")).alias("dt"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    wb = Window.partitionBy("a", "b").orderBy(
+        F.col("v").desc(), F.col("dt").asc()
+    )
+    best = (
+        votes.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("a", "b", F.col("dt").alias("offset"), F.col("v"))
+    )
+    sa = sizes.select(F.col("media_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("media_id").alias("b"), F.col("n").alias("nb"))
+    frac = F.col("v") / F.least("na", "nb")
+    return (
+        best.join(sa, "a")
+        .join(sb, "b")
+        .filter((F.col("v") >= min_aligned) & (frac >= min_align_frac))
+        .select(
+            "a",
+            "b",
+            F.col("offset").cast("long"),
+            F.col("v").cast("long").alias("n_aligned"),
+            F.round(frac, 6).alias("align_frac"),
+        )
     )
