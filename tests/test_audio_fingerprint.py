@@ -113,7 +113,9 @@ def test_hot_landmark_guard_prunes_universal_buckets(spark):
     shared = _tone(1_500, seed=5)
     rows = [(i, _wav(shared + _tone(1_500, seed=100 + i))) for i in range(1, 5)]
     media = _media(spark, rows)
-    unguarded = audio_neardup_pairs(media, min_containment=0.3).count()
+    unguarded = audio_neardup_pairs(
+        media, min_containment=0.3, max_df=None
+    ).count()
     guarded = audio_neardup_pairs(media, min_containment=0.3, max_df=3).count()
     assert unguarded == 6  # all C(4,2) pairs share the planted intro
     assert guarded < unguarded  # universal landmarks no longer join

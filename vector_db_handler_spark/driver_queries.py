@@ -7948,7 +7948,10 @@ def streaming_knn_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vector_db_handler_spark.streaming import stream_ops
 
-    basis = f"knnserve|{_fixture_tag(sf_dir, 'embeddings')}"
+    # basis v2: the r11 idempotent sink writes batch_id=<n> partition
+    # directories — a new basis keeps old root-layout sink dirs from
+    # earlier rounds out of partition discovery.
+    basis = f"knnserve2|{_fixture_tag(sf_dir, 'embeddings')}"
     base = os.path.join(
         tempfile.gettempdir(),
         f"vdh_knnserve_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
@@ -7963,7 +7966,11 @@ def streaming_knn_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 5)
     )
     stream_ops.streaming_knn_serve(queries, emb, out_path, cp, k=3)
-    return spark.read.parquet(out_path)
+    # Project away the sink's batch_id partition column (idempotence
+    # bookkeeping, not part of the serving result).
+    return spark.read.parquet(out_path).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
 
 
 _XML_ROUNDTRIP_SQL = f"""
@@ -10684,3 +10691,512 @@ def audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_containment=0.5,
         max_df=50,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 registrations — the six families staged (and pytest-pinned)
+# in round 10 plus the streaming NB serve twin.  Oracles moved here
+# from the staging tests (which now import them back — one source of
+# truth), per the r10 process rule.
+# ---------------------------------------------------------------------------
+
+#: Frame stride shared by the video fixture adapter and the oracle.
+_VIDEO_FRAME_BYTES = 64
+_VIDEO_COPY_MOD = 9
+_VIDEO_ID_OFF = 1_000_000
+
+#: DuckDB twin over synthesize_video_with_copies(documents) — frames
+#: are substr slices of the ASCII text (shifted copies prepend one
+#: whole frame of spaces), hashes the repo's md5-hex convention, the
+#: argmax the same (votes DESC, dt ASC) tie-break.
+_VIDEO_COPY_SQL = f"""
+WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE text IS NOT NULL),
+clips AS (
+  SELECT media_id, text FROM m
+  UNION ALL
+  SELECT media_id + {_VIDEO_ID_OFF}, repeat(' ', {_VIDEO_FRAME_BYTES}) || text
+  FROM m WHERE media_id % {_VIDEO_COPY_MOD} = 0
+),
+frames AS (
+  SELECT media_id, CAST(i - 1 AS BIGINT) AS pos,
+         substr(md5(substr(text, (i - 1) * {_VIDEO_FRAME_BYTES} + 1, {_VIDEO_FRAME_BYTES})), 1, 15) AS fh
+  FROM clips,
+       unnest(generate_series(1, CAST(ceil(length(text) / {_VIDEO_FRAME_BYTES}.0) AS BIGINT))) AS s(i)
+),
+led AS (
+  SELECT media_id, pos, fh,
+         lead(fh, 1) OVER w AS fh1, lead(fh, 2) OVER w AS fh2
+  FROM frames WINDOW w AS (PARTITION BY media_id ORDER BY pos)
+),
+grams0 AS (
+  SELECT media_id, pos,
+         CAST('0x' || substr(md5(fh || '|' || fh1 || '|' || fh2), 1, 15)
+              AS BIGINT) AS gh
+  FROM led WHERE fh2 IS NOT NULL
+),
+hot AS (
+  SELECT gh FROM grams0 GROUP BY gh
+  HAVING count(DISTINCT media_id) > 50
+),
+grams AS (SELECT * FROM grams0 WHERE gh NOT IN (SELECT gh FROM hot)),
+sizes AS (SELECT media_id, count(*) AS n FROM grams GROUP BY 1),
+votes AS (
+  SELECT x.media_id AS a, y.media_id AS b, x.pos - y.pos AS dt,
+         count(*) AS v
+  FROM grams x JOIN grams y
+    ON x.gh = y.gh AND x.media_id < y.media_id
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT a, b, dt, v,
+         row_number() OVER (PARTITION BY a, b ORDER BY v DESC, dt ASC) AS rn
+  FROM votes
+)
+SELECT r.a, r.b, CAST(r.dt AS BIGINT) AS "offset",
+       CAST(r.v AS BIGINT) AS n_aligned,
+       ROUND(CAST(r.v AS DOUBLE) / least(sa.n, sb.n), 6) AS align_frac
+FROM ranked r
+JOIN sizes sa ON r.a = sa.media_id
+JOIN sizes sb ON r.b = sb.media_id
+WHERE r.rn = 1 AND r.v >= 3
+  AND CAST(r.v AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+"""
+
+
+@register("video_copy_pairs", _VIDEO_COPY_SQL)
+def video_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal video copy detection — frame-trigram shingles + offset
+    voting over the planted shifted-copy fixture.  The only fully-
+    codegen multimodal operator (native binary substring + md5, no
+    Python kernel): a true re-upload pairs at ONE consistent offset
+    with containment 1; a montage re-cut of the same frames (which a
+    bag-of-frames overlap cannot reject) never aligns.  Candidates
+    come from the gram-hash equi-join behind the max_df hot-gram
+    guard, so the join volume tracks true co-occurrence, never
+    clips²."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    docs = load(spark, sf_dir, "documents")
+    clips = media_ops.synthesize_video_with_copies(
+        docs, frame_bytes=_VIDEO_FRAME_BYTES
+    )
+    return media_ops.video_copy_pairs(clips, frame_bytes=_VIDEO_FRAME_BYTES)
+
+
+def _ilog2_kilo_sql(x: str) -> str:
+    """DuckDB twin of nb_classifier.ilog2_kilo:
+    ``1024·(bitlen−1) + (1024·x) // 2^(bitlen−1) − 1024``."""
+    bl = f"length(printf('%b', {x}))"
+    return (
+        f"(1024 * ({bl} - 1) + (1024 * ({x})) // "
+        f"(CAST(1 AS BIGINT) << ({bl} - 1)) - 1024)"
+    )
+
+
+def _nb_pred_cte_sql() -> str:
+    """Shared CTE prefix for the NB oracles: rule-label via the
+    lang_id marker argmax, train on the 80% slice (doc_id % 5 != 0),
+    score the holdout, argmax with the (score DESC, label ASC)
+    tie-break — ends with a ``pred`` relation of
+    (doc_id, predicted, score, margin)."""
+    L = _ilog2_kilo_sql
+    return f"""
+WITH rl AS (
+  SELECT doc_id, text, {_lang_case_sql()} AS rule_lang
+  FROM (SELECT doc_id, text, {_lang_scores_sql()}
+        FROM documents WHERE text IS NOT NULL)
+),
+train AS (SELECT * FROM rl WHERE doc_id % 5 != 0),
+heldout AS (SELECT * FROM rl WHERE doc_id % 5 = 0),
+counts AS (
+  SELECT label, word, count(*) AS n FROM (
+    SELECT rule_lang AS label, unnest(string_split(text, ' ')) AS word
+    FROM train
+  ) GROUP BY 1, 2
+),
+totals AS (SELECT label, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY 1),
+vocab AS (SELECT count(DISTINCT word) AS v FROM counts),
+bylab AS (SELECT rule_lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
+ntot AS (SELECT count(*) AS n_total FROM train),
+priors AS (
+  SELECT b.label,
+         {L('b.n_docs')} - {L('(SELECT n_total FROM ntot)')} AS prior_credit,
+         {L('(t.t + (SELECT v FROM vocab))')} AS norm
+  FROM bylab b JOIN totals t USING (label)
+),
+census AS (
+  SELECT doc_id, word, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM heldout
+  ) GROUP BY 1, 2
+),
+doclen AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM census GROUP BY 1),
+evidence AS (
+  SELECT c.doc_id, m.label,
+         CAST(SUM(c.cnt * {L('(m.n + 1)')}) AS BIGINT) AS word_credit
+  FROM census c JOIN counts m USING (word) GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id, d.n_tokens, p.label, p.prior_credit, p.norm
+  FROM doclen d CROSS JOIN priors p
+),
+scored AS (
+  SELECT g.doc_id, g.label,
+         g.prior_credit + COALESCE(e.word_credit, 0)
+           - g.n_tokens * g.norm AS score
+  FROM grid g LEFT JOIN evidence e
+    ON g.doc_id = e.doc_id AND g.label = e.label
+),
+ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rn,
+         lead(score) OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, label ASC) AS runner_up
+  FROM scored
+),
+pred AS (
+  SELECT doc_id, label AS predicted, CAST(score AS BIGINT) AS score,
+         CAST(COALESCE(score - runner_up, 0) AS BIGINT) AS margin
+  FROM ranked WHERE rn = 1
+)
+"""
+
+
+#: DuckDB twin of the distillation pipeline (rule-label via the
+#: lang_id marker argmax, NB train on 80%, holdout confusion).
+_NB_CONFUSION_SQL = (
+    _nb_pred_cte_sql()
+    + """
+SELECT h.rule_lang AS true_label, p.predicted,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.margin) AS BIGINT) AS sum_margin
+FROM pred p JOIN heldout h USING (doc_id)
+GROUP BY 1, 2
+"""
+)
+
+#: Per-document holdout predictions — the oracle the STREAMING serve
+#: twin hashes against (batch = stream by construction).
+_NB_PRED_SQL = (
+    _nb_pred_cte_sql()
+    + """
+SELECT doc_id, predicted, score, margin FROM pred
+"""
+)
+
+
+@register("nb_holdout_confusion", _NB_CONFUSION_SQL)
+def nb_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the rule-based lang_id heuristic into a one-pass
+    multinomial NB model (exact fixed-point-log2 credits, Laplace
+    smoothing) and roll up the holdout confusion matrix — the learned
+    quality/domain-filter rail of a pretraining pipeline, with the
+    generalization check it ships with.  Training is one counting
+    pass; the model is a vocabulary-sized relation that broadcast-
+    joins into the census; the argmax window runs over |labels| rows
+    per doc."""
+    from vector_db_handler_spark.operators.nb_classifier import (
+        nb_holdout_confusion as _nbh,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "rule_lang", text_fns.lang_id(F.col("text"))
+    )
+    return _nbh(docs, label_col="rule_lang")
+
+
+@register("streaming_nb_classify", _NB_PRED_SQL)
+def streaming_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online NB classification serve: the held-out documents arrive
+    as a STREAM and are scored inside foreachBatch by the SAME
+    nb_classify operator the batch path uses against the
+    batch-trained, localCheckpointed model — so stream predictions
+    hash against the per-doc batch oracle exactly (batch = stream by
+    construction, the same equivalence contract as
+    streaming_knn_serve_topk).  The sink is the idempotent
+    per-batch_id overwrite layout, so replays never duplicate rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.operators.nb_classifier import nb_train
+    from vector_db_handler_spark.streaming import stream_ops
+
+    basis = f"nbserve|{_fixture_tag(sf_dir, 'documents')}"
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_nbserve_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    out_path, cp = os.path.join(base, "out"), os.path.join(base, "cp")
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "rule_lang", text_fns.lang_id(F.col("text"))
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    model, priors = nb_train(train, label_col="rule_lang")
+    # foreachBatch re-evaluates captured plans per micro-batch: pin the
+    # model as a stable relation (the batch path would cache it too).
+    model = model.localCheckpoint(eager=True)
+    priors = priors.localCheckpoint(eager=True)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    stream_ops.streaming_nb_classify(stream, model, priors, out_path, cp)
+    # Project away the sink's batch_id partition column (idempotence
+    # bookkeeping, not part of the serving result).
+    return spark.read.parquet(out_path).select(
+        "doc_id", "predicted", "score", "margin"
+    )
+
+
+#: DuckDB twin of the span-removal ACTION step: the registered spans
+#: SQL feeds a token-level anti-coverage filter; survivors re-join in
+#: position order.
+_REMOVE_SPANS_SQL = f"""
+WITH spans AS ({_SUBSTRING_SPANS_SQL.strip()}),
+base AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+       unnest(generate_series(1, len(t))) AS s(i)
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM toks tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tk.doc_id
+      AND tk.pos BETWEEN s.span_start AND s.span_end
+  )
+),
+counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1
+),
+joined AS (
+  SELECT c.doc_id,
+         COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+         c.n_tokens,
+         c.n_tokens - CAST(count(k.tok) AS BIGINT) AS n_removed
+  FROM counts c LEFT JOIN kept k USING (doc_id)
+  GROUP BY c.doc_id, c.n_tokens
+)
+SELECT doc_id, clean_text, n_tokens, n_removed FROM joined
+"""
+
+
+@register("remove_duplicate_spans", _REMOVE_SPANS_SQL)
+def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step of suffix-array dedup (Lee et al. ACL'22): drop
+    every token covered by a corpus-duplicated substring span and
+    re-join the survivors in position order.  The span relation rides
+    the registered substring_dup_spans plan; coverage is an in-row
+    higher-order filter over the span list per doc — no token-level
+    explode, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup_ops.remove_duplicate_spans(docs, k=_SUBSTRING_K)
+
+
+#: DuckDB twin of shot_segments: the shot_boundaries diffs CTE, a
+#: frame-0 anchor, the cumulative-boundary-count island id, and the
+#: per-shot rollup.
+_SHOT_SEGMENTS_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS L FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 1
+),
+frames AS (
+  SELECT media_id, i AS frame_idx,
+         substr(text, (i - 1) * {_SHOT_FRAME_BYTES} + 1, {_SHOT_FRAME_BYTES}) AS prev_f,
+         substr(text, i * {_SHOT_FRAME_BYTES} + 1, {_SHOT_FRAME_BYTES}) AS cur_f
+  FROM m, unnest(generate_series(1, CAST(ceil(L / {_SHOT_FRAME_BYTES}.0) AS BIGINT) - 1)) AS s(i)
+),
+diffs AS (
+  SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+         CAST(coalesce(list_sum(list_transform(
+           generate_series(1, least(length(prev_f), length(cur_f))),
+           i -> abs(ord(substr(prev_f, i, 1)) - ord(substr(cur_f, i, 1)))
+         )), 0) AS BIGINT) AS diff_sum,
+         coalesce(list_sum(list_transform(
+           generate_series(1, least(length(prev_f), length(cur_f))),
+           i -> abs(ord(substr(prev_f, i, 1)) - ord(substr(cur_f, i, 1)))
+         )), 0) * 1000
+           > 120 * 255 * least(length(prev_f), length(cur_f)) AS is_boundary
+  FROM frames
+),
+allframes AS (
+  SELECT media_id, frame_idx, diff_sum, is_boundary FROM diffs
+  UNION ALL
+  SELECT media_id, 0, CAST(0 AS BIGINT), FALSE FROM m
+),
+islands AS (
+  SELECT media_id, frame_idx, diff_sum, is_boundary,
+         CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+              OVER (PARTITION BY media_id ORDER BY frame_idx
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot_idx
+  FROM allframes
+)
+SELECT media_id, shot_idx,
+       CAST(min(frame_idx) AS INT) AS start_frame,
+       CAST(max(frame_idx) AS INT) AS end_frame,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(min(frame_idx) AS INT) AS keyframe,
+       CAST(sum(CASE WHEN is_boundary THEN 0 ELSE diff_sum END) AS BIGINT)
+         AS motion
+FROM islands
+GROUP BY media_id, shot_idx
+"""
+
+
+@register("shot_segments", _SHOT_SEGMENTS_SQL)
+def shot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot SEGMENTS (gaps-and-islands over the hard-cut flags): each
+    clip's boundary rows anchor a cumulative-count island id; the
+    rollup emits per-shot (start, end, n_frames, keyframe, motion) —
+    the skinny per-scene relation a frame-sampling pipeline reads
+    instead of raw frames.  Same one-pass Arrow kernel as
+    shot_boundaries; the window runs per-clip over frame rows."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = media_ops.synthesize_media(docs).select("media_id", "media")
+    return media_ops.shot_segments(media, frame_bytes=_SHOT_FRAME_BYTES)
+
+
+#: DuckDB twin of the additive seasonal decomposition (key=event_type,
+#: period=7, exact integer micro-units).  dayofweek differs by one
+#: between engines (DuckDB 0=Sun..6, Spark 1=Sun..7): +1 aligns the
+#: slot ids; both engines' integer division truncates toward zero.
+_SEASONAL_SQL = """
+WITH ev AS (
+  SELECT event_type AS k, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+daily0 AS (
+  SELECT k, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS vm
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT k, min(day) AS mn, max(day) AS mx FROM daily0 GROUP BY 1),
+spine AS (
+  SELECT k, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                        CAST(mx AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+daily AS (
+  SELECT s.k, s.day, COALESCE(d.vm, 0) AS value_micro
+  FROM spine s LEFT JOIN daily0 d ON s.k = d.k AND s.day = d.day
+),
+trended AS (
+  SELECT k, day, value_micro,
+         CASE WHEN count(*) OVER w = 7
+              THEN CAST((sum(value_micro) OVER w) // 7 AS BIGINT)
+         END AS trend_micro
+  FROM daily
+  WINDOW w AS (PARTITION BY k ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+slotted AS (
+  SELECT *, dayofweek(day) + 1 AS slot,
+         value_micro - trend_micro AS det
+  FROM trended
+),
+slot_means AS (
+  SELECT k, slot, CAST(sum(det) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS slot_mean
+  FROM slotted WHERE det IS NOT NULL GROUP BY 1, 2
+),
+centers AS (
+  SELECT k, CAST(sum(slot_mean) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS center
+  FROM slot_means GROUP BY 1
+),
+seasonal AS (
+  SELECT s.k, s.slot,
+         CAST(s.slot_mean - c.center AS BIGINT) AS seasonal_micro
+  FROM slot_means s JOIN centers c ON s.k = c.k
+)
+SELECT t.k AS event_type, t.day, t.value_micro, t.trend_micro,
+       CASE WHEN t.trend_micro IS NOT NULL THEN se.seasonal_micro END
+         AS seasonal_micro,
+       CAST(t.value_micro - t.trend_micro - se.seasonal_micro AS BIGINT)
+         AS residual_micro
+FROM slotted t LEFT JOIN seasonal se ON t.k = se.k AND t.slot = se.slot
+"""
+
+
+@register("seasonal_decompose_daily", _SEASONAL_SQL)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend = centered
+    period-7 moving average, seasonal = centered slot means, residual
+    = the rest) in EXACT integer micro-units, per event type over the
+    gap-filled daily spine.  Windows run over the per-key daily
+    census (data-scale invariant: days × keys), never event rows."""
+    from vector_db_handler_spark.operators.timeseries import (
+        seasonal_decompose_daily as _sdd,
+    )
+
+    return _sdd(load(spark, sf_dir, "events"))
+
+
+#: Candidate FD pairs checked on ``orders``: the primary key
+#: determines everything (FDs hold exactly), the reverse direction is
+#: massively violated, priority→status is the realistic "almost-FD".
+_FD_PAIRS: list[tuple[str, str]] = [
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+#: DuckDB twin — one UNION ALL leg per pair mirrors the stack
+#: unpivot; same NULL conventions (null determinants drop, a null
+#: dependent is one distinct value).
+_FD_SQL = """
+WITH long AS (
+""" + "\n  UNION ALL\n".join(
+    f"""  SELECT '{d}' AS determinant, '{p}' AS dependent,
+         CAST({d} AS VARCHAR) AS det, CAST({p} AS VARCHAR) AS dep
+  FROM orders WHERE {d} IS NOT NULL"""
+    for d, p in _FD_PAIRS
+) + """
+),
+per_value AS (
+  SELECT determinant, dependent, det, dep, count(*) AS n
+  FROM long GROUP BY 1, 2, 3, 4
+),
+per_det AS (
+  SELECT determinant, dependent, det,
+         count(*) AS n_dep_values, max(n) AS modal_n
+  FROM per_value GROUP BY 1, 2, 3
+)
+SELECT determinant, dependent,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_dep_values > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(max(n_dep_values) AS BIGINT) AS max_distinct_dep,
+       CAST(sum(modal_n) AS BIGINT) AS g3_keep
+FROM per_det GROUP BY 1, 2
+"""
+
+
+@register("functional_dependencies", _FD_SQL)
+def functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TANE-style functional-dependency check with exact g3 error
+    semantics: for each candidate (determinant → dependent) pair,
+    count violating determinant groups and the g3 keep-count (rows
+    kept under the modal dependent per group).  The stack unpivot
+    makes ALL pairs one map-side-combined census — cost is one
+    shuffle on (pair, det, dep), never one pass per pair."""
+    from vector_db_handler_spark.operators.profile import (
+        functional_dependencies as _fd,
+    )
+
+    return _fd(load(spark, sf_dir, "orders"), _FD_PAIRS)

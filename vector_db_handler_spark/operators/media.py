@@ -147,10 +147,20 @@ def synthesize_audio_with_copies(
     ``shift_bytes`` should be a multiple of the landmark hop so the
     copy's frames align with the original's.  Padding/shift bytes are
     constant (silence): those frames carry only DC energy and emit no
-    landmarks.  Returns ``(media_id, media)``."""
+    landmarks.  Returns ``(media_id, media)``.
+
+    Byte semantics: the text is ENCODED FIRST and the binary column is
+    padded/truncated to exactly ``body_bytes`` BYTES (append
+    ``body_bytes`` spaces, slice the first ``body_bytes``), so the
+    payload always matches the WAV header's declared data-chunk size
+    even for non-ASCII text — character-based rpad/substring would
+    overflow the declared size on multi-byte code points (ADVICE
+    r10)."""
     nb, sb = int(body_bytes), int(shift_bytes)
-    body = F.encode(
-        F.rpad(F.substring(F.col(text_col), 1, nb), nb, " "), "UTF-8"
+    body = F.substring(
+        F.concat(F.encode(F.col(text_col), "UTF-8"), F.lit(b" " * nb)),
+        1,
+        nb,
     )
     orig = docs.select(
         F.col(id_col).alias("media_id"),
@@ -693,7 +703,7 @@ def audio_neardup_pairs(
     id_col: str = "media_id",
     min_shared: int = 5,
     min_containment: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 50,
     **landmark_kwargs,
 ) -> DataFrame:
     """Audio near-dup pairs by shared constellation landmarks — the
@@ -716,7 +726,10 @@ def audio_neardup_pairs(
     clips — silence patterns, test tones — is dropped before the
     join, the same postings-guard shape as every other banded join in
     this repo; sizes are computed AFTER the guard so containment
-    stays consistent with the joined space)."""
+    stays consistent with the joined space).  The guard defaults ON
+    (50, matching the driver registration) like every other banded
+    join here — pass ``max_df=None`` explicitly for the unguarded
+    exact-recall join (ADVICE r10)."""
     lms = audio_landmarks(media, media_col, id_col, **landmark_kwargs)
     if max_df is not None:
         hot = (
@@ -977,10 +990,16 @@ def video_copy_pairs(
     fb, g = int(frame_bytes), int(gram)
     if g < 2:
         raise ValueError(f"gram must be >= 2, got {g}")
-    n_frames = F.expr(f"(length({media_col}) + {fb - 1}) div {fb}").cast("int")
+    # Column APIs only — no caller-supplied name ever rides into an
+    # expr string (the quote_ident rule, ADVICE r10); floor on the
+    # non-negative length is exact integer ceil-division.
+    n_frames = (
+        F.floor((F.length(F.col(media_col)) + F.lit(fb - 1)) / F.lit(fb))
+        .cast("int")
+    )
     frames = (
         media.filter(
-            F.col(media_col).isNotNull() & (F.length(media_col) >= 1)
+            F.col(media_col).isNotNull() & (F.length(F.col(media_col)) >= 1)
         )
         .select(
             F.col(id_col).alias("media_id"),
@@ -992,8 +1011,10 @@ def video_copy_pairs(
             "pos",
             F.substring(
                 F.md5(
-                    F.expr(
-                        f"substring({media_col}, pos * {fb} + 1, {fb})"
+                    F.substring(
+                        F.col(media_col),
+                        F.col("pos") * fb + 1,
+                        F.lit(fb),
                     )
                 ),
                 1,
