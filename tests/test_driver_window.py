@@ -6,7 +6,7 @@ effect because a comment mis-counted the window (the refresh names sat
 at rank 51+ and the driver re-hashed the byte-identical round-7 set).
 These tests make that failure mode impossible to ship again:
 
-* the intended window is an explicit constant (``_R10_WINDOW``) of
+* the intended window is an explicit constant (``_R11_WINDOW``) of
   EXACTLY ``DRIVER_WINDOW`` names — no prose arithmetic;
 * ``queries()`` / ``oracle_sql()`` must begin with it verbatim;
 * every fronted name must be registered, exactly once;
@@ -26,8 +26,8 @@ from vector_db_handler_spark import driver_queries as dq
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: The previous round's correctness artifact: the set the driver checked
-#: last round.  Bump alongside _R10_WINDOW when planning the next window.
-_PREV_CORRECTNESS = os.path.join(_REPO, "CORRECTNESS_r09.json")
+#: last round.  Bump alongside _R11_WINDOW when planning the next window.
+_PREV_CORRECTNESS = os.path.join(_REPO, "CORRECTNESS_r10.json")
 
 #: Latest round with driver evidence for each query, derived from every
 #: CORRECTNESS_r*.json in the repo root.
@@ -43,12 +43,12 @@ def _latest_evidence() -> dict[str, int]:
 
 
 def test_window_is_exactly_driver_window_names():
-    assert len(dq._R10_WINDOW) == dq.DRIVER_WINDOW, (
-        f"_R10_WINDOW has {len(dq._R10_WINDOW)} names, the driver checks "
+    assert len(dq._R11_WINDOW) == dq.DRIVER_WINDOW, (
+        f"_R11_WINDOW has {len(dq._R11_WINDOW)} names, the driver checks "
         f"exactly {dq.DRIVER_WINDOW} — a mis-count here silently wastes "
         "the round's evidence window"
     )
-    assert len(set(dq._R10_WINDOW)) == len(dq._R10_WINDOW), "duplicate names"
+    assert len(set(dq._R11_WINDOW)) == len(dq._R11_WINDOW), "duplicate names"
 
 
 def test_every_fronted_name_is_registered():
@@ -63,9 +63,9 @@ def test_every_fronted_name_is_registered():
 
 def test_queries_begin_with_the_intended_window():
     got = list(dq.queries())[: dq.DRIVER_WINDOW]
-    assert got == dq._R10_WINDOW, (
+    assert got == dq._R11_WINDOW, (
         "queries() does not start with the intended window — the "
-        "rotation sort is not applying _R10_WINDOW verbatim"
+        "rotation sort is not applying _R11_WINDOW verbatim"
     )
 
 
@@ -79,7 +79,7 @@ def test_oracles_rotated_consistently():
 def test_window_does_not_overlap_previous_round():
     with open(_PREV_CORRECTNESS) as f:
         prev = set(json.load(f))
-    overlap = sorted(set(dq._R10_WINDOW) & prev)
+    overlap = sorted(set(dq._R11_WINDOW) & prev)
     assert not overlap, (
         f"window re-checks {len(overlap)} queries the driver already "
         f"hashed last round: {overlap[:10]} — rotate stale evidence in "
@@ -87,19 +87,30 @@ def test_window_does_not_overlap_previous_round():
     )
 
 
-def test_no_query_left_older_than_round5_after_this_window():
-    # After r9 cleared the r3/r4 backlog, the done-bar tightens: every
-    # query not in this round's window must have r5-or-newer evidence
-    # (the 13 staged r4 rows are IN the window).
+def test_no_query_older_than_the_rotation_cycle_after_this_window():
+    """Staleness floor COMPUTED from the registry size, not a pinned
+    round number (r10 verdict #4a): a ``len(registry) / DRIVER_WINDOW``
+    rotation cannot keep evidence fresher than one full cycle, so the
+    accepted floor for the round about to run (latest recorded round
+    + 1) is ``current_round - ceil(len(registry) / DRIVER_WINDOW)``.
+    With 217 queries and a 50-row window that is currently r6; the
+    formula self-adjusts as the registry grows or gets pruned —
+    the r12 planner needs no hand-editing of a staleness constant."""
+    import math
+
     latest = _latest_evidence()
-    window = set(dq._R10_WINDOW)
+    current_round = max(latest.values()) + 1
+    cycle = math.ceil(len(dq._QUERIES) / dq.DRIVER_WINDOW)
+    floor = current_round - cycle
+    window = set(dq._R11_WINDOW)
     stale = sorted(
         n
         for n in dq._QUERIES
-        if latest.get(n, 0) < 5 and n not in window
+        if latest.get(n, 0) < floor and n not in window
     )
     assert not stale, (
-        f"queries with pre-r5 evidence not in this round's window: {stale}"
+        f"queries with pre-r{floor} evidence not in this round's window "
+        f"(cycle={cycle} rounds over {len(dq._QUERIES)} queries): {stale}"
     )
 
 
@@ -108,7 +119,7 @@ def test_new_registrations_front_in_their_own_round():
     # inside the window, so it gets first-round driver evidence.
     latest = _latest_evidence()
     never_checked = [n for n in dq._QUERIES if n not in latest]
-    missing = [n for n in never_checked if n not in dq._R10_WINDOW]
+    missing = [n for n in never_checked if n not in dq._R11_WINDOW]
     assert not missing, (
         f"registered but not fronted (violates the same-commit rule): "
         f"{missing}"

@@ -9,45 +9,12 @@ import pytest
 from tests.oracle_check import compare
 from vector_db_handler_spark.operators.profile import functional_dependencies
 
-#: Candidate pairs an r11 registration will check on ``orders``: the
-#: primary key determines everything (FDs hold exactly), the reverse
-#: direction is massively violated, and priority→status is the
-#: realistic "almost-FD" case.
-FD_PAIRS = [
-    ("o_orderkey", "o_custkey"),
-    ("o_orderkey", "o_orderstatus"),
-    ("o_custkey", "o_orderstatus"),
-    ("o_orderpriority", "o_orderstatus"),
-]
+from vector_db_handler_spark import driver_queries as dq
 
-#: DuckDB twin — the SQL an r11 registration will carry (one UNION ALL
-#: leg per pair mirrors the stack unpivot; same NULL conventions).
-ORACLE_SQL = """
-WITH long AS (
-""" + "\n  UNION ALL\n".join(
-    f"""  SELECT '{d}' AS determinant, '{p}' AS dependent,
-         CAST({d} AS VARCHAR) AS det, CAST({p} AS VARCHAR) AS dep
-  FROM orders WHERE {d} IS NOT NULL"""
-    for d, p in FD_PAIRS
-) + """
-),
-per_value AS (
-  SELECT determinant, dependent, det, dep, count(*) AS n
-  FROM long GROUP BY 1, 2, 3, 4
-),
-per_det AS (
-  SELECT determinant, dependent, det,
-         count(*) AS n_dep_values, max(n) AS modal_n
-  FROM per_value GROUP BY 1, 2, 3
-)
-SELECT determinant, dependent,
-       CAST(count(*) AS BIGINT) AS n_groups,
-       CAST(sum(CASE WHEN n_dep_values > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_violating_groups,
-       CAST(max(n_dep_values) AS BIGINT) AS max_distinct_dep,
-       CAST(sum(modal_n) AS BIGINT) AS g3_keep
-FROM per_det GROUP BY 1, 2
-"""
+#: The registration's pairs + oracle ARE this test's (one source of
+#: truth since the r11 registration); kept here only as the imports.
+FD_PAIRS = dq._FD_PAIRS
+ORACLE_SQL = dq._FD_SQL
 
 
 def _df(spark, rows):

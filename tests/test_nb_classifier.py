@@ -21,83 +21,9 @@ from vector_db_handler_spark.operators.nb_classifier import (
 )
 
 
-def _L(x: str) -> str:
-    """DuckDB twin of ilog2_kilo: 1024·(bitlen−1) + mantissa − 1024."""
-    bl = f"length(printf('%b', {x}))"
-    return (
-        f"(1024 * ({bl} - 1) + (1024 * ({x})) // "
-        f"(CAST(1 AS BIGINT) << ({bl} - 1)) - 1024)"
-    )
-
-
-#: DuckDB twin of the distillation pipeline (rule-label via the
-#: lang_id marker argmax, NB train on 80%, holdout confusion) — the
-#: SQL an r11 registration will carry.
-ORACLE_SQL = f"""
-WITH rl AS (
-  SELECT doc_id, text, {dq._lang_case_sql()} AS rule_lang
-  FROM (SELECT doc_id, text, {dq._lang_scores_sql()}
-        FROM documents WHERE text IS NOT NULL)
-),
-train AS (SELECT * FROM rl WHERE doc_id % 5 != 0),
-heldout AS (SELECT * FROM rl WHERE doc_id % 5 = 0),
-counts AS (
-  SELECT label, word, count(*) AS n FROM (
-    SELECT rule_lang AS label, unnest(string_split(text, ' ')) AS word
-    FROM train
-  ) GROUP BY 1, 2
-),
-totals AS (SELECT label, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY 1),
-vocab AS (SELECT count(DISTINCT word) AS v FROM counts),
-bylab AS (SELECT rule_lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
-ntot AS (SELECT count(*) AS n_total FROM train),
-priors AS (
-  SELECT b.label,
-         {_L('b.n_docs')} - {_L('(SELECT n_total FROM ntot)')} AS prior_credit,
-         {_L('(t.t + (SELECT v FROM vocab))')} AS norm
-  FROM bylab b JOIN totals t USING (label)
-),
-census AS (
-  SELECT doc_id, word, count(*) AS cnt FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM heldout
-  ) GROUP BY 1, 2
-),
-doclen AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM census GROUP BY 1),
-evidence AS (
-  SELECT c.doc_id, m.label,
-         CAST(SUM(c.cnt * {_L('(m.n + 1)')}) AS BIGINT) AS word_credit
-  FROM census c JOIN counts m USING (word) GROUP BY 1, 2
-),
-grid AS (
-  SELECT d.doc_id, d.n_tokens, p.label, p.prior_credit, p.norm
-  FROM doclen d CROSS JOIN priors p
-),
-scored AS (
-  SELECT g.doc_id, g.label,
-         g.prior_credit + COALESCE(e.word_credit, 0)
-           - g.n_tokens * g.norm AS score
-  FROM grid g LEFT JOIN evidence e
-    ON g.doc_id = e.doc_id AND g.label = e.label
-),
-ranked AS (
-  SELECT doc_id, label, score,
-         row_number() OVER (PARTITION BY doc_id
-                            ORDER BY score DESC, label ASC) AS rn,
-         lead(score) OVER (PARTITION BY doc_id
-                           ORDER BY score DESC, label ASC) AS runner_up
-  FROM scored
-),
-pred AS (
-  SELECT doc_id, label AS predicted,
-         COALESCE(score - runner_up, 0) AS margin
-  FROM ranked WHERE rn = 1
-)
-SELECT h.rule_lang AS true_label, p.predicted,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(p.margin) AS BIGINT) AS sum_margin
-FROM pred p JOIN heldout h USING (doc_id)
-GROUP BY 1, 2
-"""
+#: The registration's oracle IS this test's oracle (one source of
+#: truth since the r11 registration); kept here only as the import.
+ORACLE_SQL = dq._NB_CONFUSION_SQL
 
 
 def _docs(spark, rows):

@@ -10,41 +10,9 @@ from vector_db_handler_spark.operators.dedup import remove_duplicate_spans
 
 K = dq._SUBSTRING_K  # 8 — same dial as the registered spans query
 
-#: DuckDB twin: the registered spans SQL feeds a token-level
-#: anti-coverage filter; survivors re-join in position order — the SQL
-#: an r11 registration will carry.
-ORACLE_SQL = f"""
-WITH spans AS ({dq._SUBSTRING_SPANS_SQL.strip()}),
-base AS (
-  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
-),
-toks AS (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM base),
-       unnest(generate_series(1, len(t))) AS s(i)
-),
-kept AS (
-  SELECT tk.doc_id, tk.pos, tk.tok
-  FROM toks tk
-  WHERE NOT EXISTS (
-    SELECT 1 FROM spans s
-    WHERE s.doc_id = tk.doc_id
-      AND tk.pos BETWEEN s.span_start AND s.span_end
-  )
-),
-counts AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1
-),
-joined AS (
-  SELECT c.doc_id,
-         COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
-         c.n_tokens,
-         c.n_tokens - CAST(count(k.tok) AS BIGINT) AS n_removed
-  FROM counts c LEFT JOIN kept k USING (doc_id)
-  GROUP BY c.doc_id, c.n_tokens
-)
-SELECT doc_id, clean_text, n_tokens, n_removed FROM joined
-"""
+#: The registration's oracle IS this test's oracle (one source of
+#: truth since the r11 registration); kept here only as the import.
+ORACLE_SQL = dq._REMOVE_SPANS_SQL
 
 
 def _docs(spark, rows):

@@ -10,73 +10,18 @@ import datetime as dt
 import pytest
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.timeseries import (
     seasonal_decompose_daily,
 )
 
-#: DuckDB twin over the events fixture (key=event_type, period=7) —
-#: the SQL an r11 registration will carry.  dayofweek differs by one
-#: between engines (DuckDB 0=Sun..6, Spark 1=Sun..7): +1 aligns the
-#: slot ids.  Both engines truncate integer division toward zero
-#: (pinned by test_property_timeseries), so every `//` here is the
-#: exact twin of Spark's `div`.
-ORACLE_SQL = """
-WITH ev AS (
-  SELECT event_type AS k, CAST(ts AS TIMESTAMP) AS ts, value
-  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
-),
-daily0 AS (
-  SELECT k, CAST(ts AS DATE) AS day,
-         CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS vm
-  FROM ev GROUP BY 1, 2
-),
-bounds AS (SELECT k, min(day) AS mn, max(day) AS mx FROM daily0 GROUP BY 1),
-spine AS (
-  SELECT k, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
-                                        CAST(mx AS TIMESTAMP),
-                                        INTERVAL 1 DAY)) AS DATE) AS day
-  FROM bounds
-),
-daily AS (
-  SELECT s.k, s.day, COALESCE(d.vm, 0) AS value_micro
-  FROM spine s LEFT JOIN daily0 d ON s.k = d.k AND s.day = d.day
-),
-trended AS (
-  SELECT k, day, value_micro,
-         CASE WHEN count(*) OVER w = 7
-              THEN CAST((sum(value_micro) OVER w) // 7 AS BIGINT)
-         END AS trend_micro
-  FROM daily
-  WINDOW w AS (PARTITION BY k ORDER BY day
-               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-),
-slotted AS (
-  SELECT *, dayofweek(day) + 1 AS slot,
-         value_micro - trend_micro AS det
-  FROM trended
-),
-slot_means AS (
-  SELECT k, slot, CAST(sum(det) AS BIGINT) // CAST(count(*) AS BIGINT)
-           AS slot_mean
-  FROM slotted WHERE det IS NOT NULL GROUP BY 1, 2
-),
-centers AS (
-  SELECT k, CAST(sum(slot_mean) AS BIGINT) // CAST(count(*) AS BIGINT)
-           AS center
-  FROM slot_means GROUP BY 1
-),
-seasonal AS (
-  SELECT s.k, s.slot,
-         CAST(s.slot_mean - c.center AS BIGINT) AS seasonal_micro
-  FROM slot_means s JOIN centers c ON s.k = c.k
-)
-SELECT t.k AS event_type, t.day, t.value_micro, t.trend_micro,
-       CASE WHEN t.trend_micro IS NOT NULL THEN se.seasonal_micro END
-         AS seasonal_micro,
-       CAST(t.value_micro - t.trend_micro - se.seasonal_micro AS BIGINT)
-         AS residual_micro
-FROM slotted t LEFT JOIN seasonal se ON t.k = se.k AND t.slot = se.slot
-"""
+#: The registration's oracle IS this test's oracle (one source of
+#: truth since the r11 registration); kept here only as the import.
+#: dayofweek differs by one between engines (DuckDB 0=Sun..6, Spark
+#: 1=Sun..7): the oracle's +1 aligns the slot ids, and both engines
+#: truncate integer division toward zero (pinned by
+#: test_property_timeseries).
+ORACLE_SQL = dq._SEASONAL_SQL
 
 
 def _series(spark, rows):

@@ -13,55 +13,9 @@ from vector_db_handler_spark.operators.media import (
 
 FB = dq._SHOT_FRAME_BYTES  # 64 — the registered frame size
 
-#: DuckDB twin: the registered shot_boundaries CTE (diffs + flags),
-#: a frame-0 anchor, the cumulative-boundary-count island id, and the
-#: rollup — the SQL an r11 registration will carry.
-ORACLE_SQL = f"""
-WITH m AS (
-  SELECT doc_id AS media_id, text, length(text) AS L FROM documents
-  WHERE text IS NOT NULL AND length(text) >= 1
-),
-frames AS (
-  SELECT media_id, i AS frame_idx,
-         substr(text, (i - 1) * {FB} + 1, {FB}) AS prev_f,
-         substr(text, i * {FB} + 1, {FB}) AS cur_f
-  FROM m, unnest(generate_series(1, CAST(ceil(L / {FB}.0) AS BIGINT) - 1)) AS s(i)
-),
-diffs AS (
-  SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-         CAST(coalesce(list_sum(list_transform(
-           generate_series(1, least(length(prev_f), length(cur_f))),
-           i -> abs(ord(substr(prev_f, i, 1)) - ord(substr(cur_f, i, 1)))
-         )), 0) AS BIGINT) AS diff_sum,
-         coalesce(list_sum(list_transform(
-           generate_series(1, least(length(prev_f), length(cur_f))),
-           i -> abs(ord(substr(prev_f, i, 1)) - ord(substr(cur_f, i, 1)))
-         )), 0) * 1000
-           > 120 * 255 * least(length(prev_f), length(cur_f)) AS is_boundary
-  FROM frames
-),
-allframes AS (
-  SELECT media_id, frame_idx, diff_sum, is_boundary FROM diffs
-  UNION ALL
-  SELECT media_id, 0, CAST(0 AS BIGINT), FALSE FROM m
-),
-islands AS (
-  SELECT media_id, frame_idx, diff_sum, is_boundary,
-         CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
-              OVER (PARTITION BY media_id ORDER BY frame_idx
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot_idx
-  FROM allframes
-)
-SELECT media_id, shot_idx,
-       CAST(min(frame_idx) AS INT) AS start_frame,
-       CAST(max(frame_idx) AS INT) AS end_frame,
-       CAST(count(*) AS BIGINT) AS n_frames,
-       CAST(min(frame_idx) AS INT) AS keyframe,
-       CAST(sum(CASE WHEN is_boundary THEN 0 ELSE diff_sum END) AS BIGINT)
-         AS motion
-FROM islands
-GROUP BY media_id, shot_idx
-"""
+#: The registration's oracle IS this test's oracle (one source of
+#: truth since the r11 registration); kept here only as the import.
+ORACLE_SQL = dq._SHOT_SEGMENTS_SQL
 
 
 def _media(spark, rows):

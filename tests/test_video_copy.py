@@ -10,71 +10,19 @@ from __future__ import annotations
 import pytest
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.media import (
     synthesize_video_with_copies,
     video_copy_pairs,
 )
 
-FB = 64  # frame stride for the planted fixtures and the oracle
-COPY_MOD = 9
-ID_OFF = 1_000_000
+FB = dq._VIDEO_FRAME_BYTES  # 64 — the registered frame stride
+COPY_MOD = dq._VIDEO_COPY_MOD
+ID_OFF = dq._VIDEO_ID_OFF
 
-#: DuckDB twin over synthesize_video_with_copies(documents) — frames
-#: are substr slices of the ASCII text (shifted copies prepend one
-#: whole frame of spaces), hashes the repo's md5-hex convention, the
-#: argmax the same (votes DESC, dt ASC) tie-break.
-ORACLE_SQL = f"""
-WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE text IS NOT NULL),
-clips AS (
-  SELECT media_id, text FROM m
-  UNION ALL
-  SELECT media_id + {ID_OFF}, repeat(' ', {FB}) || text
-  FROM m WHERE media_id % {COPY_MOD} = 0
-),
-frames AS (
-  SELECT media_id, CAST(i - 1 AS BIGINT) AS pos,
-         substr(md5(substr(text, (i - 1) * {FB} + 1, {FB})), 1, 15) AS fh
-  FROM clips,
-       unnest(generate_series(1, CAST(ceil(length(text) / {FB}.0) AS BIGINT))) AS s(i)
-),
-led AS (
-  SELECT media_id, pos, fh,
-         lead(fh, 1) OVER w AS fh1, lead(fh, 2) OVER w AS fh2
-  FROM frames WINDOW w AS (PARTITION BY media_id ORDER BY pos)
-),
-grams0 AS (
-  SELECT media_id, pos,
-         CAST('0x' || substr(md5(fh || '|' || fh1 || '|' || fh2), 1, 15)
-              AS BIGINT) AS gh
-  FROM led WHERE fh2 IS NOT NULL
-),
-hot AS (
-  SELECT gh FROM grams0 GROUP BY gh
-  HAVING count(DISTINCT media_id) > 50
-),
-grams AS (SELECT * FROM grams0 WHERE gh NOT IN (SELECT gh FROM hot)),
-sizes AS (SELECT media_id, count(*) AS n FROM grams GROUP BY 1),
-votes AS (
-  SELECT x.media_id AS a, y.media_id AS b, x.pos - y.pos AS dt,
-         count(*) AS v
-  FROM grams x JOIN grams y
-    ON x.gh = y.gh AND x.media_id < y.media_id
-  GROUP BY 1, 2, 3
-),
-ranked AS (
-  SELECT a, b, dt, v,
-         row_number() OVER (PARTITION BY a, b ORDER BY v DESC, dt ASC) AS rn
-  FROM votes
-)
-SELECT r.a, r.b, CAST(r.dt AS BIGINT) AS "offset",
-       CAST(r.v AS BIGINT) AS n_aligned,
-       ROUND(CAST(r.v AS DOUBLE) / least(sa.n, sb.n), 6) AS align_frac
-FROM ranked r
-JOIN sizes sa ON r.a = sa.media_id
-JOIN sizes sb ON r.b = sb.media_id
-WHERE r.rn = 1 AND r.v >= 3
-  AND CAST(r.v AS DOUBLE) / least(sa.n, sb.n) >= 0.5
-"""
+#: The registration's oracle IS this test's oracle (one source of
+#: truth since the r11 registration); kept here only as the import.
+ORACLE_SQL = dq._VIDEO_COPY_SQL
 
 
 def _media(spark, rows):

@@ -155,72 +155,24 @@ DRIVER_WINDOW: int = 50
 #: EXACTLY the 50 names intended for this round's driver window, in
 #: check order.  tests/test_driver_window.py asserts len == 50, all
 #: registered, no duplicates, queries() starts with this list verbatim,
-#: and zero overlap with CORRECTNESS_r09.json's checked set.
+#: and zero overlap with CORRECTNESS_r10.json's checked set.
 #:
-#: Round 10 (emitted verbatim by ``tools/plan_next_window.py``):
-#: (a) the 5 round-10 registrations (the operator families staged in
-#: r9 — process rule: new queries front in their own round); (b) the
-#: 13 r4-vintage rows staged in r9's ``_BELOW_WINDOW``; (c) the 32
-#: stalest r5-vintage rows in registration order.
-_R10_WINDOW: list[str] = [
-    # (a) round-10 registrations, never driver-checked
-    "substring_dup_spans",
-    "lsh_recall_report",
-    "shot_boundaries",
-    "rank_sum_drift",
-    "audio_neardup_pairs",
-    # (b) the 13 r4-vintage rows staged by round 9
-    "sample_per_lang_topk",
-    "doc_repetition",
-    "quantized_knn_topk",
-    "source_quality_report",
-    "vocab_topk_tokens",
-    "ivfsq_probe_topk",
-    "deduped_corpus",
-    "media_neardup_pairs",
-    "cube_source_lang",
-    "ivfsq_batch_probe",
-    "minhash_jaccard_estimate",
-    "anti_join_novel_docs",
-    "grouped_embedding_norms",
-    # (c) the 32 stalest r5-vintage rows, registration order
-    "knn_topk",
-    "knn_filtered",
-    "knn_filtered_empty_ids",
-    "knn_score_threshold",
-    "scroll_collection",
-    "scroll_doc",
-    "scroll_docs",
-    "scroll_docs_empty",
-    "delete_doc",
-    "delete_by_id_list",
-    "delete_doc_by_title",
-    "delete_chunk",
-    "delete_by_id",
-    "truncate_collection",
-    "scroll_chunk",
-    "update_vector_first_match",
-    "list_collections",
-    "tpch_q1",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "lsh_index_probe",
-    "simhash64",
-    "text_stats",
-    "lang_id_counts",
-    "doc_fingerprint",
-    "winnowing_fingerprints",
-    "winnowing_overlap_pairs",
-    "winnowing_containment_pairs",
-    "tumbling_events",
-    "sliding_events",
-    "sessionize_events",
-]
-
-#: Rank 51+: below the checked window; these 17 remaining r5-vintage
-#: rows lead the r11 window.
-_BELOW_WINDOW: list[str] = [
+#: Round 11 (emitted verbatim by ``tools/plan_next_window.py``):
+#: (a) the 7 round-11 registrations (the six families staged in r10
+#: plus the streaming NB serve twin — process rule: new queries front
+#: in their own round); (b) the 17 r5-vintage rows staged in r10's
+#: ``_BELOW_WINDOW``; (c) the 26 stalest r6-vintage rows in
+#: registration order.
+_R11_WINDOW: list[str] = [
+    # (a) round-11 registrations, never driver-checked
+    "video_copy_pairs",
+    "nb_holdout_confusion",
+    "streaming_nb_classify",
+    "remove_duplicate_spans",
+    "shot_segments",
+    "seasonal_decompose_daily",
+    "functional_dependencies",
+    # (b) the 17 r5-vintage rows staged by round 10
     "tumbling_events_stream",
     "sliding_events_stream",
     "sessionize_events_stream",
@@ -238,9 +190,58 @@ _BELOW_WINDOW: list[str] = [
     "funnel_view_purchase",
     "value_outliers",
     "running_user_value",
+    # (c) the 26 stalest r6-vintage rows, registration order
+    "media_binary_dedup",
+    "media_frame_stats",
+    "avro_roundtrip_stats",
+    "gopher_quality_flags",
+    "span_dedup_corpus",
+    "tfidf_topk_terms",
+    "ivfsq_int8_train_probe",
+    "pq_train_codebooks",
+    "pq_adc_topk",
+    "ivfpq_probe_topk",
+    "srp_neardup_pairs",
+    "semdedup_survivors",
+    "bm25_topk_docs",
+    "zorder_orders_layout",
+    "embedding_dispersion",
+    "value_percentiles_by_type",
+    "trending_types_stream",
+    "dataset_split_counts",
+    "phrase_search_docs",
+    "hybrid_search_rerank",
+    "incremental_rollup_merge",
+    "enriched_stream_by_nation",
+    "training_shard_manifest",
+    "binary_hamming_topk",
+    "srp_multiprobe_pairs",
+    "kmv_distinct_users_by_type",
 ]
 
-_DRIVER_FRONT: list[str] = _R10_WINDOW + _BELOW_WINDOW
+#: Rank 51+: below the checked window; these 17 remaining r6-vintage
+#: rows lead the r12 window.
+_BELOW_WINDOW: list[str] = [
+    "lang_temperature_weights",
+    "gapfill_user_daily",
+    "ewma_user_daily",
+    "ppjoin_jaccard_pairs",
+    "rolling_median_7d",
+    "pagerank_part_supplier",
+    "cms_user_event_counts",
+    "mrl_prefix_rerank",
+    "event_type_transitions",
+    "embedding_dim_stats",
+    "dedup_rate_by_source",
+    "basket_part_lift",
+    "tumbling_distinct_users_stream",
+    "dataset_snapshot_diff",
+    "event_type_correlations",
+    "pivot_user_type_matrix",
+    "unpivot_user_type_matrix",
+]
+
+_DRIVER_FRONT: list[str] = _R11_WINDOW + _BELOW_WINDOW
 
 
 def _rotated(entries: dict) -> dict:
@@ -11123,7 +11124,8 @@ seasonal AS (
          CAST(s.slot_mean - c.center AS BIGINT) AS seasonal_micro
   FROM slot_means s JOIN centers c ON s.k = c.k
 )
-SELECT t.k AS event_type, t.day, t.value_micro, t.trend_micro,
+SELECT t.k AS event_type, CAST(t.day AS VARCHAR) AS day, t.value_micro,
+       t.trend_micro,
        CASE WHEN t.trend_micro IS NOT NULL THEN se.seasonal_micro END
          AS seasonal_micro,
        CAST(t.value_micro - t.trend_micro - se.seasonal_micro AS BIGINT)
@@ -11138,12 +11140,17 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     period-7 moving average, seasonal = centered slot means, residual
     = the rest) in EXACT integer micro-units, per event type over the
     gap-filled daily spine.  Windows run over the per-key daily
-    census (data-scale invariant: days × keys), never event rows."""
+    census (data-scale invariant: days × keys), never event rows.
+    ``day`` goes out as VARCHAR — the repo's convention for
+    hash-checked date columns (the driver hash is type-sensitive and
+    engines disagree on date physical types)."""
     from vector_db_handler_spark.operators.timeseries import (
         seasonal_decompose_daily as _sdd,
     )
 
-    return _sdd(load(spark, sf_dir, "events"))
+    return _sdd(load(spark, sf_dir, "events")).withColumn(
+        "day", F.col("day").cast("string")
+    )
 
 
 #: Candidate FD pairs checked on ``orders``: the primary key
