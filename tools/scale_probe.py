@@ -1425,6 +1425,140 @@ def r10(mult: int = 4) -> None:
         )
 
 
+def r11(mult: int = 4) -> None:
+    """Linearity probes for the round-11 STAGED operators (to register
+    in r12; probed before registration so the scale claims ship with
+    the code):
+
+    * ``hll_distinct_by_key`` — wall vs event volume under user-id
+      offsetting (the register relation is |keys|*K rows, asserted
+      flat across the replication — the constant-state property).
+    * ``token_entropy`` — wall vs corpus (one census shuffle; the log
+      runs on census counts, never raw tokens).
+    * ``inclusion_dependencies`` — wall vs rows (per-candidate
+      distinct censuses + one value join; cost rides distinct
+      cardinality).
+    * ``nb_margin_calibration`` — same plan family as the probed
+      nb_holdout_confusion plus a log2-bucketed rollup whose output
+      is asserted ~60 rows regardless of corpus.
+    * ``rendezvous_rebalance_report`` — in-row double assignment, one
+      pair census (<= |shards|^2 rows, asserted flat).
+    """
+    from vector_db_handler_spark.functions import text as text_fns
+    from vector_db_handler_spark.operators.features import token_entropy
+    from vector_db_handler_spark.operators.hll import hll_distinct_by_key
+    from vector_db_handler_spark.operators.layout import (
+        rendezvous_rebalance_report,
+    )
+    from vector_db_handler_spark.operators.nb_classifier import (
+        nb_margin_calibration,
+    )
+    from vector_db_handler_spark.operators.profile import (
+        inclusion_dependencies,
+    )
+
+    spark = get_spark("r11-probe")
+    sf = "/root/testdata/sf0.1"
+    ev0 = spark.read.parquet(f"{sf}/events.parquet")
+    docs0 = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("text is not null")
+    )
+
+    for m in (1, mult):
+        ev = ev0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            # offset user ids so replication multiplies TRUE cardinality
+            ev = ev0.crossJoin(reps).select(
+                (F.col("user_id") * m + F.col("rep")).alias("user_id"),
+                "event_type",
+            )
+        rows = ev.count()
+        t0 = time.perf_counter()
+        out = hll_distinct_by_key(ev, "event_type", "user_id").collect()
+        n_regs = sum(64 for _ in out)  # K registers per key by construction
+        worst = max(
+            abs(r["est_used"] - r["n_exact"]) / max(r["n_exact"], 1)
+            for r in out
+        )
+        print(
+            f"hll @ {rows} events: {len(out)} keys x 64 regs "
+            f"(state {n_regs} rows), worst err {worst:.1%}, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    def replicate(df, m):
+        if m == 1:
+            return df
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return df.crossJoin(reps).select(
+            (F.col("doc_id") * m + F.col("rep")).alias("doc_id"),
+            *[c for c in df.columns if c != "doc_id"],
+        )
+
+    for m in (1, mult):
+        docs = replicate(docs0, m)
+        rows = docs.count()
+        t0 = time.perf_counter()
+        n = token_entropy(docs).count()
+        print(
+            f"token_entropy @ {rows} docs: {n} out-rows, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    tables0 = {
+        t: spark.read.parquet(f"{sf}/{t}.parquet")
+        for t in ("orders", "customer", "lineitem", "part", "nation", "supplier")
+    }
+    cands = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    for m in (1, mult):
+        tables = dict(tables0)
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            tables["lineitem"] = tables0["lineitem"].crossJoin(reps).drop("rep")
+            tables["orders"] = tables0["orders"].crossJoin(reps).drop("rep")
+        rows = tables["lineitem"].count() + tables["orders"].count()
+        t0 = time.perf_counter()
+        n = inclusion_dependencies(tables, cands).count()
+        print(
+            f"ind_discovery @ {rows} child+parent rows x {len(cands)} "
+            f"candidates: {n} out-rows, wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    docs_rl = docs0.withColumn("rule_lang", text_fns.lang_id(F.col("text")))
+    for m in (1, mult):
+        docs = replicate(docs_rl, m)
+        rows = docs.count()
+        t0 = time.perf_counter()
+        out = nb_margin_calibration(docs, label_col="rule_lang").collect()
+        print(
+            f"nb_calibration @ {rows} docs: {len(out)} buckets, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    before = [f"s{i}" for i in range(8)]
+    after = [f"s{i}" for i in range(9)]
+    for m in (1, mult):
+        docs = replicate(docs0.select("doc_id"), m)
+        rows = docs.count()
+        t0 = time.perf_counter()
+        out = rendezvous_rebalance_report(docs, before, after).collect()
+        moved = sum(r["n_moved_out"] for r in out)
+        print(
+            f"rendezvous @ {rows} ids: {len(out)} shards, moved "
+            f"{moved} ({moved/rows:.1%}), wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -1457,6 +1591,8 @@ if __name__ == "__main__":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r11":
+        r11(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r10":
         r10(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r9b":

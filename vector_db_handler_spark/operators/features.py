@@ -777,3 +777,66 @@ def rank_sum_drift(
             ),
         ).alias("auc"),
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low_bits: float = 2.0,
+) -> DataFrame:
+    """Per-document Shannon token entropy in EXACT fixed-point
+    arithmetic — the information-theoretic quality signal the rule
+    batteries (Gopher repetition ratios, `doc_repetition`) only
+    approximate: a boilerplate/spam page repeating a small vocabulary
+    scores low regardless of WHICH rule its repetition pattern
+    evades.
+
+    The identity ``n·H = n·log2(n) − Σ c_w·log2(c_w)`` (c_w = count
+    of token w, n = total tokens) turns entropy into two exact-integer
+    aggregates over the (doc, token) census using the repo's
+    1/1024-bit fixed-point log2 (`nb_classifier.ilog2_kilo` — same
+    surrogate both engines replay bit-for-bit):
+    ``entropy_scaled = n·L(n) − Σ c·L(c)`` (exact BIGINT, 0 for a
+    single-token doc by construction), and the reported
+    ``entropy_bits = entropy_scaled / n / 1024`` (fixed-order IEEE,
+    rounded to 6).  ``low_entropy`` flags docs under ``low_bits``.
+
+    Scale shape: ONE map-side-combined (doc, token) census shuffle —
+    identical to the NB classifier's census — then a per-doc
+    aggregate; the log runs on census counts, never raw tokens.  No
+    collect, no windows, no Python."""
+    from vector_db_handler_spark.operators.nb_classifier import ilog2_kilo
+
+    census = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = census.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.sum(F.col("cnt") * ilog2_kilo(F.col("cnt")))
+        .cast("long")
+        .alias("sum_c_log"),
+    )
+    h_scaled = (
+        F.col("n_tokens") * ilog2_kilo(F.col("n_tokens")) - F.col("sum_c_log")
+    ).cast("long")
+    out = agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        h_scaled.alias("entropy_scaled"),
+        F.round(
+            h_scaled.cast("double") / F.col("n_tokens").cast("double") / F.lit(1024.0),
+            6,
+        ).alias("entropy_bits"),
+    )
+    return out.withColumn(
+        "low_entropy", F.col("entropy_bits") < F.lit(float(low_bits))
+    )

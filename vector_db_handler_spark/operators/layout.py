@@ -112,3 +112,101 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    shards: list[str],
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    stable-sharding rail next to the z-order layout: every row goes
+    to ``argmax_s hash(id | s)`` over the shard list (Thaler &
+    Ravishankar's HRW).  Unlike ``id % n`` bucketing, changing the
+    shard SET only moves the keys that land on the changed shards
+    (~1/(n+1) of them when adding one) — the property that makes
+    shard splits on a 100 TB corpus an incremental copy instead of a
+    full reshuffle; :func:`rendezvous_rebalance_report` measures it.
+
+    The hash is the portable 60-bit md5 integer
+    (`functions/text.py`), the argmax runs IN-ROW (an
+    ``array_max`` over |shards| (score, shard) structs — no explode,
+    no shuffle, no UDF; ties break to the lexicographically LARGEST
+    shard, pinned by the struct ordering both engines share).
+    Weighted shards are the standard virtual-node extension: pass a
+    shard name once per weight unit under distinct suffixes and strip
+    the suffix afterwards."""
+    from vector_db_handler_spark.functions.text import portable_hash60
+
+    if not shards:
+        raise ValueError("need at least one shard name")
+    if len(set(shards)) != len(shards):
+        raise ValueError("duplicate shard names")
+    entries = [
+        F.struct(
+            portable_hash60(
+                F.concat(F.col(id_col).cast("string"), F.lit("|" + s))
+            ).alias("score"),
+            F.lit(s).alias("shard"),
+        )
+        for s in sorted(shards)
+    ]
+    return df.withColumn(out_col, F.array_max(F.array(*entries))["shard"])
+
+
+def rendezvous_rebalance_report(
+    df: DataFrame,
+    shards_before: list[str],
+    shards_after: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """What a shard-set change actually moves: assign every row under
+    BOTH shard lists and roll up per shard —
+    ``(shard, n_before, n_after, n_moved_in, n_moved_out)``.
+
+    The HRW guarantee this report makes checkable: ADDING shards
+    never moves a key between two surviving shards (``n_moved_in`` is
+    0 everywhere except the new shards), and REMOVING a shard only
+    moves that shard's keys — so a split/merge plan's copy volume is
+    read straight off this relation before any data moves.
+
+    Scale shape: two in-row assignments on one scan, ONE map-side-
+    combined (before, after) pair census (≤ |shards|² rows), then a
+    |shards|-row unpivot rollup.  No joins against the data, no
+    second scan."""
+    pairs = (
+        rendezvous_assign(
+            rendezvous_assign(df, shards_before, id_col, "s_before"),
+            shards_after,
+            id_col,
+            "s_after",
+        )
+        .groupBy("s_before", "s_after")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    moved = F.col("s_before") != F.col("s_after")
+    before_leg = pairs.select(
+        F.col("s_before").alias("shard"),
+        F.col("n").alias("n_before"),
+        F.lit(0).alias("n_after"),
+        F.lit(0).alias("n_moved_in"),
+        F.when(moved, F.col("n")).otherwise(F.lit(0)).alias("n_moved_out"),
+    )
+    after_leg = pairs.select(
+        F.col("s_after").alias("shard"),
+        F.lit(0).alias("n_before"),
+        F.col("n").alias("n_after"),
+        F.when(moved, F.col("n")).otherwise(F.lit(0)).alias("n_moved_in"),
+        F.lit(0).alias("n_moved_out"),
+    )
+    return (
+        before_leg.unionByName(after_leg)
+        .groupBy("shard")
+        .agg(
+            F.sum("n_before").cast("long").alias("n_before"),
+            F.sum("n_after").cast("long").alias("n_after"),
+            F.sum("n_moved_in").cast("long").alias("n_moved_in"),
+            F.sum("n_moved_out").cast("long").alias("n_moved_out"),
+        )
+    )

@@ -240,3 +240,52 @@ def nb_holdout_confusion(
             F.sum("margin").cast("long").alias("sum_margin"),
         )
     )
+
+
+def nb_margin_calibration(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    holdout_modulus: int = 5,
+) -> DataFrame:
+    """Calibration curve for the NB filter's confidence dial: bucket
+    held-out predictions by the MARGIN (best − runner-up, the exact
+    integer `nb_classify` emits) on a log2 scale and report accuracy
+    per bucket — the reliability diagram a production keep/drop
+    threshold is actually read off (the confusion matrix says how
+    good the model is; this says WHERE to put the knife).
+
+    ``margin_bucket = bitlen(margin // 1024 + 1) − 1`` — bucket 0 is
+    "under 1 bit of margin (incl. ties)", bucket b is
+    ``[2^(b-1), 2^b)`` whole bits; exact integer arithmetic both
+    engines replay (the same bitlen-via-binary-string trick as
+    :func:`ilog2_kilo`).  Returns ``(margin_bucket, n_docs,
+    n_correct, accuracy)``, accuracy = a single exact-integer
+    division rounded to 6.
+
+    Scale shape: identical to :func:`nb_holdout_confusion` (one
+    census shuffle, vocabulary-sized model join, |labels|-row argmax
+    grid) plus one |buckets|-row rollup.  The margin histogram is
+    log2-bucketed so the output stays ~60 rows no matter the corpus."""
+    labeled = docs.filter(
+        F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    train = labeled.filter(F.col(id_col) % holdout_modulus != 0)
+    heldout = labeled.filter(F.col(id_col) % holdout_modulus == 0)
+    model, priors = nb_train(train, label_col, text_col, id_col)
+    pred = nb_classify(heldout, model, priors, text_col, id_col)
+    truth = heldout.select(F.col(id_col), F.col(label_col).alias("true_label"))
+    margin_bits = F.floor(F.col("margin") / F.lit(1024)).cast("long")
+    bucket = (F.length(F.bin(margin_bits + F.lit(1))) - F.lit(1)).cast("long")
+    scored = pred.join(truth, id_col).select(
+        bucket.alias("margin_bucket"),
+        (F.col("predicted") == F.col("true_label")).cast("long").alias("ok"),
+    )
+    return scored.groupBy("margin_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_correct"),
+        F.round(
+            F.sum("ok").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("accuracy"),
+    )

@@ -172,3 +172,81 @@ def functional_dependencies(
         F.max("n_dep_values").cast("long").alias("max_distinct_dep"),
         F.sum("modal_n").cast("long").alias("g3_keep"),
     )
+
+
+def inclusion_dependencies(
+    tables: dict[str, DataFrame],
+    candidates: list[tuple[str, str, str, str]],
+) -> DataFrame:
+    """Exact inclusion-dependency (foreign-key discovery) check over
+    candidate column pairs — the cross-RELATION sibling of
+    :func:`functional_dependencies` (SPIDER/BINDER-style IND mining,
+    restricted to a caller-chosen candidate list so the cost is
+    explicit): for every ``(child_table, child_col, parent_table,
+    parent_col)``, what fraction of the child's distinct values exist
+    in the parent?
+
+    Returns one row per candidate: ``(child_table, child_col,
+    parent_table, parent_col, n_child_distinct, n_contained,
+    containment, holds)`` — ``holds`` iff every distinct child value
+    appears in the parent (the FK property); ``containment`` is the
+    partial-IND strength (rounded to 6), the signal that ranks
+    almost-FKs in a schema-discovery sweep.  NULLs are excluded on
+    both sides (SQL FK semantics: a NULL child never violates).
+    Values compare after a string cast, the same portable convention
+    as :func:`profile_relation`.
+
+    Scale shape: per candidate, two map-side-combined DISTINCT
+    censuses and ONE equi-join on the value — cost rides the distinct
+    cardinality, not the row count; candidates are independent plans
+    unioned into one |candidates|-row relation (AQE broadcasts the
+    smaller census).  No collect, no per-pair rescan of any table
+    shared across candidates beyond its census."""
+    if not candidates:
+        raise ValueError("need at least one candidate (child, col, parent, col)")
+    legs = []
+    for ct, cc, pt, pc in candidates:
+        for t in (ct, pt):
+            if t not in tables:
+                raise ValueError(f"unknown table {t!r} in candidate")
+        child = (
+            tables[ct]
+            .select(F.col(cc).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        parent = (
+            tables[pt]
+            .select(F.col(pc).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        legs.append(
+            child.join(parent, "v", "left")
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_child_distinct"),
+                F.count("hit").alias("n_contained"),
+            )
+            .select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_col"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_col"),
+                F.col("n_child_distinct").cast("long"),
+                F.col("n_contained").cast("long"),
+                F.round(
+                    F.col("n_contained").cast("double")
+                    / F.col("n_child_distinct"),
+                    6,
+                ).alias("containment"),
+                (F.col("n_contained") == F.col("n_child_distinct")).alias(
+                    "holds"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

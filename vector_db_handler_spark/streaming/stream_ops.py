@@ -1282,3 +1282,96 @@ def streaming_dq_monitor(
         .start()
         .awaitTermination(120)
     )
+
+
+def streaming_hll_registers(
+    events_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 6,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming distinct-count sketch maintenance: each micro-batch's
+    HLL registers (`operators/hll.py hll_registers` — the SAME
+    operator the batch path uses) max-merge into a persistent
+    register store, so the store always equals the batch sketch over
+    everything ingested so far (batch = stream by construction; the
+    equivalence test derives the estimate from the store and hashes
+    it against the batch operator).
+
+    Crash-safety is two-layered.  (1) The store is VERSIONED: each
+    batch writes a fresh ``version=<batch_id>`` directory (never
+    touching the previous version) and readers take the newest
+    directory carrying Spark's ``_SUCCESS`` marker — a crash
+    mid-write leaves a markerless directory that every reader and the
+    replay simply skip, so no committed state is ever destroyed (the
+    poor-man's manifest, same idea as `store_mor`'s versioned
+    commits).  (2) Register max-merge is idempotent AND commutative,
+    so the replayed batch re-merging on top of the last complete
+    version yields the identical store — no batch_id dedup
+    bookkeeping needed (the sketch-algebra version of the idempotent
+    per-batch_id pattern the serve sinks use; pinned by the rerun
+    test).  State is |keys|·K rows regardless of stream volume — the
+    constant-state property that makes HLL the production choice for
+    streaming distinct counts.
+
+    Use :func:`hll_store_read` to read the latest complete register
+    relation back."""
+    from vector_db_handler_spark.operators.hll import hll_registers
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, key_col, value_col, p)
+        old = hll_store_read(spark, out_path)
+        if old is not None:
+            regs = (
+                old.unionByName(regs)
+                .groupBy("key", "bucket")
+                .agg(F.max("m").alias("m"))
+            )
+        import os
+
+        regs.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"version={int(batch_id)}")
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # SECONDS, not ms (the awaitTermination unit pitfall fixed in r8).
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"hll merge did not drain within {timeout_sec}s")
+
+
+def hll_store_read(spark: SparkSession, out_path: str) -> DataFrame | None:
+    """Latest COMPLETE version of a :func:`streaming_hll_registers`
+    store: the newest ``version=<n>`` directory carrying the
+    ``_SUCCESS`` marker (incomplete writes from a crashed batch have
+    no marker and are skipped).  None if no complete version exists."""
+    import os
+
+    try:
+        dirs = os.listdir(out_path)
+    except FileNotFoundError:
+        return None
+    done = sorted(
+        (
+            int(d.split("=", 1)[1])
+            for d in dirs
+            if d.startswith("version=")
+            and os.path.exists(os.path.join(out_path, d, "_SUCCESS"))
+        ),
+        reverse=True,
+    )
+    if not done:
+        return None
+    return spark.read.parquet(os.path.join(out_path, f"version={done[0]}"))
