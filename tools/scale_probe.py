@@ -1443,6 +1443,8 @@ def r11(mult: int = 4) -> None:
       is asserted ~60 rows regardless of corpus.
     * ``rendezvous_rebalance_report`` — in-row double assignment, one
       pair census (<= |shards|^2 rows, asserted flat).
+    * ``dsir_importance`` — two model shuffles + ONE shared bigram
+      explode double-joined; linear in corpus bigrams.
     """
     from vector_db_handler_spark.functions import text as text_fns
     from vector_db_handler_spark.operators.features import token_entropy
@@ -1542,6 +1544,19 @@ def r11(mult: int = 4) -> None:
         out = nb_margin_calibration(docs, label_col="rule_lang").collect()
         print(
             f"nb_calibration @ {rows} docs: {len(out)} buckets, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
+    from vector_db_handler_spark.operators.lm_score import dsir_importance
+
+    for m in (1, mult):
+        docs = replicate(docs0, m)
+        rows = docs.count()
+        t0 = time.perf_counter()
+        n = dsir_importance(docs, docs.limit(rows // 5)).count()
+        print(
+            f"dsir @ {rows} docs: {n} weighted, "
             f"wall {time.perf_counter()-t0:.1f}s"
         )
 

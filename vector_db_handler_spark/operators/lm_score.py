@@ -105,3 +105,67 @@ def lm_doc_scores(
             F.expr("CAST(1000 * credit AS BIGINT) div n_bigrams"),
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shaped importance weights (Xie et al., NeurIPS'23 "Data
+    Selection via Importance Resampling"): weight every candidate
+    document by ``log p_target(doc) − log p_source(doc)`` — how much
+    more the TRUSTED-slice language model likes it than the
+    background model does.  This is the principled upgrade of the
+    one-model CCNet filter above (`lm_quality_by_lang`): a doc of
+    merely COMMON text scores high under both models and cancels out;
+    a doc that is common *in the target domain specifically* keeps a
+    positive weight — the signal importance resampling selects on.
+
+    Both log-probs use this module's engine-exact credit rule, so the
+    weight is an exact integer:
+    ``weight_milli = target_score_milli − source_score_milli`` with
+    each score the bit-length-credit average the oracles replay.
+    Returns ``(doc_id, n_bigrams, target_milli, source_milli,
+    weight_milli)``; docs with zero bigrams are absent (no 0/0 row —
+    same convention as :func:`lm_doc_scores`).  Full DSIR resamples
+    with Gumbel noise; the deterministic, hash-checkable rail here is
+    the weight computation plus top-k/threshold selection — the
+    randomness, if wanted, belongs at the caller under an explicit
+    seed.
+
+    Scale shape: two bigram-count model relations (each one map-side-
+    combined shuffle — the target model over the small trusted slice,
+    the source model over the corpus), ONE shared explode of the
+    candidate docs' bigrams joined against both models in one pass
+    (left joins on the same key — no second explode), one combined
+    per-doc aggregate.  Model relations broadcast when small, shuffle
+    otherwise; never a cross product."""
+    pairs = _bigrams(text_col)
+    exploded = docs.select(F.col(id_col), F.explode(pairs).alias("bigram"))
+    tgt = bigram_counts(target_docs, text_col).withColumnRenamed("n", "n_t")
+    src = bigram_counts(docs, text_col).withColumnRenamed("n", "n_s")
+    credited = (
+        exploded.join(tgt, "bigram", "left")
+        .join(src, "bigram", "left")
+        .select(
+            id_col,
+            F.coalesce(F.length(F.bin(F.col("n_t"))), F.lit(0)).alias("bits_t"),
+            F.coalesce(F.length(F.bin(F.col("n_s"))), F.lit(0)).alias("bits_s"),
+        )
+    )
+    agg = credited.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits_t").alias("credit_t"),
+        F.sum("bits_s").alias("credit_s"),
+    )
+    t_milli = F.expr("CAST(1000 * credit_t AS BIGINT) div n_bigrams")
+    s_milli = F.expr("CAST(1000 * credit_s AS BIGINT) div n_bigrams")
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        t_milli.alias("target_milli"),
+        s_milli.alias("source_milli"),
+        (t_milli - s_milli).cast("long").alias("weight_milli"),
+    )
