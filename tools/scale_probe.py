@@ -1445,6 +1445,8 @@ def r11(mult: int = 4) -> None:
       pair census (<= |shards|^2 rows, asserted flat).
     * ``dsir_importance`` — two model shuffles + ONE shared bigram
       explode double-joined; linear in corpus bigrams.
+    * ``cdc_containment_pairs`` — Arrow gear-hash kernel linear in
+      blob bytes; candidate join behind the hot-chunk guard.
     """
     from vector_db_handler_spark.functions import text as text_fns
     from vector_db_handler_spark.operators.features import token_entropy
@@ -1557,6 +1559,23 @@ def r11(mult: int = 4) -> None:
         n = dsir_importance(docs, docs.limit(rows // 5)).count()
         print(
             f"dsir @ {rows} docs: {n} weighted, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
+    from vector_db_handler_spark.operators.dedup import cdc_containment_pairs
+    from vector_db_handler_spark.operators.media import (
+        synthesize_blobs_with_edits,
+    )
+
+    for m in (1, mult):
+        docs = replicate(docs0, m)
+        blobs = synthesize_blobs_with_edits(docs)
+        n_blobs = blobs.count()
+        t0 = time.perf_counter()
+        n_pairs = cdc_containment_pairs(blobs, mask_bits=6).count()
+        print(
+            f"cdc @ {n_blobs} blobs: {n_pairs} pairs, "
             f"wall {time.perf_counter()-t0:.1f}s"
         )
 

@@ -1641,3 +1641,188 @@ def remove_duplicate_spans(
         F.size(toks).cast("long").alias("n_tokens"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (gear-hash CDC) — offset-robust BINARY
+# near-dup.  Staged in r11 for r12 registration.
+# ---------------------------------------------------------------------------
+
+#: Gear rolling-hash window (bytes) and per-byte gear width (bits).
+#: h_i = Σ_{t=0}^{15} gear(b_{i−t})·2^t stays under 16·2^40·2^15 =
+#: 2^59 — exact signed-int64 arithmetic in BOTH engines, no wraparound
+#: to emulate.
+CDC_WINDOW = 16
+_GEAR_HEX_CHARS = 10  # 40-bit gear values (portable_hash40 convention)
+
+
+def _gear_table() -> "list[int]":
+    """Deterministic 40-bit gear value per byte: the leading 10 hex
+    chars of md5 of the single latin-1 character — the same
+    md5-integer convention every portable hash here uses, so the SQL
+    twin derives the identical table with
+    ``CAST('0x' || substr(md5(ch), 1, 10) AS BIGINT)``."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(chr(b).encode("latin-1")).hexdigest()[:_GEAR_HEX_CHARS], 16)
+        for b in range(256)
+    ]
+
+
+def gear_cdc_chunks(
+    media: DataFrame,
+    mask_bits: int = 6,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC family): cut each
+    blob AFTER every byte whose gear rolling hash has ``mask_bits``
+    low zero bits (expected chunk ≈ 2^mask_bits bytes).  Because a
+    boundary depends only on the local ``CDC_WINDOW``-byte context,
+    inserting or deleting bytes moves at most the chunks TOUCHING the
+    edit — every other chunk re-cuts at the same content and hashes
+    identically.  That is the property no fixed-stride rail has
+    (stride slicing shifts every frame after an edit), and it is why
+    storage dedup (Venti/LBFS/FastCDC, restic/borg) is CDC-based.
+
+    Returns ``(media_id, chunk_idx, chunk_hash, chunk_len)`` with
+    ``chunk_hash`` the portable 60-bit md5 integer of the chunk
+    bytes.  One Arrow kernel pass per blob — the rolling hash is
+    ``CDC_WINDOW`` vectorized shifted adds, no per-byte Python loop;
+    no shuffle (the per-blob work never leaves its partition).  The
+    arithmetic is plain signed int64 by construction, so the DuckDB
+    twin replays boundaries bit-for-bit from the same md5-derived
+    gear table.
+
+    Scale shape: output rows ≈ bytes / 2^mask_bits per blob, linear;
+    downstream joins ride the chunk-hash relation exactly like every
+    banded join here."""
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not 1 <= int(mask_bits) <= 20:
+        raise ValueError(f"mask_bits must be in [1, 20], got {mask_bits}")
+    mask = (1 << int(mask_bits)) - 1
+    gear = _gear_table()
+    w = CDC_WINDOW
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", media.schema[id_col].dataType),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk_hash", T.LongType()),
+            T.StructField("chunk_len", T.IntegerType()),
+        ]
+    )
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gtab = np.array(gear, dtype=np.int64)
+        for pdf in batches:
+            ids, idxs, hashes, lens = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(blob)
+                if not b:
+                    continue
+                g = gtab[np.frombuffer(b, dtype=np.uint8)]
+                h = np.zeros(len(b), dtype=np.int64)
+                for t in range(w):
+                    if t >= len(b):
+                        break
+                    h[t:] += g[: len(b) - t] << t
+                cuts = np.flatnonzero((h & mask) == 0) + 1  # cut AFTER i
+                starts = np.concatenate(([0], cuts[cuts < len(b)]))
+                ends = np.concatenate((starts[1:], [len(b)]))
+                for j, (s, e) in enumerate(zip(starts, ends)):
+                    piece = b[s:e]
+                    ids.append(mid)
+                    idxs.append(j)
+                    hashes.append(
+                        int(hashlib.md5(piece).hexdigest()[:15], 16)
+                    )
+                    lens.append(e - s)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_idx": np.array(idxs, dtype=np.int32),
+                    "chunk_hash": np.array(hashes, dtype=np.int64),
+                    "chunk_len": np.array(lens, dtype=np.int32),
+                }
+            )
+
+    return media.filter(F.col(media_col).isNotNull()).mapInPandas(
+        chunk, schema=out_schema
+    )
+
+
+def cdc_containment_pairs(
+    media: DataFrame,
+    mask_bits: int = 6,
+    min_shared: int = 2,
+    min_containment: float = 0.5,
+    max_df: int | None = 50,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Offset-robust binary near-dup pairs by shared content-defined
+    chunks: an edited/shifted copy re-cuts to mostly identical chunk
+    hashes, so CONTAINMENT (shared distinct chunks / the smaller
+    blob's distinct chunk count — the winnowing-rail convention)
+    scores ≈ 1 while unrelated blobs share nothing.  Returns
+    ``(a, b, n_shared, containment)`` with a < b, containment rounded
+    to 6.
+
+    Scale shape: the DISTINCT chunk-hash relation is the bucket join
+    — candidates from an equi-join on ``chunk_hash`` behind the
+    ``max_df`` hot-chunk guard (all-zero blocks, shared headers), so
+    candidate volume tracks true co-occurrence, never N²; sizes ride
+    a skinny post-guard aggregate, the same shape as
+    `media.audio_neardup_pairs`."""
+    chunks = (
+        gear_cdc_chunks(media, mask_bits, media_col, id_col)
+        .select("media_id", "chunk_hash")
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            chunks.groupBy("chunk_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("chunk_hash")
+        )
+        chunks = chunks.join(F.broadcast(hot), "chunk_hash", "left_anti")
+    chunks = chunks.localCheckpoint(eager=False)
+    sizes = chunks.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_ch"))
+    x, y = chunks.alias("x"), chunks.alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.chunk_hash") == F.col("y.chunk_hash"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .groupBy(
+            F.col("x.media_id").alias("a"), F.col("y.media_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("media_id").alias("a"), F.col("n_ch").alias("na"))
+    sb = sizes.select(F.col("media_id").alias("b"), F.col("n_ch").alias("nb"))
+    frac = F.col("n_shared") / F.least("na", "nb")
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .filter(
+            (F.col("n_shared") >= int(min_shared))
+            & (frac >= float(min_containment))
+        )
+        .select(
+            "a",
+            "b",
+            F.col("n_shared").cast("long"),
+            F.round(frac, 6).alias("containment"),
+        )
+    )

@@ -1086,3 +1086,44 @@ def video_copy_pairs(
             F.round(frac, 6).alias("align_frac"),
         )
     )
+
+
+def synthesize_blobs_with_edits(
+    docs: DataFrame,
+    marker: str = "@@EDIT@@",
+    copy_modulus: int = 9,
+    id_offset: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixture adapter for the content-defined-chunking rail: every
+    document's bytes stand in for a binary blob, and every
+    ``copy_modulus``-th document ALSO emits an EDITED copy with
+    ``marker`` inserted at the character midpoint (id +
+    ``id_offset``) — the planted positive CDC must recover: the
+    insertion shifts every later byte, so fixed-stride chunking
+    matches nothing after the edit while content-defined boundaries
+    re-align immediately.  Character-midpoint arithmetic matches the
+    SQL twin; the fixture corpus is ASCII (the standing assumption
+    every text-backed media oracle here shares).  Returns
+    ``(media_id, media)``."""
+    base = docs.filter(F.col(text_col).isNotNull())
+    orig = base.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+    )
+    half = F.floor(F.length(F.col(text_col)) / F.lit(2)).cast("int")
+    edited = base.filter(F.col(id_col) % copy_modulus == 0).select(
+        (F.col(id_col) + id_offset).alias("media_id"),
+        F.encode(
+            F.concat(
+                F.substring(F.col(text_col), 1, half),
+                F.lit(marker),
+                F.substring(
+                    F.col(text_col), half + 1, F.length(F.col(text_col))
+                ),
+            ),
+            "UTF-8",
+        ).alias("media"),
+    )
+    return orig.unionByName(edited)
