@@ -236,9 +236,14 @@ def inclusion_dependencies(
                 F.lit(pc).alias("parent_col"),
                 F.col("n_child_distinct").cast("long"),
                 F.col("n_contained").cast("long"),
+                # try_divide: an EMPTY child census is a legal input
+                # (containment NULL, holds vacuously true) — plain
+                # division throws under ANSI mode (r11 edge sweep).
                 F.round(
-                    F.col("n_contained").cast("double")
-                    / F.col("n_child_distinct"),
+                    F.try_divide(
+                        F.col("n_contained").cast("double"),
+                        F.col("n_child_distinct"),
+                    ),
                     6,
                 ).alias("containment"),
                 (F.col("n_contained") == F.col("n_child_distinct")).alias(
