@@ -1447,6 +1447,8 @@ def r11(mult: int = 4) -> None:
       explode double-joined; linear in corpus bigrams.
     * ``cdc_containment_pairs`` — Arrow gear-hash kernel linear in
       blob bytes; candidate join behind the hot-chunk guard.
+    * ``cuped_adjusted_metrics`` — one per-user map-side-combined
+      aggregate; theta moments are a 1-row broadcast scalar.
     """
     from vector_db_handler_spark.functions import text as text_fns
     from vector_db_handler_spark.operators.features import token_entropy
@@ -1576,6 +1578,28 @@ def r11(mult: int = 4) -> None:
         n_pairs = cdc_containment_pairs(blobs, mask_bits=6).count()
         print(
             f"cdc @ {n_blobs} blobs: {n_pairs} pairs, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
+    from vector_db_handler_spark.operators.features import (
+        cuped_adjusted_metrics,
+    )
+
+    for m in (1, mult):
+        ev = ev0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            ev = ev0.crossJoin(reps).select(
+                (F.col("user_id") * m + F.col("rep")).alias("user_id"),
+                "ts",
+                "value",
+            )
+        rows = ev.count()
+        t0 = time.perf_counter()
+        out = cuped_adjusted_metrics(ev).collect()
+        print(
+            f"cuped @ {rows} events: {len(out)} variants, "
             f"wall {time.perf_counter()-t0:.1f}s"
         )
 

@@ -840,3 +840,111 @@ def token_entropy(
     return out.withColumn(
         "low_entropy", F.col("entropy_bits") < F.lit(float(low_bits))
     )
+
+
+def cuped_adjusted_metrics(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_variants: int = 2,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13
+    — the industry-standard A/B variance-reduction): per deterministic
+    hash variant, the post-period mean of each user's value adjusted
+    by the pre-period covariate, ``adj = mean(Y) − θ·(mean(X) −
+    mean(X_all))`` with ``θ = cov(Y,X)/var(X)`` fitted on the whole
+    population.  The pre/post boundary is the midpoint of the global
+    event-time range (the same convention as ``rank_sum_drift``);
+    variants come from the portable 60-bit hash of the user id —
+    deterministic, so the whole readout hash-checks cross-engine.
+
+    Exactness: per-user X/Y are exact micro-unit BIGINT sums; the θ
+    moments ``n·Σxy − Σx·Σy`` and ``n·Σxx − Σx²`` are computed in
+    38-digit exact arithmetic (DECIMAL(38,0) here, HUGEINT in the
+    DuckDB twin — int64 alone overflows at ~1e19 at bench scale),
+    and θ plus each adjusted mean is a pinned-order IEEE expression
+    over those exact integers, rounded to 6.
+
+    Returns ``(variant, n_users, sum_x_micro, sum_y_micro, theta,
+    mean_y, adj_mean_y)``.
+
+    Scale shape: one map-side-combined per-user aggregate (the only
+    data-scale shuffle), one 1-row global-moment relation broadcast
+    onto the |variants|-row rollup — the scalar-cross pattern every
+    TPC-H-style global-average query here uses.  No windows over
+    event rows, no collect."""
+    from vector_db_handler_spark.functions.text import portable_hash60
+
+    ev = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        (F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("tu"),
+        (F.col(value_col).cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("vm"),
+    )
+    bounds = ev.groupBy().agg(
+        F.min("tu").alias("lo"), F.max("tu").alias("hi")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "u",
+            F.when(2 * F.col("tu") <= F.col("lo") + F.col("hi"), F.col("vm"))
+            .otherwise(F.lit(0))
+            .alias("x"),
+            F.when(2 * F.col("tu") > F.col("lo") + F.col("hi"), F.col("vm"))
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+        .groupBy("u")
+        .agg(F.sum("x").alias("x"), F.sum("y").alias("y"))
+        .select(
+            "u",
+            "x",
+            "y",
+            F.pmod(portable_hash60(F.col("u").cast("string")), F.lit(n_variants))
+            .cast("long")
+            .alias("variant"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    glob = per_user.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+    )
+    theta = (
+        (dec("n") * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
+        / (dec("n") * F.col("sxx") - dec("sx") * dec("sx")).cast("double")
+    )
+    glob = glob.select(
+        theta.alias("theta_raw"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx_all"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").cast("long").alias("sum_x_micro"),
+        F.sum("y").cast("long").alias("sum_y_micro"),
+    )
+    mean_y = F.col("sum_y_micro").cast("double") / F.col("n_users")
+    mean_x = F.col("sum_x_micro").cast("double") / F.col("n_users")
+    return per_variant.crossJoin(F.broadcast(glob)).select(
+        "variant",
+        "n_users",
+        "sum_x_micro",
+        "sum_y_micro",
+        F.round(F.col("theta_raw"), 6).alias("theta"),
+        F.round(mean_y / F.lit(1_000_000.0), 6).alias("mean_y"),
+        F.round(
+            (mean_y - F.col("theta_raw") * (mean_x - F.col("mx_all")))
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("adj_mean_y"),
+    )
