@@ -1449,6 +1449,10 @@ def r11(mult: int = 4) -> None:
       blob bytes; candidate join behind the hot-chunk guard.
     * ``cuped_adjusted_metrics`` — one per-user map-side-combined
       aggregate; theta moments are a 1-row broadcast scalar.
+    * ``kl_token_drift`` — two censuses + one vocabulary-sized outer
+      join; the log runs on census counts.
+    * ``label_propagation_communities`` — per round one edges-labels
+      join + one vote census + per-node argmax over votes.
     """
     from vector_db_handler_spark.functions import text as text_fns
     from vector_db_handler_spark.operators.features import token_entropy
@@ -1600,6 +1604,65 @@ def r11(mult: int = 4) -> None:
         out = cuped_adjusted_metrics(ev).collect()
         print(
             f"cuped @ {rows} events: {len(out)} variants, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
+    from vector_db_handler_spark.operators.features import kl_token_drift
+    from vector_db_handler_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    docs_lang = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    ).filter("text is not null")
+    for m in (1, mult):
+        docs = docs_lang
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            docs = docs_lang.crossJoin(reps).select(
+                (F.col("doc_id") * m + F.col("rep")).alias("doc_id"),
+                "text",
+                "lang",
+            )
+        rows = docs.count()
+        t0 = time.perf_counter()
+        r = kl_token_drift(
+            docs.filter("lang = 'en'"), docs.filter("lang != 'en'")
+        ).collect()[0]
+        print(
+            f"kl_drift @ {rows} docs: vocab {r['vocab_union']}, "
+            f"kl {r['kl_bits']:.3f} bits, wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    for m in (1, mult):
+        e0 = li.select("l_partkey", "l_suppkey").distinct()
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            # disjoint replicas: m independent copies of the graph
+            e0 = (
+                li.select("l_partkey", "l_suppkey").distinct()
+                .crossJoin(reps)
+                .select(
+                    (F.col("l_partkey") * m + F.col("rep")).alias("l_partkey"),
+                    (F.col("l_suppkey") * m + F.col("rep")).alias("l_suppkey"),
+                )
+            )
+        edges = e0.select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        n_e = edges.count()
+        t0 = time.perf_counter()
+        n_comm = (
+            label_propagation_communities(edges, n_iters=3)
+            .select("community")
+            .distinct()
+            .count()
+        )
+        print(
+            f"lpa @ {n_e} edges: {n_comm} communities, "
             f"wall {time.perf_counter()-t0:.1f}s"
         )
 

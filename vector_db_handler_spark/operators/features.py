@@ -948,3 +948,89 @@ def cuped_adjusted_metrics(
             6,
         ).alias("adj_mean_y"),
     )
+
+
+def kl_token_drift(
+    docs_p: DataFrame,
+    docs_q: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact fixed-point KL divergence D(P‖Q) between the token
+    distributions of two corpus slices — the directional drift signal
+    the battery's other two rails lack (total-variation `tv_drift_by`
+    is symmetric and saturates; Mann-Whitney `rank_sum_drift` sees
+    only scalar orderings).  KL is what answers "did the NEW crawl
+    snapshot shift away from the reference corpus, and by how many
+    bits per token?" — the number a data-mixing dashboard tracks.
+
+    With the repo's 1/1024-bit fixed-point log2 ``L`` and add-one
+    smoothing on Q (unseen-in-Q tokens must not blow up to ∞):
+
+        contrib(w) = c_P(w) · [ L(c_P(w)·(N_Q + V)) − L((c_Q(w)+1)·N_P) ]
+        kl_scaled  = Σ_w contrib(w)          (exact BIGINT, 1/1024
+                                              bit·token units)
+        kl_bits    = kl_scaled / N_P / 1024  (pinned-order IEEE,
+                                              rounded to 6)
+
+    which is exactly ``N_P·Σ p·log2(p/q̃)·1024`` rearranged so every
+    log argument is an exact integer product (c·N ≤ ~2^50 at bench
+    scale — no overflow).  The smoothed q̃ uses (c_Q+1)/(N_Q+V) with
+    V = |P ∪ Q vocabulary|.  Returns ONE row: ``(n_tokens_p,
+    n_tokens_q, vocab_union, kl_scaled, kl_bits)``.  Note kl_scaled
+    may be slightly negative when the surrogate's <0.09-bit per-term
+    error exceeds a tiny true KL — the documented fixed-point
+    tradeoff (a real KL ≥ 0; the surrogate is within ±0.18 bit/token
+    of it, which is drift-dashboard precision).
+
+    Scale shape: two map-side-combined token censuses, one
+    full-outer join on the token (vocabulary-sized relation), one
+    global aggregate — the same cost as `tv_drift_by`.  No collect,
+    no windows."""
+    from vector_db_handler_spark.operators.nb_classifier import ilog2_kilo
+
+    def census(df):
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    cp = census(docs_p).withColumnRenamed("c", "cp")
+    cq = census(docs_q).withColumnRenamed("c", "cq")
+    joined = cp.join(cq, "tok", "full_outer").select(
+        F.coalesce("cp", F.lit(0)).alias("cp"),
+        F.coalesce("cq", F.lit(0)).alias("cq"),
+    )
+    totals = joined.groupBy().agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    contrib = (
+        joined.filter(F.col("cp") > 0)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (
+                F.col("cp")
+                * (
+                    ilog2_kilo(F.col("cp") * (F.col("nq") + F.col("v")))
+                    - ilog2_kilo((F.col("cq") + 1) * F.col("np"))
+                )
+            ).alias("t")
+        )
+        .groupBy()
+        .agg(F.sum("t").cast("long").alias("kl_scaled"))
+    )
+    return contrib.crossJoin(F.broadcast(totals)).select(
+        F.col("np").alias("n_tokens_p"),
+        F.col("nq").alias("n_tokens_q"),
+        F.col("v").alias("vocab_union"),
+        "kl_scaled",
+        F.round(
+            F.col("kl_scaled").cast("double")
+            / F.col("np").cast("double")
+            / F.lit(1024.0),
+            6,
+        ).alias("kl_bits"),
+    )

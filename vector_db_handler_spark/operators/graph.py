@@ -421,3 +421,69 @@ def components_apply_batch(
     return connected_components_star(
         merged, src="u", dst="v", nodes=nodes, node_col="node"
     )
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round semi-synchronous label propagation (Raghavan et
+    al., 2007) — DENSITY communities, the sibling of the
+    connectivity rails (``connected_components_star`` finds what is
+    REACHABLE; this finds what is densely knit: two cliques joined by
+    one bridge edge are one component but two communities).
+
+    Each round every node adopts the MODE of its neighbours' labels
+    (ties break to the smallest label — pinned, so the run is
+    deterministic and the SQL twin replays it by unrolling the same
+    ``n_iters`` rounds as CTEs).  Classic async LPA is
+    order-dependent and unbenchable; the fixed-round synchronous form
+    trades convergence guarantees for exact replayability — after k
+    rounds a label has propagated k hops, which is the community
+    scale a curation pipeline actually dials (``n_iters`` is the
+    dial, like the PageRank iteration count above).
+
+    Input edges are treated as undirected (symmetrized + de-duped;
+    self-loops dropped).  Returns ``(node, community)`` — community
+    ids are node ids, canonical only up to the propagation (roll up
+    or re-label downstream as needed).
+
+    Scale shape per round: one edges⨝labels equi-join on the
+    neighbour end, one map-side-combined (node, label) vote count,
+    one per-node argmax window over the VOTE census (≤ deg distinct
+    labels per node, never edge rows); lineage truncated per round
+    with ``localCheckpoint`` so plan depth stays O(1) in rounds —
+    identical posture to ``pagerank_integer``."""
+    from pyspark.sql import Window
+
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=False)
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(int(n_iters)):
+        votes = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))
