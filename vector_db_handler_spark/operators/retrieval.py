@@ -144,3 +144,117 @@ def rrf_fuse(
     topk = scored.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(int(k))
     w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def rank_eval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Rank-aware retrieval evaluation — exact-arithmetic MRR and
+    nDCG per query, the metrics the recall harnesses deliberately
+    don't compute (recall says WHETHER the true neighbours surfaced;
+    these say WHERE they landed, which is what a reranker budget or a
+    serving cutoff is tuned on).
+
+    ``results``: ``(query, item, rank)`` — any retrieval rail's
+    ranked output.  ``truth``: ``(query, item, rel)`` with integer
+    relevance grades ≥ 1 (binary truth uses rel = 1).
+
+    Exactness (both metrics are classically irrational — 1/rank and
+    1/log2(i+1) sums — so the repo's fixed-point discipline applies):
+
+    * ``mrr_micro = 1_000_000 div first_relevant_rank`` — exact
+      integer division, 0 when nothing relevant surfaced.
+    * ``dcg_scaled = Σ (2^20 · rel) div L(rank + 1)`` with ``L`` the
+      1/1024-bit fixed-point log2 (`nb_classifier.ilog2_kilo`) — the
+      classic rel/log2(pos+1) DCG with every term an exact integer
+      division (L(rank+1) ≥ 1024 for rank ≥ 1, never 0).
+    * ``idcg_scaled`` — the same formula over the IDEAL ordering
+      (rel DESC, item ASC — pinned tie-break) capped at each query's
+      retrieval depth; ``ndcg = dcg/idcg`` is the one IEEE division,
+      rounded to 6.
+
+    Returns ``(query, n_results, n_relevant, mrr_micro, dcg_scaled,
+    idcg_scaled, ndcg)``.
+
+    Scale shape: one results⨝truth equi-join on (query, item), two
+    map-side-combined per-query aggregates, one window over the
+    TRUTH relation per query (|truth| rows, the eval set — never the
+    corpus).  No collect."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.operators.nb_classifier import ilog2_kilo
+
+    res = results.select(
+        F.col(query_col).alias("q"),
+        F.col(item_col).alias("item"),
+        F.col(rank_col).cast("long").alias("rnk"),
+    )
+    tru = truth.select(
+        F.col(query_col).alias("q"),
+        F.col(item_col).alias("item"),
+        F.col(rel_col).cast("long").alias("rel"),
+    ).filter(F.col("rel") > 0)
+    depth = res.groupBy("q").agg(F.count(F.lit(1)).alias("n_results"))
+    hits = res.join(tru, ["q", "item"], "left").select(
+        "q",
+        "rnk",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+    )
+    term = F.when(
+        F.col("rel") > 0,
+        F.floor(
+            (F.col("rel") * F.lit(1 << 20))
+            / ilog2_kilo(F.col("rnk") + F.lit(1))
+        ),
+    ).otherwise(F.lit(0))
+    per_q = hits.groupBy("q").agg(
+        F.sum((F.col("rel") > 0).cast("long")).alias("n_relevant"),
+        F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("first_rank"),
+        F.sum(term).cast("long").alias("dcg_scaled"),
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("rel").desc(), F.col("item").asc()
+    )
+    ideal = (
+        tru.withColumn("pos", F.row_number().over(w))
+        .join(depth, "q")
+        .filter(F.col("pos") <= F.col("n_results"))
+        .select(
+            "q",
+            F.floor(
+                (F.col("rel") * F.lit(1 << 20))
+                / ilog2_kilo(F.col("pos") + F.lit(1))
+            ).alias("t"),
+        )
+        .groupBy("q")
+        .agg(F.sum("t").cast("long").alias("idcg_scaled"))
+    )
+    return (
+        depth.join(per_q, "q", "left")
+        .join(ideal, "q", "left")
+        .select(
+            F.col("q").alias(query_col),
+            "n_results",
+            F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+            F.coalesce(
+                F.floor(F.lit(1_000_000) / F.col("first_rank")), F.lit(0)
+            )
+            .cast("long")
+            .alias("mrr_micro"),
+            F.coalesce("dcg_scaled", F.lit(0)).cast("long").alias("dcg_scaled"),
+            F.coalesce("idcg_scaled", F.lit(0)).cast("long").alias("idcg_scaled"),
+            F.when(
+                F.coalesce("idcg_scaled", F.lit(0)) > 0,
+                F.round(
+                    F.col("dcg_scaled").cast("double")
+                    / F.col("idcg_scaled").cast("double"),
+                    6,
+                ),
+            ).alias("ndcg"),
+        )
+    )
