@@ -1453,6 +1453,8 @@ def r11(mult: int = 4) -> None:
       join; the log runs on census counts.
     * ``label_propagation_communities`` — per round one edges-labels
       join + one vote census + per-node argmax over votes.
+    * ``knn_graph_nn_descent`` — cell-local + hash-bucket init, per
+      round bounded (2k)^2-candidate rescoring.
     """
     from vector_db_handler_spark.functions import text as text_fns
     from vector_db_handler_spark.operators.features import token_entropy
@@ -1664,6 +1666,32 @@ def r11(mult: int = 4) -> None:
         print(
             f"lpa @ {n_e} edges: {n_comm} communities, "
             f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_nn_descent,
+    )
+
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+    for m in (1, mult):
+        emb = emb0
+        if m > 1:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            emb = emb0.crossJoin(reps).select(
+                (F.col("vec_id") * m + F.col("rep")).alias("vec_id"),
+                "embedding",
+            )
+        n = emb.count()
+        t0 = time.perf_counter()
+        # the dials SCALE with the corpus (bounded cell / bucket
+        # size is the whole scale claim: init pairs ~ N * cell_size)
+        n_edges = knn_graph_nn_descent(
+            emb, k=5, iters=2, kmeans_k=8 * m, rand_buckets=64 * m
+        ).count()
+        print(
+            f"nn_descent @ {n} vectors (kmeans_k={8 * m}): "
+            f"{n_edges} edges, wall {time.perf_counter()-t0:.1f}s"
         )
 
     before = [f"s{i}" for i in range(8)]

@@ -31,7 +31,7 @@ from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -806,4 +806,143 @@ def mrl_recall_curve(
         F.round(F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / denom, 6).alias(
             "recall"
         ),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two int8-domain bigint arrays —
+    JVM-side higher-order functions (zip_with + aggregate), no UDF:
+    |dot| ≤ dim·127² so the arithmetic never leaves long range."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_graph_nn_descent(
+    emb: DataFrame,
+    k: int = 5,
+    iters: int = 2,
+    kmeans_k: int = 8,
+    rand_buckets: int = 64,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-NN GRAPH construction without the N² pair join — cluster-
+    local exact init + NN-descent refinement (Dong et al., WWW'11:
+    "a neighbour of a neighbour is likely a neighbour").  The kNN
+    graph is the substrate every graph-ANN index (HNSW/NSG/DiskANN)
+    is built from, and the one artifact the ANN ladder here didn't
+    yet construct: `cosine_topk_join` CAN emit it but does corpus ×
+    corpus work; this builds it from bounded local work.
+
+    * **Init**: exact top-k over the union of (a) each int8-k-means
+      cell's pairs (`clustering.kmeans_int8_assign` — the registered,
+      hash-checked Lloyd chain; quadratic only within a cell) and (b)
+      DETERMINISTIC random pairs from md5-hash buckets of ~N/
+      ``rand_buckets`` nodes each — the random component classic
+      NN-descent starts from.  (b) is not decoration: cluster-local
+      edges alone make the candidate graph CLOSED within cells —
+      neighbours-of-neighbours can never cross a cell boundary, so
+      refinement would be a no-op (measured: recall frozen at init).
+      The hash-bucket edges seed cross-cell bridges the descent then
+      sharpens; both sources are hash-derived, so the init replays
+      exactly.
+    * **Iterate** ``iters`` times: candidates = the UNDIRECTED
+      graph's neighbours-of-neighbours ((2k)² per node, bounded),
+      exact re-scoring, keep top-k by (dot DESC, id ASC) — pinned
+      ties, so the whole build replays bit-for-bit: scores are exact
+      INTEGER dot products in the int8 domain (the `quantized_knn`
+      convention), making this the hash-checkable formulation of a
+      classically float algorithm.
+
+    Returns ``(vec_id, neighbor_id, rank, iscore)`` — up to k rows
+    per node.  A node starts edgeless only if it is alone in BOTH its
+    cell and its hash bucket (a 1-node corpus, in practice).
+
+    Scale shape: the init join is per-cell (skew guard = the coarse
+    quantizer's balance); each iteration is two self-joins of a ≤
+    N·k-row edge relation plus one qvec attach join and a per-node
+    top-k window over ≤ (2k)² candidate rows; lineage truncated per
+    iteration with ``localCheckpoint`` (same posture as PageRank/LPA).
+    No collect beyond the K-row k-means seeds."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.operators.clustering import (
+        kmeans_int8_assign,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    nodes = kmeans_int8_assign(
+        emb, k=kmeans_k, embedding_col=embedding_col, id_col=id_col
+    ).select(F.col(id_col).alias("nid"), "qvec", "cluster")
+
+    from vector_db_handler_spark.functions.text import portable_hash60
+
+    hbucket = F.pmod(
+        portable_hash60(F.col("nid").cast("string")), F.lit(int(rand_buckets))
+    )
+    keyed = nodes.withColumn("hbucket", hbucket)
+    w = Window.partitionBy("a").orderBy(F.col("d").desc(), F.col("b").asc())
+    qa = nodes.select(F.col("nid").alias("a"), F.col("qvec").alias("va"))
+    qb = nodes.select(F.col("nid").alias("b"), F.col("qvec").alias("vb"))
+
+    def _pairs(key: str):
+        xs = keyed.select(F.col("nid").alias("a"), key)
+        ys = keyed.select(F.col("nid").alias("b"), key)
+        return (
+            xs.join(ys, key)
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b")
+        )
+
+    g = (
+        _pairs("cluster")
+        .unionByName(_pairs("hbucket"))
+        .distinct()
+        .join(qa, "a")
+        .join(qb, "b")
+        .select("a", "b", _int_dot(F.col("va"), F.col("vb")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a", "b", "d")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(iters)):
+        und = (
+            g.select("a", "b")
+            .unionByName(
+                g.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .distinct()
+        )
+        u2 = und.select(F.col("a").alias("m"), F.col("b").alias("c"))
+        cand = (
+            und.join(u2, und["b"] == u2["m"])
+            .filter(F.col("c") != F.col("a"))
+            .select("a", F.col("c").alias("b"))
+            .unionByName(g.select("a", "b"))
+            .distinct()
+        )
+        g = (
+            cand.join(qa, "a")
+            .join(qb, "b")
+            .select("a", "b", _int_dot(F.col("va"), F.col("vb")).alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("a", "b", "d")
+            .localCheckpoint(eager=False)
+        )
+    out_w = Window.partitionBy("a").orderBy(
+        F.col("d").desc(), F.col("b").asc()
+    )
+    return g.select(
+        F.col("a").alias(id_col),
+        F.col("b").alias("neighbor_id"),
+        F.row_number().over(out_w).cast("long").alias("rank"),
+        F.col("d").cast("long").alias("iscore"),
     )
