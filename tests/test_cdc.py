@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.dedup import (
     CDC_WINDOW,
     cdc_containment_pairs,
@@ -17,84 +18,11 @@ from vector_db_handler_spark.operators.dedup import (
 )
 from vector_db_handler_spark.operators.media import synthesize_blobs_with_edits
 
-MASK_BITS = 6  # ~64-byte expected chunks — the r12 registration dial
-ID_OFF = 1_000_000
+MASK_BITS = dq._CDC_MASK_BITS  # ~64-byte expected chunks
+ID_OFF = dq._CDC_ID_OFF
 
-#: gear(ch) in SQL — same 40-bit md5 convention as the Python table.
-_GEAR = "CAST('0x' || substr(md5(substr(text, i, 1)), 1, 10) AS BIGINT)"
-
-#: h_i = Σ_{t=0}^{15} gear(ch_{i−t})·2^t — 16 explicit lag terms.
-_ROLL = " + ".join(
-    f"coalesce(lag(g, {t}) OVER w, 0) * {1 << t}" for t in range(CDC_WINDOW)
-)
-
-#: DuckDB twin over synthesize_blobs_with_edits(documents) — the SQL
-#: an r12 registration will carry (ASCII fixture: SQL chars == the
-#: kernel's latin-1 bytes).
-ORACLE_SQL = f"""
-WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE text IS NOT NULL),
-clips AS (
-  SELECT media_id, text FROM m
-  UNION ALL
-  SELECT media_id + {ID_OFF},
-         substr(text, 1, length(text) // 2) || '@@EDIT@@'
-           || substr(text, length(text) // 2 + 1)
-  FROM m WHERE media_id % 9 = 0
-),
-chars AS (
-  SELECT media_id, CAST(i AS BIGINT) AS pos, {_GEAR} AS g
-  FROM clips, unnest(generate_series(1, length(text))) AS s(i)
-),
-rolled AS (
-  SELECT media_id, pos, ({_ROLL}) AS h
-  FROM chars WINDOW w AS (PARTITION BY media_id ORDER BY pos)
-),
-cuts AS (
-  SELECT media_id, pos,
-         CASE WHEN h % {1 << MASK_BITS} = 0 THEN 1 ELSE 0 END AS is_cut
-  FROM rolled
-),
-islands AS (
-  SELECT media_id, pos,
-         CAST(coalesce(sum(is_cut) OVER (
-           PARTITION BY media_id ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS cidx
-  FROM cuts
-),
-spans AS (
-  SELECT media_id, cidx, min(pos) AS s, count(*) AS n
-  FROM islands GROUP BY 1, 2
-),
-chunks AS (
-  SELECT DISTINCT sp.media_id,
-         CAST('0x' || substr(md5(substr(c.text, CAST(sp.s AS INT),
-                                        CAST(sp.n AS INT))), 1, 15)
-              AS BIGINT) AS chunk_hash
-  FROM spans sp JOIN clips c ON sp.media_id = c.media_id
-),
-guarded AS (
-  SELECT * FROM chunks WHERE chunk_hash NOT IN (
-    SELECT chunk_hash FROM chunks GROUP BY chunk_hash
-    HAVING count(*) > 50
-  )
-),
-sizes AS (SELECT media_id, count(*) AS n FROM guarded GROUP BY 1),
-shared AS (
-  SELECT x.media_id AS a, y.media_id AS b, count(*) AS n_shared
-  FROM guarded x JOIN guarded y
-    ON x.chunk_hash = y.chunk_hash AND x.media_id < y.media_id
-  GROUP BY 1, 2
-)
-SELECT s.a, s.b, CAST(s.n_shared AS BIGINT) AS n_shared,
-       ROUND(CAST(s.n_shared AS DOUBLE) / least(sa.n, sb.n), 6)
-         AS containment
-FROM shared s
-JOIN sizes sa ON s.a = sa.media_id
-JOIN sizes sb ON s.b = sb.media_id
-WHERE s.n_shared >= 2
-  AND CAST(s.n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
-"""
+#: The registered oracle (moved into driver_queries.py in r12).
+ORACLE_SQL = dq._CDC_PAIRS_SQL
 
 
 def _media(spark, rows):

@@ -9,62 +9,12 @@ from __future__ import annotations
 import datetime as dt
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.features import cuped_adjusted_metrics
 
-#: DuckDB twin over events — the SQL an r12 registration will carry.
-#: HUGEINT intermediates for the theta moments (int64 overflows at
-#: ~1e19); every emitted column is BIGINT/DOUBLE, so the type lint
-#: stays green.
-ORACLE_SQL = """
-WITH ev AS (
-  SELECT user_id AS u,
-         epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
-         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
-  FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-),
-b AS (SELECT min(tu) AS lo, max(tu) AS hi FROM ev),
-per_user AS (
-  SELECT u,
-         CAST(sum(CASE WHEN 2 * tu <= lo + hi THEN vm ELSE 0 END) AS BIGINT) AS x,
-         CAST(sum(CASE WHEN 2 * tu > lo + hi THEN vm ELSE 0 END) AS BIGINT) AS y,
-         CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) % 2
-           AS variant
-  FROM ev, b GROUP BY u, lo, hi
-),
-g AS (
-  SELECT count(*) AS n,
-         CAST(sum(x) AS BIGINT) AS sx,
-         CAST(sum(y) AS BIGINT) AS sy,
-         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
-         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
-  FROM per_user
-),
-th AS (
-  SELECT CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
-           / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
-           AS theta_raw,
-         CAST(sx AS DOUBLE) / n AS mx_all
-  FROM g
-),
-pv AS (
-  SELECT variant,
-         CAST(count(*) AS BIGINT) AS n_users,
-         CAST(sum(x) AS BIGINT) AS sum_x_micro,
-         CAST(sum(y) AS BIGINT) AS sum_y_micro
-  FROM per_user GROUP BY variant
-)
-SELECT CAST(pv.variant AS BIGINT) AS variant, pv.n_users,
-       pv.sum_x_micro, pv.sum_y_micro,
-       ROUND(th.theta_raw, 6) AS theta,
-       ROUND((CAST(pv.sum_y_micro AS DOUBLE) / pv.n_users) / 1000000.0, 6)
-         AS mean_y,
-       ROUND(((CAST(pv.sum_y_micro AS DOUBLE) / pv.n_users)
-              - th.theta_raw * ((CAST(pv.sum_x_micro AS DOUBLE) / pv.n_users)
-                                - th.mx_all)) / 1000000.0, 6)
-         AS adj_mean_y
-FROM pv, th
-"""
+#: The registered oracle (moved into driver_queries.py in r12; the
+#: degenerate-population theta guard landed in the same move).
+ORACLE_SQL = dq._CUPED_SQL
 
 
 def _events(spark, rows):
@@ -131,3 +81,15 @@ def test_null_rows_drop_declaratively(spark):
 def test_cross_engine_oracle_replay(spark, sf_dir, duck):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     compare(cuped_adjusted_metrics(ev), duck, ORACLE_SQL)
+
+
+def test_degenerate_population_falls_back_to_unadjusted_mean(spark):
+    """Zero pre-period variance (every user's X identical — here 0,
+    post-only users) makes n·Σxx − Σx² = 0: θ must degrade to 0 and
+    adj_mean_y to the plain mean instead of NaN (r11 ADVICE)."""
+    rows = [(u, _t(10), 4.0) for u in range(6)]  # post-only: X = 0 all
+    out = cuped_adjusted_metrics(_events(spark, rows)).collect()
+    assert out, "degenerate population must still produce a readout"
+    for r in out:
+        assert r["theta"] == 0.0
+        assert r["adj_mean_y"] == r["mean_y"] == 4.0

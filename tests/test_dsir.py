@@ -8,56 +8,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.lm_score import dsir_importance
 
-#: DuckDB twin of the per-lang rollup an r12 registration will carry
-#: (target model = the en slice, source model = the whole corpus;
-#: bit-length credits, one shared bigram explode, exact milli ints).
-ORACLE_SQL = """
-WITH toks AS (
-  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
-),
-doc_bigrams AS (
-  SELECT doc_id, lang,
-         unnest(list_transform(generate_series(1, len(t) - 1),
-                               i -> t[i] || ' ' || t[i + 1])) AS bigram
-  FROM toks
-),
-tgt AS (
-  SELECT bigram, COUNT(*) AS n_t FROM doc_bigrams WHERE lang = 'en'
-  GROUP BY bigram
-),
-src AS (
-  SELECT bigram, COUNT(*) AS n_s FROM doc_bigrams GROUP BY bigram
-),
-scored AS (
-  SELECT d.doc_id,
-         COUNT(*) AS n_bigrams,
-         CAST(SUM(COALESCE(length(printf('%b', t.n_t)), 0)) AS BIGINT)
-           AS credit_t,
-         CAST(SUM(COALESCE(length(printf('%b', s.n_s)), 0)) AS BIGINT)
-           AS credit_s
-  FROM doc_bigrams d
-  LEFT JOIN tgt t USING (bigram)
-  LEFT JOIN src s USING (bigram)
-  GROUP BY d.doc_id
-),
-weights AS (
-  SELECT doc_id,
-         CAST(1000 * credit_t // n_bigrams AS BIGINT)
-           - CAST(1000 * credit_s // n_bigrams AS BIGINT) AS weight_milli
-  FROM scored
-)
-SELECT doc.lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(w.weight_milli) AS BIGINT) AS sum_weight_milli,
-       CAST(MIN(w.weight_milli) AS BIGINT) AS min_weight_milli,
-       CAST(MAX(w.weight_milli) AS BIGINT) AS max_weight_milli,
-       CAST(SUM(CASE WHEN w.weight_milli > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_positive
-FROM weights w JOIN documents doc USING (doc_id)
-GROUP BY doc.lang
-"""
+#: The registered oracle (moved into driver_queries.py in r12).
+ORACLE_SQL = dq._DSIR_SQL
 
 
 def _docs(spark, rows):

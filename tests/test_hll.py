@@ -15,64 +15,12 @@ from vector_db_handler_spark.operators.hll import (
     hll_registers,
 )
 
-P = 6  # 64 registers — the dial the r12 registration will carry
+P = dq._HLL_P  # 64 registers
 K = 1 << P
 S = 61 - P
-_NUMER = repr(hll_alpha(K) * (K * K) * float(1 << S))
-_L = dq._ilog2_kilo_sql
 
-#: DuckDB twin over events (key=event_type, value=user_id) — the SQL
-#: an r12 registration will carry.  Bit-for-bit: 60-bit md5 hash, bit
-#: ops for bucket/suffix, exact BIGINT harmonic sum, one shared
-#: numerator literal, the fixed-point-log2 linear-counting branch.
-ORACLE_SQL = f"""
-WITH rows0 AS (
-  SELECT event_type AS key,
-         {dq._sql_hash("CAST(user_id AS VARCHAR)", 15)} AS h
-  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-),
-regs AS (
-  SELECT key, h & {K - 1} AS bucket,
-         max(CASE WHEN (h >> {P}) = 0 THEN {S}
-             ELSE {60 - P} - length(printf('%b', h >> {P})) + 1 END) AS m
-  FROM rows0 GROUP BY 1, 2
-),
-grid AS (
-  SELECT k.key, g.bucket
-  FROM (SELECT DISTINCT key FROM regs) k, range({K}) AS g(bucket)
-),
-allregs AS (
-  SELECT g.key, COALESCE(r.m, 0) AS m
-  FROM grid g LEFT JOIN regs r ON g.key = r.key AND g.bucket = r.bucket
-),
-agg AS (
-  SELECT key,
-         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_zero_buckets,
-         CAST(sum(CAST(1 AS BIGINT) << CAST({S} - m AS INT)) AS BIGINT)
-           AS sum_scaled
-  FROM allregs GROUP BY 1
-),
-est AS (
-  SELECT key, n_zero_buckets, sum_scaled,
-         ROUND({_NUMER} / CAST(sum_scaled AS DOUBLE), 6) AS est_raw,
-         CASE WHEN n_zero_buckets > 0 THEN
-           ROUND((({_L(f"CAST(floor({float(K * (1 << 20))!r} / n_zero_buckets) AS BIGINT)")}
-                   / 1024.0 - 20.0) * 0.6931471805599453) * {float(K)!r}, 6)
-         END AS est_lc
-  FROM agg
-),
-exact AS (
-  SELECT event_type AS key, count(DISTINCT user_id) AS n_exact
-  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-  GROUP BY 1
-)
-SELECT e.key AS event_type, x.n_exact, e.n_zero_buckets, e.sum_scaled,
-       e.est_raw, e.est_lc,
-       CASE WHEN e.est_raw <= {2.5 * K!r} AND e.n_zero_buckets > 0
-            THEN e.est_lc ELSE e.est_raw END AS est_used
-FROM est e JOIN exact x USING (key)
-"""
+#: The registered oracle (moved into driver_queries.py in r12).
+ORACLE_SQL = dq._HLL_DISTINCT_SQL
 
 
 def _df(spark, rows):

@@ -7,38 +7,13 @@ from __future__ import annotations
 import pytest
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.profile import inclusion_dependencies
 
-#: Candidates an r12 registration will check: the fixture's true FKs
-#: (hold exactly), one reversed direction (partial — customers
-#: without orders), and the nation spine from two children.
-IND_CANDIDATES = [
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("customer", "c_custkey", "orders", "o_custkey"),
-    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("customer", "c_nationkey", "nation", "n_nationkey"),
-    ("supplier", "s_nationkey", "nation", "n_nationkey"),
-]
-
-
-def _leg(ct: str, cc: str, pt: str, pc: str) -> str:
-    return f"""
-SELECT '{ct}' AS child_table, '{cc}' AS child_col,
-       '{pt}' AS parent_table, '{pc}' AS parent_col,
-       CAST(count(*) AS BIGINT) AS n_child_distinct,
-       CAST(count(p.hit) AS BIGINT) AS n_contained,
-       ROUND(CAST(count(p.hit) AS DOUBLE) / count(*), 6) AS containment,
-       count(p.hit) = count(*) AS holds
-FROM (SELECT DISTINCT CAST({cc} AS VARCHAR) AS v FROM {ct}
-      WHERE {cc} IS NOT NULL) c
-LEFT JOIN (SELECT DISTINCT CAST({pc} AS VARCHAR) AS v, 1 AS hit FROM {pt}
-           WHERE {pc} IS NOT NULL) p USING (v)"""
-
-
-#: DuckDB twin — one leg per candidate (the SQL an r12 registration
-#: will carry).
-ORACLE_SQL = "\nUNION ALL\n".join(_leg(*c) for c in IND_CANDIDATES)
+#: The registered candidates + oracle (moved into driver_queries.py
+#: in r12).
+IND_CANDIDATES = dq._IND_CANDIDATES
+ORACLE_SQL = dq._IND_SQL
 
 
 def _df(spark, rows, schema="k string, v string"):

@@ -11,43 +11,8 @@ from tests.oracle_check import compare
 from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.features import kl_token_drift
 
-_L = dq._ilog2_kilo_sql
-
-#: DuckDB twin — the SQL an r12 registration will carry (P = lang
-#: 'en', Q = every other language).
-ORACLE_SQL = f"""
-WITH cp AS (
-  SELECT word AS tok, count(*) AS cp FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM documents
-    WHERE text IS NOT NULL AND lang = 'en'
-  ) GROUP BY 1
-),
-cq AS (
-  SELECT word AS tok, count(*) AS cq FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM documents
-    WHERE text IS NOT NULL AND lang != 'en'
-  ) GROUP BY 1
-),
-j AS (
-  SELECT COALESCE(cp.cp, 0) AS cp, COALESCE(cq.cq, 0) AS cq
-  FROM cp FULL OUTER JOIN cq USING (tok)
-),
-t AS (
-  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq,
-         CAST(count(*) AS BIGINT) AS v
-  FROM j
-),
-c AS (
-  SELECT CAST(sum(cp * ({_L('(cp * (nq + v))')} - {_L('((cq + 1) * np)')}))
-              AS BIGINT) AS kl_scaled
-  FROM j, t WHERE cp > 0
-)
-SELECT t.np AS n_tokens_p, t.nq AS n_tokens_q, t.v AS vocab_union,
-       c.kl_scaled,
-       ROUND(CAST(c.kl_scaled AS DOUBLE) / CAST(t.np AS DOUBLE) / 1024.0, 6)
-         AS kl_bits
-FROM c, t
-"""
+#: The registered oracle (moved into driver_queries.py in r12).
+ORACLE_SQL = dq._KL_DRIFT_SQL
 
 
 def _docs(spark, texts):

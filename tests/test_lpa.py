@@ -11,49 +11,15 @@ import collections
 import pytest
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.graph import (
     label_propagation_communities,
 )
 
-ITERS = 3
+ITERS = dq._LPA_ITERS
 
-#: DuckDB twin over the SAME symmetrized part–supplier graph the
-#: registered pagerank uses (part → 2p, supplier → 2s+1), ITERS
-#: unrolled rounds, rolled up per community — the SQL an r12
-#: registration will carry.
-_HEAD = """
-WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-sym AS (
-  SELECT p * 2 AS a, s * 2 + 1 AS b FROM e0
-  UNION ALL
-  SELECT s * 2 + 1, p * 2 FROM e0
-),
-l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)"""
-
-_ROUND = """,
-v{i} AS (
-  SELECT s.a AS node, l.label, count(*) AS n
-  FROM sym s JOIN l{j} l ON s.b = l.node
-  GROUP BY 1, 2
-),
-l{i} AS (
-  SELECT node, label FROM (
-    SELECT node, label,
-           row_number() OVER (PARTITION BY node
-                              ORDER BY n DESC, label ASC) AS rn
-    FROM v{i}
-  ) WHERE rn = 1
-)"""
-
-ORACLE_SQL = (
-    _HEAD
-    + "".join(_ROUND.format(i=i, j=i - 1) for i in range(1, ITERS + 1))
-    + f"""
-SELECT CAST(label AS BIGINT) AS community,
-       CAST(count(*) AS BIGINT) AS n_nodes
-FROM l{ITERS} GROUP BY 1
-"""
-)
+#: The registered oracle (moved into driver_queries.py in r12).
+ORACLE_SQL = dq._LPA_SQL
 
 
 def _edges(spark, pairs):

@@ -14,22 +14,8 @@ from vector_db_handler_spark.operators.nb_classifier import (
     nb_margin_calibration,
 )
 
-#: DuckDB twin — the shared NB prediction CTE plus the log2-bucketed
-#: accuracy rollup (the SQL an r12 registration will carry).
-ORACLE_SQL = (
-    dq._nb_pred_cte_sql()
-    + """
-SELECT CAST(length(printf('%b', (p.margin // 1024) + 1)) - 1 AS BIGINT)
-         AS margin_bucket,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN p.predicted = h.rule_lang THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_correct,
-       ROUND(CAST(sum(CASE WHEN p.predicted = h.rule_lang THEN 1 ELSE 0 END)
-                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
-FROM pred p JOIN heldout h USING (doc_id)
-GROUP BY 1
-"""
-)
+#: The registered oracle (moved into driver_queries.py in r12).
+ORACLE_SQL = dq._NB_CALIBRATION_SQL
 
 
 def _docs(spark, rows):

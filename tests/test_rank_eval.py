@@ -12,80 +12,8 @@ from tests.oracle_check import compare
 from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.retrieval import rank_eval_metrics
 
-_L = dq._ilog2_kilo_sql
-
-#: DuckDB twin of the r12 registration: results = the int8-quantized
-#: top-10 ranking, truth = the exact cosine top-10 with graded rel
-#: (11 − exact rank), metrics in the fixed-point arithmetic the
-#: operator documents.  Composes the registered _QUANTIZED_KNN_SQL
-#: and knn_topk score CTEs verbatim.
-ORACLE_SQL = f"""
-WITH scale AS (
-  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
-                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
-  FROM embeddings
-),
-qq AS (
-  SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
-),
-qc AS (
-  SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]), x -> {dq._QUANT_CLAMP}) AS v
-  FROM embeddings, scale
-),
-results AS (
-  SELECT vec_id AS item,
-         CAST(row_number() OVER (ORDER BY qscore DESC, vec_id ASC) AS BIGINT)
-           AS rnk
-  FROM (
-    SELECT vec_id,
-           CAST(list_dot_product(qc.v, (SELECT v FROM qq)) AS BIGINT) AS qscore
-    FROM qc ORDER BY qscore DESC, vec_id LIMIT 10
-  )
-),
-truth AS (
-  SELECT vec_id AS item,
-         CAST(11 - row_number() OVER (ORDER BY score DESC, vec_id ASC)
-              AS BIGINT) AS rel
-  FROM (
-    SELECT vec_id, {dq._SCORE} AS score FROM embeddings
-    ORDER BY score DESC, vec_id ASC LIMIT 10
-  )
-),
-hits AS (
-  SELECT r.rnk, COALESCE(t.rel, 0) AS rel
-  FROM results r LEFT JOIN truth t USING (item)
-),
-per_q AS (
-  SELECT CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_relevant,
-         min(CASE WHEN rel > 0 THEN rnk END) AS first_rank,
-         CAST(sum(CASE WHEN rel > 0 THEN
-           CAST(floor((rel * 1048576.0) / {_L('(rnk + 1)')}) AS BIGINT)
-           ELSE 0 END) AS BIGINT) AS dcg_scaled
-  FROM hits
-),
-ideal AS (
-  SELECT CAST(sum(CAST(floor((rel * 1048576.0) / {_L('(pos + 1)')}) AS BIGINT))
-              AS BIGINT) AS idcg_scaled
-  FROM (
-    SELECT rel,
-           CAST(row_number() OVER (ORDER BY rel DESC, item ASC) AS BIGINT)
-             AS pos
-    FROM truth
-  ) WHERE pos <= 10
-)
-SELECT CAST(0 AS BIGINT) AS query_id,
-       CAST(10 AS BIGINT) AS n_results,
-       p.n_relevant,
-       CAST(COALESCE(floor(1000000.0 / p.first_rank), 0) AS BIGINT)
-         AS mrr_micro,
-       p.dcg_scaled, i.idcg_scaled,
-       CASE WHEN i.idcg_scaled > 0 THEN
-         ROUND(CAST(p.dcg_scaled AS DOUBLE) / CAST(i.idcg_scaled AS DOUBLE), 6)
-       END AS ndcg
-FROM per_q p, ideal i
-"""
+#: The registered oracle (moved into driver_queries.py in r12).
+ORACLE_SQL = dq._RANK_EVAL_SQL
 
 
 def _rel(spark, rows, schema):

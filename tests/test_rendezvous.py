@@ -7,57 +7,17 @@ from __future__ import annotations
 import pytest
 
 from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.layout import (
     rendezvous_assign,
     rendezvous_rebalance_report,
 )
 
-#: Shard sets an r12 registration will compare on ``documents``
-#: (split s7 off by growing 8 → 9).
-SHARDS_BEFORE = [f"s{i}" for i in range(8)]
-SHARDS_AFTER = [f"s{i}" for i in range(9)]
-
-
-def _pick_sql(shards: list[str], alias: str) -> str:
-    values = ", ".join(f"('{s}')" for s in sorted(shards))
-    return f"""
-SELECT doc_id, shard AS {alias} FROM (
-  SELECT doc_id, shard,
-         row_number() OVER (
-           PARTITION BY doc_id
-           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                     || '|' || shard), 1, 15) AS BIGINT) DESC,
-                    shard DESC) AS rn
-  FROM (SELECT doc_id FROM documents), (VALUES {values}) s(shard)
-) WHERE rn = 1"""
-
-
-#: DuckDB twin of the rebalance report — the SQL an r12 registration
-#: will carry (argmax via the same 60-bit hash + (score DESC, shard
-#: DESC) tie-break the in-row struct max pins).
-ORACLE_SQL = f"""
-WITH b AS ({_pick_sql(SHARDS_BEFORE, "s_before")}),
-a AS ({_pick_sql(SHARDS_AFTER, "s_after")}),
-pairs AS (
-  SELECT s_before, s_after, count(*) AS n
-  FROM b JOIN a USING (doc_id) GROUP BY 1, 2
-),
-legs AS (
-  SELECT s_before AS shard, n AS n_before, 0 AS n_after, 0 AS n_moved_in,
-         CASE WHEN s_before != s_after THEN n ELSE 0 END AS n_moved_out
-  FROM pairs
-  UNION ALL
-  SELECT s_after, 0, n,
-         CASE WHEN s_before != s_after THEN n ELSE 0 END, 0
-  FROM pairs
-)
-SELECT shard,
-       CAST(sum(n_before) AS BIGINT) AS n_before,
-       CAST(sum(n_after) AS BIGINT) AS n_after,
-       CAST(sum(n_moved_in) AS BIGINT) AS n_moved_in,
-       CAST(sum(n_moved_out) AS BIGINT) AS n_moved_out
-FROM legs GROUP BY 1
-"""
+#: The registered shard sets + oracle (moved into
+#: driver_queries.py in r12).
+SHARDS_BEFORE = dq._RDV_SHARDS_BEFORE
+SHARDS_AFTER = dq._RDV_SHARDS_AFTER
+ORACLE_SQL = dq._RENDEZVOUS_SQL
 
 
 def _ids(spark, n):

@@ -8,33 +8,8 @@ from tests.oracle_check import compare
 from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.features import token_entropy
 
-_L = dq._ilog2_kilo_sql
-
-#: DuckDB twin over documents — the SQL an r12 registration will
-#: carry (same census, same 1/1024-bit fixed-point log2 surrogate).
-ORACLE_SQL = f"""
-WITH census AS (
-  SELECT doc_id, word, count(*) AS cnt FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS word
-    FROM documents WHERE text IS NOT NULL
-  ) GROUP BY 1, 2
-),
-agg AS (
-  SELECT doc_id,
-         CAST(sum(cnt) AS BIGINT) AS n_tokens,
-         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
-         CAST(sum(cnt * {_L('cnt')}) AS BIGINT) AS sum_c_log
-  FROM census GROUP BY 1
-)
-SELECT doc_id, n_tokens, n_distinct_tokens,
-       CAST(n_tokens * {_L('n_tokens')} - sum_c_log AS BIGINT)
-         AS entropy_scaled,
-       ROUND(CAST(n_tokens * {_L('n_tokens')} - sum_c_log AS DOUBLE)
-             / CAST(n_tokens AS DOUBLE) / 1024.0, 6) AS entropy_bits,
-       ROUND(CAST(n_tokens * {_L('n_tokens')} - sum_c_log AS DOUBLE)
-             / CAST(n_tokens AS DOUBLE) / 1024.0, 6) < 2.0 AS low_entropy
-FROM agg
-"""
+#: The registered oracle (moved into driver_queries.py in r12).
+ORACLE_SQL = dq._TOKEN_ENTROPY_SQL
 
 
 def _docs(spark, rows):

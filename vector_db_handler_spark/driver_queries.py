@@ -155,73 +155,30 @@ DRIVER_WINDOW: int = 50
 #: EXACTLY the 50 names intended for this round's driver window, in
 #: check order.  tests/test_driver_window.py asserts len == 50, all
 #: registered, no duplicates, queries() starts with this list verbatim,
-#: and zero overlap with CORRECTNESS_r10.json's checked set.
+#: and zero overlap with CORRECTNESS_r11.json's checked set.
 #:
-#: Round 11 (emitted verbatim by ``tools/plan_next_window.py``):
-#: (a) the 7 round-11 registrations (the six families staged in r10
-#: plus the streaming NB serve twin — process rule: new queries front
-#: in their own round); (b) the 17 r5-vintage rows staged in r10's
-#: ``_BELOW_WINDOW``; (c) the 26 stalest r6-vintage rows in
-#: registration order.
-_R11_WINDOW: list[str] = [
-    # (a) round-11 registrations, never driver-checked
-    "video_copy_pairs",
-    "nb_holdout_confusion",
-    "streaming_nb_classify",
-    "remove_duplicate_spans",
-    "shot_segments",
-    "seasonal_decompose_daily",
-    "functional_dependencies",
-    # (b) the 17 r5-vintage rows staged by round 10
-    "tumbling_events_stream",
-    "sliding_events_stream",
-    "sessionize_events_stream",
-    "stream_stream_join_attribution",
-    "jsonl_roundtrip_stats",
-    "csv_roundtrip_stats",
-    "orc_roundtrip_stats",
-    "asof_join_purchase_view",
-    "range_join_pairs",
-    "rollup_day_type",
-    "json_props_stats",
-    "bigram_novelty",
-    "kmeans_int8_2iter",
-    "user_retention_weekly",
-    "funnel_view_purchase",
-    "value_outliers",
-    "running_user_value",
-    # (c) the 26 stalest r6-vintage rows, registration order
-    "media_binary_dedup",
-    "media_frame_stats",
-    "avro_roundtrip_stats",
-    "gopher_quality_flags",
-    "span_dedup_corpus",
-    "tfidf_topk_terms",
-    "ivfsq_int8_train_probe",
-    "pq_train_codebooks",
-    "pq_adc_topk",
-    "ivfpq_probe_topk",
-    "srp_neardup_pairs",
-    "semdedup_survivors",
-    "bm25_topk_docs",
-    "zorder_orders_layout",
-    "embedding_dispersion",
-    "value_percentiles_by_type",
-    "trending_types_stream",
-    "dataset_split_counts",
-    "phrase_search_docs",
-    "hybrid_search_rerank",
-    "incremental_rollup_merge",
-    "enriched_stream_by_nation",
-    "training_shard_manifest",
-    "binary_hamming_topk",
-    "srp_multiprobe_pairs",
-    "kmv_distinct_users_by_type",
-]
-
-#: Rank 51+: below the checked window; these 17 remaining r6-vintage
-#: rows lead the r12 window.
-_BELOW_WINDOW: list[str] = [
+#: Round 12 (emitted verbatim by ``tools/plan_next_window.py``):
+#: (a) the 14 round-12 registrations (the fourteen families staged in
+#: r11 — process rule: new queries front in their own round); (b) the
+#: 17 r6-vintage rows staged in r11's ``_BELOW_WINDOW``; (c) the 19
+#: stalest r8-vintage rows in registration order.
+_R12_WINDOW: list[str] = [
+    # (a) round-12 registrations, never driver-checked
+    "knn_graph_nn_descent",
+    "cdc_containment_pairs",
+    "hll_distinct_by_key",
+    "streaming_hll_registers",
+    "rank_eval_metrics",
+    "cuped_adjusted_metrics",
+    "kl_token_drift",
+    "label_propagation_communities",
+    "inclusion_dependencies",
+    "token_entropy",
+    "nb_margin_calibration",
+    "dsir_importance",
+    "rendezvous_rebalance_report",
+    "arrow_ipc_roundtrip_stats",
+    # (b) the 17 r6-vintage rows staged by round 11
     "lang_temperature_weights",
     "gapfill_user_daily",
     "ewma_user_daily",
@@ -239,9 +196,65 @@ _BELOW_WINDOW: list[str] = [
     "event_type_correlations",
     "pivot_user_type_matrix",
     "unpivot_user_type_matrix",
+    # (c) the 19 stalest r8-vintage rows, registration order
+    "pack_sequences",
+    "tpch_q12",
+    "decayed_type_scores",
+    "mor_delete_doc_scroll",
+    "chain_components_star",
+    "pii_redaction_stats",
+    "epoch_resample_counts",
+    "profile_events_table",
+    "bpe_train_merges",
+    "bpe_token_counts_by_source",
+    "streaming_knn_serve_topk",
+    "xml_roundtrip_stats",
+    "lm_quality_by_lang",
+    "maxsim_topk",
+    "triangle_brand_stats",
+    "doc_chunks",
+    "dq_events_report",
+    "ivm_join_orders_customer",
+    "kmv_user_overlap_pairs",
 ]
 
-_DRIVER_FRONT: list[str] = _R11_WINDOW + _BELOW_WINDOW
+#: Rank 51+: below the checked window; these 31 remaining r8-vintage
+#: rows lead the r13 window.
+_BELOW_WINDOW: list[str] = [
+    "mad_value_outliers",
+    "fuzzy_part_name_pairs",
+    "latest_user_value_stream",
+    "dbscan_embedding_clusters",
+    "rrf_hybrid_topk",
+    "value_drift_tv",
+    "weighted_doc_sample",
+    "funnel_view_click_purchase",
+    "hard_negative_triplets",
+    "weighted_jaccard_pairs",
+    "kcore_part_graph",
+    "join_size_estimate_ol",
+    "theil_sen_user_trend",
+    "cusum_user_alarms",
+    "frequent_part_triples",
+    "stream_stream_left_outer",
+    "ann_recall_report",
+    "er_golden_records",
+    "bfs_brand_seed_hops",
+    "scd2_asof_order_lookup",
+    "mrl_recall_curve",
+    "split_leakage_pairs",
+    "funnel_stream_counts",
+    "label_propagation_embeddings",
+    "sq8_distortion_by_label",
+    "embedding_dim_robust_stats",
+    "bootstrap_value_ci",
+    "clustering_coefficient_parts",
+    "cohort_retention_matrix",
+    "value_drift_tv_stream",
+    "incremental_neardup_components",
+]
+
+_DRIVER_FRONT: list[str] = _R12_WINDOW + _BELOW_WINDOW
 
 
 def _rotated(entries: dict) -> dict:
@@ -11207,3 +11220,987 @@ def functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _fd(load(spark, sf_dir, "orders"), _FD_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 registrations: the fourteen families staged in r11.  Oracles
+# were pre-verified by the staging tests, which now import them back
+# from here (one source of truth, same migration r10/r11 used).
+# ---------------------------------------------------------------------------
+
+# --- kNN graph via NN-descent (similarity.py knn_graph_nn_descent) ---------
+
+_NND_K = 5
+_NND_ITERS = 2
+_NND_RAND_BUCKETS = 64
+
+#: One NN-descent iteration in SQL: undirected edges → neighbours-of-
+#: neighbours ∪ current → exact integer re-score → top-k.
+_NND_ITER_SQL = """,
+und{i} AS (
+  SELECT a, b FROM g{j} UNION SELECT b, a FROM g{j}
+),
+cand{i} AS (
+  SELECT u1.a, u2.b FROM und{i} u1 JOIN und{i} u2 ON u1.b = u2.a
+  WHERE u2.b != u1.a
+  UNION
+  SELECT a, b FROM g{j}
+),
+g{i} AS (
+  SELECT a, b, d FROM (
+    SELECT c.a, c.b,
+           CAST(list_dot_product(CAST(qa.v AS DOUBLE[]),
+                                 CAST(qb.v AS DOUBLE[])) AS BIGINT) AS d,
+           row_number() OVER (PARTITION BY c.a
+                              ORDER BY CAST(list_dot_product(
+                                CAST(qa.v AS DOUBLE[]),
+                                CAST(qb.v AS DOUBLE[])) AS BIGINT) DESC,
+                              c.b ASC) AS rn
+    FROM cand{i} c JOIN qv qa ON c.a = qa.vec_id
+                   JOIN qv qb ON c.b = qb.vec_id
+  ) WHERE rn <= {k}
+)"""
+
+#: DuckDB twin — the registered k-means chain (scale → qv → seeds →
+#: two Lloyd rounds ending at assignment a2) + cluster-local init +
+#: ITERS unrolled NN-descent rounds.
+_NN_DESCENT_SQL = (
+    _KMEANS_CTES
+    + f""",
+assigned AS (
+  -- a2.cluster is the SEED's cid (the chain's labeling convention);
+  -- hbucket is the deterministic random-init grouping
+  SELECT a2.vec_id, a2.cluster AS cluster_seed,
+         CAST('0x' || substr(md5(CAST(a2.vec_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % {_NND_RAND_BUCKETS} AS hbucket,
+         qv.v
+  FROM a2 JOIN qv ON a2.vec_id = qv.vec_id
+),
+init_pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM assigned x JOIN assigned y
+    ON x.cluster_seed = y.cluster_seed AND x.vec_id != y.vec_id
+  UNION
+  SELECT x.vec_id, y.vec_id
+  FROM assigned x JOIN assigned y
+    ON x.hbucket = y.hbucket AND x.vec_id != y.vec_id
+),
+g0 AS (
+  SELECT a, b, d FROM (
+    SELECT p.a, p.b,
+           CAST(list_dot_product(CAST(qa.v AS DOUBLE[]),
+                                 CAST(qb.v AS DOUBLE[])) AS BIGINT) AS d,
+           row_number() OVER (PARTITION BY p.a
+                              ORDER BY CAST(list_dot_product(
+                                CAST(qa.v AS DOUBLE[]),
+                                CAST(qb.v AS DOUBLE[])) AS BIGINT) DESC,
+                              p.b ASC) AS rn
+    FROM init_pairs p JOIN qv qa ON p.a = qa.vec_id
+                      JOIN qv qb ON p.b = qb.vec_id
+  ) WHERE rn <= {_NND_K}
+)"""
+    + "".join(
+        _NND_ITER_SQL.format(i=i, j=i - 1, k=_NND_K)
+        for i in range(1, _NND_ITERS + 1)
+    )
+    + f"""
+SELECT a AS vec_id, b AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY a ORDER BY d DESC, b ASC)
+            AS BIGINT) AS rank,
+       d AS iscore
+FROM g{_NND_ITERS}
+"""
+)
+
+
+@register("knn_graph_nn_descent", _NN_DESCENT_SQL)
+def knn_graph_nn_descent_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN-graph construction via NN-descent (Dong et al., WWW'11) —
+    the substrate every graph-ANN index (HNSW/NSG/DiskANN) builds on,
+    constructed WITHOUT the N² pair join: exact init inside the
+    registered int8-k-means cells plus deterministic md5-hash-bucket
+    random bridges, then fixed NN-descent rounds with exact integer
+    dots and pinned (d DESC, id ASC) ties, so the whole build
+    hash-replays.  Near-linear when BOTH dials (``kmeans_k`` AND
+    ``rand_buckets``) scale with the corpus (see the operator
+    docstring); the registration pins both for oracle parity."""
+    from vector_db_handler_spark.operators import similarity as similarity_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity_ops.knn_graph_nn_descent(
+        emb, k=_NND_K, iters=_NND_ITERS, rand_buckets=_NND_RAND_BUCKETS
+    )
+
+
+# --- Content-defined chunking (dedup.py gear_cdc_chunks) --------------------
+
+_CDC_MASK_BITS = 6  # ~64-byte expected chunks
+_CDC_ID_OFF = 1_000_000
+
+#: gear(ch) in SQL — same 40-bit md5 convention as the Python table.
+_CDC_GEAR = "CAST('0x' || substr(md5(substr(text, i, 1)), 1, 10) AS BIGINT)"
+
+#: h_i = Σ_{t=0}^{15} gear(ch_{i−t})·2^t — 16 explicit lag terms.
+_CDC_ROLL = " + ".join(
+    f"coalesce(lag(g, {t}) OVER w, 0) * {1 << t}"
+    for t in range(dedup_ops.CDC_WINDOW)
+)
+
+#: DuckDB twin over synthesize_blobs_with_edits(documents) (ASCII
+#: fixture: SQL chars == the kernel's latin-1 bytes).
+_CDC_PAIRS_SQL = f"""
+WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE text IS NOT NULL),
+clips AS (
+  SELECT media_id, text FROM m
+  UNION ALL
+  SELECT media_id + {_CDC_ID_OFF},
+         substr(text, 1, length(text) // 2) || '@@EDIT@@'
+           || substr(text, length(text) // 2 + 1)
+  FROM m WHERE media_id % 9 = 0
+),
+chars AS (
+  SELECT media_id, CAST(i AS BIGINT) AS pos, {_CDC_GEAR} AS g
+  FROM clips, unnest(generate_series(1, length(text))) AS s(i)
+),
+rolled AS (
+  SELECT media_id, pos, ({_CDC_ROLL}) AS h
+  FROM chars WINDOW w AS (PARTITION BY media_id ORDER BY pos)
+),
+cuts AS (
+  SELECT media_id, pos,
+         CASE WHEN h % {1 << _CDC_MASK_BITS} = 0 THEN 1 ELSE 0 END AS is_cut
+  FROM rolled
+),
+islands AS (
+  SELECT media_id, pos,
+         CAST(coalesce(sum(is_cut) OVER (
+           PARTITION BY media_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cidx
+  FROM cuts
+),
+spans AS (
+  SELECT media_id, cidx, min(pos) AS s, count(*) AS n
+  FROM islands GROUP BY 1, 2
+),
+chunks AS (
+  SELECT DISTINCT sp.media_id,
+         CAST('0x' || substr(md5(substr(c.text, CAST(sp.s AS INT),
+                                        CAST(sp.n AS INT))), 1, 15)
+              AS BIGINT) AS chunk_hash
+  FROM spans sp JOIN clips c ON sp.media_id = c.media_id
+),
+guarded AS (
+  SELECT * FROM chunks WHERE chunk_hash NOT IN (
+    SELECT chunk_hash FROM chunks GROUP BY chunk_hash
+    HAVING count(*) > 50
+  )
+),
+sizes AS (SELECT media_id, count(*) AS n FROM guarded GROUP BY 1),
+shared AS (
+  SELECT x.media_id AS a, y.media_id AS b, count(*) AS n_shared
+  FROM guarded x JOIN guarded y
+    ON x.chunk_hash = y.chunk_hash AND x.media_id < y.media_id
+  GROUP BY 1, 2
+)
+SELECT s.a, s.b, CAST(s.n_shared AS BIGINT) AS n_shared,
+       ROUND(CAST(s.n_shared AS DOUBLE) / least(sa.n, sb.n), 6)
+         AS containment
+FROM shared s
+JOIN sizes sa ON s.a = sa.media_id
+JOIN sizes sb ON s.b = sb.media_id
+WHERE s.n_shared >= 2
+  AND CAST(s.n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+"""
+
+
+@register("cdc_containment_pairs", _CDC_PAIRS_SQL)
+def cdc_containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC family) as the
+    binary-blob dedup rail: a vectorized Arrow gear-rolling-hash
+    kernel cuts every blob into content-addressed chunks (boundaries
+    re-align right after an edit — the property fixed-stride chunking
+    lacks), then a hot-chunk-guarded equi-join scores pairwise
+    containment.  The planted mid-blob edits must surface as
+    (id, id+offset) pairs at containment ≥ 0.5 — which the oracle
+    replays bit-for-bit since the gear hash is plain signed int64 by
+    construction."""
+    from vector_db_handler_spark.operators import media as media_ops
+
+    docs = load(spark, sf_dir, "documents")
+    blobs = media_ops.synthesize_blobs_with_edits(docs)
+    return dedup_ops.cdc_containment_pairs(blobs, mask_bits=_CDC_MASK_BITS)
+
+
+# --- HyperLogLog distinct-count sketch (hll.py) ------------------------------
+
+_HLL_P = 6  # 64 registers
+
+def _hll_distinct_sql() -> str:
+    from vector_db_handler_spark.operators.hll import hll_alpha
+
+    k = 1 << _HLL_P
+    s = 61 - _HLL_P
+    numer = repr(hll_alpha(k) * (k * k) * float(1 << s))
+    L = _ilog2_kilo_sql
+    return f"""
+WITH rows0 AS (
+  SELECT event_type AS key,
+         {_sql_hash("CAST(user_id AS VARCHAR)", 15)} AS h
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+regs AS (
+  SELECT key, h & {k - 1} AS bucket,
+         max(CASE WHEN (h >> {_HLL_P}) = 0 THEN {s}
+             ELSE {60 - _HLL_P} - length(printf('%b', h >> {_HLL_P})) + 1 END) AS m
+  FROM rows0 GROUP BY 1, 2
+),
+grid AS (
+  SELECT k.key, g.bucket
+  FROM (SELECT DISTINCT key FROM regs) k, range({k}) AS g(bucket)
+),
+allregs AS (
+  SELECT g.key, COALESCE(r.m, 0) AS m
+  FROM grid g LEFT JOIN regs r ON g.key = r.key AND g.bucket = r.bucket
+),
+agg AS (
+  SELECT key,
+         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_buckets,
+         CAST(sum(CAST(1 AS BIGINT) << CAST({s} - m AS INT)) AS BIGINT)
+           AS sum_scaled
+  FROM allregs GROUP BY 1
+),
+est AS (
+  SELECT key, n_zero_buckets, sum_scaled,
+         ROUND({numer} / CAST(sum_scaled AS DOUBLE), 6) AS est_raw,
+         CASE WHEN n_zero_buckets > 0 THEN
+           ROUND((({L(f"CAST(floor({float(k * (1 << 20))!r} / n_zero_buckets) AS BIGINT)")}
+                   / 1024.0 - 20.0) * 0.6931471805599453) * {float(k)!r}, 6)
+         END AS est_lc
+  FROM agg
+),
+exact AS (
+  SELECT event_type AS key, count(DISTINCT user_id) AS n_exact
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+)
+SELECT e.key AS event_type, x.n_exact, e.n_zero_buckets, e.sum_scaled,
+       e.est_raw, e.est_lc,
+       CASE WHEN e.est_raw <= {2.5 * k!r} AND e.n_zero_buckets > 0
+            THEN e.est_lc ELSE e.est_raw END AS est_used
+FROM est e JOIN exact x USING (key)
+"""
+
+
+_HLL_DISTINCT_SQL = _hll_distinct_sql()
+
+
+@register("hll_distinct_by_key", _HLL_DISTINCT_SQL)
+def hll_distinct_by_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key HyperLogLog distinct estimate (Flajolet et al. '07)
+    with EXACT sketch arithmetic: the harmonic sum is an exact BIGINT
+    (``Σ 2^(s−M)`` — overflow-impossible by construction at p=6), the
+    raw/linear-counting estimates are single fixed-order IEEE
+    expressions over exact integers, and the small-range switch is
+    the canonical 2.5·K rule.  The exact distinct column exists only
+    to make the accuracy claim oracle-checkable; a 100 TB profiling
+    run executes the sketch side alone (constant |keys|·64 state)."""
+    from vector_db_handler_spark.operators.hll import hll_distinct_by_key
+
+    ev = load(spark, sf_dir, "events")
+    return hll_distinct_by_key(
+        ev, "event_type", "user_id", p=_HLL_P
+    ).withColumnRenamed("key", "event_type")
+
+
+# --- Streaming HLL register store (stream_ops.py streaming_hll_registers) ---
+
+def _hll_regs_sql() -> str:
+    k = 1 << _HLL_P
+    s = 61 - _HLL_P
+    return f"""
+WITH rows0 AS (
+  SELECT event_type AS key,
+         {_sql_hash("CAST(user_id AS VARCHAR)", 15)} AS h
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT key, h & {k - 1} AS bucket,
+       CAST(max(CASE WHEN (h >> {_HLL_P}) = 0 THEN {s}
+            ELSE {60 - _HLL_P} - length(printf('%b', h >> {_HLL_P})) + 1 END)
+            AS BIGINT) AS m
+FROM rows0 GROUP BY 1, 2
+"""
+
+
+_HLL_REGS_SQL = _hll_regs_sql()
+
+
+@register("streaming_hll_registers", _HLL_REGS_SQL)
+def streaming_hll_registers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch maintenance: events arrive as
+    a STREAM and each micro-batch's HLL registers max-merge into a
+    versioned, ``_SUCCESS``-gated register store (crash-replay safe:
+    merge sources are capped strictly below the replayed batch id,
+    and an already-committed batch short-circuits).  Because register
+    max-merge is idempotent and commutative, the store equals the
+    batch sketch over everything ingested — so the store hashes
+    against the batch ``hll_registers`` oracle directly (batch =
+    stream by construction, the third streaming serve twin)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.streaming import stream_ops
+
+    basis = f"hllserve|{_fixture_tag(sf_dir, 'events')}"
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_hllserve_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    out_path, cp = os.path.join(base, "out"), os.path.join(base, "cp")
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream_ops.streaming_hll_registers(stream, out_path, cp, p=_HLL_P)
+    return stream_ops.hll_store_read(spark, out_path)
+
+
+# --- Rank-aware retrieval eval (retrieval.py rank_eval_metrics) --------------
+
+def _rank_eval_sql() -> str:
+    L = _ilog2_kilo_sql
+    return f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+),
+qc AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP}) AS v
+  FROM embeddings, scale
+),
+results AS (
+  SELECT vec_id AS item,
+         CAST(row_number() OVER (ORDER BY qscore DESC, vec_id ASC) AS BIGINT)
+           AS rnk
+  FROM (
+    SELECT vec_id,
+           CAST(list_dot_product(qc.v, (SELECT v FROM qq)) AS BIGINT) AS qscore
+    FROM qc ORDER BY qscore DESC, vec_id LIMIT 10
+  )
+),
+truth AS (
+  SELECT vec_id AS item,
+         CAST(11 - row_number() OVER (ORDER BY score DESC, vec_id ASC)
+              AS BIGINT) AS rel
+  FROM (
+    SELECT vec_id, {_SCORE} AS score FROM embeddings
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+  )
+),
+hits AS (
+  SELECT r.rnk, COALESCE(t.rel, 0) AS rel
+  FROM results r LEFT JOIN truth t USING (item)
+),
+per_q AS (
+  SELECT CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_relevant,
+         min(CASE WHEN rel > 0 THEN rnk END) AS first_rank,
+         CAST(sum(CASE WHEN rel > 0 THEN
+           CAST(floor((rel * 1048576.0) / {L('(rnk + 1)')}) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS dcg_scaled
+  FROM hits
+),
+ideal AS (
+  SELECT CAST(sum(CAST(floor((rel * 1048576.0) / {L('(pos + 1)')}) AS BIGINT))
+              AS BIGINT) AS idcg_scaled
+  FROM (
+    SELECT rel,
+           CAST(row_number() OVER (ORDER BY rel DESC, item ASC) AS BIGINT)
+             AS pos
+    FROM truth
+  ) WHERE pos <= 10
+)
+SELECT CAST(0 AS BIGINT) AS query_id,
+       CAST(10 AS BIGINT) AS n_results,
+       p.n_relevant,
+       CAST(COALESCE(floor(1000000.0 / p.first_rank), 0) AS BIGINT)
+         AS mrr_micro,
+       p.dcg_scaled, i.idcg_scaled,
+       CASE WHEN i.idcg_scaled > 0 THEN
+         ROUND(CAST(p.dcg_scaled AS DOUBLE) / CAST(i.idcg_scaled AS DOUBLE), 6)
+       END AS ndcg
+FROM per_q p, ideal i
+"""
+
+
+_RANK_EVAL_SQL = _rank_eval_sql()
+
+
+@register("rank_eval_metrics", _RANK_EVAL_SQL)
+def rank_eval_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-placement retrieval eval completing the recall harnesses:
+    the int8-quantized top-10 ranking evaluated against the exact
+    cosine top-10 with graded relevance (11 − exact rank), scored as
+    exact MRR (micro-units) and fixed-point nDCG — deterministic
+    cross-engine because every log2 is the repo's 1/1024-bit integer
+    surrogate and ties are pinned."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.operators.retrieval import rank_eval_metrics
+
+    emb = load(spark, sf_dir, "embeddings")
+    res = (
+        quantize_ops.quantized_knn(emb, QUERY_VEC, k=10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("qscore").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+        )
+    )
+    exact = knn_ops.knn(emb, QUERY_VEC, k=10, tie_break_col="vec_id")
+    truth = exact.withColumn(
+        "rel",
+        (
+            F.lit(11)
+            - F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            )
+        ).cast("long"),
+    ).select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        "rel",
+    )
+    return rank_eval_metrics(res, truth)
+
+
+# --- CUPED variance-reduced experiment readout (features.py) -----------------
+
+_CUPED_SQL = """
+WITH ev AS (
+  SELECT user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+b AS (SELECT min(tu) AS lo, max(tu) AS hi FROM ev),
+per_user AS (
+  SELECT u,
+         CAST(sum(CASE WHEN 2 * tu <= lo + hi THEN vm ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN 2 * tu > lo + hi THEN vm ELSE 0 END) AS BIGINT) AS y,
+         CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) % 2
+           AS variant
+  FROM ev, b GROUP BY u, lo, hi
+),
+g AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM per_user
+),
+th AS (
+  SELECT CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) = 0
+         THEN 0.0
+         ELSE CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+         END AS theta_raw,
+         CAST(sx AS DOUBLE) / n AS mx_all
+  FROM g
+),
+pv AS (
+  SELECT variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS sum_x_micro,
+         CAST(sum(y) AS BIGINT) AS sum_y_micro
+  FROM per_user GROUP BY variant
+)
+SELECT CAST(pv.variant AS BIGINT) AS variant, pv.n_users,
+       pv.sum_x_micro, pv.sum_y_micro,
+       ROUND(th.theta_raw, 6) AS theta,
+       ROUND((CAST(pv.sum_y_micro AS DOUBLE) / pv.n_users) / 1000000.0, 6)
+         AS mean_y,
+       ROUND(((CAST(pv.sum_y_micro AS DOUBLE) / pv.n_users)
+              - th.theta_raw * ((CAST(pv.sum_x_micro AS DOUBLE) / pv.n_users)
+                                - th.mx_all)) / 1000000.0, 6)
+         AS adj_mean_y
+FROM pv, th
+"""
+
+
+@register("cuped_adjusted_metrics", _CUPED_SQL)
+def cuped_adjusted_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13): per
+    deterministic hash variant, the post-period mean adjusted by the
+    pre-period covariate with θ fitted on the whole population in
+    DECIMAL(38,0)/HUGEINT exact moments (guarded: a zero-variance
+    pre-period degrades to θ=0, i.e. the unadjusted mean).  One
+    map-side-combined per-user aggregate, one broadcast scalar cross
+    — no windows over event rows."""
+    from vector_db_handler_spark.operators.features import (
+        cuped_adjusted_metrics,
+    )
+
+    return cuped_adjusted_metrics(load(spark, sf_dir, "events"))
+
+
+# --- KL token drift (features.py kl_token_drift) -----------------------------
+
+def _kl_drift_sql() -> str:
+    L = _ilog2_kilo_sql
+    return f"""
+WITH cp AS (
+  SELECT word AS tok, count(*) AS cp FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    WHERE text IS NOT NULL AND lang = 'en'
+  ) GROUP BY 1
+),
+cq AS (
+  SELECT word AS tok, count(*) AS cq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    WHERE text IS NOT NULL AND lang != 'en'
+  ) GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(cp.cp, 0) AS cp, COALESCE(cq.cq, 0) AS cq
+  FROM cp FULL OUTER JOIN cq USING (tok)
+),
+t AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq,
+         CAST(count(*) AS BIGINT) AS v
+  FROM j
+),
+c AS (
+  SELECT CAST(sum(cp * ({L('(cp * (nq + v))')} - {L('((cq + 1) * np)')}))
+              AS BIGINT) AS kl_scaled
+  FROM j, t WHERE cp > 0
+)
+SELECT t.np AS n_tokens_p, t.nq AS n_tokens_q, t.v AS vocab_union,
+       c.kl_scaled,
+       ROUND(CAST(c.kl_scaled AS DOUBLE) / CAST(t.np AS DOUBLE) / 1024.0, 6)
+         AS kl_bits
+FROM c, t
+"""
+
+
+_KL_DRIFT_SQL = _kl_drift_sql()
+
+
+@register("kl_token_drift", _KL_DRIFT_SQL)
+def kl_token_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point KL divergence D(P‖Q) between the en slice
+    and the rest of the corpus — the directional drift signal a
+    data-mixing dashboard tracks (total-variation is symmetric and
+    saturates; rank-sum sees only scalar orderings).  Add-one
+    smoothing on Q, 1/1024-bit integer log2, one full-outer join of
+    two vocabulary censuses — cost ∝ vocabulary, not corpus."""
+    from vector_db_handler_spark.operators.features import kl_token_drift
+
+    docs = load(spark, sf_dir, "documents")
+    return kl_token_drift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    )
+
+
+# --- Label propagation communities (graph.py) --------------------------------
+
+_LPA_ITERS = 3
+
+_LPA_HEAD_SQL = """
+WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+sym AS (
+  SELECT p * 2 AS a, s * 2 + 1 AS b FROM e0
+  UNION ALL
+  SELECT s * 2 + 1, p * 2 FROM e0
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)"""
+
+_LPA_ROUND_SQL = """,
+v{i} AS (
+  SELECT s.a AS node, l.label, count(*) AS n
+  FROM sym s JOIN l{j} l ON s.b = l.node
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY n DESC, label ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+
+_LPA_SQL = (
+    _LPA_HEAD_SQL
+    + "".join(
+        _LPA_ROUND_SQL.format(i=i, j=i - 1) for i in range(1, _LPA_ITERS + 1)
+    )
+    + f"""
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM l{_LPA_ITERS} GROUP BY 1
+"""
+)
+
+
+@register("label_propagation_communities", _LPA_SQL)
+def label_propagation_communities_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-round label propagation (Raghavan et al. '07, made
+    deterministic: majority vote with (count DESC, label ASC) ties)
+    over the symmetrized part–supplier graph — community structure
+    where connected components sees one blob.  Each round is one
+    groupBy-vote + one argmax window on an O(E) relation,
+    localCheckpointed — the same bounded-round posture as
+    PageRank."""
+    from vector_db_handler_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    e0 = li.select("l_partkey", "l_suppkey").distinct()
+    edges = e0.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return (
+        label_propagation_communities(edges, n_iters=_LPA_ITERS)
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+# --- Inclusion-dependency (FK) discovery (profile.py) ------------------------
+
+#: Candidates: the fixture's true FKs (hold exactly), one reversed
+#: direction (partial — customers without orders), and the nation
+#: spine from two children.
+_IND_CANDIDATES: list[tuple[str, str, str, str]] = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _ind_leg_sql(ct: str, cc: str, pt: str, pc: str) -> str:
+    return f"""
+SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+       '{pt}' AS parent_table, '{pc}' AS parent_col,
+       CAST(count(*) AS BIGINT) AS n_child_distinct,
+       CAST(count(p.hit) AS BIGINT) AS n_contained,
+       ROUND(CAST(count(p.hit) AS DOUBLE) / count(*), 6) AS containment,
+       count(p.hit) = count(*) AS holds
+FROM (SELECT DISTINCT CAST({cc} AS VARCHAR) AS v FROM {ct}
+      WHERE {cc} IS NOT NULL) c
+LEFT JOIN (SELECT DISTINCT CAST({pc} AS VARCHAR) AS v, 1 AS hit FROM {pt}
+           WHERE {pc} IS NOT NULL) p USING (v)"""
+
+
+_IND_SQL = "\nUNION ALL\n".join(_ind_leg_sql(*c) for c in _IND_CANDIDATES)
+
+
+@register("inclusion_dependencies", _IND_SQL)
+def inclusion_dependencies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery across the TPC-H
+    fixture: per candidate (child.col ⊆ parent.col), distinct-side
+    containment with exact counts — the schema-profiling rail that
+    tells a lakehouse which joins are safe.  Each candidate is one
+    distinct-distinct left join (both sides pre-deduped, the small
+    side broadcastable); NULL children never violate (ANSI
+    try_divide hardening from the r11 edge sweep)."""
+    from vector_db_handler_spark.operators.profile import (
+        inclusion_dependencies,
+    )
+
+    tables = {
+        t: load(spark, sf_dir, t)
+        for t in ("orders", "customer", "lineitem", "part", "nation", "supplier")
+    }
+    return inclusion_dependencies(tables, _IND_CANDIDATES)
+
+
+# --- Token entropy (features.py token_entropy) -------------------------------
+
+def _token_entropy_sql() -> str:
+    L = _ilog2_kilo_sql
+    return f"""
+WITH census AS (
+  SELECT doc_id, word, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(sum(cnt * {L('cnt')}) AS BIGINT) AS sum_c_log
+  FROM census GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       CAST(n_tokens * {L('n_tokens')} - sum_c_log AS BIGINT)
+         AS entropy_scaled,
+       ROUND(CAST(n_tokens * {L('n_tokens')} - sum_c_log AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) / 1024.0, 6) AS entropy_bits,
+       ROUND(CAST(n_tokens * {L('n_tokens')} - sum_c_log AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) / 1024.0, 6) < 2.0 AS low_entropy
+FROM agg
+"""
+
+
+_TOKEN_ENTROPY_SQL = _token_entropy_sql()
+
+
+@register("token_entropy", _TOKEN_ENTROPY_SQL)
+def token_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy in exact fixed-point
+    arithmetic (n·H·1024 = n·L(n) − Σc·L(c), the identity that makes
+    the zero-entropy boilerplate edge exact) — the repetition/
+    boilerplate quality rail next to the Gopher battery.  One token
+    census, one per-doc rollup; the low_entropy flag is the
+    pretraining filter bit."""
+    from vector_db_handler_spark.operators.features import token_entropy
+
+    return token_entropy(load(spark, sf_dir, "documents"))
+
+
+# --- NB margin calibration (nb_classifier.py) --------------------------------
+
+_NB_CALIBRATION_SQL = (
+    _nb_pred_cte_sql()
+    + """
+SELECT CAST(length(printf('%b', (p.margin // 1024) + 1)) - 1 AS BIGINT)
+         AS margin_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.predicted = h.rule_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(CAST(sum(CASE WHEN p.predicted = h.rule_lang THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM pred p JOIN heldout h USING (doc_id)
+GROUP BY 1
+"""
+)
+
+
+@register("nb_margin_calibration", _NB_CALIBRATION_SQL)
+def nb_margin_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve for the distilled NB lang classifier:
+    holdout accuracy bucketed by log2(margin in whole bits) — the
+    calibration readout that turns the classifier's margin into a
+    confidence dial (pick a margin cutoff, read the expected
+    precision).  Reuses the shared NB prediction chain; the rollup is
+    |buckets| rows."""
+    from vector_db_handler_spark.operators.nb_classifier import (
+        nb_margin_calibration,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "rule_lang", text_fns.lang_id(F.col("text"))
+    )
+    return nb_margin_calibration(docs, label_col="rule_lang")
+
+
+# --- DSIR importance weighting (lm_score.py dsir_importance) -----------------
+
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+doc_bigrams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+),
+tgt AS (
+  SELECT bigram, COUNT(*) AS n_t FROM doc_bigrams WHERE lang = 'en'
+  GROUP BY bigram
+),
+src AS (
+  SELECT bigram, COUNT(*) AS n_s FROM doc_bigrams GROUP BY bigram
+),
+scored AS (
+  SELECT d.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(COALESCE(length(printf('%b', t.n_t)), 0)) AS BIGINT)
+           AS credit_t,
+         CAST(SUM(COALESCE(length(printf('%b', s.n_s)), 0)) AS BIGINT)
+           AS credit_s
+  FROM doc_bigrams d
+  LEFT JOIN tgt t USING (bigram)
+  LEFT JOIN src s USING (bigram)
+  GROUP BY d.doc_id
+),
+weights AS (
+  SELECT doc_id,
+         CAST(1000 * credit_t // n_bigrams AS BIGINT)
+           - CAST(1000 * credit_s // n_bigrams AS BIGINT) AS weight_milli
+  FROM scored
+)
+SELECT doc.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w.weight_milli) AS BIGINT) AS sum_weight_milli,
+       CAST(MIN(w.weight_milli) AS BIGINT) AS min_weight_milli,
+       CAST(MAX(w.weight_milli) AS BIGINT) AS max_weight_milli,
+       CAST(SUM(CASE WHEN w.weight_milli > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive
+FROM weights w JOIN documents doc USING (doc_id)
+GROUP BY doc.lang
+"""
+
+
+@register("dsir_importance", _DSIR_SQL)
+def dsir_importance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS'23): per-document
+    importance weight = target-model minus source-model bigram
+    credits (bit-length surrogates, exact milli ints), rolled up per
+    language — docs resembling the en target slice outweigh
+    background, and text common to both CANCELS (the property the
+    one-model perplexity filter lacks).  One shared bigram explode,
+    two vocabulary-sized model joins."""
+    from vector_db_handler_spark.operators.lm_score import dsir_importance
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_importance(
+        docs, docs.filter(F.col("lang") == "en"), text_col="text"
+    )
+    return (
+        w.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("weight_milli").alias("sum_weight_milli"),
+            F.min("weight_milli").alias("min_weight_milli"),
+            F.max("weight_milli").alias("max_weight_milli"),
+            F.sum((F.col("weight_milli") > 0).cast("long")).alias("n_positive"),
+        )
+    )
+
+
+# --- Rendezvous (HRW) rebalance report (layout.py) ---------------------------
+
+_RDV_SHARDS_BEFORE: list[str] = [f"s{i}" for i in range(8)]
+_RDV_SHARDS_AFTER: list[str] = [f"s{i}" for i in range(9)]
+
+
+def _rdv_pick_sql(shards: list[str], alias: str) -> str:
+    values = ", ".join(f"('{s}')" for s in sorted(shards))
+    return f"""
+SELECT doc_id, shard AS {alias} FROM (
+  SELECT doc_id, shard,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || '|' || shard), 1, 15) AS BIGINT) DESC,
+                    shard DESC) AS rn
+  FROM (SELECT doc_id FROM documents), (VALUES {values}) s(shard)
+) WHERE rn = 1"""
+
+
+_RENDEZVOUS_SQL = f"""
+WITH b AS ({_rdv_pick_sql(_RDV_SHARDS_BEFORE, "s_before")}),
+a AS ({_rdv_pick_sql(_RDV_SHARDS_AFTER, "s_after")}),
+pairs AS (
+  SELECT s_before, s_after, count(*) AS n
+  FROM b JOIN a USING (doc_id) GROUP BY 1, 2
+),
+legs AS (
+  SELECT s_before AS shard, n AS n_before, 0 AS n_after, 0 AS n_moved_in,
+         CASE WHEN s_before != s_after THEN n ELSE 0 END AS n_moved_out
+  FROM pairs
+  UNION ALL
+  SELECT s_after, 0, n,
+         CASE WHEN s_before != s_after THEN n ELSE 0 END, 0
+  FROM pairs
+)
+SELECT shard,
+       CAST(sum(n_before) AS BIGINT) AS n_before,
+       CAST(sum(n_after) AS BIGINT) AS n_after,
+       CAST(sum(n_moved_in) AS BIGINT) AS n_moved_in,
+       CAST(sum(n_moved_out) AS BIGINT) AS n_moved_out
+FROM legs GROUP BY 1
+"""
+
+
+@register("rendezvous_rebalance_report", _RENDEZVOUS_SQL)
+def rendezvous_rebalance_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rendezvous (HRW) sharding rebalance report for growing the
+    document corpus 8 → 9 shards: assign every doc under both shard
+    sets (in-row argmax over hash structs — no explode, no shuffle)
+    and roll up moves per shard.  The HRW guarantee this makes
+    hash-checkable: every moved key lands on the NEW shard (~1/9 of
+    keys), none move between survivors — the property that makes a
+    shard split on a 100 TB corpus an incremental copy instead of a
+    full reshuffle."""
+    from vector_db_handler_spark.operators.layout import (
+        rendezvous_rebalance_report,
+    )
+
+    return rendezvous_rebalance_report(
+        load(spark, sf_dir, "documents"),
+        _RDV_SHARDS_BEFORE,
+        _RDV_SHARDS_AFTER,
+    )
+
+
+# --- Arrow IPC / Feather v2 interchange edge (sources/arrow_ipc.py) ----------
+
+@register("arrow_ipc_roundtrip_stats", _AVRO_ROUNDTRIP_SQL)
+def arrow_ipc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) interchange edge — the columnar format
+    HF `datasets` caches actually are: export documents as one IPC
+    file per partition from the executors (atomic per-file rename,
+    explicit canonical schema so all-null partitions cannot type-skew),
+    read back via a distributed ``binaryFile`` scan + in-task pyarrow
+    decode, and aggregate.  The checksum matching the parquet-sourced
+    oracle proves the hop was lossless across the whole corpus —
+    the same contract as the Avro edge."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.sources import arrow_ipc as arrow_src
+
+    tag = _hl.md5(
+        f"arrow|{_fixture_tag(sf_dir, 'documents')}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"vdh_arrow_{tag}")
+    marker = os.path.join(root, "_vdh_done")
+    if not os.path.exists(marker):
+        arrow_src.write_documents_arrow(load(spark, sf_dir, "documents"), root)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    df = arrow_src.read_documents_arrow(spark, root)
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            text_fns.portable_hash60(F.col("text")) % F.lit(1000000007)
+        ).alias("text_checksum"),
+    )

@@ -920,10 +920,15 @@ def cuped_adjusted_metrics(
         F.sum(dec("x") * dec("y")).alias("sxy"),
         F.sum(dec("x") * dec("x")).alias("sxx"),
     )
-    theta = (
+    # Degenerate population guard (r11 ADVICE): one user, or zero
+    # pre-period variance, makes n·Σxx − Σx² = 0 — θ falls back to 0
+    # so adj_mean_y degrades to the unadjusted mean instead of NaN.
+    denom = (dec("n") * F.col("sxx") - dec("sx") * dec("sx")).cast("double")
+    theta = F.when(
+        denom != 0,
         (dec("n") * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
-        / (dec("n") * F.col("sxx") - dec("sx") * dec("sx")).cast("double")
-    )
+        / denom,
+    ).otherwise(F.lit(0.0))
     glob = glob.select(
         theta.alias("theta_raw"),
         (F.col("sx").cast("double") / F.col("n")).alias("mx_all"),
