@@ -76,3 +76,48 @@ def test_roundtrip_stats_match_parquet_oracle(spark, sf_dir, duck, tmp_path):
         .alias("text_checksum"),
     )
     compare(got, duck, ORACLE_SQL)
+
+
+def test_all_null_partition_cannot_type_skew(spark, tmp_path):
+    """A partition whose text/n_chars are ENTIRELY null used to let
+    pyarrow infer a null type for that part file (r11 ADVICE); the
+    explicit canonical schema pins every part file to the same
+    types, so the roundtrip stays lossless and typed."""
+    rows_a = [(1, None, None, "s", None), (2, None, None, "s", None)]
+    rows_b = [(3, "hello", "en", "s", 5)]
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(rows_a, ddl).repartition(1).unionByName(
+        spark.createDataFrame(rows_b, ddl).repartition(1)
+    )
+    write_documents_arrow(docs, str(tmp_path / "nulls"))
+    back = {
+        r["doc_id"]: r
+        for r in read_documents_arrow(spark, str(tmp_path / "nulls")).collect()
+    }
+    assert back[1]["text"] is None and back[1]["n_chars"] is None
+    assert back[3]["text"] == "hello" and back[3]["n_chars"] == 5
+
+
+def test_type_skewed_file_fails_loudly(spark, tmp_path):
+    """Right names, wrong types: the reader must reject it up front
+    (the failure used to surface later as a coercion error or a
+    silent cast inside mapInPandas)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pytest as _pytest
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([1.5], type=pa.float64()),  # double, not long
+            "text": pa.array(["x"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["s"]),
+            "n_chars": pa.array([1], type=pa.int64()),
+        }
+    )
+    path = tmp_path / "skewed"
+    path.mkdir()
+    with ipc.new_file(str(path / "part-0.arrow"), table.schema) as w:
+        w.write_table(table)
+    with _pytest.raises(Exception, match="unexpected IPC schema types"):
+        read_documents_arrow(spark, str(path)).collect()

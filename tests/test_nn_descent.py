@@ -12,85 +12,12 @@ from tests.oracle_check import compare
 from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.similarity import knn_graph_nn_descent
 
-K = 5
-ITERS = 2
-RAND_BUCKETS = 64
+K = dq._NND_K
+ITERS = dq._NND_ITERS
+RAND_BUCKETS = dq._NND_RAND_BUCKETS
 
-#: One NN-descent iteration in SQL: undirected edges → neighbours-of-
-#: neighbours ∪ current → exact integer re-score → top-k.
-_ITER = """,
-und{i} AS (
-  SELECT a, b FROM g{j} UNION SELECT b, a FROM g{j}
-),
-cand{i} AS (
-  SELECT u1.a, u2.b FROM und{i} u1 JOIN und{i} u2 ON u1.b = u2.a
-  WHERE u2.b != u1.a
-  UNION
-  SELECT a, b FROM g{j}
-),
-g{i} AS (
-  SELECT a, b, d FROM (
-    SELECT c.a, c.b,
-           CAST(list_dot_product(CAST(qa.v AS DOUBLE[]),
-                                 CAST(qb.v AS DOUBLE[])) AS BIGINT) AS d,
-           row_number() OVER (PARTITION BY c.a
-                              ORDER BY CAST(list_dot_product(
-                                CAST(qa.v AS DOUBLE[]),
-                                CAST(qb.v AS DOUBLE[])) AS BIGINT) DESC,
-                              c.b ASC) AS rn
-    FROM cand{i} c JOIN qv qa ON c.a = qa.vec_id
-                   JOIN qv qb ON c.b = qb.vec_id
-  ) WHERE rn <= {k}
-)"""
-
-#: DuckDB twin — the registered k-means chain (scale → qv → seeds →
-#: two Lloyd rounds ending at assignment a2) + cluster-local init +
-#: ITERS unrolled NN-descent rounds.  The SQL an r12 registration
-#: will carry.
-ORACLE_SQL = (
-    dq._KMEANS_CTES
-    + f""",
-assigned AS (
-  -- a2.cluster is the SEED's cid (the chain's labeling convention);
-  -- hbucket is the deterministic random-init grouping
-  SELECT a2.vec_id, a2.cluster AS cluster_seed,
-         CAST('0x' || substr(md5(CAST(a2.vec_id AS VARCHAR)), 1, 15)
-              AS BIGINT) % {RAND_BUCKETS} AS hbucket,
-         qv.v
-  FROM a2 JOIN qv ON a2.vec_id = qv.vec_id
-),
-init_pairs AS (
-  SELECT x.vec_id AS a, y.vec_id AS b
-  FROM assigned x JOIN assigned y
-    ON x.cluster_seed = y.cluster_seed AND x.vec_id != y.vec_id
-  UNION
-  SELECT x.vec_id, y.vec_id
-  FROM assigned x JOIN assigned y
-    ON x.hbucket = y.hbucket AND x.vec_id != y.vec_id
-),
-g0 AS (
-  SELECT a, b, d FROM (
-    SELECT p.a, p.b,
-           CAST(list_dot_product(CAST(qa.v AS DOUBLE[]),
-                                 CAST(qb.v AS DOUBLE[])) AS BIGINT) AS d,
-           row_number() OVER (PARTITION BY p.a
-                              ORDER BY CAST(list_dot_product(
-                                CAST(qa.v AS DOUBLE[]),
-                                CAST(qb.v AS DOUBLE[])) AS BIGINT) DESC,
-                              p.b ASC) AS rn
-    FROM init_pairs p JOIN qv qa ON p.a = qa.vec_id
-                      JOIN qv qb ON p.b = qb.vec_id
-  ) WHERE rn <= {K}
-)"""
-    + "".join(_ITER.format(i=i, j=i - 1, k=K) for i in range(1, ITERS + 1))
-    + f"""
-SELECT a AS vec_id, b AS neighbor_id,
-       CAST(row_number() OVER (PARTITION BY a ORDER BY d DESC, b ASC)
-            AS BIGINT) AS rank,
-       d AS iscore
-FROM g{ITERS}
-"""
-)
+#: The registered oracle (moved into driver_queries.py in r12).
+ORACLE_SQL = dq._NN_DESCENT_SQL
 
 
 def _planted_families(spark, n_families=40, members=8, dim=32):
@@ -149,6 +76,9 @@ def test_descent_recovers_planted_family_neighbours(spark):
         hit = sum(len(got.get(i, set()) & truth[i]) for i in truth)
         return hit / (len(truth) * kk)
 
+    # No rand_buckets: exercises the ADAPTIVE default (derived from
+    # the corpus count targeting ~64-node buckets — the r11 ADVICE
+    # fix for the quadratic fixed-bucket hash leg).
     r0 = recall(knn_graph_nn_descent(emb, k=kk, iters=0))
     r2 = recall(knn_graph_nn_descent(emb, k=kk, iters=ITERS))
     # On family-structured data the coarse cells already capture most
@@ -169,7 +99,7 @@ def test_objective_is_monotone_on_fixture(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sums = [
-        knn_graph_nn_descent(emb, k=K, iters=i)
+        knn_graph_nn_descent(emb, k=K, iters=i, rand_buckets=RAND_BUCKETS)
         .agg(F2.sum("iscore"))
         .collect()[0][0]
         for i in (0, 1, ITERS)
@@ -234,4 +164,8 @@ def test_random_bucket_init_bridges_singleton_cells(spark):
 
 def test_cross_engine_oracle_replay(spark, sf_dir, duck):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    compare(knn_graph_nn_descent(emb, k=K, iters=ITERS), duck, ORACLE_SQL)
+    compare(
+        knn_graph_nn_descent(emb, k=K, iters=ITERS, rand_buckets=RAND_BUCKETS),
+        duck,
+        ORACLE_SQL,
+    )

@@ -1425,6 +1425,87 @@ def r10(mult: int = 4) -> None:
         )
 
 
+
+def r12(mult: int = 4) -> None:
+    """Linearity probes for the two r11-staged families that lacked
+    two-scale rows (r11 verdict stretch #6), run before their r12
+    registration:
+
+    * ``rank_eval_metrics`` — the operator's data scale is the EVAL
+      relation (results x truth), never the corpus: probe with
+      synthetic per-query rankings at two query-set sizes; the rollup
+      is |queries| rows and every window partitions by query_id.
+    * Arrow IPC roundtrip — executor-side write (one file per
+      partition, explicit canonical schema) + distributed binaryFile
+      read; wall linear in bytes.
+    """
+    import shutil
+    import tempfile
+
+    from vector_db_handler_spark.operators.retrieval import (
+        rank_eval_metrics,
+    )
+    from vector_db_handler_spark.sources.arrow_ipc import (
+        read_documents_arrow,
+        write_documents_arrow,
+    )
+
+    spark = get_spark("r12-probe")
+    sf = "/root/testdata/sf0.1"
+
+    for n_q in (10_000, 10_000 * mult):
+        # 10 results/query, truth = a deterministic half-overlap
+        base = spark.range(n_q).withColumnRenamed("id", "query_id")
+        ranks = spark.range(1, 11).withColumnRenamed("id", "rank")
+        results = base.crossJoin(ranks).select(
+            "query_id",
+            F.concat(F.lit("it"), ((F.col("query_id") * 37 + F.col("rank")) % 20).cast("string")).alias("neighbor_id"),
+            "rank",
+        ).dropDuplicates(["query_id", "neighbor_id"])
+        truth = base.crossJoin(
+            spark.range(1, 11).withColumnRenamed("id", "rel")
+        ).select(
+            "query_id",
+            F.concat(F.lit("it"), ((F.col("query_id") * 37 + F.col("rel") * 2) % 20).cast("string")).alias("neighbor_id"),
+            "rel",
+        ).dropDuplicates(["query_id", "neighbor_id"])
+        t0 = time.perf_counter()
+        n = rank_eval_metrics(results, truth).count()
+        print(
+            f"rank_eval_metrics @ {n_q} queries: {n} out-rows, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet")
+
+    def replicate(df, m):
+        if m == 1:
+            return df
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return df.crossJoin(reps).select(
+            (F.col("doc_id") * m + F.col("rep")).alias("doc_id"),
+            *[c for c in df.columns if c != "doc_id"],
+        )
+
+    for m in (1, mult):
+        docs = replicate(docs0, m).repartition(16)
+        rows = docs.count()
+        root = tempfile.mkdtemp(prefix="vdh_probe_arrow_")
+        try:
+            t0 = time.perf_counter()
+            n_w = write_documents_arrow(docs, root)
+            t1 = time.perf_counter()
+            n_r = read_documents_arrow(spark, root).count()
+            t2 = time.perf_counter()
+            assert n_w == n_r == rows
+            print(
+                f"arrow_ipc @ {rows} docs: write {t1-t0:.1f}s, "
+                f"read {t2-t1:.1f}s"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def r11(mult: int = 4) -> None:
     """Linearity probes for the round-11 STAGED operators (to register
     in r12; probed before registration so the scale claims ship with
@@ -1740,6 +1821,8 @@ if __name__ == "__main__":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r12":
+        r12(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r11":
         r11(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r10":

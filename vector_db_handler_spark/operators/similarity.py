@@ -825,7 +825,7 @@ def knn_graph_nn_descent(
     k: int = 5,
     iters: int = 2,
     kmeans_k: int = 8,
-    rand_buckets: int = 64,
+    rand_buckets: int | None = None,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -861,12 +861,21 @@ def knn_graph_nn_descent(
     per node.  A node starts edgeless only if it is alone in BOTH its
     cell and its hash bucket (a 1-node corpus, in practice).
 
-    Scale shape: the init join is per-cell (skew guard = the coarse
-    quantizer's balance); each iteration is two self-joins of a ≤
-    N·k-row edge relation plus one qvec attach join and a per-node
-    top-k window over ≤ (2k)² candidate rows; lineage truncated per
-    iteration with ``localCheckpoint`` (same posture as PageRank/LPA).
-    No collect beyond the K-row k-means seeds."""
+    Scale shape — BOTH init dials must grow with the corpus (r11
+    ADVICE): the cluster leg is quadratic within a cell (bounded by
+    ``N/kmeans_k``) and the hash leg is quadratic within a bucket
+    (``N²/rand_buckets`` pairs total) — hold EITHER fixed while N
+    grows and that leg goes quadratic.  ``rand_buckets=None`` (the
+    default) derives the bucket count from the corpus size targeting
+    ~64-node buckets, making the hash leg ~64·N pairs at any scale;
+    pass an explicit value only when replay parity against a pinned
+    oracle requires it (the registered query pins 64).  Each
+    iteration is two self-joins of a ≤ N·k-row edge relation plus one
+    qvec attach join and a per-node top-k window over ≤ (2k)²
+    candidate rows; lineage truncated per iteration with
+    ``localCheckpoint`` (same posture as PageRank/LPA).  No collect
+    beyond the K-row k-means seeds and the one COUNT(*) the adaptive
+    bucket dial needs."""
     from pyspark.sql import Window
 
     from vector_db_handler_spark.operators.clustering import (
@@ -877,6 +886,9 @@ def knn_graph_nn_descent(
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    if rand_buckets is None:
+        # ~64 expected nodes per bucket: N²/buckets ≈ 64·N pairs.
+        rand_buckets = max(16, emb.count() // 64)
     nodes = kmeans_int8_assign(
         emb, k=kmeans_k, embedding_col=embedding_col, id_col=id_col
     ).select(F.col(id_col).alias("nid"), "qvec", "cluster")

@@ -1292,6 +1292,7 @@ def streaming_hll_registers(
     value_col: str = "user_id",
     p: int = 6,
     timeout_sec: int = 120,
+    retain_versions: int = 2,
 ) -> None:
     """Streaming distinct-count sketch maintenance: each micro-batch's
     HLL registers (`operators/hll.py hll_registers` — the SAME
@@ -1313,9 +1314,20 @@ def streaming_hll_registers(
     version yields the identical store — no batch_id dedup
     bookkeeping needed (the sketch-algebra version of the idempotent
     per-batch_id pattern the serve sinks use; pinned by the rerun
-    test).  State is |keys|·K rows regardless of stream volume — the
-    constant-state property that makes HLL the production choice for
-    streaming distinct counts.
+    test).  The replay window between the two layers is closed
+    explicitly (r11 ADVICE): a replayed batch whose own
+    ``version=<batch_id>`` already carries ``_SUCCESS`` (crash landed
+    AFTER the store commit but BEFORE the checkpoint commit)
+    short-circuits to a no-op — without the guard it would lazily
+    READ that directory as the newest version and then OVERWRITE the
+    same path, which Spark rejects, wedging the stream.  Belt and
+    braces, the merge source is also capped to versions strictly
+    below the batch being written.  State is |keys|·K rows regardless
+    of stream volume — the constant-state property that makes HLL the
+    production choice for streaming distinct counts; committed
+    versions older than the newest ``retain_versions`` are pruned
+    after each commit so store size stays O(retain · |keys| · K)
+    instead of O(n_batches).
 
     Use :func:`hll_store_read` to read the latest complete register
     relation back."""
@@ -1324,20 +1336,42 @@ def streaming_hll_registers(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        import os
+        import shutil
+
+        vdir = os.path.join(out_path, f"version={int(batch_id)}")
+        if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            # Crash-replay of an already-committed batch: the store
+            # state for this batch id IS this directory.  Re-merging
+            # would read it and overwrite it in one plan.
+            return
         spark = batch_df.sparkSession
         regs = hll_registers(batch_df, key_col, value_col, p)
-        old = hll_store_read(spark, out_path)
+        old = hll_store_read(spark, out_path, max_version=int(batch_id))
         if old is not None:
             regs = (
                 old.unionByName(regs)
                 .groupBy("key", "bucket")
                 .agg(F.max("m").alias("m"))
             )
-        import os
-
-        regs.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"version={int(batch_id)}")
+        regs.write.mode("overwrite").parquet(vdir)
+        # Retention: drop committed versions older than the newest
+        # `retain_versions` complete ones.  Markerless (crashed)
+        # directories are left for inspection; they are skipped by
+        # every reader anyway.
+        committed = sorted(
+            (
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out_path)
+                if d.startswith("version=")
+                and os.path.exists(os.path.join(out_path, d, "_SUCCESS"))
+            ),
+            reverse=True,
         )
+        for v in committed[max(int(retain_versions), 1):]:
+            shutil.rmtree(
+                os.path.join(out_path, f"version={v}"), ignore_errors=True
+            )
 
     q = (
         events_stream.writeStream.foreachBatch(merge)
@@ -1352,26 +1386,32 @@ def streaming_hll_registers(
         raise TimeoutError(f"hll merge did not drain within {timeout_sec}s")
 
 
-def hll_store_read(spark: SparkSession, out_path: str) -> DataFrame | None:
+def hll_store_read(
+    spark: SparkSession, out_path: str, max_version: int | None = None
+) -> DataFrame | None:
     """Latest COMPLETE version of a :func:`streaming_hll_registers`
     store: the newest ``version=<n>`` directory carrying the
     ``_SUCCESS`` marker (incomplete writes from a crashed batch have
-    no marker and are skipped).  None if no complete version exists."""
+    no marker and are skipped).  ``max_version`` caps the search to
+    versions STRICTLY BELOW it — the replay guard: a batch merging
+    its predecessors must never read its own (possibly committed)
+    version as input.  None if no complete version exists."""
     import os
 
     try:
         dirs = os.listdir(out_path)
     except FileNotFoundError:
         return None
-    done = sorted(
-        (
-            int(d.split("=", 1)[1])
-            for d in dirs
-            if d.startswith("version=")
-            and os.path.exists(os.path.join(out_path, d, "_SUCCESS"))
-        ),
-        reverse=True,
-    )
+    done = []
+    for d in dirs:
+        if not d.startswith("version="):
+            continue
+        v = int(d.split("=", 1)[1])
+        if max_version is not None and v >= max_version:
+            continue
+        if os.path.exists(os.path.join(out_path, d, "_SUCCESS")):
+            done.append(v)
+    done.sort(reverse=True)
     if not done:
         return None
     return spark.read.parquet(os.path.join(out_path, f"version={done[0]}"))
