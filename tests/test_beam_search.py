@@ -1,0 +1,219 @@
+"""Graph-ANN beam search over the NN-descent kNN graph: equivalence
+to exact int8 top-k when the beam sees everything, hop-monotone
+recall on planted structure, edge semantics, determinism, and the
+cross-engine DuckDB replay composed onto the registered NN-descent
+CTE chain.  Staged in r12 for r13 driver registration."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_check import compare
+from vector_db_handler_spark import driver_queries as dq
+from vector_db_handler_spark.operators.similarity import (
+    knn_graph_beam_search,
+    knn_graph_nn_descent,
+)
+
+K = 10
+BEAM = 12
+HOPS = 2
+ENTRY_MOD = 32
+
+#: One beam hop in SQL: expand over undirected graph edges ∪ current
+#: beam → exact integer re-score against the quantized query →
+#: top-beam with pinned (d DESC, nid ASC) ties.
+#: (expand CTEs are named x{{i}} — c1/c2 belong to the k-means chain)
+_HOP = """,
+x{i} AS (
+  SELECT u.b AS nid FROM b{j} JOIN und u ON u.a = b{j}.nid
+  UNION
+  SELECT nid FROM b{j}
+),
+b{i} AS (
+  SELECT nid, d FROM (
+    SELECT c.nid,
+           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
+           row_number() OVER (
+             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
+                           AS BIGINT) DESC, c.nid ASC) AS rn
+    FROM x{i} c JOIN qv q ON c.nid = q.vec_id
+  ) WHERE rn <= {beam}
+)"""
+
+#: DuckDB twin — the registered NN-descent CTE chain (k-means → init
+#: → 2 descent rounds ending at g2) + undirected edges + quantized
+#: query + hash-sampled entry beam + HOPS unrolled beam hops.  The
+#: SQL an r13 registration will carry.
+ORACLE_SQL = (
+    dq._NN_DESCENT_CTES
+    + f""",
+und AS (
+  SELECT a, b FROM g{dq._NND_ITERS} UNION SELECT b, a FROM g{dq._NND_ITERS}
+),
+qq AS (
+  SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
+),
+b0 AS (
+  SELECT nid, d FROM (
+    SELECT q.vec_id AS nid,
+           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
+           row_number() OVER (
+             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
+                           AS BIGINT) DESC, q.vec_id ASC) AS rn
+    FROM qv q
+    WHERE CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {ENTRY_MOD} = 0
+  ) WHERE rn <= {BEAM}
+)"""
+    + "".join(_HOP.format(i=i, j=i - 1, beam=BEAM) for i in range(1, HOPS + 1))
+    + f"""
+SELECT nid AS vec_id,
+       CAST(rnk AS BIGINT) AS rank,
+       d AS iscore
+FROM (
+  SELECT nid, d,
+         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
+  FROM b{HOPS}
+) WHERE rnk <= {K}
+"""
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_full_visibility_equals_exact_int8_topk(spark):
+    """entry_mod=1 + hops=0 scores the WHOLE corpus into the beam:
+    the result must equal the exact int8 top-k (quantized_knn) in
+    ids, order, and integer scores — beam search degrades to brute
+    force exactly when its pruning is turned off."""
+    from vector_db_handler_spark.operators.quantize import quantized_knn
+
+    rows = [
+        (i, [((i * 7 + d * 3) % 11 - 5) / 5.0 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = _emb(spark, rows)
+    q = [((d * 5 + 2) % 11 - 5) / 5.0 for d in range(8)]
+    got = knn_graph_beam_search(
+        emb, q, k=5, beam=40, hops=0, entry_mod=1, kmeans_k=2
+    ).collect()
+    want = quantized_knn(emb, q, k=5).collect()
+    assert [(r["vec_id"], r["iscore"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (r["vec_id"], r["qscore"]) for r in want
+    ]
+
+
+def test_hops_recover_entries_miss(spark):
+    """Plant a best node whose cluster the entry slice misses: hops
+    must walk to it through the graph (the connectivity payoff),
+    reaching the exact int8 argmax after one hop.  Family size 4 with
+    graph_k=5 forces cross-family edges — the NAVIGABILITY condition
+    the operator documents (a converged kNN graph with k < cluster
+    size is cluster-pure, i.e. disconnected across clusters, and no
+    beam width can cross it; that is why HNSW adds long-range
+    layers)."""
+    from tests.test_nn_descent import _planted_families
+
+    emb = _planted_families(spark, n_families=20, members=4, dim=16)
+    q_row = [r for r in emb.collect() if r["vec_id"] == 3 * 4][0]
+    q = list(q_row["embedding"])
+
+    def best(hops):
+        out = knn_graph_beam_search(
+            emb, q, k=1, beam=4, hops=hops, entry_mod=16,
+            rand_buckets=8, kmeans_k=4, graph_k=5, graph_iters=2,
+        ).collect()
+        return out[0]["iscore"] if out else None
+
+    exact = knn_graph_beam_search(
+        emb, q, k=1, beam=80, hops=0, entry_mod=1, kmeans_k=4,
+        rand_buckets=8,
+    ).collect()[0]["iscore"]
+    b0, b1 = best(0), best(1)
+    assert b0 is not None and b0 < exact  # entries alone miss it
+    assert b1 == exact  # one hop of graph walking recovers it
+
+
+def test_cluster_pure_graph_is_not_navigable(spark):
+    """The documented limitation, pinned: graph_k=5 < family size 8
+    makes every node's neighbors same-family only — the graph is
+    DISCONNECTED across families, so hops can never leave the entry
+    families no matter the beam.  (The production answer is a
+    coarser entry layer or graph_k >= cluster size.)"""
+    from tests.test_nn_descent import _planted_families
+
+    emb = _planted_families(spark, n_families=20, members=8, dim=16)
+    q_row = [r for r in emb.collect() if r["vec_id"] == 3 * 8][0]
+    q = list(q_row["embedding"])
+    exact = knn_graph_beam_search(
+        emb, q, k=1, beam=160, hops=0, entry_mod=1, kmeans_k=4,
+        rand_buckets=8,
+    ).collect()[0]["iscore"]
+    stuck = knn_graph_beam_search(
+        emb, q, k=1, beam=16, hops=3, entry_mod=16, kmeans_k=4,
+        rand_buckets=8, graph_k=5, graph_iters=2,
+    ).collect()[0]["iscore"]
+    assert stuck < exact
+
+
+def test_args_validated(spark):
+    emb = _emb(spark, [(0, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="k <= beam"):
+        knn_graph_beam_search(emb, [1.0, 0.0], k=5, beam=3)
+    with pytest.raises(ValueError, match="hops"):
+        knn_graph_beam_search(emb, [1.0, 0.0], k=1, beam=2, hops=-1)
+    with pytest.raises(ValueError, match="entry_mod"):
+        knn_graph_beam_search(emb, [1.0, 0.0], k=1, beam=2, entry_mod=0)
+
+
+def test_deterministic_across_partitionings(spark):
+    rows = [
+        (i, [((i * 13 + d * 7) % 9 - 4) / 4.0 for d in range(8)])
+        for i in range(60)
+    ]
+    q = [((d * 3 + 1) % 9 - 4) / 4.0 for d in range(8)]
+    one = _emb(spark, rows).coalesce(1)
+    many = _emb(spark, rows).repartition(8)
+    kw = dict(k=5, beam=6, hops=2, entry_mod=4, kmeans_k=4, rand_buckets=8)
+    a = [tuple(r) for r in knn_graph_beam_search(one, q, **kw).collect()]
+    b = [tuple(r) for r in knn_graph_beam_search(many, q, **kw).collect()]
+    assert a == b and len(a) == 5
+
+
+def test_prebuilt_graph_is_reused(spark):
+    """Passing a prebuilt graph must give the same answer as building
+    inline with the same dials — the amortize-one-build-across-
+    queries production shape."""
+    rows = [
+        (i, [((i * 5 + d) % 7 - 3) / 3.0 for d in range(6)])
+        for i in range(30)
+    ]
+    emb = _emb(spark, rows)
+    q = [((d * 2 + 1) % 7 - 3) / 3.0 for d in range(6)]
+    g = knn_graph_nn_descent(emb, k=3, iters=1, kmeans_k=2, rand_buckets=4)
+    kw = dict(k=3, beam=4, hops=1, entry_mod=2)
+    a = [tuple(r) for r in knn_graph_beam_search(
+        emb, q, graph=g, **kw).collect()]
+    b = [tuple(r) for r in knn_graph_beam_search(
+        emb, q, graph_k=3, graph_iters=1, kmeans_k=2, rand_buckets=4,
+        **kw).collect()]
+    assert a == b
+
+
+def test_cross_engine_oracle_replay(spark, sf_dir, duck):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = knn_graph_beam_search(
+        emb,
+        dq.QUERY_VEC,
+        k=K,
+        beam=BEAM,
+        hops=HOPS,
+        entry_mod=ENTRY_MOD,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+    )
+    compare(got, duck, ORACLE_SQL)

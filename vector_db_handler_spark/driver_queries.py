@@ -11263,8 +11263,10 @@ g{i} AS (
 
 #: DuckDB twin — the registered k-means chain (scale → qv → seeds →
 #: two Lloyd rounds ending at assignment a2) + cluster-local init +
-#: ITERS unrolled NN-descent rounds.
-_NN_DESCENT_SQL = (
+#: ITERS unrolled NN-descent rounds.  The CTE prefix (ending at
+#: ``g{ITERS}``) is split out so graph-CONSUMING oracles (beam
+#: search) can compose onto the same build.
+_NN_DESCENT_CTES = (
     _KMEANS_CTES
     + f""",
 assigned AS (
@@ -11303,6 +11305,10 @@ g0 AS (
         _NND_ITER_SQL.format(i=i, j=i - 1, k=_NND_K)
         for i in range(1, _NND_ITERS + 1)
     )
+)
+
+_NN_DESCENT_SQL = (
+    _NN_DESCENT_CTES
     + f"""
 SELECT a AS vec_id, b AS neighbor_id,
        CAST(row_number() OVER (PARTITION BY a ORDER BY d DESC, b ASC)

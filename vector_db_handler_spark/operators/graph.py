@@ -487,3 +487,95 @@ def label_propagation_communities(
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def hyperball_neighborhood(
+    edges: DataFrame,
+    n_hops: int = 2,
+    p: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 2013): the per-node NEIGHBOURHOOD
+    FUNCTION — an estimate of ``|ball(node, h)|`` (nodes within ≤ h
+    hops) for every node and every ``h in 0..n_hops`` — via HLL
+    register propagation, the algorithm that computed Facebook's
+    "four degrees of separation".  Exact BFS per node is |V| traversals
+    (hopeless at scale); HyperBall replaces each node's reach-SET with
+    a constant-size HLL sketch and each BFS round with one
+    max-merge over edges — the sketch-algebra trick that turns
+    all-pairs reachability into ``n_hops`` joins.
+
+    Built on the SAME register/estimate arithmetic as
+    ``hll.hll_distinct_by_key`` (one implementation: the 60-bit md5
+    hash, exact BIGINT harmonic sums, the fixed-point linear-counting
+    branch), so the whole run replays bit-for-bit in the DuckDB twin
+    with the rounds unrolled as CTEs.
+
+    Input edges are treated as undirected (symmetrized, self-loops
+    dropped — isolated nodes don't appear, matching the LPA/components
+    convention).  Returns ``(node, hop, n_zero_buckets, sum_scaled,
+    est_raw, est_lc, est_used)``, one row per node per hop —
+    ``est_used`` at hop h estimates the h-ball's size; downstream
+    rollups (effective diameter, median ball growth) read off this
+    relation.
+
+    Scale shape per round: one edges⨝registers equi-join on the
+    neighbour end plus one map-side-combined (node, bucket) MAX — the
+    register relation is ≤ |V|·K rows regardless of edge count or
+    round; lineage truncated per round with ``localCheckpoint``
+    (the PageRank/LPA posture).  The estimate grid explode is
+    |V|·(n_hops+1)·K rows, data-scale invariant."""
+    from vector_db_handler_spark.operators.hll import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    if n_hops < 0:
+        raise ValueError(f"n_hops must be >= 0, got {n_hops}")
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    sym = (
+        und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    # hop-0 registers: each node's ball is {itself}
+    regs = (
+        hll_registers(
+            nodes.select("node", F.col("node").alias("val")), "node", "val", p
+        )
+        .withColumnRenamed("key", "node")
+        .localCheckpoint(eager=False)
+    )
+    per_hop = [
+        hll_estimate_from_registers(regs, p, ("node",)).select(
+            "node", F.lit(0).cast("long").alias("hop"),
+            "n_zero_buckets", "sum_scaled", "est_raw", "est_lc", "est_used",
+        )
+    ]
+    for h in range(1, int(n_hops) + 1):
+        nbr = sym.join(regs, sym["b"] == regs["node"]).select(
+            F.col("a").alias("node"), "bucket", "m"
+        )
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "bucket")
+            .agg(F.max("m").alias("m"))
+            .localCheckpoint(eager=False)
+        )
+        per_hop.append(
+            hll_estimate_from_registers(regs, p, ("node",)).select(
+                "node", F.lit(h).cast("long").alias("hop"),
+                "n_zero_buckets", "sum_scaled", "est_raw", "est_lc",
+                "est_used",
+            )
+        )
+    out = per_hop[0]
+    for df in per_hop[1:]:
+        out = out.unionByName(df)
+    return out

@@ -112,33 +112,32 @@ def hll_registers(
     )
 
 
-def hll_distinct_by_key(
-    df: DataFrame,
-    key_col: str,
-    value_col: str,
-    p: int = 6,
-    with_exact: bool = True,
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    p: int,
+    key_cols: tuple[str, ...] = ("key",),
 ) -> DataFrame:
-    """Per-key HLL distinct estimate, exact-arithmetic inside:
-    ``(key, n_exact, n_zero_buckets, sum_scaled, est_raw, est_lc,
-    est_used)``.  ``sum_scaled = Σ 2^(s-M)`` over ALL K registers
-    (empty ⇒ M=0 ⇒ 2^s) is an exact BIGINT; the two estimate columns
-    are single fixed-order IEEE expressions over exact integers,
-    rounded to 6.  ``with_exact=False`` drops the truth column (and
-    its data-scale distinct aggregate) for the production path."""
+    """Sparse registers ``(key..., bucket, m)`` → per-key estimates
+    ``(key..., n_zero_buckets, sum_scaled, est_raw, est_lc,
+    est_used)`` — the estimate arithmetic shared by
+    :func:`hll_distinct_by_key` and the HyperBall graph rail
+    (``graph.hyperball_neighborhood``), factored so the repo has ONE
+    implementation of the exact harmonic sum / linear-counting
+    switch.  ``key_cols`` generalizes the key to composites like
+    (node, hop)."""
     k = 1 << p
     s = 61 - p
     numer = hll_alpha(k) * (k * k) * float(1 << s)  # one shared literal
+    kc = list(key_cols)
 
-    regs = hll_registers(df, key_col, value_col, p)
-    keys = regs.select("key").distinct()
+    keys = regs.select(*kc).distinct()
     grid = keys.select(
-        "key", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("bucket")
+        *kc, F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("bucket")
     )
-    full = grid.join(regs, ["key", "bucket"], "left").select(
-        "key", "bucket", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    full = grid.join(regs, [*kc, "bucket"], "left").select(
+        *kc, "bucket", F.coalesce(F.col("m"), F.lit(0)).alias("m")
     )
-    agg = full.groupBy("key").agg(
+    agg = full.groupBy(*kc).agg(
         F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
         .cast("long")
         .alias("n_zero_buckets"),
@@ -167,8 +166,8 @@ def hll_distinct_by_key(
         6,
     )
     est_lc = F.when(v > 0, est_lc)
-    out = agg.select(
-        "key",
+    return agg.select(
+        *kc,
         "n_zero_buckets",
         "sum_scaled",
         est_raw.alias("est_raw"),
@@ -177,6 +176,24 @@ def hll_distinct_by_key(
         .otherwise(est_raw)
         .alias("est_used"),
     )
+
+
+def hll_distinct_by_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: int = 6,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Per-key HLL distinct estimate, exact-arithmetic inside:
+    ``(key, n_exact, n_zero_buckets, sum_scaled, est_raw, est_lc,
+    est_used)``.  ``sum_scaled = Σ 2^(s-M)`` over ALL K registers
+    (empty ⇒ M=0 ⇒ 2^s) is an exact BIGINT; the two estimate columns
+    are single fixed-order IEEE expressions over exact integers,
+    rounded to 6.  ``with_exact=False`` drops the truth column (and
+    its data-scale distinct aggregate) for the production path."""
+    regs = hll_registers(df, key_col, value_col, p)
+    out = hll_estimate_from_registers(regs, p, ("key",))
     if with_exact:
         exact = (
             df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())

@@ -958,3 +958,150 @@ def knn_graph_nn_descent(
         F.row_number().over(out_w).cast("long").alias("rank"),
         F.col("d").cast("long").alias("iscore"),
     )
+
+
+def knn_graph_beam_search(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    beam: int = 8,
+    hops: int = 2,
+    graph: DataFrame | None = None,
+    graph_k: int = 5,
+    graph_iters: int = 2,
+    kmeans_k: int = 8,
+    rand_buckets: int | None = None,
+    entry_mod: int = 32,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Graph-ANN QUERY path over the kNN graph
+    :func:`knn_graph_nn_descent` builds — the search half of the
+    HNSW/NSG/DiskANN family, in the same hash-replayable integer
+    formulation: a deterministic hash-sampled entry scan seeds the
+    beam, then ``hops`` rounds of expand-over-graph-edges →
+    exact-integer re-score → keep top-``beam`` (pinned (d DESC, id
+    ASC) ties), and the final beam's top-``k`` comes out as
+    ``(vec_id, rank, iscore)``.
+
+    Why this exists: the ANN ladder's index-side answers (IVF/PQ/SRP)
+    prune by geometry; graph search prunes by CONNECTIVITY — it walks
+    toward the query along edges whose quality the NN-descent build
+    already paid for, reaching high recall with a handful of
+    candidate evaluations per hop.  On 100 TB the entry scan is the
+    only corpus-touching stage and it reads a deterministic
+    1/``entry_mod`` hash slice (the md5 convention every sampler here
+    shares); each hop touches ≤ ``beam·(graph_k·2 + 1)`` candidate
+    rows joined against the quantized-vector relation — constant
+    work, independent of corpus size.  A production deployment makes
+    the entries hierarchical (a coarser graph layer, HNSW-style);
+    ``entry_mod`` is the single dial standing in for that layer and
+    scales with N to keep the slice constant-sized.
+
+    Determinism: scores are exact BIGINT dots in the int8 domain
+    (|dot| ≤ dim·127²), the sample is md5-derived, all ties pinned —
+    so the whole search replays bit-for-bit cross-engine.
+
+    ``graph=None`` builds the graph with the given dials;
+    pass a prebuilt ``knn_graph_nn_descent`` output to amortize one
+    build across many queries (the production shape).  ``k`` must be
+    ≤ ``beam`` (the final answer is read off the beam)."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.functions.text import portable_hash60
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_int8,
+    )
+
+    if k < 1 or beam < 1 or k > beam:
+        raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+    if entry_mod < 1:
+        raise ValueError(f"entry_mod must be >= 1, got {entry_mod}")
+
+    scale = max_abs_scale(emb, embedding_col)
+    qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col).select(
+        F.col(id_col).alias("nid"), F.col("qvec").alias("v")
+    )
+    # Quantize the query with the SAME corpus scale, in-row (the
+    # _QUANT_CLAMP convention shared with quantized_knn / k-means).
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qq = scale.select(
+        F.transform(
+            qlit,
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(F.lit(127.0) * x / F.col("s") + F.lit(0.5)),
+                ),
+            ).cast("long"),
+        ).alias("qv")
+    )
+
+    if graph is None:
+        graph = knn_graph_nn_descent(
+            emb,
+            k=graph_k,
+            iters=graph_iters,
+            kmeans_k=kmeans_k,
+            rand_buckets=rand_buckets,
+            embedding_col=embedding_col,
+            id_col=id_col,
+        )
+    und = (
+        graph.select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
+        .unionByName(
+            graph.select(
+                F.col("neighbor_id").alias("a"), F.col(id_col).alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _score(nodes: DataFrame) -> DataFrame:
+        return (
+            nodes.join(qn, "nid")
+            .crossJoin(F.broadcast(qq))
+            .select("nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
+        )
+
+    def _top_beam(nodes: DataFrame) -> DataFrame:
+        # (d, nid) is a total order, so orderBy().limit() is
+        # deterministic AND lowers to TakeOrderedAndProject —
+        # distributed local top-k per partition, no single-partition
+        # window over the entry slice.
+        return (
+            _score(nodes)
+            .orderBy(F.col("d").desc(), F.col("nid").asc())
+            .limit(int(beam))
+            .localCheckpoint(eager=False)
+        )
+
+    entries = qn.filter(
+        F.pmod(portable_hash60(F.col("nid").cast("string")), F.lit(int(entry_mod)))
+        == 0
+    ).select("nid")
+    beam_df = _top_beam(entries)
+    for _ in range(int(hops)):
+        cand = (
+            beam_df.select("nid")
+            .join(und, beam_df["nid"] == und["a"])
+            .select(F.col("b").alias("nid"))
+            .unionByName(beam_df.select("nid"))
+            .distinct()
+        )
+        beam_df = _top_beam(cand)
+    w = Window.orderBy(F.col("d").desc(), F.col("nid").asc())
+    return (
+        beam_df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("nid").alias(id_col),
+            "rank",
+            F.col("d").cast("long").alias("iscore"),
+        )
+    )
