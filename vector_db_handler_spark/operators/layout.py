@@ -114,6 +114,134 @@ def write_zordered(
     )
 
 
+def minmax_pruning_report(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    predicates: list[tuple[str, int, int, int, int]],
+    bucket_shift: int = 24,
+    bits: int = Z_BITS,
+    n_hash_buckets: int = 64,
+) -> DataFrame:
+    """File-skipping effectiveness audit: for each rectangular
+    predicate ``(pred_id, x_lo, x_hi, y_lo, y_hi)`` (inclusive
+    bounds), how many z-clustered buckets (≈ output files) survive
+    parquet MIN/MAX pruning — against an md5-hash-bucketed baseline
+    of the SAME data, the layout a naive writer produces.  This is
+    the decision relation behind OPTIMIZE ZORDER: at 100 TB the only
+    thing that makes a point/range query cheap is planning-time file
+    skipping on column stats, and this report quantifies exactly how
+    many bytes each layout would scan BEFORE any rewrite happens.
+
+    A bucket is KEPT for a predicate iff its [min,max] rectangle
+    intersects the predicate box — precisely the column-stats test
+    parquet readers run.  Outputs per predicate:
+    ``(pred_id, n_rows_total, rows_matching, n_buckets_z, n_kept_z,
+    rows_scanned_z, skip_ratio_z, n_buckets_hash, n_kept_hash,
+    rows_scanned_hash, skip_ratio_hash)`` — every count an exact
+    BIGINT, the two ratios single rounded IEEE divisions.
+
+    Scale shape: two map-side-combined bucket censuses over one scan
+    each (the stats relations are |buckets| rows), one |preds|-row
+    broadcast cross onto each census, and ONE data pass for the
+    exact matching counts (a |preds|-condition broadcast cross —
+    drop it for the production path where the estimate is the
+    point)."""
+    from vector_db_handler_spark.functions.text import portable_hash60
+
+    if not predicates:
+        raise ValueError("need at least one predicate")
+    if len({p[0] for p in predicates}) != len(predicates):
+        raise ValueError("duplicate pred_id")
+
+    spark = df.sparkSession
+    preds = spark.createDataFrame(
+        [tuple(p) for p in predicates],
+        "pred_id string, x_lo long, x_hi long, y_lo long, y_hi long",
+    )
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+
+    def census(bucket: F.Column, tag: str) -> DataFrame:
+        stats = (
+            base.withColumn("bkt", bucket)
+            .groupBy("bkt")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("x").alias("x_min"),
+                F.max("x").alias("x_max"),
+                F.min("y").alias("y_min"),
+                F.max("y").alias("y_max"),
+            )
+        )
+        kept = ~(
+            (F.col("x_max") < F.col("x_lo"))
+            | (F.col("x_min") > F.col("x_hi"))
+            | (F.col("y_max") < F.col("y_lo"))
+            | (F.col("y_min") > F.col("y_hi"))
+        )
+        return (
+            stats.crossJoin(F.broadcast(preds))
+            .groupBy("pred_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_buckets_{tag}"),
+                F.sum(kept.cast("long")).cast("long").alias(f"n_kept_{tag}"),
+                F.sum(F.when(kept, F.col("n_rows")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"rows_scanned_{tag}"),
+            )
+        )
+
+    z = F.expr(z_expr_sql("x", "y", bits, "spark"))
+    zc = census(F.shiftright(z, bucket_shift), "z")
+    hb = F.pmod(
+        portable_hash60(
+            F.concat(
+                F.col("x").cast("string"), F.lit("|"), F.col("y").cast("string")
+            )
+        ),
+        F.lit(int(n_hash_buckets)),
+    )
+    hc = census(hb, "hash")
+
+    matching = (
+        base.crossJoin(F.broadcast(preds))
+        .filter(
+            F.col("x").between(F.col("x_lo"), F.col("x_hi"))
+            & F.col("y").between(F.col("y_lo"), F.col("y_hi"))
+        )
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_matching"))
+    )
+    total = base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_total")
+    )
+    ratio = lambda c: F.round(
+        F.lit(1.0) - F.col(c).cast("double") / F.col("n_rows_total"), 6
+    )
+    return (
+        zc.join(hc, "pred_id")
+        .join(matching, "pred_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pred_id",
+            "n_rows_total",
+            F.coalesce(F.col("rows_matching"), F.lit(0))
+            .cast("long")
+            .alias("rows_matching"),
+            "n_buckets_z",
+            "n_kept_z",
+            "rows_scanned_z",
+            ratio("rows_scanned_z").alias("skip_ratio_z"),
+            "n_buckets_hash",
+            "n_kept_hash",
+            "rows_scanned_hash",
+            ratio("rows_scanned_hash").alias("skip_ratio_hash"),
+        )
+    )
+
+
 def rendezvous_assign(
     df: DataFrame,
     shards: list[str],

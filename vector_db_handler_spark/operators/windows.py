@@ -152,3 +152,92 @@ def sequence_funnel(
         .withColumn("chain_start", carry)
         .drop("_us", *[f"_c{i}" for i in range(len(steps) - 1)])
     )
+
+
+def watermark_late_audit(
+    events: DataFrame,
+    delay_sec: int = 3600,
+    ts_col: str = "ts",
+    arrival_col: str = "arrival_seq",
+    id_col: str = "event_id",
+    unit: str = "day",
+    bucket_width: int = 10_000,
+) -> DataFrame:
+    """Batch replay of Structured Streaming WATERMARK semantics: for
+    every event, the watermark AT ITS ARRIVAL is the running max of
+    event time over everything that arrived before it, minus
+    ``delay_sec`` — an event whose own time sits below that mark is
+    LATE (a streaming job with this watermark would drop it).  The
+    audit reports, per tumbling ``unit`` window of EVENT time,
+    ``(window_start_epoch, n_total, n_late, n_accepted,
+    max_lateness_us)`` (the window key as epoch seconds — the repo's
+    hash-checked convention for date keys) — the relation that answers "what delay do I
+    need so yesterday's backfill loses nothing?", read BEFORE turning
+    the stream on (the batch/stream-parity posture this module
+    documents).
+
+    ``arrival_col`` is the arrival order (ingest offset / file
+    sequence); ties break by ``id_col``.  The idealization is the
+    per-row running max — the tightest watermark a streaming engine
+    could hold (real engines update it per batch, dropping weakly
+    FEWER rows), so this audit is the conservative bound.
+
+    Scale shape — the running max is a DISTRIBUTED two-level prefix
+    scan, not a single-partition window: rows bucket by
+    ``arrival // bucket_width``; per-bucket maxes (B rows) take a
+    cumulative max in one tiny window; each row then combines its
+    bucket's PREVIOUS-buckets prefix with a within-bucket running max
+    (window PARTITIONED by bucket).  Equal arrival values land in the
+    same bucket, so the decomposition is exactly the global
+    ``ORDER BY (arrival, id)`` running max — pinned by the
+    bucket-width-invariance test."""
+    ev = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(arrival_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("eid"),
+        F.col(arrival_col).alias("arr"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tu"),
+        F.date_trunc(unit, F.col(ts_col).cast("timestamp")).alias("win"),
+    )
+    ev = ev.withColumn(
+        "bkt", F.floor(F.col("arr") / F.lit(int(bucket_width))).cast("long")
+    )
+    per_bucket = ev.groupBy("bkt").agg(F.max("tu").alias("bmax"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    prefix = per_bucket.select(
+        "bkt", F.max("bmax").over(wb).alias("prefix_prev")
+    )
+    wr = (
+        W.partitionBy("bkt")
+        .orderBy(F.col("arr").asc(), F.col("eid").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    neg_inf = F.lit(-(2**62)).cast("long")
+    scored = (
+        ev.join(F.broadcast(prefix), "bkt")
+        .withColumn("within_prev", F.max("tu").over(wr))
+        .withColumn(
+            "wm",
+            F.greatest(
+                F.coalesce(F.col("prefix_prev"), neg_inf),
+                F.coalesce(F.col("within_prev"), neg_inf),
+            )
+            - F.lit(int(delay_sec) * 1_000_000),
+        )
+        .withColumn("late", F.col("tu") < F.col("wm"))
+    )
+    win_epoch = (F.unix_micros(F.col("win")) / F.lit(1_000_000)).cast(
+        "long"
+    )
+    return scored.groupBy(win_epoch.alias("window_start_epoch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.col("late").cast("long")).cast("long").alias("n_late"),
+        F.sum((~F.col("late")).cast("long")).cast("long").alias("n_accepted"),
+        F.coalesce(
+            F.max(F.when(F.col("late"), F.col("wm") - F.col("tu"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_lateness_us"),
+    )
