@@ -553,3 +553,145 @@ def ivfsq_batch_probe(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
     )
+
+
+def gram_int8(
+    emb: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact integer Gram/covariance matrix of the int8-quantized
+    corpus: ``(j, k, c)`` with ``c = Σ_rows q_j·q_k`` as BIGINT —
+    one Arrow-batched pass computing a 64×64 partial ``QᵀQ`` per
+    batch, then a dim²-row sum.  Entries are bounded by N·127², so
+    int64 holds them to ~5·10¹⁴ rows — comfortably past 100 TB of
+    embeddings; the shuffle carries dim² rows per partition, never
+    data."""
+    qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col)
+
+    def gram(batches):  # self-contained: cloudpickled to executors
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["qvec"]), dtype=np.int64)
+            g = m.T @ m
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            jj, kk = np.meshgrid(
+                np.arange(d, dtype=np.int64),
+                np.arange(d, dtype=np.int64),
+                indexing="ij",
+            )
+            yield pd.DataFrame(
+                {"j": jj.ravel(), "k": kk.ravel(), "c": acc.ravel()}
+            )
+
+    parts = qn.select("qvec").mapInPandas(gram, "j long, k long, c long")
+    return parts.groupBy("j", "k").agg(F.sum("c").alias("c"))
+
+
+def power_iteration_top_pc(
+    emb: DataFrame,
+    iters: int = 2,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal direction of the (uncentered) int8 corpus by
+    FIXED-POINT power iteration over the exact Gram matrix — the
+    embedding-analysis rail (dominant axis, anisotropy/collapse
+    detection, the first step of PCA whitening) in the repo's
+    hash-replayable formulation.
+
+    Everything stays exact integers: ``C = QᵀQ`` (``gram_int8``),
+    ``v₀ = (1024, …, 1024)``, each round ``r = C·v`` (BIGINT) is
+    renormalized to ∞-norm 1024 by ``sign(r)·(((|r|≫sh)·1024) div
+    (max|r|≫sh))`` where ``sh = max(0, bitlen(max|r|) − 50)`` — the
+    non-negative-numerator convention that makes truncating division
+    equal floor in both engines, with the deterministic pre-shift
+    keeping the ·1024 numerator inside int64 at ANY corpus size (the
+    shift is a pure integer function of max|r|, so the twin replays
+    it bit-for-bit).  After
+    ``iters`` rounds the Rayleigh quotient ``(vᵀCv)/(vᵀv)`` comes
+    out as ONE rounded IEEE division of exact integers.  Centering
+    is a rank-1 update on C left to the caller (documented
+    deliberately: the uncentered dominant direction is the embedding
+    ANISOTROPY readout).
+
+    Returns ``(dim, component_1024, rayleigh)`` — dim² ≤ 4096-row
+    relations throughout; the only data-scale work is the one Gram
+    pass.  Overflow: |r| ≤ dim·1024·max|C| ≤ dim·1024·N·127², safe
+    in int64 past 10⁹ rows at dim 64."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    C = gram_int8(emb, embedding_col=embedding_col, id_col=id_col)
+    C = C.localCheckpoint(eager=False)
+    dim = C.groupBy().agg((F.max("j") + 1).alias("d"))
+
+    v = dim.select(
+        F.explode(F.sequence(F.lit(0), F.col("d") - 1)).alias("k"),
+        F.lit(1024).cast("long").alias("val"),
+    )
+    for _ in range(int(iters)):
+        raw = (
+            C.join(v, "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("val")).alias("raw"))
+        )
+        mx = raw.groupBy().agg(F.max(F.abs(F.col("raw"))).alias("m"))
+        shifted = (
+            raw.crossJoin(F.broadcast(mx))
+            .withColumn(
+                "sh",
+                F.greatest(
+                    F.lit(0), F.length(F.bin(F.col("m"))) - F.lit(50)
+                ).cast("int"),
+            )
+            .withColumn(
+                "a2",
+                F.call_function("shiftright", F.abs(F.col("raw")), F.col("sh")),
+            )
+            .withColumn(
+                "m2", F.call_function("shiftright", F.col("m"), F.col("sh"))
+            )
+        )
+        v = shifted.select(
+            F.col("j").alias("k"),
+            F.when(F.col("m") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.signum(F.col("raw")).cast("long")
+                # greatest(.., 1): the m = 0 case takes the WHEN
+                # branch, but ANSI division must not see a 0 divisor
+                # even on the untaken side.
+                * F.expr("CAST(a2 * 1024 AS BIGINT) div greatest(m2, CAST(1 AS BIGINT))")
+            )
+            .alias("val"),
+        )
+    raw3 = (
+        C.join(v, "k")
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("val")).alias("raw"))
+    )
+    ray = (
+        raw3.join(v.select(F.col("k").alias("j"), "val"), "j")
+        .groupBy()
+        .agg(
+            F.sum(F.col("raw") * F.col("val")).alias("num"),
+            F.sum(F.col("val") * F.col("val")).alias("den"),
+        )
+        .select(
+            F.when(
+                F.col("den") > 0,
+                F.round(F.col("num").cast("double") / F.col("den"), 6),
+            ).alias("rayleigh")
+        )
+    )
+    return v.crossJoin(F.broadcast(ray)).select(
+        F.col("k").alias("dim"),
+        F.col("val").alias("component_1024"),
+        "rayleigh",
+    )
