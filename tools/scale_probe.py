@@ -1426,6 +1426,246 @@ def r10(mult: int = 4) -> None:
 
 
 
+
+
+def r12c(mult: int = 4) -> None:
+    """Linearity probes for the late-r12 staged pair:
+
+    * ``allocate_stratified_exact`` — one stratum census + one window
+      over the stratum key; output pinned at total_n rows.
+    * ``cube_by_day_type_source`` — one Expand pass (8 grouping sets,
+      map-side combined), never 8 scans.
+    """
+    from pyspark.sql import functions as F2
+
+    from vector_db_handler_spark.operators.sampling import (
+        allocate_stratified_exact,
+    )
+    from vector_db_handler_spark.operators.timeseries import (
+        cube_by_day_type_source,
+    )
+
+    spark = get_spark("r12c-probe")
+    sf = "/root/testdata/sf0.1"
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet")
+    ev0 = spark.read.parquet(f"{sf}/events.parquet")
+
+    for m in (1, mult):
+        if m == 1:
+            docs = docs0
+        else:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            docs = docs0.crossJoin(reps).select(
+                (F2.col("doc_id") * m + F2.col("rep")).alias("doc_id"),
+                "lang",
+            )
+        n = docs.count()
+        t0 = time.perf_counter()
+        out = allocate_stratified_exact(docs, 1000, "lang", "doc_id").count()
+        print(
+            f"stratified_alloc @ {n} docs: {out} sampled, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    for m in (1, mult):
+        if m == 1:
+            ev = ev0
+        else:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            ev = ev0.crossJoin(reps).select(
+                "ts", "event_type", "value",
+                (F2.col("user_id") * m + F2.col("rep")).alias("user_id"),
+            )
+        ev = ev.withColumn(
+            "user_bucket", (F2.col("user_id") % 4).cast("string")
+        )
+        n = ev.count()
+        t0 = time.perf_counter()
+        out = cube_by_day_type_source(ev).count()
+        print(
+            f"cube @ {n} events: {out} grouped rows, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
+def r12b(mult: int = 4) -> None:
+    """Linearity probes for the six r12-STAGED operators (register in
+    r13; probed before registration so the scale claims ship with the
+    code):
+
+    * ``knn_graph_beam_search`` — entry scan = a 1/entry_mod hash
+      slice; per hop <= beam*(2k+1) candidates; graph build amortized
+      (prebuilt and reused across the probe's queries).
+    * ``hyperball_neighborhood`` — per round one edges-regs join + a
+      (node,bucket) max-merge; state <= |V|*K rows.
+    * ``watermark_late_audit`` — two-level prefix max: per-bucket
+      census + within-bucket windows; no global sort.
+    * ``domain_mixture_weights`` — one bigram explode, one
+      vocabulary-sized model join, |domains|-row arithmetic.
+    * ``minmax_pruning_report`` — two bucket censuses + one matching
+      pass; |preds| x |buckets| broadcast cross.
+    * ``power_iteration_top_pc`` — one Arrow Gram pass (dim^2 partial
+      per batch); iterations run on dim^2-row relations.
+    """
+    from pyspark.sql import functions as F2
+
+    from vector_db_handler_spark.operators.graph import (
+        hyperball_neighborhood,
+    )
+    from vector_db_handler_spark.operators.layout import (
+        minmax_pruning_report,
+    )
+    from vector_db_handler_spark.operators.lm_score import (
+        domain_mixture_weights,
+    )
+    from vector_db_handler_spark.operators.quantize import (
+        power_iteration_top_pc,
+    )
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_beam_search,
+        knn_graph_nn_descent,
+    )
+    from vector_db_handler_spark.operators.windows import (
+        watermark_late_audit,
+    )
+
+    spark = get_spark("r12b-probe")
+    sf = "/root/testdata/sf0.1"
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet")
+    ev0 = spark.read.parquet(f"{sf}/events.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+
+    def rep_emb(m):
+        if m == 1:
+            return emb0
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return emb0.crossJoin(reps).select(
+            (F2.col("vec_id") * m + F2.col("rep")).alias("vec_id"),
+            "embedding", "label",
+        )
+
+    qv = [((i * 37 + 11) % 101 - 50) / 50.0 for i in range(64)]
+    for m in (1, mult):
+        emb = rep_emb(m)
+        n = emb.count()
+        t0 = time.perf_counter()
+        g = knn_graph_nn_descent(
+            emb, k=5, iters=2, kmeans_k=8 * m, rand_buckets=64 * m
+        ).localCheckpoint()
+        t1 = time.perf_counter()
+        out = knn_graph_beam_search(
+            emb, qv, k=10, beam=12, hops=2, graph=g, entry_mod=32 * m
+        ).count()
+        t2 = time.perf_counter()
+        print(
+            f"beam_search @ {n} vecs: build {t1-t0:.1f}s, "
+            f"search {t2-t1:.1f}s ({out} rows, entry_mod {32*m})"
+        )
+
+    e0 = li.select("l_partkey", "l_suppkey").distinct()
+    edges0 = e0.select(
+        (F2.col("l_partkey") * 2).alias("src"),
+        (F2.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    for m in (1, mult):
+        if m == 1:
+            edges = edges0
+        else:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            edges = edges0.crossJoin(reps).select(
+                (F2.col("src") * m + F2.col("rep")).alias("src"),
+                (F2.col("dst") * m + F2.col("rep")).alias("dst"),
+            )
+        ne = edges.count()
+        t0 = time.perf_counter()
+        nrows = hyperball_neighborhood(edges, n_hops=2).count()
+        print(
+            f"hyperball @ {ne} edges: {nrows} (node,hop) rows, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    for m in (1, mult):
+        if m == 1:
+            ev = ev0
+        else:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            ev = ev0.crossJoin(reps).select(
+                (F2.col("event_id") * m + F2.col("rep")).alias("event_id"),
+                "ts", "user_id", "event_type", "value", "props",
+            )
+        ev = ev.withColumn(
+            "arrival_seq",
+            F2.col("event_id")
+            + F2.when(F2.col("event_id") % 7 == 0, F2.lit(500)).otherwise(
+                F2.lit(0)
+            ),
+        )
+        n = ev.count()
+        t0 = time.perf_counter()
+        out = watermark_late_audit(ev, delay_sec=3600).count()
+        print(
+            f"watermark_audit @ {n} events: {out} windows, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    def rep_docs(m):
+        if m == 1:
+            return docs0
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return docs0.crossJoin(reps).select(
+            (F2.col("doc_id") * m + F2.col("rep")).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+
+    for m in (1, mult):
+        docs = rep_docs(m)
+        n = docs.count()
+        t0 = time.perf_counter()
+        out = domain_mixture_weights(docs).count()
+        print(
+            f"domain_mixture @ {n} docs: {out} domains, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    orders0 = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F2.col("o_custkey").cast("long").alias("ck"),
+        F2.datediff(
+            F2.col("o_orderdate").cast("date"),
+            F2.lit("1995-01-01").cast("date"),
+        ).cast("long").alias("days"),
+    )
+    preds = [
+        ("cust_low", 1, 150, -2000, 3000),
+        ("one_year", 0, 1_000_000, 365, 730),
+    ]
+    for m in (1, mult):
+        if m == 1:
+            orders = orders0
+        else:
+            reps = spark.range(m).withColumnRenamed("id", "rep")
+            orders = orders0.crossJoin(reps).select("ck", "days")
+        n = orders.count()
+        t0 = time.perf_counter()
+        out = minmax_pruning_report(
+            orders, "ck", "days", preds, bucket_shift=18
+        ).count()
+        print(
+            f"pruning_report @ {n} rows: {out} preds, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    for m in (1, mult):
+        emb = rep_emb(m)
+        n = emb.count()
+        t0 = time.perf_counter()
+        out = power_iteration_top_pc(emb, iters=2).count()
+        print(
+            f"power_iteration @ {n} vecs: {out} dims, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
 def r12(mult: int = 4) -> None:
     """Linearity probes for the two r11-staged families that lacked
     two-scale rows (r11 verdict stretch #6), run before their r12
@@ -1821,6 +2061,10 @@ if __name__ == "__main__":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r12c":
+        r12c(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r12b":
+        r12b(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r12":
         r12(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r11":

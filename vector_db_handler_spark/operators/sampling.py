@@ -277,3 +277,79 @@ def weighted_systematic_sample(
         .filter(F.col("n_hits") > 0)
         .drop("_pid", "_woff", "_cum")
     )
+
+
+def allocate_stratified_exact(
+    df: DataFrame,
+    total_n: int,
+    strata_col: str,
+    key_col: str,
+    salt: str = "alloc",
+) -> DataFrame:
+    """EXACT-COUNT stratified sampling: apportion ``total_n`` rows
+    across strata proportionally by the largest-remainder (Hamilton)
+    method — the apportionment census bureaus use, in exact integer
+    arithmetic — then keep each stratum's quota deterministically by
+    smallest (hash, key) rank.  This is the "give me exactly 1M
+    training docs, language-balanced like the corpus" op that
+    rate-based :func:`stratified_sample` cannot express (a rate
+    sample's size is binomial; a budgeted training mix needs the
+    count exact and the selection reproducible).
+
+    Allocation: ``base_s = total_n·c_s div C``; the ``total_n − Σ
+    base_s`` leftovers go to the strata with the largest remainders
+    ``total_n·c_s mod C`` (ties → stratum ascending — pinned).
+    Quotas are capped at the stratum size, so when ``total_n ≥ C``
+    every row comes back; a binding cap leaves the total short by
+    construction (documented, not silently rebalanced).
+
+    Returns the sampled rows (all input columns).  Scale shape: one
+    map-side-combined stratum census (|strata| rows, driver-free
+    broadcast back), then ONE window over the stratum key for the
+    rank pick.  A pathologically hot stratum makes that window the
+    cost — the production dial is pre-filtering with a hash
+    threshold just above the quota rate and exact-trimming the
+    survivors, which keeps the window input ~quota-sized."""
+    if total_n < 0:
+        raise ValueError(f"total_n must be >= 0, got {total_n}")
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(strata_col).isNotNull())
+    counts = base.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = counts.groupBy().agg(F.sum("_c").alias("_tot"))
+    alloc = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_base", F.expr(f"CAST({int(total_n)} * _c AS BIGINT) div _tot")
+        )
+        .withColumn(
+            "_rem", F.expr(f"CAST({int(total_n)} * _c AS BIGINT) % _tot")
+        )
+    )
+    wlead = Window.orderBy(F.col("_rem").desc(), F.col("_s").asc())
+    leftover = F.lit(int(total_n)) - F.sum("_base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    quotas = alloc.select(
+        "_s",
+        "_c",
+        F.least(
+            F.col("_c"),
+            F.col("_base")
+            + F.when(F.row_number().over(wlead) <= leftover, 1).otherwise(0),
+        ).alias("_quota"),
+    )
+    wpick = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        base.withColumn("_rk", F.row_number().over(wpick))
+        .join(
+            F.broadcast(quotas.select(F.col("_s").alias(strata_col), "_quota")),
+            strata_col,
+        )
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )

@@ -172,6 +172,56 @@ def rollup_by_day_type(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def cube_by_day_type_source(
+    events: DataFrame,
+    ts_col: str = "ts",
+    dim2_col: str = "event_type",
+    dim3_col: str = "user_bucket",
+) -> DataFrame:
+    """Full CUBE over (day, dim2, dim3): all 8 grouping sets — the
+    cross-marginals the hierarchical ROLLUP cannot produce (ROLLUP
+    gives day×type→day→total; a dashboard slicing "all days, one
+    type, one cohort" needs the CUBE's (ALL, type, cohort) corner) —
+    in ONE grouping-sets pass, no UNION ALL rescans.  Subtotals are
+    marked 'ALL' via ``GROUPING()`` (the NULL-vs-subtotal convention
+    ``rollup_by_day_type`` documents) and ``grouping_id`` comes out
+    as an explicit BIGINT so every row names its grouping set.
+
+    Scale shape: Spark expands a CUBE into one Expand node (8 copies
+    of each input row pre-aggregation, map-side combined) — cost is
+    8× the aggregate input, not 8 scans; at 100 TB prefer restricting
+    to the grouping sets actually consumed."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").cast("string")
+    marked = lambda g, c: (
+        F.when(F.col(g) == 1, F.lit("ALL")).otherwise(F.col(c))
+    )
+    return (
+        events.withColumn("_day", day)
+        .cube("_day", dim2_col, dim3_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.grouping("_day").alias("_g1"),
+            F.grouping(dim2_col).alias("_g2"),
+            F.grouping(dim3_col).alias("_g3"),
+        )
+        .select(
+            marked("_g1", "_day").alias("day"),
+            marked("_g2", dim2_col).alias(dim2_col),
+            marked("_g3", dim3_col).alias(dim3_col),
+            (
+                F.col("_g1") * 4 + F.col("_g2") * 2 + F.col("_g3")
+            )
+            .cast("long")
+            .alias("grouping_id"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def gapfill_daily(
     df: DataFrame,
     user_col: str = "user_id",
