@@ -187,15 +187,24 @@ def cube_by_day_type_source(
     ``rollup_by_day_type`` documents) and ``grouping_id`` comes out
     as an explicit BIGINT so every row names its grouping set.
 
+    ANSI edge (the r12 sweep caught the divergence): SQL-standard
+    CUBE over an EMPTY relation still emits the grand-total row
+    (``GROUP BY ()`` is one row; DuckDB agrees) — Spark's
+    ``cube()`` emits nothing.  The grand-total set is therefore
+    computed as a separate global aggregate (which Spark does emit
+    on empty input) and unioned in, so the operator matches ANSI
+    semantics on every slice, empty included.
+
     Scale shape: Spark expands a CUBE into one Expand node (8 copies
     of each input row pre-aggregation, map-side combined) — cost is
-    8× the aggregate input, not 8 scans; at 100 TB prefer restricting
-    to the grouping sets actually consumed."""
+    8× the aggregate input, not 8 scans, plus one aggregate-only
+    pass for the ANSI grand total; at 100 TB prefer restricting to
+    the grouping sets actually consumed."""
     day = F.date_trunc("day", F.col(ts_col)).cast("date").cast("string")
     marked = lambda g, c: (
         F.when(F.col(g) == 1, F.lit("ALL")).otherwise(F.col(c))
     )
-    return (
+    detail = (
         events.withColumn("_day", day)
         .cube("_day", dim2_col, dim3_col)
         .agg(
@@ -206,6 +215,9 @@ def cube_by_day_type_source(
             F.grouping("_day").alias("_g1"),
             F.grouping(dim2_col).alias("_g2"),
             F.grouping(dim3_col).alias("_g3"),
+        )
+        .filter(
+            (F.col("_g1") == 0) | (F.col("_g2") == 0) | (F.col("_g3") == 0)
         )
         .select(
             marked("_g1", "_day").alias("day"),
@@ -220,6 +232,20 @@ def cube_by_day_type_source(
             "sum_value",
         )
     )
+    grand = events.groupBy().agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    ).select(
+        F.lit("ALL").alias("day"),
+        F.lit("ALL").alias(dim2_col),
+        F.lit("ALL").alias(dim3_col),
+        F.lit(7).cast("long").alias("grouping_id"),
+        "n_events",
+        "sum_value",
+    )
+    return detail.unionByName(grand)
 
 
 def gapfill_daily(
