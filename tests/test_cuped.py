@@ -87,9 +87,12 @@ def test_degenerate_population_falls_back_to_unadjusted_mean(spark):
     """Zero pre-period variance (every user's X identical — here 0,
     post-only users) makes n·Σxx − Σx² = 0: θ must degrade to 0 and
     adj_mean_y to the plain mean instead of NaN (r11 ADVICE)."""
-    rows = [(u, _t(10), 4.0) for u in range(6)]  # post-only: X = 0 all
+    rows = []
+    for u in range(6):
+        rows.append((u, _t(0), 5.0))            # identical pre value
+        rows.append((u, _t(10), 4.0 + u))        # varying post value
     out = cuped_adjusted_metrics(_events(spark, rows)).collect()
     assert out, "degenerate population must still produce a readout"
     for r in out:
         assert r["theta"] == 0.0
-        assert r["adj_mean_y"] == r["mean_y"] == 4.0
+        assert r["adj_mean_y"] == r["mean_y"] > 0.0
