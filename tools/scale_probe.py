@@ -1428,6 +1428,53 @@ def r10(mult: int = 4) -> None:
 
 
 
+
+def r12d(mult: int = 4) -> None:
+    """Two-scale probe for the SQLite interchange edge: executor-side
+    write (one .db per partition) + distributed binaryFile read;
+    wall linear in bytes, files are the parallelism unit."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from vector_db_handler_spark.sources.sqlite_db import (
+        read_documents_sqlite,
+        write_documents_sqlite,
+    )
+
+    spark = get_spark("r12d-probe")
+    sf = "/root/testdata/sf0.1"
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet")
+
+    def replicate(df, m):
+        if m == 1:
+            return df
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return df.crossJoin(reps).select(
+            (F2.col("doc_id") * m + F2.col("rep")).alias("doc_id"),
+            *[c for c in df.columns if c != "doc_id"],
+        )
+
+    for m in (1, mult):
+        docs = replicate(docs0, m).repartition(16)
+        rows = docs.count()
+        root = tempfile.mkdtemp(prefix="vdh_probe_sqlite_")
+        try:
+            t0 = time.perf_counter()
+            n_w = write_documents_sqlite(docs, root)
+            t1 = time.perf_counter()
+            n_r = read_documents_sqlite(spark, root).count()
+            t2 = time.perf_counter()
+            assert n_w == n_r == rows
+            print(
+                f"sqlite_edge @ {rows} docs: write {t1-t0:.1f}s, "
+                f"read {t2-t1:.1f}s"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def r12c(mult: int = 4) -> None:
     """Linearity probes for the late-r12 staged pair:
 
@@ -2061,6 +2108,8 @@ if __name__ == "__main__":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r12d":
+        r12d(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r12c":
         r12c(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r12b":
