@@ -199,3 +199,77 @@ def test_cross_engine_oracle_replay(spark, sf_dir, duck):
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     compare(hyperball_neighborhood(edges, n_hops=HOPS, p=P), duck, ORACLE_SQL)
+
+
+# --- neighborhood function / effective diameter ------------------------
+
+#: DuckDB twin of the rollup an r13 registration will carry: the
+#: hyperball oracle's per-(node,hop) estimates rolled up per hop with
+#: exact micro-integer sums and the coverage flag.
+NEIGHBORHOOD_SQL = (
+    "WITH pernode AS (" + ORACLE_SQL.strip().rstrip() + """),
+rolled AS (
+  SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(CAST(floor(est_used * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_reach_micro
+  FROM pernode GROUP BY 1
+),
+deepest AS (
+  SELECT sum_reach_micro AS max_reach_micro
+  FROM rolled ORDER BY hop DESC LIMIT 1
+)
+SELECT r.hop, r.n_nodes, r.sum_reach_micro,
+       ROUND(CAST(r.sum_reach_micro AS DOUBLE) / d.max_reach_micro, 6)
+         AS reach_ratio,
+       CAST(r.sum_reach_micro AS DOUBLE) >= 0.9 * d.max_reach_micro
+         AS covers_q
+FROM rolled r, deepest d
+"""
+)
+
+
+def test_neighborhood_function_monotone_and_covers(spark):
+    """On a clique N(1) already covers everything: hop 1 and hop 2
+    tie, both cover q, and reach is monotone in hop."""
+    from vector_db_handler_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    pairs = [(a, b) for a in range(6) for b in range(6) if a < b]
+    rows = {r["hop"]: r for r in neighborhood_function(_edges(spark, pairs), n_hops=2).collect()}
+    assert rows[0]["sum_reach_micro"] <= rows[1]["sum_reach_micro"]
+    assert rows[1]["sum_reach_micro"] == rows[2]["sum_reach_micro"]
+    assert rows[2]["reach_ratio"] == 1.0 and rows[2]["covers_q"]
+    assert rows[1]["covers_q"] and not rows[0]["covers_q"]
+
+
+def test_effective_diameter_on_chain(spark):
+    """A long chain needs every hop: the smallest covering hop is the
+    deepest one, and ratios grow strictly."""
+    from vector_db_handler_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    pairs = [(i, i + 1) for i in range(30)]
+    rows = {r["hop"]: r for r in neighborhood_function(_edges(spark, pairs), n_hops=2).collect()}
+    assert rows[0]["reach_ratio"] < rows[1]["reach_ratio"] < 1.0
+    assert not rows[0]["covers_q"] and not rows[1]["covers_q"]
+    assert rows[2]["covers_q"]
+
+
+def test_neighborhood_cross_engine_replay(spark, sf_dir, duck):
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e0 = li.select("l_partkey", "l_suppkey").distinct()
+    edges = e0.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    compare(
+        neighborhood_function(edges, n_hops=HOPS, p=P), duck, NEIGHBORHOOD_SQL
+    )

@@ -579,3 +579,59 @@ def hyperball_neighborhood(
     for df in per_hop[1:]:
         out = out.unionByName(df)
     return out
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    n_hops: int = 2,
+    p: int = 6,
+    coverage_q: float = 0.9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """The graph-level NEIGHBOURHOOD FUNCTION N(h) and the effective-
+    diameter readout built on :func:`hyperball_neighborhood` — the
+    number HyperBall exists to produce ("how many pairs are within h
+    hops?", "what h covers 90% of all reachable pairs?" — the
+    four-degrees-of-separation statistic).
+
+    Per hop: ``n_nodes``, ``sum_reach_micro`` (Σ over nodes of
+    ``floor(est_used·10⁶)`` — each term is a deterministic integer
+    cast of the per-node estimate, so the SUM is an exact BIGINT with
+    no float-order sensitivity), ``reach_ratio`` = hop reach over the
+    deepest hop's reach (one rounded IEEE division), and
+    ``covers_q`` = whether this hop already reaches ``coverage_q`` of
+    the deepest hop — the smallest hop with ``covers_q`` true IS the
+    (discrete) effective diameter at q.
+
+    Scale shape: the per-node relation is |V|·(n_hops+1) rows; this
+    adds one map-side-combined rollup and a 1-row broadcast of the
+    deepest hop's total."""
+    per_node = hyperball_neighborhood(
+        edges, n_hops=n_hops, p=p, src_col=src_col, dst_col=dst_col
+    )
+    rolled = per_node.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.floor(F.col("est_used") * F.lit(1_000_000.0)).cast("long"))
+        .cast("long")
+        .alias("sum_reach_micro"),
+    )
+    deepest = (
+        rolled.orderBy(F.col("hop").desc())
+        .limit(1)
+        .select(F.col("sum_reach_micro").alias("max_reach_micro"))
+    )
+    return rolled.crossJoin(F.broadcast(deepest)).select(
+        "hop",
+        "n_nodes",
+        "sum_reach_micro",
+        F.round(
+            F.col("sum_reach_micro").cast("double")
+            / F.col("max_reach_micro"),
+            6,
+        ).alias("reach_ratio"),
+        (
+            F.col("sum_reach_micro").cast("double")
+            >= F.lit(float(coverage_q)) * F.col("max_reach_micro")
+        ).alias("covers_q"),
+    )
