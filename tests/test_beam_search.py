@@ -217,3 +217,139 @@ def test_cross_engine_oracle_replay(spark, sf_dir, duck):
         rand_buckets=dq._NND_RAND_BUCKETS,
     )
     compare(got, duck, ORACLE_SQL)
+
+
+# --- batch serve --------------------------------------------------------
+
+QUERY_MOD = 97  # embeddings slice used as the self-search query set
+
+_BHOP = """,
+bx{i} AS (
+  SELECT b.qid, u.b AS nid FROM b{j} b JOIN und u ON u.a = b.nid
+  UNION
+  SELECT qid, nid FROM b{j}
+),
+b{i} AS (
+  SELECT qid, nid, d FROM (
+    SELECT x.qid, x.nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY x.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      x.nid ASC) AS rn
+    FROM bx{i} x JOIN qv c ON x.nid = c.vec_id
+                 JOIN qqs q ON x.qid = q.qid
+  ) WHERE rn <= {beam}
+)"""
+
+#: DuckDB twin of the BATCH serve — the registered NN-descent chain +
+#: a quantized-queries relation (the vec_id % 97 slice, corpus scale)
+#: + per-query entry beams and hops (all windows PARTITION BY qid).
+#: The SQL an r13 registration will carry.
+BATCH_ORACLE_SQL = (
+    dq._NN_DESCENT_CTES
+    + f""",
+und AS (
+  SELECT a, b FROM g{dq._NND_ITERS} UNION SELECT b, a FROM g{dq._NND_ITERS}
+),
+qqs AS (
+  SELECT vec_id AS qid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {dq._QUANT_CLAMP})
+           AS qv
+  FROM embeddings, scale WHERE vec_id % {QUERY_MOD} = 0
+),
+b0 AS (
+  SELECT qid, nid, d FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, qqs q
+    WHERE CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {ENTRY_MOD} = 0
+  ) WHERE rn <= {BEAM}
+)"""
+    + "".join(_BHOP.format(i=i, j=i - 1, beam=BEAM) for i in range(1, HOPS + 1))
+    + f"""
+SELECT qid AS query_id, nid AS neighbor_id,
+       CAST(rnk AS BIGINT) AS rank, d AS iscore
+FROM (
+  SELECT qid, nid, d,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY d DESC, nid ASC) AS rnk
+  FROM b{HOPS}
+) WHERE rnk <= {K}
+"""
+)
+
+
+def test_batch_equals_per_query_singles(spark):
+    """The batch serve must give, per query, EXACTLY what the
+    single-query operator gives against the same prebuilt graph —
+    one job, no cross-query interference."""
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_beam_search_batch,
+    )
+
+    rows = [
+        (i, [((i * 11 + d * 3) % 13 - 6) / 6.0 for d in range(8)])
+        for i in range(50)
+    ]
+    emb = _emb(spark, rows)
+    g = knn_graph_nn_descent(emb, k=4, iters=1, kmeans_k=4, rand_buckets=8)
+    g = g.localCheckpoint()
+    q_ids = [0, 17, 31]
+    queries = emb.filter(emb["vec_id"].isin(q_ids)).select(
+        emb["vec_id"].alias("query_id"), "embedding"
+    )
+    kw = dict(k=3, beam=4, hops=2, entry_mod=4, graph=g)
+    batch = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["iscore"])
+        for r in knn_graph_beam_search_batch(emb, queries, **kw).collect()
+    }
+    singles = {}
+    for qid in q_ids:
+        qvec = rows[qid][1]
+        for r in knn_graph_beam_search(
+            emb, qvec, k=3, beam=4, hops=2, entry_mod=4, graph=g
+        ).collect():
+            singles[(qid, r["rank"])] = (r["vec_id"], r["iscore"])
+    assert batch == singles and len(batch) == 9
+
+
+def test_batch_args_validated(spark):
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_beam_search_batch,
+    )
+
+    emb = _emb(spark, [(0, [1.0, 0.0])])
+    q = emb.select(emb["vec_id"].alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="k <= beam"):
+        knn_graph_beam_search_batch(emb, q, k=5, beam=3)
+
+
+def test_batch_cross_engine_oracle_replay(spark, sf_dir, duck):
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_beam_search_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_graph_beam_search_batch(
+        emb,
+        queries,
+        k=K,
+        beam=BEAM,
+        hops=HOPS,
+        entry_mod=ENTRY_MOD,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+    )
+    compare(got, duck, BATCH_ORACLE_SQL)

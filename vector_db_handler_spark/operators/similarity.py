@@ -1105,3 +1105,138 @@ def knn_graph_beam_search(
             F.col("d").cast("long").alias("iscore"),
         )
     )
+
+
+def knn_graph_beam_search_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 8,
+    hops: int = 2,
+    graph: DataFrame | None = None,
+    graph_k: int = 5,
+    graph_iters: int = 2,
+    kmeans_k: int = 8,
+    rand_buckets: int | None = None,
+    entry_mod: int = 32,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """BATCH graph-ANN serve: :func:`knn_graph_beam_search` for a
+    whole queries relation in one job — the production shape (build
+    the kNN graph once, answer every query against it; the single-
+    query form exists for oracle pinning).  Queries are quantized
+    with the CORPUS scale (the shared clamp convention), every stage
+    is keyed by ``query_id``, and all top-beam selections are windows
+    PARTITIONED by query — per-query work is identical to the
+    single-query operator and the whole batch shares one entry-slice
+    scan.
+
+    Returns ``(query_id, neighbor_id, rank, iscore)``.
+
+    Scale shape: the entry stage scores (N/entry_mod)·Q pairs with
+    the Q-row quantized-query relation broadcast; each hop joins the
+    ≤ Q·beam-row beam against the undirected edge relation and
+    re-scores ≤ Q·beam·(2·graph_k+1) candidates.  Beam windows
+    partition by query, so no single-partition sorts appear anywhere;
+    ``entry_mod`` scales with N, ``Q`` with the broadcast budget
+    (past that, the qq join flips to a shuffle join untouched)."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.functions.text import portable_hash60
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_int8,
+    )
+
+    if k < 1 or beam < 1 or k > beam:
+        raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+    if entry_mod < 1:
+        raise ValueError(f"entry_mod must be >= 1, got {entry_mod}")
+
+    scale = max_abs_scale(emb, embedding_col)
+    qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col).select(
+        F.col(id_col).alias("nid"), F.col("qvec").alias("v")
+    )
+    clamp = lambda x: F.greatest(
+        F.lit(-127.0),
+        F.least(F.lit(127.0), F.floor(F.lit(127.0) * x / F.col("s") + F.lit(0.5))),
+    ).cast("long")
+    qq = (
+        queries.select(
+            F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv_raw")
+        )
+        .crossJoin(F.broadcast(scale))
+        .select("qid", F.transform(F.col("qv_raw"), clamp).alias("qv"))
+    )
+
+    if graph is None:
+        graph = knn_graph_nn_descent(
+            emb,
+            k=graph_k,
+            iters=graph_iters,
+            kmeans_k=kmeans_k,
+            rand_buckets=rand_buckets,
+            embedding_col=embedding_col,
+            id_col=id_col,
+        )
+    und = (
+        graph.select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
+        .unionByName(
+            graph.select(
+                F.col("neighbor_id").alias("a"), F.col(id_col).alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("nid").asc())
+
+    def _top_beam(pairs: DataFrame) -> DataFrame:
+        scored = (
+            pairs.join(qn, "nid")
+            .join(F.broadcast(qq), "qid")
+            .select("qid", "nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .select("qid", "nid", "d")
+            .localCheckpoint(eager=False)
+        )
+
+    entries = (
+        qn.filter(
+            F.pmod(
+                portable_hash60(F.col("nid").cast("string")),
+                F.lit(int(entry_mod)),
+            )
+            == 0
+        )
+        .select("nid")
+        .crossJoin(qq.select("qid"))
+    )
+    beam_df = _top_beam(entries)
+    for _ in range(int(hops)):
+        cand = (
+            beam_df.select("qid", "nid")
+            .join(und, beam_df["nid"] == und["a"])
+            .select("qid", F.col("b").alias("nid"))
+            .unionByName(beam_df.select("qid", "nid"))
+            .distinct()
+        )
+        beam_df = _top_beam(cand)
+    return (
+        beam_df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            F.col("d").cast("long").alias("iscore"),
+        )
+    )
