@@ -1609,6 +1609,23 @@ def r12b(mult: int = 4) -> None:
             f"beam_search @ {n} vecs: build {t1-t0:.1f}s, "
             f"search {t2-t1:.1f}s ({out} rows, entry_mod {32*m})"
         )
+        from vector_db_handler_spark.operators.similarity import (
+            knn_graph_beam_search_batch,
+        )
+
+        queries = emb.filter(F2.col("vec_id") % 97 == 0).select(
+            F2.col("vec_id").alias("query_id"), "embedding"
+        )
+        nq = queries.count()
+        t3 = time.perf_counter()
+        outb = knn_graph_beam_search_batch(
+            emb, queries, k=5, beam=8, hops=2, graph=g, entry_mod=32 * m
+        ).count()
+        t4 = time.perf_counter()
+        print(
+            f"beam_batch @ {n} vecs x {nq} queries: "
+            f"serve {t4-t3:.1f}s ({outb} rows)"
+        )
 
     e0 = li.select("l_partkey", "l_suppkey").distinct()
     edges0 = e0.select(
