@@ -45,11 +45,16 @@ b{i} AS (
 #: → 2 descent rounds ending at g2) + undirected edges + quantized
 #: query + hash-sampled entry beam + HOPS unrolled beam hops.  The
 #: SQL an r13 registration will carry.
+#: ``gmat``/``und`` are MATERIALIZED: DuckDB inlines plain CTEs, so
+#: every one of the beam stages' references would otherwise re-run the
+#: whole k-means + NN-descent chain — measured 305 s vs ~30 s at
+#: sf0.001 (exponential in hops).  MATERIALIZED pins one evaluation.
 ORACLE_SQL = (
     dq._NN_DESCENT_CTES
     + f""",
-und AS (
-  SELECT a, b FROM g{dq._NND_ITERS} UNION SELECT b, a FROM g{dq._NND_ITERS}
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
 ),
 qq AS (
   SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
@@ -249,8 +254,9 @@ b{i} AS (
 BATCH_ORACLE_SQL = (
     dq._NN_DESCENT_CTES
     + f""",
-und AS (
-  SELECT a, b FROM g{dq._NND_ITERS} UNION SELECT b, a FROM g{dq._NND_ITERS}
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
 ),
 qqs AS (
   SELECT vec_id AS qid,

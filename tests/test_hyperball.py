@@ -29,7 +29,7 @@ _REG0 = f"""
         FROM nodes)"""
 
 _MERGE = """,
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT node, bucket, max(m) AS m FROM (
     SELECT * FROM r{j}
     UNION ALL
@@ -44,13 +44,13 @@ r{i} AS (
 ORACLE_SQL = (
     f"""
 WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-sym AS (
+sym AS MATERIALIZED (
   SELECT p * 2 AS a, s * 2 + 1 AS b FROM e0
   UNION ALL
   SELECT s * 2 + 1, p * 2 FROM e0
 ),
 nodes AS (SELECT DISTINCT a AS node FROM sym),
-r0 AS ({_REG0}
+r0 AS MATERIALIZED ({_REG0}
 )"""
     + "".join(_MERGE.format(i=i, j=i - 1) for i in range(1, HOPS + 1))
     + f""",

@@ -11236,8 +11236,11 @@ _NND_RAND_BUCKETS = 64
 
 #: One NN-descent iteration in SQL: undirected edges → neighbours-of-
 #: neighbours ∪ current → exact integer re-score → top-k.
+#: MATERIALIZED (DuckDB): plain CTEs are inlined, so the multiple
+#: ``g{{j}}``/``und{{i}}`` references would re-run every earlier round —
+#: exponential in iterations (measured 44x on the beam-search replay).
 _NND_ITER_SQL = """,
-und{i} AS (
+und{i} AS MATERIALIZED (
   SELECT a, b FROM g{j} UNION SELECT b, a FROM g{j}
 ),
 cand{i} AS (
@@ -11246,7 +11249,7 @@ cand{i} AS (
   UNION
   SELECT a, b FROM g{j}
 ),
-g{i} AS (
+g{i} AS MATERIALIZED (
   SELECT a, b, d FROM (
     SELECT c.a, c.b,
            CAST(list_dot_product(CAST(qa.v AS DOUBLE[]),
@@ -11269,7 +11272,7 @@ g{i} AS (
 _NN_DESCENT_CTES = (
     _KMEANS_CTES
     + f""",
-assigned AS (
+assigned AS MATERIALIZED (
   -- a2.cluster is the SEED's cid (the chain's labeling convention);
   -- hbucket is the deterministic random-init grouping
   SELECT a2.vec_id, a2.cluster AS cluster_seed,
@@ -11287,7 +11290,7 @@ init_pairs AS (
   FROM assigned x JOIN assigned y
     ON x.hbucket = y.hbucket AND x.vec_id != y.vec_id
 ),
-g0 AS (
+g0 AS MATERIALIZED (
   SELECT a, b, d FROM (
     SELECT p.a, p.b,
            CAST(list_dot_product(CAST(qa.v AS DOUBLE[]),
