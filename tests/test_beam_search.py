@@ -174,6 +174,70 @@ def test_args_validated(spark):
         knn_graph_beam_search(emb, [1.0, 0.0], k=1, beam=2, entry_mod=0)
 
 
+def test_entry_mod_self_derives(spark):
+    """entry_mod=None derives max(1, N // 1024): on a small corpus
+    the slice is the whole corpus, so hops=0 + full beam must equal
+    the exact int8 top-k — the r12 rand_buckets fix mirrored onto
+    the query dial."""
+    from vector_db_handler_spark.operators.quantize import quantized_knn
+
+    rows = [
+        (i, [((i * 7 + d * 3) % 11 - 5) / 5.0 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = _emb(spark, rows)
+    q = [((d * 5 + 2) % 11 - 5) / 5.0 for d in range(8)]
+    got = knn_graph_beam_search(
+        emb, q, k=5, beam=40, hops=0, entry_mod=None, kmeans_k=2
+    ).collect()
+    want = quantized_knn(emb, q, k=5).collect()
+    assert [
+        (r["vec_id"], r["iscore"]) for r in sorted(got, key=lambda r: r["rank"])
+    ] == [(r["vec_id"], r["qscore"]) for r in want]
+
+
+def test_empty_entry_slice_falls_back(spark):
+    """r12 ADVICE: an entry_mod no node hashes to zero under must not
+    silently return zero rows — the (hash, id)-minimal node seeds the
+    beam instead, and hops still walk outward from it."""
+    rows = [
+        (i, [((i * 13 + d * 7) % 9 - 4) / 4.0 for d in range(8)])
+        for i in range(12)
+    ]
+    emb = _emb(spark, rows)
+    q = [((d * 3 + 1) % 9 - 4) / 4.0 for d in range(8)]
+    # 2^59 exceeds every 60-bit hash's chance of hitting 0 mod it for
+    # a 12-node corpus: the slice is empty, the fallback must engage.
+    out = knn_graph_beam_search(
+        emb, q, k=3, beam=6, hops=3, entry_mod=2**59,
+        kmeans_k=2, rand_buckets=4, graph_k=4, graph_iters=1,
+    ).collect()
+    assert len(out) == 3
+    scores = [r["iscore"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_batch_empty_entry_slice_falls_back(spark):
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_beam_search_batch,
+    )
+
+    rows = [
+        (i, [((i * 13 + d * 7) % 9 - 4) / 4.0 for d in range(8)])
+        for i in range(12)
+    ]
+    emb = _emb(spark, rows)
+    queries = emb.filter(emb["vec_id"].isin([0, 5])).select(
+        emb["vec_id"].alias("query_id"), "embedding"
+    )
+    out = knn_graph_beam_search_batch(
+        emb, queries, k=2, beam=4, hops=3, entry_mod=2**59,
+        kmeans_k=2, rand_buckets=4, graph_k=4, graph_iters=1,
+    ).collect()
+    assert {r["query_id"] for r in out} == {0, 5}
+    assert len(out) == 4
+
+
 def test_deterministic_across_partitionings(spark):
     rows = [
         (i, [((i * 13 + d * 7) % 9 - 4) / 4.0 for d in range(8)])

@@ -147,6 +147,19 @@ def test_args_validated(spark):
         domain_mixture_weights(docs, base=0)
 
 
+def test_overflow_bound_fails_loudly(spark):
+    """r12 ADVICE: u^n_rounds with u up to base+64000 exceeds int64
+    at n_rounds=4 (68000^4 ≈ 2.1e19 > 2^63−1) and would silently
+    wrap to negative weights — the bound must raise instead."""
+    docs = _docs(spark, [(1, "aa", "a b")])
+    with pytest.raises(ValueError, match="overflow"):
+        domain_mixture_weights(docs, n_rounds=4)
+    # Tightness: the largest safe round count still constructs.
+    domain_mixture_weights(docs, n_rounds=3)
+    with pytest.raises(ValueError, match="overflow"):
+        domain_mixture_weights(docs, n_rounds=2, base=2**32)
+
+
 def test_cross_engine_oracle_replay(spark, sf_dir, duck):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     compare(

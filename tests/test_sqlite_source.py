@@ -45,6 +45,32 @@ def test_nulls_survive_the_hop(spark, tmp_path):
     assert back[1]["text"] == "hello world" and back[1]["n_chars"] == 11
 
 
+def test_snowflake_scale_ids_roundtrip_exactly(spark, tmp_path):
+    """r12 ADVICE: int64 values past 2^53 were silently corrupted by
+    a float64 hop on BOTH sides (2^60+1 came back as 2^60).  The fix
+    ships INTEGER columns as decimal strings through Arrow on the
+    write side and builds object-dtype columns on the read side —
+    this pins the exact roundtrip, nulls alongside."""
+    big = 2**60 + 1
+    rows = [
+        (big, "snowflake id", "en", "src0", 2**53 + 1),
+        (-(2**62) - 7, "negative big", "en", "src1", None),
+        (3, None, None, "src2", 9223372036854775806),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    write_documents_sqlite(docs, str(tmp_path / "big"))
+    back = {
+        r["doc_id"]: r
+        for r in read_documents_sqlite(spark, str(tmp_path / "big")).collect()
+    }
+    assert set(back) == {big, -(2**62) - 7, 3}
+    assert back[big]["n_chars"] == 2**53 + 1
+    assert back[-(2**62) - 7]["n_chars"] is None
+    assert back[3]["n_chars"] == 9223372036854775806
+
+
 def test_foreign_schema_fails_loudly(spark, tmp_path):
     import sqlite3
 

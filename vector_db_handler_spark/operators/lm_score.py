@@ -215,6 +215,18 @@ def domain_mixture_weights(
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     if base <= 0:
         raise ValueError(f"base must be positive, got {base}")
+    # r12 ADVICE: u^n_rounds is BIGINT arithmetic and silently wraps
+    # in non-ANSI Spark.  excess_milli ≤ 1000·64 by construction (the
+    # credit is a bit-length ≤ 64, so credit_milli ≤ 64000), so the
+    # worst-case numerator is (base + 64000)^n_rounds — check it
+    # against int64 EXACTLY (Python ints) and fail loudly.
+    max_u = int(base) + 64000
+    if max_u ** int(n_rounds) > 2**63 - 1:
+        raise ValueError(
+            f"n_rounds={n_rounds} with base={base} can overflow BIGINT: "
+            f"worst-case weight_numer ({max_u}^{n_rounds}) exceeds int64; "
+            "reduce n_rounds (or base)"
+        )
     pairs = _bigrams(text_col)
     exploded = docs.filter(F.col(domain_col).isNotNull()).select(
         F.col(domain_col).alias("domain"), F.explode(pairs).alias("bigram")

@@ -971,7 +971,7 @@ def knn_graph_beam_search(
     graph_iters: int = 2,
     kmeans_k: int = 8,
     rand_buckets: int | None = None,
-    entry_mod: int = 32,
+    entry_mod: int | None = None,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -995,8 +995,16 @@ def knn_graph_beam_search(
     rows joined against the quantized-vector relation — constant
     work, independent of corpus size.  A production deployment makes
     the entries hierarchical (a coarser graph layer, HNSW-style);
-    ``entry_mod`` is the single dial standing in for that layer and
-    scales with N to keep the slice constant-sized.
+    ``entry_mod`` is the single dial standing in for that layer.
+    ``entry_mod=None`` (the default) derives the dial from the
+    corpus size targeting a ~1024-node expected entry slice
+    (``max(1, N // 1024)``) so the slice stays CONSTANT-sized as N
+    grows — the same self-deriving posture as ``rand_buckets``; pass
+    an explicit value only when replay parity against a pinned
+    oracle requires it (the registered query pins 32).  If the hash
+    slice comes up EMPTY (tiny corpus, unlucky modulus) the entry
+    falls back to the deterministic (hash, id)-minimal node instead
+    of silently returning zero rows.
 
     Determinism: scores are exact BIGINT dots in the int8 domain
     (|dot| ≤ dim·127²), the sample is md5-derived, all ties pinned —
@@ -1018,8 +1026,12 @@ def knn_graph_beam_search(
         raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
     if hops < 0:
         raise ValueError(f"hops must be >= 0, got {hops}")
-    if entry_mod < 1:
+    if entry_mod is not None and entry_mod < 1:
         raise ValueError(f"entry_mod must be >= 1, got {entry_mod}")
+    if entry_mod is None:
+        # ~1024 expected entry nodes: the slice stays constant-sized
+        # as the corpus grows (mirrors the rand_buckets derivation).
+        entry_mod = max(1, emb.count() // 1024)
 
     scale = max_abs_scale(emb, embedding_col)
     qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col).select(
@@ -1085,6 +1097,21 @@ def knn_graph_beam_search(
         F.pmod(portable_hash60(F.col("nid").cast("string")), F.lit(int(entry_mod)))
         == 0
     ).select("nid")
+    if entries.isEmpty():
+        # r12 ADVICE: an empty hash slice (tiny corpus / unlucky
+        # modulus) silently returned zero rows — indistinguishable
+        # from "no neighbors".  Seed from the deterministic
+        # (hash, id)-minimal node instead; take(1) lowers to a
+        # distributed TakeOrdered, no full sort.
+        entries = (
+            qn.select(
+                "nid",
+                portable_hash60(F.col("nid").cast("string")).alias("eh"),
+            )
+            .orderBy(F.col("eh").asc(), F.col("nid").asc())
+            .limit(1)
+            .select("nid")
+        )
     beam_df = _top_beam(entries)
     for _ in range(int(hops)):
         cand = (
@@ -1118,7 +1145,7 @@ def knn_graph_beam_search_batch(
     graph_iters: int = 2,
     kmeans_k: int = 8,
     rand_buckets: int | None = None,
-    entry_mod: int = 32,
+    entry_mod: int | None = None,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
@@ -1141,8 +1168,12 @@ def knn_graph_beam_search_batch(
     ≤ Q·beam-row beam against the undirected edge relation and
     re-scores ≤ Q·beam·(2·graph_k+1) candidates.  Beam windows
     partition by query, so no single-partition sorts appear anywhere;
-    ``entry_mod`` scales with N, ``Q`` with the broadcast budget
-    (past that, the qq join flips to a shuffle join untouched)."""
+    ``entry_mod=None`` self-derives ``max(1, N // 1024)`` so the
+    slice stays constant-sized as N grows (explicit values are for
+    oracle-pinned replays), ``Q`` scales with the broadcast budget
+    (past that, the qq join flips to a shuffle join untouched).
+    An empty hash slice falls back to the (hash, id)-minimal node,
+    same as the single-query path."""
     from pyspark.sql import Window
 
     from vector_db_handler_spark.functions.text import portable_hash60
@@ -1155,8 +1186,10 @@ def knn_graph_beam_search_batch(
         raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
     if hops < 0:
         raise ValueError(f"hops must be >= 0, got {hops}")
-    if entry_mod < 1:
+    if entry_mod is not None and entry_mod < 1:
         raise ValueError(f"entry_mod must be >= 1, got {entry_mod}")
+    if entry_mod is None:
+        entry_mod = max(1, emb.count() // 1024)
 
     scale = max_abs_scale(emb, embedding_col)
     qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col).select(
@@ -1209,17 +1242,26 @@ def knn_graph_beam_search_batch(
             .localCheckpoint(eager=False)
         )
 
-    entries = (
-        qn.filter(
-            F.pmod(
-                portable_hash60(F.col("nid").cast("string")),
-                F.lit(int(entry_mod)),
-            )
-            == 0
+    entry_slice = qn.filter(
+        F.pmod(
+            portable_hash60(F.col("nid").cast("string")),
+            F.lit(int(entry_mod)),
         )
-        .select("nid")
-        .crossJoin(qq.select("qid"))
-    )
+        == 0
+    ).select("nid")
+    if entry_slice.isEmpty():
+        # Same fallback as the single-query path: never let an
+        # unlucky modulus turn every query's answer into zero rows.
+        entry_slice = (
+            qn.select(
+                "nid",
+                portable_hash60(F.col("nid").cast("string")).alias("eh"),
+            )
+            .orderBy(F.col("eh").asc(), F.col("nid").asc())
+            .limit(1)
+            .select("nid")
+        )
+    entries = entry_slice.crossJoin(qq.select("qid"))
     beam_df = _top_beam(entries)
     for _ in range(int(hops)):
         cand = (

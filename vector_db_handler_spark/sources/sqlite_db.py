@@ -46,6 +46,7 @@ def write_documents_sqlite(docs: DataFrame, path: str) -> int:
     os.makedirs(path, exist_ok=True)
     cols = [n for n, _ in DOC_FIELDS]
     spec = list(_SCHEMA_SPEC)
+    int_idx = [i for i, (_, t) in enumerate(spec) if t == "INTEGER"]
 
     def writer(batches):
         import os as _os
@@ -62,8 +63,16 @@ def write_documents_sqlite(docs: DataFrame, path: str) -> int:
             ddl = ", ".join(f'"{n}" {t}' for n, t in spec)
             con.execute(f'CREATE TABLE "{_TABLE}" ({ddl})')
             ph = ", ".join("?" for _ in spec)
+            # INTEGER columns arrive as decimal strings (see the
+            # select below) — parse back to exact Python ints here.
+            int_set = set(int_idx)
             rows = (
-                tuple(None if _pd.isna(v) else v for v in row)
+                tuple(
+                    None
+                    if v is None or (isinstance(v, float) and _pd.isna(v))
+                    else (int(v) if i in int_set else v)
+                    for i, v in enumerate(row)
+                )
                 for row in pdf.itertuples(index=False, name=None)
             )
             con.executemany(f'INSERT INTO "{_TABLE}" VALUES ({ph})', rows)
@@ -77,9 +86,19 @@ def write_documents_sqlite(docs: DataFrame, path: str) -> int:
             _os.replace(tmp, fname)  # atomic per-file commit
             yield _pd.DataFrame({"file": [fname], "n_rows": [len(pdf)]})
 
-    manifest = docs.select(cols).mapInPandas(
-        writer, schema="file string, n_rows long"
+    from pyspark.sql import functions as F
+
+    # Arrow hands a nullable long column to pandas as float64, which
+    # silently corrupts |v| > 2^53 (r12 ADVICE).  Ship INTEGER columns
+    # as decimal strings through the Arrow hop instead — CAST(long AS
+    # STRING) is exact — and re-parse in the writer.
+    shipped = docs.select(
+        [
+            F.col(n).cast("string").alias(n) if t == "INTEGER" else F.col(n)
+            for n, t in spec
+        ]
     )
+    manifest = shipped.mapInPandas(writer, schema="file string, n_rows long")
     return sum(r["n_rows"] for r in manifest.collect())
 
 
@@ -113,14 +132,20 @@ def read_documents_sqlite(spark: SparkSession, path: str) -> DataFrame:
                     f'SELECT {sel} FROM "{_TABLE}"'
                 ).fetchall()
                 con.close()
-                out = _pd.DataFrame(rows, columns=cols)
-                # pandas turns INTEGER columns with NULLs into float;
-                # object-typed columns keep None and round-trip as
-                # proper SQL NULLs through Arrow.
-                for c, t in spec:
-                    if t == "INTEGER":
-                        out[c] = out[c].astype("object")
-                yield out
+                # Build object-dtype columns DIRECTLY from the row
+                # tuples: pd.DataFrame(rows) would coerce an INTEGER
+                # column containing a NULL to float64 first, silently
+                # corrupting |v| > 2^53 before any astype repair
+                # (r12 ADVICE).  Object columns keep exact Python
+                # ints and None, and Arrow re-infers int64 + nulls.
+                yield _pd.DataFrame(
+                    {
+                        c: _pd.Series(
+                            [r[i] for r in rows], dtype="object"
+                        )
+                        for i, c in enumerate(cols)
+                    }
+                )
 
     return (
         spark.read.format("binaryFile")
