@@ -15,74 +15,14 @@ from vector_db_handler_spark.operators.similarity import (
     knn_graph_nn_descent,
 )
 
-K = 10
-BEAM = 12
-HOPS = 2
-ENTRY_MOD = 32
+K = dq._BEAM_K
+BEAM = dq._BEAM_WIDTH
+HOPS = dq._BEAM_HOPS
+ENTRY_MOD = dq._BEAM_ENTRY_MOD
 
-#: One beam hop in SQL: expand over undirected graph edges ∪ current
-#: beam → exact integer re-score against the quantized query →
-#: top-beam with pinned (d DESC, nid ASC) ties.
-#: (expand CTEs are named x{{i}} — c1/c2 belong to the k-means chain)
-_HOP = """,
-x{i} AS (
-  SELECT u.b AS nid FROM b{j} JOIN und u ON u.a = b{j}.nid
-  UNION
-  SELECT nid FROM b{j}
-),
-b{i} AS (
-  SELECT nid, d FROM (
-    SELECT c.nid,
-           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
-           row_number() OVER (
-             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
-                           AS BIGINT) DESC, c.nid ASC) AS rn
-    FROM x{i} c JOIN qv q ON c.nid = q.vec_id
-  ) WHERE rn <= {beam}
-)"""
-
-#: DuckDB twin — the registered NN-descent CTE chain (k-means → init
-#: → 2 descent rounds ending at g2) + undirected edges + quantized
-#: query + hash-sampled entry beam + HOPS unrolled beam hops.  The
-#: SQL an r13 registration will carry.
-#: ``gmat``/``und`` are MATERIALIZED: DuckDB inlines plain CTEs, so
-#: every one of the beam stages' references would otherwise re-run the
-#: whole k-means + NN-descent chain — measured 305 s vs ~30 s at
-#: sf0.001 (exponential in hops).  MATERIALIZED pins one evaluation.
-ORACLE_SQL = (
-    dq._NN_DESCENT_CTES
-    + f""",
-gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
-und AS MATERIALIZED (
-  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
-),
-qq AS (
-  SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
-),
-b0 AS (
-  SELECT nid, d FROM (
-    SELECT q.vec_id AS nid,
-           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
-           row_number() OVER (
-             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
-                           AS BIGINT) DESC, q.vec_id ASC) AS rn
-    FROM qv q
-    WHERE CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15)
-               AS BIGINT) % {ENTRY_MOD} = 0
-  ) WHERE rn <= {BEAM}
-)"""
-    + "".join(_HOP.format(i=i, j=i - 1, beam=BEAM) for i in range(1, HOPS + 1))
-    + f"""
-SELECT nid AS vec_id,
-       CAST(rnk AS BIGINT) AS rank,
-       d AS iscore
-FROM (
-  SELECT nid, d,
-         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
-  FROM b{HOPS}
-) WHERE rnk <= {K}
-"""
-)
+#: Registered in r13 — the SQL lives in driver_queries (one source of
+#: truth; this module replays it cross-engine at fixture scale).
+ORACLE_SQL = dq._BEAM_SEARCH_SQL
 
 
 def _emb(spark, rows):
@@ -290,69 +230,10 @@ def test_cross_engine_oracle_replay(spark, sf_dir, duck):
 
 # --- batch serve --------------------------------------------------------
 
-QUERY_MOD = 97  # embeddings slice used as the self-search query set
+QUERY_MOD = dq._BEAM_QUERY_MOD  # embeddings slice used as the query set
 
-_BHOP = """,
-bx{i} AS (
-  SELECT b.qid, u.b AS nid FROM b{j} b JOIN und u ON u.a = b.nid
-  UNION
-  SELECT qid, nid FROM b{j}
-),
-b{i} AS (
-  SELECT qid, nid, d FROM (
-    SELECT x.qid, x.nid,
-           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
-           row_number() OVER (
-             PARTITION BY x.qid
-             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
-                      x.nid ASC) AS rn
-    FROM bx{i} x JOIN qv c ON x.nid = c.vec_id
-                 JOIN qqs q ON x.qid = q.qid
-  ) WHERE rn <= {beam}
-)"""
-
-#: DuckDB twin of the BATCH serve — the registered NN-descent chain +
-#: a quantized-queries relation (the vec_id % 97 slice, corpus scale)
-#: + per-query entry beams and hops (all windows PARTITION BY qid).
-#: The SQL an r13 registration will carry.
-BATCH_ORACLE_SQL = (
-    dq._NN_DESCENT_CTES
-    + f""",
-gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
-und AS MATERIALIZED (
-  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
-),
-qqs AS (
-  SELECT vec_id AS qid,
-         list_transform(CAST(embedding AS DOUBLE[]), x -> {dq._QUANT_CLAMP})
-           AS qv
-  FROM embeddings, scale WHERE vec_id % {QUERY_MOD} = 0
-),
-b0 AS (
-  SELECT qid, nid, d FROM (
-    SELECT q.qid, c.vec_id AS nid,
-           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
-           row_number() OVER (
-             PARTITION BY q.qid
-             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
-                      c.vec_id ASC) AS rn
-    FROM qv c, qqs q
-    WHERE CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)
-               AS BIGINT) % {ENTRY_MOD} = 0
-  ) WHERE rn <= {BEAM}
-)"""
-    + "".join(_BHOP.format(i=i, j=i - 1, beam=BEAM) for i in range(1, HOPS + 1))
-    + f"""
-SELECT qid AS query_id, nid AS neighbor_id,
-       CAST(rnk AS BIGINT) AS rank, d AS iscore
-FROM (
-  SELECT qid, nid, d,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY d DESC, nid ASC) AS rnk
-  FROM b{HOPS}
-) WHERE rnk <= {K}
-"""
-)
+#: Registered in r13 — SQL lives in driver_queries.
+BATCH_ORACLE_SQL = dq._BEAM_BATCH_SQL
 
 
 def test_batch_equals_per_query_singles(spark):

@@ -14,25 +14,11 @@ from vector_db_handler_spark.operators.timeseries import (
     cube_by_day_type_source,
 )
 
-#: DuckDB twin — the SQL an r13 registration will carry.
-ORACLE_SQL = """
-WITH ev AS (
-  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS _day,
-         event_type, CAST(user_id % 4 AS VARCHAR) AS user_bucket, value
-  FROM events
-)
-SELECT CASE WHEN GROUPING(_day) = 1 THEN 'ALL' ELSE _day END AS day,
-       CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
-         AS event_type,
-       CASE WHEN GROUPING(user_bucket) = 1 THEN 'ALL' ELSE user_bucket END
-         AS user_bucket,
-       CAST(GROUPING(_day) * 4 + GROUPING(event_type) * 2
-            + GROUPING(user_bucket) AS BIGINT) AS grouping_id,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-FROM ev
-GROUP BY CUBE(_day, event_type, user_bucket)
-"""
+from vector_db_handler_spark import driver_queries as dq
+
+#: Registered in r13 — SQL lives in driver_queries (one source of
+#: truth; this module replays it cross-engine at fixture scale).
+ORACLE_SQL = dq._CUBE_SQL
 
 
 def _events(spark, rows):

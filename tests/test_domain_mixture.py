@@ -10,63 +10,14 @@ import pytest
 from tests.oracle_check import compare
 from vector_db_handler_spark.operators.lm_score import domain_mixture_weights
 
-ROUNDS = 2
-BASE = 4000
+from vector_db_handler_spark import driver_queries as dq
 
-#: DuckDB twin — one bigram explode feeds the corpus model and the
-#: per-domain rollup; exact integer credits; (base+excess)^T weights.
-#: The SQL an r13 registration will carry.
-ORACLE_SQL = f"""
-WITH toks AS (
-  SELECT lang AS domain, string_split(text, ' ') AS t FROM documents
-  WHERE lang IS NOT NULL
-),
-doc_bigrams AS (
-  SELECT domain,
-         unnest(list_transform(generate_series(1, len(t) - 1),
-                               i -> t[i] || ' ' || t[i + 1])) AS bigram
-  FROM toks
-),
-model AS (SELECT bigram, count(*) AS n FROM doc_bigrams GROUP BY 1),
-credited AS (
-  SELECT d.domain, length(printf('%b', m.n)) AS bits
-  FROM doc_bigrams d JOIN model m USING (bigram)
-),
-per_domain AS (
-  SELECT domain, CAST(count(*) AS BIGINT) AS n_bigrams,
-         CAST(sum(bits) AS BIGINT) AS credit
-  FROM credited GROUP BY 1
-),
-gtot AS (
-  SELECT CAST(sum(n_bigrams) AS BIGINT) AS tot_bigrams,
-         CAST(sum(credit) AS BIGINT) AS tot_credit
-  FROM per_domain
-),
-nd AS (
-  SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs
-  FROM documents WHERE lang IS NOT NULL GROUP BY 1
-),
-scored AS (
-  SELECT p.domain, p.n_bigrams,
-         CAST(1000 * p.credit AS BIGINT) // p.n_bigrams AS credit_milli,
-         CAST(CAST(1000 * g.tot_credit AS BIGINT) // g.tot_bigrams
-              - CAST(1000 * p.credit AS BIGINT) // p.n_bigrams AS BIGINT)
-           AS excess_milli
-  FROM per_domain p, gtot g
-),
-weighted AS (
-  SELECT domain, n_bigrams, credit_milli, excess_milli,
-         CAST(power(greatest(CAST(1 AS BIGINT), {BASE} + excess_milli),
-                    {ROUNDS}) AS BIGINT) AS weight_numer
-  FROM scored
-),
-tot AS (SELECT CAST(sum(weight_numer) AS BIGINT) AS tot_numer FROM weighted)
-SELECT w.domain, nd.n_docs, w.n_bigrams, w.credit_milli, w.excess_milli,
-       w.weight_numer,
-       ROUND(CAST(w.weight_numer AS DOUBLE) / CAST(t.tot_numer AS DOUBLE), 6)
-         AS weight_share
-FROM weighted w JOIN nd USING (domain), tot t
-"""
+ROUNDS = dq._DM_ROUNDS
+BASE = dq._DM_BASE
+
+#: Registered in r13 — SQL lives in driver_queries (one source of
+#: truth; this module replays it cross-engine at fixture scale).
+ORACLE_SQL = dq._DOMAIN_MIXTURE_SQL
 
 
 def _docs(spark, rows):

@@ -10,90 +10,13 @@ import pytest
 from tests.oracle_check import compare
 from vector_db_handler_spark import driver_queries as dq
 from vector_db_handler_spark.operators.graph import hyperball_neighborhood
-from vector_db_handler_spark.operators.hll import hll_alpha
 
-P = 6
-HOPS = 2
-K = 1 << P
-S = 61 - P
-_NUMER = repr(hll_alpha(K) * (K * K) * float(1 << S))
-_L = dq._ilog2_kilo_sql
+P = dq._HB_P
+HOPS = dq._HB_HOPS
 
-_REG0 = f"""
-  SELECT node, h & {K - 1} AS bucket,
-         CASE WHEN (h >> {P}) = 0 THEN {S}
-              ELSE {60 - P} - length(printf('%b', h >> {P})) + 1 END AS m
-  FROM (SELECT node,
-               CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)
-                    AS BIGINT) AS h
-        FROM nodes)"""
-
-_MERGE = """,
-r{i} AS MATERIALIZED (
-  SELECT node, bucket, max(m) AS m FROM (
-    SELECT * FROM r{j}
-    UNION ALL
-    SELECT s.a AS node, r.bucket, r.m FROM sym s JOIN r{j} r ON s.b = r.node
-  ) GROUP BY 1, 2
-)"""
-
-#: DuckDB twin over the SAME symmetrized part–supplier graph the
-#: registered pagerank/LPA use, HOPS unrolled max-merge rounds, then
-#: the shared estimate arithmetic per (node, hop) — the SQL an r13
-#: registration will carry.
-ORACLE_SQL = (
-    f"""
-WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-sym AS MATERIALIZED (
-  SELECT p * 2 AS a, s * 2 + 1 AS b FROM e0
-  UNION ALL
-  SELECT s * 2 + 1, p * 2 FROM e0
-),
-nodes AS (SELECT DISTINCT a AS node FROM sym),
-r0 AS MATERIALIZED ({_REG0}
-)"""
-    + "".join(_MERGE.format(i=i, j=i - 1) for i in range(1, HOPS + 1))
-    + f""",
-regs AS (
-"""
-    + "\n  UNION ALL\n".join(
-        f"  SELECT CAST({h} AS BIGINT) AS hop, node, bucket, m FROM r{h}"
-        for h in range(HOPS + 1)
-    )
-    + f"""
-),
-grid AS (
-  SELECT n.node, h.hop, g.bucket
-  FROM nodes n, range({HOPS + 1}) AS h(hop), range({K}) AS g(bucket)
-),
-allregs AS (
-  SELECT g.node, g.hop, COALESCE(r.m, 0) AS m
-  FROM grid g LEFT JOIN regs r
-    ON g.node = r.node AND g.hop = r.hop AND g.bucket = r.bucket
-),
-agg AS (
-  SELECT node, hop,
-         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_zero_buckets,
-         CAST(sum(CAST(1 AS BIGINT) << CAST({S} - m AS INT)) AS BIGINT)
-           AS sum_scaled
-  FROM allregs GROUP BY 1, 2
-)
-SELECT node, CAST(hop AS BIGINT) AS hop, n_zero_buckets, sum_scaled,
-       ROUND({_NUMER} / CAST(sum_scaled AS DOUBLE), 6) AS est_raw,
-       CASE WHEN n_zero_buckets > 0 THEN
-         ROUND((({_L(f"CAST(floor({float(K * (1 << 20))!r} / n_zero_buckets) AS BIGINT)")}
-                 / 1024.0 - 20.0) * 0.6931471805599453) * {float(K)!r}, 6)
-       END AS est_lc,
-       CASE WHEN ROUND({_NUMER} / CAST(sum_scaled AS DOUBLE), 6) <= {2.5 * K!r}
-                 AND n_zero_buckets > 0
-            THEN ROUND((({_L(f"CAST(floor({float(K * (1 << 20))!r} / n_zero_buckets) AS BIGINT)")}
-                         / 1024.0 - 20.0) * 0.6931471805599453) * {float(K)!r}, 6)
-            ELSE ROUND({_NUMER} / CAST(sum_scaled AS DOUBLE), 6)
-       END AS est_used
-FROM agg
-"""
-)
+#: Registered in r13 — SQL lives in driver_queries (one source of
+#: truth; this module replays it cross-engine at fixture scale).
+ORACLE_SQL = dq._HYPERBALL_SQL
 
 
 def _edges(spark, pairs):
@@ -203,29 +126,8 @@ def test_cross_engine_oracle_replay(spark, sf_dir, duck):
 
 # --- neighborhood function / effective diameter ------------------------
 
-#: DuckDB twin of the rollup an r13 registration will carry: the
-#: hyperball oracle's per-(node,hop) estimates rolled up per hop with
-#: exact micro-integer sums and the coverage flag.
-NEIGHBORHOOD_SQL = (
-    "WITH pernode AS (" + ORACLE_SQL.strip().rstrip() + """),
-rolled AS (
-  SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
-         CAST(sum(CAST(floor(est_used * 1000000.0) AS BIGINT)) AS BIGINT)
-           AS sum_reach_micro
-  FROM pernode GROUP BY 1
-),
-deepest AS (
-  SELECT sum_reach_micro AS max_reach_micro
-  FROM rolled ORDER BY hop DESC LIMIT 1
-)
-SELECT r.hop, r.n_nodes, r.sum_reach_micro,
-       ROUND(CAST(r.sum_reach_micro AS DOUBLE) / d.max_reach_micro, 6)
-         AS reach_ratio,
-       CAST(r.sum_reach_micro AS DOUBLE) >= 0.9 * d.max_reach_micro
-         AS covers_q
-FROM rolled r, deepest d
-"""
-)
+#: Registered in r13 — the per-hop rollup twin lives in driver_queries.
+NEIGHBORHOOD_SQL = dq._NEIGHBORHOOD_SQL
 
 
 def test_neighborhood_function_monotone_and_covers(spark):

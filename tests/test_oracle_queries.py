@@ -18,6 +18,19 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     compare(dq.queries()[name](spark, sf_dir), duck, _ORACLES[name])
 
 
+#: Rows retired from the DRIVER registry under the §8.0 cap policy
+#: (the 22 TPC-H refreshes, folded into ``tpch_rotating``).  The
+#: policy's premise is that retirement loses no LOCAL coverage — this
+#: replay keeps every retired twin running on every suite run.
+@pytest.mark.parametrize("name", sorted(dq._RETIRED_ORACLES))
+def test_retired_query_matches_oracle(name, spark, duck, sf_dir):
+    compare(
+        dq._RETIRED_QUERIES[name](spark, sf_dir),
+        duck,
+        dq._RETIRED_ORACLES[name],
+    )
+
+
 #: Queries that intentionally ship WITHOUT an oracle (driver records a
 #: weaker rows-only check).  Each needs a reason.
 ROWS_ONLY = {

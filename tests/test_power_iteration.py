@@ -15,67 +15,12 @@ from vector_db_handler_spark.operators.quantize import (
     quantize_int8,
 )
 
-ITERS = 2
-DIM = 64  # the embeddings fixture dimension (matches dq.QUERY_VEC)
+ITERS = dq._PI_ITERS
+DIM = dq._PI_DIM  # the embeddings fixture dimension (matches dq.QUERY_VEC)
 
-_ITER_SQL = """,
-r{i} AS (
-  SELECT C.j, CAST(sum(c * val) AS BIGINT) AS raw
-  FROM C JOIN v{j} ON C.k = v{j}.k GROUP BY 1
-),
-m{i} AS (
-  SELECT max(abs(raw)) AS m,
-         greatest(0, length(printf('%b', max(abs(raw)))) - 50) AS sh
-  FROM r{i}
-),
-v{i} AS (
-  SELECT j AS k,
-         CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
-              ELSE CAST(sign(raw) AS BIGINT)
-                   * (((abs(raw) >> sh) * 1024) // greatest(m >> sh, 1))
-         END AS val
-  FROM r{i}, m{i}
-)"""
-
-#: DuckDB twin — the registered quantization chain (scale → qc) +
-#: exact dim² Gram + ITERS unrolled fixed-point rounds + the Rayleigh
-#: quotient.  The SQL an r13 registration will carry.
-ORACLE_SQL = (
-    f"""
-WITH scale AS (
-  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
-                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
-  FROM embeddings
-),
-qc AS (
-  SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]), x -> {dq._QUANT_CLAMP}) AS v
-  FROM embeddings, scale
-),
-C AS (
-  SELECT jj.j, kk.k,
-         CAST(sum(qc.v[jj.j + 1] * qc.v[kk.k + 1]) AS BIGINT) AS c
-  FROM qc, range({DIM}) jj(j), range({DIM}) kk(k)
-  GROUP BY 1, 2
-),
-v0 AS (SELECT t.k, CAST(1024 AS BIGINT) AS val FROM range({DIM}) t(k))"""
-    + "".join(_ITER_SQL.format(i=i, j=i - 1) for i in range(1, ITERS + 1))
-    + f""",
-r3 AS (
-  SELECT C.j, CAST(sum(c * val) AS BIGINT) AS raw
-  FROM C JOIN v{ITERS} ON C.k = v{ITERS}.k GROUP BY 1
-),
-ray AS (
-  SELECT CASE WHEN sum(v.val * v.val) > 0 THEN
-           ROUND(CAST(sum(r3.raw * v.val) AS DOUBLE)
-                 / CAST(sum(v.val * v.val) AS DOUBLE), 6)
-         END AS rayleigh
-  FROM r3 JOIN v{ITERS} v ON r3.j = v.k
-)
-SELECT v.k AS dim, v.val AS component_1024, ray.rayleigh
-FROM v{ITERS} v, ray
-"""
-)
+#: Registered in r13 — SQL lives in driver_queries (one source of
+#: truth; this module replays it cross-engine at fixture scale).
+ORACLE_SQL = dq._POWER_ITERATION_SQL
 
 
 def _emb(spark, rows):

@@ -8,88 +8,15 @@ from __future__ import annotations
 import pytest
 
 from tests.oracle_check import compare
-from vector_db_handler_spark.operators.layout import (
-    Z_BITS,
-    minmax_pruning_report,
-    z_expr_sql,
-)
+from vector_db_handler_spark import driver_queries as dq
+from vector_db_handler_spark.operators.layout import minmax_pruning_report
 
-SHIFT = 18
-PREDICATES = [
-    ("cust_low", 1, 150, -2000, 3000),
-    ("cust_point", 500, 520, -2000, 3000),
-    ("one_year", 0, 1_000_000, 365, 730),
-    ("tight_box", 100, 400, 0, 400),
-]
+SHIFT = dq._MM_SHIFT
+PREDICATES = dq._MM_PREDICATES
 
-_PRED_VALUES = ", ".join(
-    f"('{p}', CAST({a} AS BIGINT), CAST({b} AS BIGINT), "
-    f"CAST({c} AS BIGINT), CAST({d} AS BIGINT))"
-    for p, a, b, c, d in PREDICATES
-)
-
-_Z = z_expr_sql("x", "y", Z_BITS, "duckdb")
-_HASH = (
-    "CAST('0x' || substr(md5(CAST(x AS VARCHAR) || '|' "
-    "|| CAST(y AS VARCHAR)), 1, 15) AS BIGINT) % 64"
-)
-
-
-def _census_sql(bucket_expr: str, tag: str) -> str:
-    return f"""
-{tag}s AS (
-  SELECT {bucket_expr} AS bkt, count(*) AS n_rows,
-         min(x) AS x_min, max(x) AS x_max,
-         min(y) AS y_min, max(y) AS y_max
-  FROM base GROUP BY 1
-),
-{tag}c AS (
-  SELECT p.pred_id,
-         CAST(count(*) AS BIGINT) AS n_buckets_{tag},
-         CAST(sum(CASE WHEN NOT (s.x_max < p.x_lo OR s.x_min > p.x_hi
-                                 OR s.y_max < p.y_lo OR s.y_min > p.y_hi)
-                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_{tag},
-         CAST(sum(CASE WHEN NOT (s.x_max < p.x_lo OR s.x_min > p.x_hi
-                                 OR s.y_max < p.y_lo OR s.y_min > p.y_hi)
-                       THEN s.n_rows ELSE 0 END) AS BIGINT)
-           AS rows_scanned_{tag}
-  FROM {tag}s s, preds p GROUP BY 1
-)"""
-
-
-#: DuckDB twin — the SQL an r13 registration will carry ('z' census
-#: via the shared Morton expression, 'h' census via the md5 hash
-#: baseline, one matching pass, ratios as single rounded divisions).
-ORACLE_SQL = f"""
-WITH base AS (
-  SELECT CAST(o_custkey AS BIGINT) AS x,
-         CAST(datediff('day', DATE '1995-01-01',
-                       CAST(o_orderdate AS DATE)) AS BIGINT) AS y
-  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
-),
-preds(pred_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES {_PRED_VALUES}),
-{_census_sql(f"({_Z}) >> {SHIFT}", "z")},
-{_census_sql(_HASH, "hash")},
-matching AS (
-  SELECT p.pred_id, CAST(count(*) AS BIGINT) AS rows_matching
-  FROM base b JOIN preds p
-    ON b.x BETWEEN p.x_lo AND p.x_hi AND b.y BETWEEN p.y_lo AND p.y_hi
-  GROUP BY 1
-),
-total AS (SELECT CAST(count(*) AS BIGINT) AS n_rows_total FROM base)
-SELECT z.pred_id, t.n_rows_total,
-       COALESCE(m.rows_matching, 0) AS rows_matching,
-       z.n_buckets_z, z.n_kept_z, z.rows_scanned_z,
-       ROUND(1.0 - CAST(z.rows_scanned_z AS DOUBLE) / t.n_rows_total, 6)
-         AS skip_ratio_z,
-       h.n_buckets_hash, h.n_kept_hash, h.rows_scanned_hash,
-       ROUND(1.0 - CAST(h.rows_scanned_hash AS DOUBLE) / t.n_rows_total, 6)
-         AS skip_ratio_hash
-FROM zc z
-JOIN hashc h USING (pred_id)
-LEFT JOIN matching m USING (pred_id)
-CROSS JOIN total t
-"""
+#: Registered in r13 — SQL lives in driver_queries (one source of
+#: truth; this module replays it cross-engine at fixture scale).
+ORACLE_SQL = dq._MINMAX_PRUNING_SQL
 
 
 def _df(spark, rows):

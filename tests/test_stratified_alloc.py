@@ -12,45 +12,13 @@ from vector_db_handler_spark.operators.sampling import (
     allocate_stratified_exact,
 )
 
-TOTAL_N = 200
+from vector_db_handler_spark import driver_queries as dq
 
-#: DuckDB twin — the SQL an r13 registration will carry.
-ORACLE_SQL = f"""
-WITH base AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
-counts AS (SELECT lang AS s, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts),
-alloc AS (
-  SELECT s, c,
-         CAST({TOTAL_N} * c AS BIGINT) // t AS base_q,
-         CAST({TOTAL_N} * c AS BIGINT) % t AS rem
-  FROM counts, tot
-),
-ranked_alloc AS (
-  SELECT s, c, base_q,
-         row_number() OVER (ORDER BY rem DESC, s ASC) AS rn,
-         (SELECT {TOTAL_N} - sum(base_q) FROM alloc) AS leftover
-  FROM alloc
-),
-quotas AS (
-  SELECT s,
-         least(c, base_q + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)
-           AS quota
-  FROM ranked_alloc
-),
-ranked AS (
-  SELECT doc_id, lang,
-         row_number() OVER (
-           PARTITION BY lang
-           ORDER BY CAST('0x' || substr(md5('alloc|'
-                     || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-                    % 10000 ASC,
-                    doc_id ASC) AS rk
-  FROM base
-)
-SELECT r.doc_id, r.lang
-FROM ranked r JOIN quotas q ON r.lang = q.s
-WHERE r.rk <= q.quota
-"""
+TOTAL_N = dq._ALLOC_TOTAL_N
+
+#: Registered in r13 — SQL lives in driver_queries (one source of
+#: truth; this module replays it cross-engine at fixture scale).
+ORACLE_SQL = dq._ALLOC_STRATIFIED_SQL
 
 
 def _docs(spark, rows):

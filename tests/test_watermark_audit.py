@@ -11,44 +11,13 @@ import datetime as dt
 from tests.oracle_check import compare
 from vector_db_handler_spark.operators.windows import watermark_late_audit
 
-DELAY = 3600
+from vector_db_handler_spark import driver_queries as dq
 
-#: Deterministic arrival disorder for the fixture: every 7th event
-#: arrives 500 positions late — the planted positives the audit must
-#: count.  (The generator writes events perfectly ordered, so without
-#: this the audit is trivially all-accepted.)
-_ARRIVAL = "event_id + CASE WHEN event_id % 7 = 0 THEN 500 ELSE 0 END"
+DELAY = dq._WM_DELAY_SEC
 
-#: DuckDB twin: the global running max the two-level prefix scan
-#: decomposes (ORDER BY (arrival, event_id), ROWS ... AND 1
-#: PRECEDING) — the SQL an r13 registration will carry.
-ORACLE_SQL = f"""
-WITH ev AS (
-  SELECT event_id,
-         {_ARRIVAL} AS arr,
-         epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
-         epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 1000000
-           AS window_start_epoch
-  FROM events
-  WHERE ts IS NOT NULL AND event_id IS NOT NULL
-),
-scored AS (
-  SELECT window_start_epoch, tu,
-         COALESCE(max(tu) OVER (ORDER BY arr, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING), {-(2**62)})
-           - {DELAY * 1_000_000} AS wm
-  FROM ev
-)
-SELECT window_start_epoch,
-       CAST(count(*) AS BIGINT) AS n_total,
-       CAST(sum(CASE WHEN tu < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-       CAST(sum(CASE WHEN tu < wm THEN 0 ELSE 1 END) AS BIGINT)
-         AS n_accepted,
-       CAST(COALESCE(max(CASE WHEN tu < wm THEN wm - tu END), 0) AS BIGINT)
-         AS max_lateness_us
-FROM scored GROUP BY 1
-"""
+#: Registered in r13 — SQL lives in driver_queries (one source of
+#: truth; this module replays it cross-engine at fixture scale).
+ORACLE_SQL = dq._WATERMARK_AUDIT_SQL
 
 
 def _events(spark, rows):

@@ -83,6 +83,26 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+#: Rows RETIRED from the driver registry under the 250-row cap policy
+#: (SURVEY §8.0, binding from r13): the pytest oracle replay still runs
+#: every retired row each suite run (tests/test_oracle_queries.py), so
+#: retirement loses no local coverage — only the per-round driver slot.
+#: The 22 TPC-H refreshes live here; ``tpch_rotating`` fronts a 4-query
+#: digest of them per round under one registry entry's budget.
+_RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_RETIRED_ORACLES: dict[str, str] = {}
+
+
+def register_retired(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _RETIRED_QUERIES[name] = fn
+        if oracle is not None:
+            _RETIRED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
 #: Driver-evidence rotation. The correctness driver hash-checks only the
 #: FIRST 50 entries of ``queries()`` (insertion order), so which queries
 #: get driver-verified each round is decided here, not by file position.
@@ -155,72 +175,31 @@ DRIVER_WINDOW: int = 50
 #: EXACTLY the 50 names intended for this round's driver window, in
 #: check order.  tests/test_driver_window.py asserts len == 50, all
 #: registered, no duplicates, queries() starts with this list verbatim,
-#: and zero overlap with CORRECTNESS_r11.json's checked set.
+#: and zero overlap with CORRECTNESS_r12.json's checked set.
 #:
-#: Round 12 (emitted verbatim by ``tools/plan_next_window.py``):
-#: (a) the 14 round-12 registrations (the fourteen families staged in
-#: r11 — process rule: new queries front in their own round); (b) the
-#: 17 r6-vintage rows staged in r11's ``_BELOW_WINDOW``; (c) the 19
-#: stalest r8-vintage rows in registration order.
-_R12_WINDOW: list[str] = [
-    # (a) round-12 registrations, never driver-checked
-    "knn_graph_nn_descent",
-    "cdc_containment_pairs",
-    "hll_distinct_by_key",
-    "streaming_hll_registers",
-    "rank_eval_metrics",
-    "cuped_adjusted_metrics",
-    "kl_token_drift",
-    "label_propagation_communities",
-    "inclusion_dependencies",
-    "token_entropy",
-    "nb_margin_calibration",
-    "dsir_importance",
-    "rendezvous_rebalance_report",
-    "arrow_ipc_roundtrip_stats",
-    # (b) the 17 r6-vintage rows staged by round 11
-    "lang_temperature_weights",
-    "gapfill_user_daily",
-    "ewma_user_daily",
-    "ppjoin_jaccard_pairs",
-    "rolling_median_7d",
-    "pagerank_part_supplier",
-    "cms_user_event_counts",
-    "mrl_prefix_rerank",
-    "event_type_transitions",
-    "embedding_dim_stats",
-    "dedup_rate_by_source",
-    "basket_part_lift",
-    "tumbling_distinct_users_stream",
-    "dataset_snapshot_diff",
-    "event_type_correlations",
-    "pivot_user_type_matrix",
-    "unpivot_user_type_matrix",
-    # (c) the 19 stalest r8-vintage rows, registration order
-    "pack_sequences",
-    "tpch_q12",
-    "decayed_type_scores",
-    "mor_delete_doc_scroll",
-    "chain_components_star",
-    "pii_redaction_stats",
-    "epoch_resample_counts",
-    "profile_events_table",
-    "bpe_train_merges",
-    "bpe_token_counts_by_source",
-    "streaming_knn_serve_topk",
-    "xml_roundtrip_stats",
-    "lm_quality_by_lang",
-    "maxsim_topk",
-    "triangle_brand_stats",
-    "doc_chunks",
-    "dq_events_report",
-    "ivm_join_orders_customer",
-    "kmv_user_overlap_pairs",
-]
-
-#: Rank 51+: below the checked window; these 31 remaining r8-vintage
-#: rows lead the r13 window.
-_BELOW_WINDOW: list[str] = [
+#: Round 13: (a) the 12 round-13 registrations — the nine families
+#: staged in r12 (beam search ×2, HyperBall ×2, watermark audit,
+#: domain mixture, min/max pruning, power iteration, stratified
+#: allocation, CUBE, SQLite edge) plus ``tpch_rotating``, the first
+#: installment of the §8.0 cap fold (the 22 per-query TPC-H rows are
+#: retired to ``_RETIRED_QUERIES``; pytest still replays all 22);
+#: (b) the 31 r8-vintage rows staged in r12's ``_BELOW_WINDOW``;
+#: (c) the 7 stalest r9-vintage rows in registration order.
+_R13_WINDOW: list[str] = [
+    # (a) round-13 registrations, never driver-checked
+    "knn_graph_beam_search",
+    "knn_graph_beam_search_batch",
+    "hyperball_neighborhood",
+    "neighborhood_function",
+    "watermark_late_audit",
+    "domain_mixture_weights",
+    "minmax_pruning_report",
+    "power_iteration_top_pc",
+    "allocate_stratified_exact",
+    "cube_by_day_type_source",
+    "sqlite_roundtrip_stats",
+    "tpch_rotating",
+    # (b) the 31 r8-vintage rows staged by round 12
     "mad_value_outliers",
     "fuzzy_part_name_pairs",
     "latest_user_value_stream",
@@ -252,9 +231,45 @@ _BELOW_WINDOW: list[str] = [
     "cohort_retention_matrix",
     "value_drift_tv_stream",
     "incremental_neardup_components",
+    # (c) the 7 stalest r9-vintage rows, registration order
+    "cosine_topk_join",
+    "cosine_neardup_pairs",
+    "cosine_neardup_ann",
+    "ivf_topk",
+    "media_modality_stats",
+    "media_real_decode_stats",
+    "media_phash",
 ]
 
-_DRIVER_FRONT: list[str] = _R12_WINDOW + _BELOW_WINDOW
+#: Rank 51+: below the checked window; these 23 remaining r9-vintage
+#: rows lead the r14 window.
+_BELOW_WINDOW: list[str] = [
+    "media_resize_fingerprint",
+    "streaming_dedup_first",
+    "sketch_accuracy_by_lang",
+    "text_quality",
+    "pipeline_ingest_search",
+    "pipeline_ingest_search_checked",
+    "top_customers_per_nation",
+    "simhash_neardup_pairs",
+    "label_centroids",
+    "scroll_page2",
+    "upsert_scroll_roundtrip",
+    "decontamination_pairs",
+    "bloom_incremental_novel",
+    "salted_join_agg",
+    "bucketed_join_agg",
+    "neardup_components",
+    "neardup_canonical_docs",
+    "sample_stratified_docs",
+    "running_user_value_stream",
+    "scd2_customer_merge",
+    "user_anomaly_stream",
+    "value_decile_bins",
+    "rfm_user_segments",
+]
+
+_DRIVER_FRONT: list[str] = _R13_WINDOW + _BELOW_WINDOW
 
 
 def _rotated(entries: dict) -> dict:
@@ -663,7 +678,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@register("tpch_q1", _TPCH_Q1_SQL)
+@register_retired("tpch_q1", _TPCH_Q1_SQL)
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary. DECIMAL-accumulated sums make the result
     independent of partial-aggregation order (bit-identical across
@@ -1461,7 +1476,7 @@ LIMIT 10
 """
 
 
-@register("tpch_q3", _TPCH_Q3_SQL)
+@register_retired("tpch_q3", _TPCH_Q3_SQL)
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): dim side (filtered customer)
     explicitly broadcast — the fact tables join and aggregate without a
@@ -1512,7 +1527,7 @@ GROUP BY n.n_name
 """
 
 
-@register("tpch_q5", _TPCH_Q5_SQL)
+@register_retired("tpch_q5", _TPCH_Q5_SQL)
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): supplier/nation/region dims
     broadcast; the only shuffles are the two fact joins and the final
@@ -2538,7 +2553,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
-@register("tpch_q6", _TPCH_Q6_SQL)
+@register_retired("tpch_q6", _TPCH_Q6_SQL)
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
@@ -2631,7 +2646,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 """
 
 
-@register("tpch_q14", _TPCH_Q14_SQL)
+@register_retired("tpch_q14", _TPCH_Q14_SQL)
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promo revenue share for one month: part dim broadcast, both
     sums DECIMAL-accumulated and divided as doubles (identical IEEE
@@ -2677,7 +2692,7 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("tpch_q7", _TPCH_Q7_SQL)
+@register_retired("tpch_q7", _TPCH_Q7_SQL)
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): both nation-tagged dim sides are
     filtered to the two named nations BEFORE their joins (supplier and
@@ -2737,7 +2752,7 @@ LIMIT 100
 """
 
 
-@register("tpch_q18", _TPCH_Q18_SQL)
+@register_retired("tpch_q18", _TPCH_Q18_SQL)
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): the HAVING subquery becomes
     a map-side-combined aggregate over lineitem whose surviving rows
@@ -3155,7 +3170,7 @@ GROUP BY o_orderpriority
 """
 
 
-@register("tpch_q4", _TPCH_Q4_SQL)
+@register_retired("tpch_q4", _TPCH_Q4_SQL)
 def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order priority checking): EXISTS lowers to a
     LEFT SEMI hash join on o_orderkey with the lateness residual; the
@@ -3195,7 +3210,7 @@ GROUP BY s.s_name
 """
 
 
-@register("tpch_q21", _TPCH_Q21_SQL)
+@register_retired("tpch_q21", _TPCH_Q21_SQL)
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting): the
     EXISTS/NOT EXISTS pair plans as LEFT SEMI + LEFT ANTI hash joins
@@ -3259,7 +3274,7 @@ WHERE p.p_size <= 5 AND p.p_type = 'LARGE'
 """
 
 
-@register("tpch_q2", _TPCH_Q2_SQL)
+@register_retired("tpch_q2", _TPCH_Q2_SQL)
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (min-cost supplier; partsupp stands in as the
     per-part MIN over lineitem prices): the correlated MIN subquery is
@@ -3314,7 +3329,7 @@ GROUP BY 1
 """
 
 
-@register("tpch_q8", _TPCH_Q8_SQL)
+@register_retired("tpch_q8", _TPCH_Q8_SQL)
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (market share): every dim side shrinks BEFORE its
     join — part filtered to one type, customer pre-joined to the
@@ -3376,7 +3391,7 @@ GROUP BY 1, 2
 """
 
 
-@register("tpch_q9", _TPCH_Q9_SQL)
+@register_retired("tpch_q9", _TPCH_Q9_SQL)
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit; 0.1·p_retailprice·qty
     stands in for the absent ps_supplycost): part is filtered by the
@@ -3422,7 +3437,7 @@ LIMIT 20
 """
 
 
-@register("tpch_q10", _TPCH_Q10_SQL)
+@register_retired("tpch_q10", _TPCH_Q10_SQL)
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned items): the returnflag and quarter filters
     reach their scans; the surviving quarter of orders broadcasts into
@@ -3467,7 +3482,7 @@ WHERE CAST(val_dec AS DOUBLE) >
 """
 
 
-@register("tpch_q11", _TPCH_Q11_SQL)
+@register_retired("tpch_q11", _TPCH_Q11_SQL)
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock; per-part lineitem value
     stands in for ps_supplycost·availqty): the HAVING-fraction scalar
@@ -3508,7 +3523,7 @@ FROM c_orders GROUP BY 1
 """
 
 
-@register("tpch_q13", _TPCH_Q13_SQL)
+@register_retired("tpch_q13", _TPCH_Q13_SQL)
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer order-count distribution; the priority
     filter stands in for the absent o_comment NOT-LIKE): a LEFT OUTER
@@ -3545,7 +3560,7 @@ WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM rev)
 """
 
 
-@register("tpch_q15", _TPCH_Q15_SQL)
+@register_retired("tpch_q15", _TPCH_Q15_SQL)
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): the revenue view is aggregated once
     and consumed twice (its MAX as a 1-row broadcast, the equality
@@ -3583,7 +3598,7 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("tpch_q16", _TPCH_Q16_SQL)
+@register_retired("tpch_q16", _TPCH_Q16_SQL)
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (supplier-part counts; negative-balance
     suppliers stand in for the complaints NOT IN): the NOT IN lowers
@@ -3625,7 +3640,7 @@ WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
 """
 
 
-@register("tpch_q17", _TPCH_Q17_SQL)
+@register_retired("tpch_q17", _TPCH_Q17_SQL)
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): the correlated
     per-part AVG is an aggregate-then-join, never a rescan per row;
@@ -3674,7 +3689,7 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
 """
 
 
-@register("tpch_q19", _TPCH_Q19_SQL)
+@register_retired("tpch_q19", _TPCH_Q19_SQL)
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 (disjunctive discounted revenue): part shrinks to
     the union of the three brand/size branches BEFORE the broadcast
@@ -3721,7 +3736,7 @@ WHERE n.n_name = 'NATION_11'
 """
 
 
-@register("tpch_q20", _TPCH_Q20_SQL)
+@register_retired("tpch_q20", _TPCH_Q20_SQL)
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (excess-stock suppliers; shipped-quantity >
     threshold stands in for availqty > ½·sum): nested IN subqueries
@@ -3767,7 +3782,7 @@ GROUP BY 1
 """
 
 
-@register("tpch_q22", _TPCH_Q22_SQL)
+@register_retired("tpch_q22", _TPCH_Q22_SQL)
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity; nationkey stands in for
     the absent phone prefix): the scalar AVG is a 1-row broadcast
@@ -6187,7 +6202,7 @@ GROUP BY l_returnflag
 """
 
 
-@register("tpch_q12", _TPCH_Q12_SQL)
+@register_retired("tpch_q12", _TPCH_Q12_SQL)
 def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: late lines bucketed by priority class per
     return flag.  Date range pushed to the orders scan, the lateness
@@ -12213,3 +12228,1008 @@ def arrow_ipc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             text_fns.portable_hash60(F.col("text")) % F.lit(1000000007)
         ).alias("text_checksum"),
     )
+
+
+# ===========================================================================
+# Round-13 registrations — the nine families staged in r12 (oracles
+# moved here verbatim from their staging tests, which now alias these
+# constants back: the one-source-of-truth pattern) plus the TPC-H
+# rotating fold mandated by the SURVEY §8.0 registry-cap policy.
+# ===========================================================================
+
+from vector_db_handler_spark.operators.hll import hll_alpha  # noqa: E402
+from vector_db_handler_spark.operators.layout import (  # noqa: E402
+    Z_BITS,
+    z_expr_sql,
+)
+
+# --- graph-ANN beam search over the NN-descent kNN graph --------------------
+# (similarity.py knn_graph_beam_search / _batch; the QUERY path of the
+# HNSW/NSG/DiskANN family over the registered knn_graph_nn_descent build)
+
+_BEAM_K = 10
+_BEAM_WIDTH = 12
+_BEAM_HOPS = 2
+#: Pinned for oracle replay; production callers leave entry_mod=None and
+#: the operator derives max(1, N // 1024) (r12 ADVICE fix).
+_BEAM_ENTRY_MOD = 32
+#: embeddings slice used as the batch serve's self-search query set.
+_BEAM_QUERY_MOD = 97
+
+#: One beam hop in SQL: expand over undirected graph edges ∪ current
+#: beam → exact integer re-score against the quantized query →
+#: top-beam with pinned (d DESC, nid ASC) ties.
+_BEAM_HOP_SQL = """,
+x{i} AS (
+  SELECT u.b AS nid FROM b{j} JOIN und u ON u.a = b{j}.nid
+  UNION
+  SELECT nid FROM b{j}
+),
+b{i} AS (
+  SELECT nid, d FROM (
+    SELECT c.nid,
+           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
+           row_number() OVER (
+             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
+                           AS BIGINT) DESC, c.nid ASC) AS rn
+    FROM x{i} c JOIN qv q ON c.nid = q.vec_id
+  ) WHERE rn <= {beam}
+)"""
+
+#: DuckDB twin — the registered NN-descent CTE chain (k-means → init →
+#: descent rounds) + undirected edges + quantized query + hash-sampled
+#: entry beam + unrolled beam hops.  ``gmat``/``und`` MATERIALIZED:
+#: DuckDB inlines plain CTEs, so each beam stage would otherwise re-run
+#: the whole k-means + NN-descent chain (measured 305 s vs ~30 s).
+_BEAM_SEARCH_SQL = (
+    _NN_DESCENT_CTES
+    + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{_NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+),
+b0 AS (
+  SELECT nid, d FROM (
+    SELECT q.vec_id AS nid,
+           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
+           row_number() OVER (
+             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
+                           AS BIGINT) DESC, q.vec_id ASC) AS rn
+    FROM qv q
+    WHERE CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {_BEAM_ENTRY_MOD} = 0
+  ) WHERE rn <= {_BEAM_WIDTH}
+)"""
+    + "".join(
+        _BEAM_HOP_SQL.format(i=i, j=i - 1, beam=_BEAM_WIDTH)
+        for i in range(1, _BEAM_HOPS + 1)
+    )
+    + f"""
+SELECT nid AS vec_id,
+       CAST(rnk AS BIGINT) AS rank,
+       d AS iscore
+FROM (
+  SELECT nid, d,
+         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
+  FROM b{_BEAM_HOPS}
+) WHERE rnk <= {_BEAM_K}
+"""
+)
+
+
+@register("knn_graph_beam_search", _BEAM_SEARCH_SQL)
+def knn_graph_beam_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN QUERY path (`similarity.knn_graph_beam_search`): a
+    deterministic hash-sampled entry scan seeds the beam, then
+    expand-over-graph-edges → exact-int8 re-score → keep-top-beam for
+    a fixed number of hops.  Completes the graph-ANN family: the
+    registered `knn_graph_nn_descent` is the BUILD, this is the
+    search.  On 100 TB only the 1/entry_mod entry slice touches the
+    corpus; each hop's work is beam-bounded, corpus-independent.
+    The reference delegates this role to Qdrant's HNSW
+    (document_ingestor.py:332-364); this is the hash-replayable
+    flat-graph formulation (entry_mod stands in for the hierarchy)."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_ops.knn_graph_beam_search(
+        emb,
+        QUERY_VEC,
+        k=_BEAM_K,
+        beam=_BEAM_WIDTH,
+        hops=_BEAM_HOPS,
+        entry_mod=_BEAM_ENTRY_MOD,
+        graph_k=_NND_K,
+        graph_iters=_NND_ITERS,
+        rand_buckets=_NND_RAND_BUCKETS,
+    )
+
+
+_BEAM_BATCH_HOP_SQL = """,
+bx{i} AS (
+  SELECT b.qid, u.b AS nid FROM b{j} b JOIN und u ON u.a = b.nid
+  UNION
+  SELECT qid, nid FROM b{j}
+),
+b{i} AS (
+  SELECT qid, nid, d FROM (
+    SELECT x.qid, x.nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY x.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      x.nid ASC) AS rn
+    FROM bx{i} x JOIN qv c ON x.nid = c.vec_id
+                 JOIN qqs q ON x.qid = q.qid
+  ) WHERE rn <= {beam}
+)"""
+
+#: DuckDB twin of the BATCH serve — the NN-descent chain + a quantized-
+#: queries relation (the vec_id % 97 slice, corpus scale) + per-query
+#: entry beams and hops (all windows PARTITION BY qid).
+_BEAM_BATCH_SQL = (
+    _NN_DESCENT_CTES
+    + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{_NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+qqs AS (
+  SELECT vec_id AS qid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP})
+           AS qv
+  FROM embeddings, scale WHERE vec_id % {_BEAM_QUERY_MOD} = 0
+),
+b0 AS (
+  SELECT qid, nid, d FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, qqs q
+    WHERE CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {_BEAM_ENTRY_MOD} = 0
+  ) WHERE rn <= {_BEAM_WIDTH}
+)"""
+    + "".join(
+        _BEAM_BATCH_HOP_SQL.format(i=i, j=i - 1, beam=_BEAM_WIDTH)
+        for i in range(1, _BEAM_HOPS + 1)
+    )
+    + f"""
+SELECT qid AS query_id, nid AS neighbor_id,
+       CAST(rnk AS BIGINT) AS rank, d AS iscore
+FROM (
+  SELECT qid, nid, d,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY d DESC, nid ASC) AS rnk
+  FROM b{_BEAM_HOPS}
+) WHERE rnk <= {_BEAM_K}
+"""
+)
+
+
+@register("knn_graph_beam_search_batch", _BEAM_BATCH_SQL)
+def knn_graph_beam_search_batch_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH graph-ANN serve: one NN-descent build answers a whole
+    queries relation in one job (every top-beam window PARTITIONed by
+    query) — the production one-build-many-queries shape of a vector
+    DB.  Measured in r12's probe: 21 queries at the wall cost of one."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % _BEAM_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.knn_graph_beam_search_batch(
+        emb,
+        queries_df,
+        k=_BEAM_K,
+        beam=_BEAM_WIDTH,
+        hops=_BEAM_HOPS,
+        entry_mod=_BEAM_ENTRY_MOD,
+        graph_k=_NND_K,
+        graph_iters=_NND_ITERS,
+        rand_buckets=_NND_RAND_BUCKETS,
+    )
+
+
+# --- HyperBall neighborhood function (graph.py, Boldi & Vigna) --------------
+
+_HB_P = 6
+_HB_HOPS = 2
+_HB_K = 1 << _HB_P
+_HB_S = 61 - _HB_P
+_HB_NUMER = repr(hll_alpha(_HB_K) * (_HB_K * _HB_K) * float(1 << _HB_S))
+
+_HB_REG0_SQL = f"""
+  SELECT node, h & {_HB_K - 1} AS bucket,
+         CASE WHEN (h >> {_HB_P}) = 0 THEN {_HB_S}
+              ELSE {60 - _HB_P} - length(printf('%b', h >> {_HB_P})) + 1 END AS m
+  FROM (SELECT node,
+               CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM nodes)"""
+
+_HB_MERGE_SQL = """,
+r{i} AS MATERIALIZED (
+  SELECT node, bucket, max(m) AS m FROM (
+    SELECT * FROM r{j}
+    UNION ALL
+    SELECT s.a AS node, r.bucket, r.m FROM sym s JOIN r{j} r ON s.b = r.node
+  ) GROUP BY 1, 2
+)"""
+
+#: DuckDB twin over the SAME symmetrized part–supplier graph the
+#: registered pagerank/LPA rows use, _HB_HOPS unrolled max-merge rounds,
+#: then the shared HLL estimate arithmetic per (node, hop).
+_HYPERBALL_SQL = (
+    f"""
+WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+sym AS MATERIALIZED (
+  SELECT p * 2 AS a, s * 2 + 1 AS b FROM e0
+  UNION ALL
+  SELECT s * 2 + 1, p * 2 FROM e0
+),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+r0 AS MATERIALIZED ({_HB_REG0_SQL}
+)"""
+    + "".join(
+        _HB_MERGE_SQL.format(i=i, j=i - 1) for i in range(1, _HB_HOPS + 1)
+    )
+    + f""",
+regs AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT CAST({h} AS BIGINT) AS hop, node, bucket, m FROM r{h}"
+        for h in range(_HB_HOPS + 1)
+    )
+    + f"""
+),
+grid AS (
+  SELECT n.node, h.hop, g.bucket
+  FROM nodes n, range({_HB_HOPS + 1}) AS h(hop), range({_HB_K}) AS g(bucket)
+),
+allregs AS (
+  SELECT g.node, g.hop, COALESCE(r.m, 0) AS m
+  FROM grid g LEFT JOIN regs r
+    ON g.node = r.node AND g.hop = r.hop AND g.bucket = r.bucket
+),
+agg AS (
+  SELECT node, hop,
+         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_buckets,
+         CAST(sum(CAST(1 AS BIGINT) << CAST({_HB_S} - m AS INT)) AS BIGINT)
+           AS sum_scaled
+  FROM allregs GROUP BY 1, 2
+)
+SELECT node, CAST(hop AS BIGINT) AS hop, n_zero_buckets, sum_scaled,
+       ROUND({_HB_NUMER} / CAST(sum_scaled AS DOUBLE), 6) AS est_raw,
+       CASE WHEN n_zero_buckets > 0 THEN
+         ROUND((({_ilog2_kilo_sql(f"CAST(floor({float(_HB_K * (1 << 20))!r} / n_zero_buckets) AS BIGINT)")}
+                 / 1024.0 - 20.0) * 0.6931471805599453) * {float(_HB_K)!r}, 6)
+       END AS est_lc,
+       CASE WHEN ROUND({_HB_NUMER} / CAST(sum_scaled AS DOUBLE), 6) <= {2.5 * _HB_K!r}
+                 AND n_zero_buckets > 0
+            THEN ROUND((({_ilog2_kilo_sql(f"CAST(floor({float(_HB_K * (1 << 20))!r} / n_zero_buckets) AS BIGINT)")}
+                         / 1024.0 - 20.0) * 0.6931471805599453) * {float(_HB_K)!r}, 6)
+            ELSE ROUND({_HB_NUMER} / CAST(sum_scaled AS DOUBLE), 6)
+       END AS est_used
+FROM agg
+"""
+)
+
+
+def _part_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized bipartite part–supplier graph every registered
+    graph query shares (parts even-numbered, suppliers odd)."""
+    li = load(spark, sf_dir, "lineitem")
+    e0 = li.select("l_partkey", "l_suppkey").distinct()
+    return e0.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+
+
+@register("hyperball_neighborhood", _HYPERBALL_SQL)
+def hyperball_neighborhood_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna, WWW'13): per-node h-hop ball-size
+    estimates from hop-iterated MAX-merged HLL registers — the
+    diameter/centrality primitive that replaces |V| BFS traversals
+    with n_hops register-join rounds.  State is ≤ |V|·2^p rows at any
+    scale; each round is one join + max-merge groupBy on the edge
+    relation."""
+    from vector_db_handler_spark.operators.graph import (
+        hyperball_neighborhood,
+    )
+
+    return hyperball_neighborhood(
+        _part_supplier_edges(spark, sf_dir), n_hops=_HB_HOPS, p=_HB_P
+    )
+
+
+#: Per-hop rollup of the hyperball estimates with exact micro-integer
+#: sums and the 90%-coverage flag (the neighborhood function N(h) /
+#: effective-diameter readout).
+_NEIGHBORHOOD_SQL = (
+    "WITH pernode AS (" + _HYPERBALL_SQL.strip().rstrip() + """),
+rolled AS (
+  SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(CAST(floor(est_used * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_reach_micro
+  FROM pernode GROUP BY 1
+),
+deepest AS (
+  SELECT sum_reach_micro AS max_reach_micro
+  FROM rolled ORDER BY hop DESC LIMIT 1
+)
+SELECT r.hop, r.n_nodes, r.sum_reach_micro,
+       ROUND(CAST(r.sum_reach_micro AS DOUBLE) / d.max_reach_micro, 6)
+         AS reach_ratio,
+       CAST(r.sum_reach_micro AS DOUBLE) >= 0.9 * d.max_reach_micro
+         AS covers_q
+FROM rolled r, deepest d
+"""
+)
+
+
+@register("neighborhood_function", _NEIGHBORHOOD_SQL)
+def neighborhood_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph neighborhood function N(h) rolled up from the HyperBall
+    per-node estimates: per-hop total reach, ratio to the deepest hop,
+    and the 90%-coverage flag (the standard effective-diameter
+    readout).  |hops|-row output at any graph size."""
+    from vector_db_handler_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    return neighborhood_function(
+        _part_supplier_edges(spark, sf_dir), n_hops=_HB_HOPS, p=_HB_P
+    )
+
+
+# --- watermark late-data audit (windows.py) ---------------------------------
+
+_WM_DELAY_SEC = 3600
+
+#: Deterministic arrival disorder planted on the fixture: every 7th
+#: event arrives 500 positions late — the positives the audit counts.
+#: (The generator writes events perfectly ordered, so without this the
+#: audit is trivially all-accepted.)
+_WM_ARRIVAL_SQL = "event_id + CASE WHEN event_id % 7 = 0 THEN 500 ELSE 0 END"
+
+#: DuckDB twin: the global running max the operator's two-level
+#: distributed prefix scan decomposes.
+_WATERMARK_AUDIT_SQL = f"""
+WITH ev AS (
+  SELECT event_id,
+         {_WM_ARRIVAL_SQL} AS arr,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+         epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 1000000
+           AS window_start_epoch
+  FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+),
+scored AS (
+  SELECT window_start_epoch, tu,
+         COALESCE(max(tu) OVER (ORDER BY arr, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), {-(2**62)})
+           - {_WM_DELAY_SEC * 1_000_000} AS wm
+  FROM ev
+)
+SELECT window_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN tu < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN tu < wm THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_accepted,
+       CAST(COALESCE(max(CASE WHEN tu < wm THEN wm - tu END), 0) AS BIGINT)
+         AS max_lateness_us
+FROM scored GROUP BY 1
+"""
+
+
+@register("watermark_late_audit", _WATERMARK_AUDIT_SQL)
+def watermark_late_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit: replay the stream in arrival order
+    and count, per event-time day, the rows a `withWatermark(delay)`
+    pipeline would have dropped — the dial-setting tool for every
+    registered streaming query.  The running max over arrival order
+    is a two-level distributed prefix scan (per-partition max +
+    broadcast offsets), not a single-partition window."""
+    from vector_db_handler_spark.operators.windows import (
+        watermark_late_audit,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "arrival_seq",
+        F.col("event_id")
+        + F.when(F.col("event_id") % 7 == 0, F.lit(500)).otherwise(F.lit(0)),
+    )
+    return watermark_late_audit(ev, delay_sec=_WM_DELAY_SEC)
+
+
+# --- DoReMi-lite domain mixture reweighting (lm_score.py) -------------------
+
+_DM_ROUNDS = 2
+_DM_BASE = 4000
+
+_DOMAIN_MIXTURE_SQL = f"""
+WITH toks AS (
+  SELECT lang AS domain, string_split(text, ' ') AS t FROM documents
+  WHERE lang IS NOT NULL
+),
+doc_bigrams AS (
+  SELECT domain,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+),
+model AS (SELECT bigram, count(*) AS n FROM doc_bigrams GROUP BY 1),
+credited AS (
+  SELECT d.domain, length(printf('%b', m.n)) AS bits
+  FROM doc_bigrams d JOIN model m USING (bigram)
+),
+per_domain AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bits) AS BIGINT) AS credit
+  FROM credited GROUP BY 1
+),
+gtot AS (
+  SELECT CAST(sum(n_bigrams) AS BIGINT) AS tot_bigrams,
+         CAST(sum(credit) AS BIGINT) AS tot_credit
+  FROM per_domain
+),
+nd AS (
+  SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+),
+scored AS (
+  SELECT p.domain, p.n_bigrams,
+         CAST(1000 * p.credit AS BIGINT) // p.n_bigrams AS credit_milli,
+         CAST(CAST(1000 * g.tot_credit AS BIGINT) // g.tot_bigrams
+              - CAST(1000 * p.credit AS BIGINT) // p.n_bigrams AS BIGINT)
+           AS excess_milli
+  FROM per_domain p, gtot g
+),
+weighted AS (
+  SELECT domain, n_bigrams, credit_milli, excess_milli,
+         CAST(power(greatest(CAST(1 AS BIGINT), {_DM_BASE} + excess_milli),
+                    {_DM_ROUNDS}) AS BIGINT) AS weight_numer
+  FROM scored
+),
+tot AS (SELECT CAST(sum(weight_numer) AS BIGINT) AS tot_numer FROM weighted)
+SELECT w.domain, nd.n_docs, w.n_bigrams, w.credit_milli, w.excess_milli,
+       w.weight_numer,
+       ROUND(CAST(w.weight_numer AS DOUBLE) / CAST(t.tot_numer AS DOUBLE), 6)
+         AS weight_share
+FROM weighted w JOIN nd USING (domain), tot t
+"""
+
+
+@register("domain_mixture_weights", _DOMAIN_MIXTURE_SQL)
+def domain_mixture_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain mixture reweighting (Xie et al., NeurIPS'23
+    spirit): multiplicative upweighting of the domains the corpus
+    bigram model serves worst, in exact integers (bit-length credits,
+    (base+excess)^rounds numerators, one IEEE division at readout).
+    The knob a pretraining pipeline turns to set the next mix.  One
+    bigram explode feeds both the model and the rollup; the weight
+    arithmetic runs on |domains| rows."""
+    from vector_db_handler_spark.operators.lm_score import (
+        domain_mixture_weights,
+    )
+
+    return domain_mixture_weights(
+        load(spark, sf_dir, "documents"), n_rounds=_DM_ROUNDS, base=_DM_BASE
+    )
+
+
+# --- min/max file-skipping audit (layout.py) --------------------------------
+
+_MM_SHIFT = 18
+_MM_PREDICATES = [
+    ("cust_low", 1, 150, -2000, 3000),
+    ("cust_point", 500, 520, -2000, 3000),
+    ("one_year", 0, 1_000_000, 365, 730),
+    ("tight_box", 100, 400, 0, 400),
+]
+
+_MM_PRED_VALUES = ", ".join(
+    f"('{p}', CAST({a} AS BIGINT), CAST({b} AS BIGINT), "
+    f"CAST({c} AS BIGINT), CAST({d} AS BIGINT))"
+    for p, a, b, c, d in _MM_PREDICATES
+)
+
+_MM_Z = z_expr_sql("x", "y", Z_BITS, "duckdb")
+_MM_HASH = (
+    "CAST('0x' || substr(md5(CAST(x AS VARCHAR) || '|' "
+    "|| CAST(y AS VARCHAR)), 1, 15) AS BIGINT) % 64"
+)
+
+
+def _minmax_census_sql(bucket_expr: str, tag: str) -> str:
+    return f"""
+{tag}s AS (
+  SELECT {bucket_expr} AS bkt, count(*) AS n_rows,
+         min(x) AS x_min, max(x) AS x_max,
+         min(y) AS y_min, max(y) AS y_max
+  FROM base GROUP BY 1
+),
+{tag}c AS (
+  SELECT p.pred_id,
+         CAST(count(*) AS BIGINT) AS n_buckets_{tag},
+         CAST(sum(CASE WHEN NOT (s.x_max < p.x_lo OR s.x_min > p.x_hi
+                                 OR s.y_max < p.y_lo OR s.y_min > p.y_hi)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_{tag},
+         CAST(sum(CASE WHEN NOT (s.x_max < p.x_lo OR s.x_min > p.x_hi
+                                 OR s.y_max < p.y_lo OR s.y_min > p.y_hi)
+                       THEN s.n_rows ELSE 0 END) AS BIGINT)
+           AS rows_scanned_{tag}
+  FROM {tag}s s, preds p GROUP BY 1
+)"""
+
+
+#: DuckDB twin: a 'z' census via the shared Morton expression, an 'h'
+#: census via the md5 hash baseline, one matching pass, and ratios as
+#: single rounded divisions.
+_MINMAX_PRUNING_SQL = f"""
+WITH base AS (
+  SELECT CAST(o_custkey AS BIGINT) AS x,
+         CAST(datediff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+preds(pred_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES {_MM_PRED_VALUES}),
+{_minmax_census_sql(f"({_MM_Z}) >> {_MM_SHIFT}", "z")},
+{_minmax_census_sql(_MM_HASH, "hash")},
+matching AS (
+  SELECT p.pred_id, CAST(count(*) AS BIGINT) AS rows_matching
+  FROM base b JOIN preds p
+    ON b.x BETWEEN p.x_lo AND p.x_hi AND b.y BETWEEN p.y_lo AND p.y_hi
+  GROUP BY 1
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_rows_total FROM base)
+SELECT z.pred_id, t.n_rows_total,
+       COALESCE(m.rows_matching, 0) AS rows_matching,
+       z.n_buckets_z, z.n_kept_z, z.rows_scanned_z,
+       ROUND(1.0 - CAST(z.rows_scanned_z AS DOUBLE) / t.n_rows_total, 6)
+         AS skip_ratio_z,
+       h.n_buckets_hash, h.n_kept_hash, h.rows_scanned_hash,
+       ROUND(1.0 - CAST(h.rows_scanned_hash AS DOUBLE) / t.n_rows_total, 6)
+         AS skip_ratio_hash
+FROM zc z
+JOIN hashc h USING (pred_id)
+LEFT JOIN matching m USING (pred_id)
+CROSS JOIN total t
+"""
+
+
+@register("minmax_pruning_report", _MINMAX_PRUNING_SQL)
+def minmax_pruning_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max file-skipping audit (the what-if behind the registered
+    z-order layout row): bucket orders by the shared Morton expression
+    vs a hash baseline, collect per-bucket min/max envelopes, and
+    report per-predicate kept-bucket counts and skip ratios — the
+    measured proof that z-order layout turns range predicates into
+    file skips (parquet row-group pruning at 100 TB).  The census is
+    one shuffle per layout; predicates are a broadcast-sized VALUES
+    relation."""
+    from vector_db_handler_spark.operators.layout import (
+        minmax_pruning_report,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    return minmax_pruning_report(
+        orders, "ck", "days", _MM_PREDICATES, bucket_shift=_MM_SHIFT
+    )
+
+
+# --- fixed-point power iteration over the int8 Gram matrix (quantize.py) ----
+
+_PI_ITERS = 2
+_PI_DIM = 64  # the embeddings fixture dimension (matches QUERY_VEC)
+
+_PI_ITER_SQL = """,
+r{i} AS (
+  SELECT C.j, CAST(sum(c * val) AS BIGINT) AS raw
+  FROM C JOIN v{j} ON C.k = v{j}.k GROUP BY 1
+),
+m{i} AS (
+  SELECT max(abs(raw)) AS m,
+         greatest(0, length(printf('%b', max(abs(raw)))) - 50) AS sh
+  FROM r{i}
+),
+v{i} AS (
+  SELECT j AS k,
+         CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(sign(raw) AS BIGINT)
+                   * (((abs(raw) >> sh) * 1024) // greatest(m >> sh, 1))
+         END AS val
+  FROM r{i}, m{i}
+)"""
+
+#: DuckDB twin — the registered quantization chain (scale → qc) + exact
+#: dim² Gram + _PI_ITERS unrolled fixed-point rounds + the Rayleigh
+#: quotient.
+_POWER_ITERATION_SQL = (
+    f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qc AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP}) AS v
+  FROM embeddings, scale
+),
+C AS (
+  SELECT jj.j, kk.k,
+         CAST(sum(qc.v[jj.j + 1] * qc.v[kk.k + 1]) AS BIGINT) AS c
+  FROM qc, range({_PI_DIM}) jj(j), range({_PI_DIM}) kk(k)
+  GROUP BY 1, 2
+),
+v0 AS (SELECT t.k, CAST(1024 AS BIGINT) AS val FROM range({_PI_DIM}) t(k))"""
+    + "".join(
+        _PI_ITER_SQL.format(i=i, j=i - 1) for i in range(1, _PI_ITERS + 1)
+    )
+    + f""",
+r3 AS (
+  SELECT C.j, CAST(sum(c * val) AS BIGINT) AS raw
+  FROM C JOIN v{_PI_ITERS} ON C.k = v{_PI_ITERS}.k GROUP BY 1
+),
+ray AS (
+  SELECT CASE WHEN sum(v.val * v.val) > 0 THEN
+           ROUND(CAST(sum(r3.raw * v.val) AS DOUBLE)
+                 / CAST(sum(v.val * v.val) AS DOUBLE), 6)
+         END AS rayleigh
+  FROM r3 JOIN v{_PI_ITERS} v ON r3.j = v.k
+)
+SELECT v.k AS dim, v.val AS component_1024, ray.rayleigh
+FROM v{_PI_ITERS} v, ray
+"""
+)
+
+
+@register("power_iteration_top_pc", _POWER_ITERATION_SQL)
+def power_iteration_top_pc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by
+    fixed-point power iteration over the EXACT int8 Gram matrix — the
+    embedding-anisotropy/PCA rail, hash-replayable because every round
+    renormalizes in integers (max-abs to 1024 with a deterministic
+    pre-shift keeping int64 headroom at any N).  The corpus is touched
+    once to build the dim²-row Gram relation; iterations run on dim²
+    rows regardless of corpus size."""
+    from vector_db_handler_spark.operators.quantize import (
+        power_iteration_top_pc,
+    )
+
+    return power_iteration_top_pc(
+        load(spark, sf_dir, "embeddings"), iters=_PI_ITERS
+    )
+
+
+# --- exact-count stratified allocation (sampling.py) ------------------------
+
+_ALLOC_TOTAL_N = 200
+
+_ALLOC_STRATIFIED_SQL = f"""
+WITH base AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+counts AS (SELECT lang AS s, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts),
+alloc AS (
+  SELECT s, c,
+         CAST({_ALLOC_TOTAL_N} * c AS BIGINT) // t AS base_q,
+         CAST({_ALLOC_TOTAL_N} * c AS BIGINT) % t AS rem
+  FROM counts, tot
+),
+ranked_alloc AS (
+  SELECT s, c, base_q,
+         row_number() OVER (ORDER BY rem DESC, s ASC) AS rn,
+         (SELECT {_ALLOC_TOTAL_N} - sum(base_q) FROM alloc) AS leftover
+  FROM alloc
+),
+quotas AS (
+  SELECT s,
+         least(c, base_q + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)
+           AS quota
+  FROM ranked_alloc
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5('alloc|'
+                     || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 10000 ASC,
+                    doc_id ASC) AS rk
+  FROM base
+)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN quotas q ON r.lang = q.s
+WHERE r.rk <= q.quota
+"""
+
+
+@register("allocate_stratified_exact", _ALLOC_STRATIFIED_SQL)
+def allocate_stratified_exact_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACTLY-N stratified sampling: Hamilton (largest-remainder)
+    apportionment of the budget across strata plus a deterministic
+    hash-rank pick inside each stratum — "give me exactly 200 docs,
+    stratum-balanced", which rate-based sampling cannot express.
+    Quotas are a |strata|-row relation; the pick is one per-stratum
+    window over hash ranks."""
+    from vector_db_handler_spark.operators.sampling import (
+        allocate_stratified_exact,
+    )
+
+    return allocate_stratified_exact(
+        load(spark, sf_dir, "documents"), _ALLOC_TOTAL_N, "lang", "doc_id"
+    ).select("doc_id", "lang")
+
+
+# --- full CUBE over (day, type, user_bucket) (timeseries.py) ----------------
+
+_CUBE_SQL = """
+WITH ev AS (
+  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS _day,
+         event_type, CAST(user_id % 4 AS VARCHAR) AS user_bucket, value
+  FROM events
+)
+SELECT CASE WHEN GROUPING(_day) = 1 THEN 'ALL' ELSE _day END AS day,
+       CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+         AS event_type,
+       CASE WHEN GROUPING(user_bucket) = 1 THEN 'ALL' ELSE user_bucket END
+         AS user_bucket,
+       CAST(GROUPING(_day) * 4 + GROUPING(event_type) * 2
+            + GROUPING(user_bucket) AS BIGINT) AS grouping_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM ev
+GROUP BY CUBE(_day, event_type, user_bucket)
+"""
+
+
+@register("cube_by_day_type_source", _CUBE_SQL)
+def cube_by_day_type_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (day, event_type, user_bucket): all 8 grouping
+    sets in ONE Expand pass (no 8-way re-scan), GROUPING-marked
+    subtotals so NULL details stay distinct from rollup rows, and
+    DECIMAL-accumulated sums for cross-engine bit-identity.  The r12
+    edge sweep pinned the one ANSI divergence (empty relation emits
+    the grand-total row; Spark's cube() does not) — the grand total is
+    a separate global aggregate unioned in."""
+    from vector_db_handler_spark.operators.timeseries import (
+        cube_by_day_type_source,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("string")
+    )
+    return cube_by_day_type_source(ev)
+
+
+# --- SQLite interchange edge (sources/sqlite_db.py) --------------------------
+
+@register("sqlite_roundtrip_stats", _AVRO_ROUNDTRIP_SQL)
+def sqlite_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite interchange edge — how app exports / annotation dumps
+    actually arrive: export documents as one .db per partition from
+    the executors (stdlib ``serialize``, canonical DDL, atomic
+    rename), read back via a distributed ``binaryFile`` scan +
+    in-task ``deserialize`` + schema-checked SELECT, and aggregate.
+    The checksum matching the parquet-sourced oracle proves the hop
+    was lossless — the same contract as the Avro/Arrow/XML edges.
+    INTEGER columns ride the Arrow hop as decimal strings so ids past
+    2^53 stay exact (r12 ADVICE)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.sources import sqlite_db as sqlite_src
+
+    tag = _hl.md5(
+        f"sqlite|{_fixture_tag(sf_dir, 'documents')}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"vdh_sqlite_{tag}")
+    marker = os.path.join(root, "_vdh_done")
+    if not os.path.exists(marker):
+        sqlite_src.write_documents_sqlite(load(spark, sf_dir, "documents"), root)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    df = sqlite_src.read_documents_sqlite(spark, root)
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            text_fns.portable_hash60(F.col("text")) % F.lit(1000000007)
+        ).alias("text_checksum"),
+    )
+
+
+# --- TPC-H rotating fold (SURVEY §8.0 registry-cap policy, 1st install) -----
+#
+# The 22 per-query TPC-H rows are RETIRED from the driver registry
+# (``register_retired`` above keeps every one in the pytest oracle
+# replay, so local coverage is unchanged) and replaced by ONE slot:
+# ``tpch_rotating`` fronts a 4-query digest subset per round, cycling
+# through all 22 in 6 rounds.  The digest is exact and type-stable —
+# BIGINT row counts plus a BIGINT value checksum built from the same
+# cross-engine-deterministic primitives the interchange edges use
+# (portable 60-bit md5 hash for strings, floor(x·1e6) on bit-identical
+# doubles, raw integers; every term mod 1e9+7 with dividend-sign
+# remainder semantics shared by Spark and DuckDB) — so one driver row
+# hash-checks four full TPC-H results.
+
+#: Output schema of every folded TPC-H query, by column kind:
+#: ``i`` integer, ``d`` double, ``s`` string.  The Spark side asserts
+#: its result schema against this spec at run time, so silent drift
+#: between the spec and a query is impossible.
+_TPCH_DIGEST_SPEC: dict[str, list[tuple[str, str]]] = {
+    "tpch_q1": [
+        ("l_returnflag", "s"), ("l_linestatus", "s"), ("sum_qty", "d"),
+        ("sum_base_price", "d"), ("sum_disc_price", "d"), ("sum_charge", "d"),
+        ("avg_qty", "d"), ("avg_price", "d"), ("avg_disc", "d"),
+        ("count_order", "i"),
+    ],
+    "tpch_q2": [
+        ("p_partkey", "i"), ("p_name", "s"), ("s_name", "s"),
+        ("n_name", "s"), ("min_price", "d"),
+    ],
+    "tpch_q3": [
+        ("l_orderkey", "i"), ("revenue", "d"),
+        ("o_orderdate_epoch", "i"), ("o_orderpriority", "s"),
+    ],
+    "tpch_q4": [("o_orderpriority", "s"), ("order_count", "i")],
+    "tpch_q5": [("n_name", "s"), ("revenue", "d")],
+    "tpch_q6": [("revenue", "d")],
+    "tpch_q7": [
+        ("supp_nation", "s"), ("cust_nation", "s"), ("l_year", "i"),
+        ("revenue", "d"),
+    ],
+    "tpch_q8": [("o_year", "i"), ("mkt_share", "d")],
+    "tpch_q9": [("nation", "s"), ("o_year", "i"), ("sum_profit", "d")],
+    "tpch_q10": [
+        ("c_custkey", "i"), ("c_name", "s"), ("revenue", "d"),
+        ("c_acctbal", "d"), ("n_name", "s"),
+    ],
+    "tpch_q11": [("l_partkey", "i"), ("part_value", "d")],
+    "tpch_q12": [
+        ("l_returnflag", "s"), ("high_line_count", "i"),
+        ("low_line_count", "i"),
+    ],
+    "tpch_q13": [("c_count", "i"), ("custdist", "i")],
+    "tpch_q14": [("promo_revenue_pct", "d")],
+    "tpch_q15": [("s_suppkey", "i"), ("s_name", "s"), ("total_revenue", "d")],
+    "tpch_q16": [
+        ("p_brand", "s"), ("p_type", "s"), ("p_size", "i"),
+        ("supplier_cnt", "i"),
+    ],
+    "tpch_q17": [("avg_yearly", "d")],
+    "tpch_q18": [
+        ("c_name", "s"), ("c_custkey", "i"), ("o_orderkey", "i"),
+        ("o_orderdate_epoch", "i"), ("o_totalprice", "d"), ("total_qty", "d"),
+    ],
+    "tpch_q19": [("revenue", "d")],
+    "tpch_q20": [("s_suppkey", "i"), ("s_name", "s")],
+    "tpch_q21": [("s_name", "s"), ("numwait", "i")],
+    "tpch_q22": [("c_nationkey", "i"), ("numcust", "i"), ("totacctbal", "d")],
+}
+
+#: The six rotation groups (q1–q4, q5–q8, …, q21–q22).
+_TPCH_FOLD_GROUPS: list[list[str]] = [
+    [f"tpch_q{n}" for n in range(lo, min(lo + 4, 23))]
+    for lo in range(1, 23, 4)
+]
+
+#: The round about to consume this window (bumped by each round's
+#: rotation commit, like _R{N}_WINDOW).  Round N fronts group
+#: ``(N - 13) % len(_TPCH_FOLD_GROUPS)`` — r13 starts at q1–q4.
+_TPCH_ROTATION_ROUND: int = 13
+
+_TPCH_ROTATION_SUBSET: list[str] = _TPCH_FOLD_GROUPS[
+    (_TPCH_ROTATION_ROUND - 13) % len(_TPCH_FOLD_GROUPS)
+]
+
+_DIGEST_MOD = 1000000007
+
+
+def _tpch_digest_sql(qname: str) -> str:
+    terms = []
+    for c, kind in _TPCH_DIGEST_SPEC[qname]:
+        if kind == "i":
+            terms.append(f"COALESCE(CAST({c} AS BIGINT) % {_DIGEST_MOD}, 0)")
+        elif kind == "d":
+            terms.append(
+                f"COALESCE(CAST(floor({c} * 1000000.0) AS BIGINT)"
+                f" % {_DIGEST_MOD}, 0)"
+            )
+        else:
+            terms.append(f"COALESCE({_sql_hash(c, 15)} % {_DIGEST_MOD}, 0)")
+    expr = "\n           + ".join(terms)
+    return (
+        f"SELECT '{qname}' AS tpch_q,\n"
+        f"       CAST(count(*) AS BIGINT) AS n_rows,\n"
+        f"       CAST(COALESCE(sum({expr}), 0) AS BIGINT) AS digest\n"
+        f"FROM ({_RETIRED_ORACLES[qname]})"
+    )
+
+
+_TPCH_ROTATING_SQL = "\nUNION ALL\n".join(
+    _tpch_digest_sql(q) for q in _TPCH_ROTATION_SUBSET
+)
+
+
+def _tpch_digest_df(df: DataFrame, qname: str) -> DataFrame:
+    spec = _TPCH_DIGEST_SPEC[qname]
+    kinds = {
+        "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+        "double": "d", "string": "s",
+    }
+    got = [(f.name, kinds.get(f.dataType.simpleString())) for f in df.schema.fields]
+    if got != spec:
+        raise ValueError(
+            f"{qname} schema drifted from _TPCH_DIGEST_SPEC: {got} != {spec}"
+        )
+    terms = []
+    for c, kind in spec:
+        col = F.col(c)
+        if kind == "i":
+            t = F.coalesce(col.cast("long") % F.lit(_DIGEST_MOD), F.lit(0).cast("long"))
+        elif kind == "d":
+            t = F.coalesce(
+                F.floor(col * F.lit(1000000.0)).cast("long") % F.lit(_DIGEST_MOD),
+                F.lit(0).cast("long"),
+            )
+        else:
+            t = F.coalesce(
+                text_fns.portable_hash60(col) % F.lit(_DIGEST_MOD),
+                F.lit(0).cast("long"),
+            )
+        terms.append(t)
+    row = terms[0]
+    for t in terms[1:]:
+        row = row + t
+    return (
+        df.select(row.alias("rd"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("rd"), F.lit(0).cast("long")).alias("digest"),
+        )
+        .select(F.lit(qname).alias("tpch_q"), "n_rows", "digest")
+    )
+
+
+@register("tpch_rotating", _TPCH_ROTATING_SQL)
+def tpch_rotating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H rotating refresh slot (SURVEY §8.0 cap policy): runs this
+    round's 4-query subset end to end and emits one exact digest row
+    per query — full-result hash evidence for four TPC-H plans under
+    one registry entry's budget.  The full 22-query suite still
+    replays against DuckDB on every pytest run
+    (tests/test_oracle_queries.py over the retired registry)."""
+    parts = [
+        _tpch_digest_df(_RETIRED_QUERIES[q](spark, sf_dir), q)
+        for q in _TPCH_ROTATION_SUBSET
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
