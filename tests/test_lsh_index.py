@@ -183,3 +183,25 @@ def test_compaction_restores_single_file_per_band(spark, sf_dir, tmp_path):
     after = {key(r): r["jaccard"]
              for r in dedup_ops.lsh_probe_table(spark, idx, queries, _THRESHOLD).collect()}
     assert after == before
+
+
+def test_lsh_probe_join_fallback_matches_inline(spark, sf_dir, tmp_path):
+    """Past max_inline_keys the probe switches from the IN (...) literal
+    to a broadcast left-semi join on key — same rows either way."""
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "lsh")
+    dedup_ops.write_lsh_index(docs, path)
+    queries = docs.filter(F.col("doc_id") < 25)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    inline = dedup_ops.lsh_probe_table(spark, path, queries, _THRESHOLD)
+    fallback = dedup_ops.lsh_probe_table(
+        spark, path, queries, _THRESHOLD, max_inline_keys=1
+    )
+    plan = fallback._sc._jvm.PythonSQLUtils.explainString(
+        fallback._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" in plan
+    assert rows(inline) == rows(fallback)

@@ -589,6 +589,7 @@ def lsh_probe_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_inline_keys: int = 10_000,
 ) -> DataFrame:
     """Probe a written LSH index with a (small) batch of new docs:
     returns (query_id, corpus_id, jaccard) for every indexed doc whose
@@ -602,11 +603,24 @@ def lsh_probe_table(
     ``key`` column); the precise (band, key) equi-join then runs
     against only the surviving rows with the query side broadcast.
     The verification join reads only candidate docs' shingle rows.
+
+    Guard: past ``max_inline_keys`` distinct band keys (a fat probe
+    batch) the inlined ``IN`` literal stops paying for itself and the
+    probe falls back to a broadcast left-semi join on ``key`` — same
+    rows, no driver-sized predicate string.  The two paths are
+    pytest-pinned equal.
     """
     qsh = shingle_index(query_docs, text_col, id_col, k).cache()
     qbands = band_keys(minhash_signatures_from_index(qsh), "doc_id").cache()
-    keys = [r["key"] for r in qbands.select("key").distinct().collect()]
-    bands = spark.read.parquet(f"{path}/bands").filter(F.col("key").isin(keys or [-1]))
+    key_rows = qbands.select("key").distinct().limit(max_inline_keys + 1).collect()
+    bands_all = spark.read.parquet(f"{path}/bands")
+    if len(key_rows) > max_inline_keys:
+        bands = bands_all.join(
+            F.broadcast(qbands.select("key").distinct()), "key", "leftsemi"
+        )
+    else:
+        keys = [r["key"] for r in key_rows]
+        bands = bands_all.filter(F.col("key").isin(keys or [-1]))
     cands = (
         bands.join(
             F.broadcast(qbands.select(F.col("doc_id").alias("q_id"), "band", "key")),
