@@ -209,6 +209,23 @@ def main() -> None:
             key=lambda kv: -kv[1],
         )[:15]
     )
+    # Contention sentinel summary inlined in the parsed line (r12
+    # verdict stretch ask): min/median/max of every per-rep sentinel
+    # wall, so a judge can attribute a slow round to box contention
+    # (sentinel inflated too) vs plan regressions (sentinel flat)
+    # without the BENCH_DETAIL file hop.
+    all_sentinels = sorted(
+        s for d in rep_detail.values() for s in d.get("sentinel", [])
+    )
+    sentinel_summary = (
+        {
+            "min": round(all_sentinels[0], 3),
+            "med": round(all_sentinels[len(all_sentinels) // 2], 3),
+            "max": round(all_sentinels[-1], 3),
+        }
+        if all_sentinels
+        else {}
+    )
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -219,6 +236,7 @@ def main() -> None:
             "n_queries": len(timings),
             "n_errors": len(errors),
             "reps": reps,
+            "sentinel": sentinel_summary,
             "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),
