@@ -1,0 +1,251 @@
+"""Persisted graph-ANN index (write/probe/append parity with the LSH
+and IVF stores): probe-vs-in-memory equality, planning-time partition
+pruning of the entry slice, HNSW-style incremental append semantics,
+and the cross-engine DuckDB replay (a probe of an index built from the
+same corpus with the same dials answers exactly like the in-memory
+search, so the twin is the parameterized beam-search chain).  Staged
+in r13 for r14 driver registration."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_check import assert_oracle_types_hashable, compare
+from vector_db_handler_spark import driver_queries as dq
+from vector_db_handler_spark.operators.similarity import (
+    append_knn_graph_index,
+    knn_graph_beam_search,
+    knn_graph_beam_search_batch,
+    knn_graph_nn_descent,
+    knn_graph_probe_table,
+    write_knn_graph_index,
+)
+
+# Distinct dials from the registered flat-search row (same chain,
+# different beam geometry) — the staged driver row pins these.
+K = 8
+BEAM = 10
+HOPS = 2
+ENTRY_MOD = 16
+
+
+def _beam_search_sql(k: int, beam: int, hops: int, entry_mod: int) -> str:
+    """Parameterized re-assembly of dq._BEAM_SEARCH_SQL — identical
+    structure, caller-chosen dials.  Moves to driver_queries at
+    registration (the flat row's constant then becomes
+    _beam_search_sql(_BEAM_K, _BEAM_WIDTH, _BEAM_HOPS, _BEAM_ENTRY_MOD))."""
+    return (
+        dq._NN_DESCENT_CTES
+        + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+qq AS (
+  SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
+),
+b0 AS (
+  SELECT nid, d FROM (
+    SELECT q.vec_id AS nid,
+           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
+           row_number() OVER (
+             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
+                           AS BIGINT) DESC, q.vec_id ASC) AS rn
+    FROM qv q
+    WHERE CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {entry_mod} = 0
+  ) WHERE rn <= {beam}
+)"""
+        + "".join(
+            dq._BEAM_HOP_SQL.format(i=i, j=i - 1, beam=beam)
+            for i in range(1, hops + 1)
+        )
+        + f"""
+SELECT nid AS vec_id,
+       CAST(rnk AS BIGINT) AS rank,
+       d AS iscore
+FROM (
+  SELECT nid, d,
+         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
+  FROM b{hops}
+) WHERE rnk <= {k}
+"""
+    )
+
+
+GIDX_ORACLE_SQL = _beam_search_sql(K, BEAM, HOPS, ENTRY_MOD)
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gidx") / "index")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    write_knn_graph_index(
+        emb,
+        path,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+        entry_mod=ENTRY_MOD,
+    )
+    return path
+
+
+def test_probe_equals_in_memory_search(spark, sf_dir, index_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    flat = knn_graph_beam_search(
+        emb,
+        dq.QUERY_VEC,
+        k=K,
+        beam=BEAM,
+        hops=HOPS,
+        entry_mod=ENTRY_MOD,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+    ).collect()
+    probed = knn_graph_probe_table(
+        spark, index_path, dq.QUERY_VEC, k=K, beam=BEAM, hops=HOPS
+    ).collect()
+    assert [tuple(r) for r in probed] == [tuple(r) for r in flat]
+
+
+def test_oracle_types_hashable(duck):
+    assert_oracle_types_hashable(duck, GIDX_ORACLE_SQL, "graph_index")
+
+
+def test_cross_engine_oracle_replay(spark, index_path, duck):
+    got = knn_graph_probe_table(
+        spark, index_path, dq.QUERY_VEC, k=K, beam=BEAM, hops=HOPS
+    )
+    compare(got, duck, GIDX_ORACLE_SQL)
+
+
+def test_entry_scan_prunes_partitions(spark, index_path):
+    """The entry slice lives in its own partition directory: the scan
+    behind the entry stage must carry a PartitionFilters entry on the
+    ``entry`` column — planning-time pruning, not a post-scan filter."""
+    from pyspark.sql import functions as F
+
+    leg = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .filter(F.col("entry") == 1)
+        .select("nid")
+    )
+    plan = leg._sc._jvm.PythonSQLUtils.explainString(
+        leg._jdf.queryExecution(), "formatted"
+    )
+    assert any(
+        "PartitionFilters" in line and "entry" in line
+        for line in plan.splitlines()
+    )
+
+
+def test_scale_and_meta_roundtrip(spark, sf_dir, index_path):
+    from vector_db_handler_spark.operators.quantize import max_abs_scale
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want_s = max_abs_scale(emb).first()["s"]
+    got_s = spark.read.parquet(f"{index_path}/scale").first()["s"]
+    assert got_s == want_s
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    assert meta["entry_mod"] == ENTRY_MOD
+    assert meta["graph_k"] == dq._NND_K
+    assert meta["dim"] == len(emb.first()["embedding"])
+
+
+def test_append_edges_equal_batch_search(spark, sf_dir, tmp_path):
+    """The append IS the HNSW insert: each new vector's stored edges
+    must equal the batch beam-search answer against the pre-append
+    index (same entry slice, same hops, top-graph_k) — quantized with
+    the STORED scale, bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "gidx_append")
+    write_knn_graph_index(
+        emb,
+        path,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+        entry_mod=ENTRY_MOD,
+    )
+    new = emb.filter("vec_id < 3").selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding", "label"
+    )
+    append_knn_graph_index(new, path)
+
+    graph = knn_graph_nn_descent(
+        emb,
+        k=dq._NND_K,
+        iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"], r["iscore"])
+        for r in knn_graph_beam_search_batch(
+            emb,
+            new.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=dq._NND_K,
+            beam=max(8, 2 * dq._NND_K),
+            hops=2,
+            graph=graph,
+            entry_mod=ENTRY_MOD,
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/edges")
+        .filter("a >= 100000")
+        .select("a", "b", "d")
+        .collect()
+    }
+    assert got == want
+
+    # New vectors landed with the stored-scale quantization and the
+    # stored entry geometry.
+    vecs = spark.read.parquet(f"{path}/vectors").filter("nid >= 100000")
+    assert vecs.count() == 3
+
+
+def test_append_makes_new_vectors_reachable(spark, sf_dir, tmp_path):
+    """Search-for-the-appended-vector finds it: the appended node's
+    directed edges are walked in reverse by the undirected search, so
+    an arrival is immediately servable without a rebuild.  The
+    appended node duplicates vec 1's embedding, so its score for that
+    query ties vec 1's exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "gidx_reach")
+    write_knn_graph_index(
+        emb,
+        path,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+        entry_mod=ENTRY_MOD,
+    )
+    new = emb.filter("vec_id = 1").selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding", "label"
+    )
+    append_knn_graph_index(new, path)
+    qv = [float(x) for x in emb.filter("vec_id = 1").first()["embedding"]]
+    got = knn_graph_probe_table(spark, path, qv, k=12, beam=12, hops=3).collect()
+    by_id = {r["vec_id"]: r for r in got}
+    assert 100001 in by_id
+    assert by_id[100001]["iscore"] == by_id[1]["iscore"]
+
+
+def test_probe_args_validated(spark, index_path):
+    with pytest.raises(ValueError, match="k <= beam"):
+        knn_graph_probe_table(spark, index_path, dq.QUERY_VEC, k=5, beam=3)
+    with pytest.raises(ValueError, match="hops"):
+        knn_graph_probe_table(
+            spark, index_path, dq.QUERY_VEC, k=1, beam=2, hops=-1
+        )
+
+
+def test_write_args_validated(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="entry_mod"):
+        write_knn_graph_index(emb, str(tmp_path / "x"), entry_mod=0)

@@ -356,3 +356,28 @@ def test_mrl_curve_full_prefix_is_perfect_and_curve_bounded(spark):
     for p in (4, 8):
         assert 0.0 <= out[p].recall <= 1.0
         assert out[p].n_queries == 4
+
+
+# ---------------------------------------------------------------------------
+# driver-collect guards (broadcast-analog sides must stay small)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+def test_collect_matrix_rejects_oversized_side(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_rows"):
+        sim_ops._collect_matrix(df, "vec_id", "embedding", max_rows=10)
+    # Under the cap: unchanged behaviour.
+    ids, mat = sim_ops._collect_matrix(df, "vec_id", "embedding", max_rows=12)
+    assert len(ids) == 12 and mat.shape == (12, 2)
+
+
+def test_ann_recall_report_rejects_oversized_query_batch(spark, monkeypatch):
+    rows = [(i, [float(i % 3), 1.0]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(sim_ops, "MAX_COLLECT_ROWS", 4)
+    with pytest.raises(ValueError, match="query rows"):
+        sim_ops.ann_recall_report(emb, emb.limit(2), emb, k=2, nprobe=1)

@@ -38,13 +38,39 @@ from pyspark.sql import types as T
 from vector_db_handler_spark.functions.vector import cosine_score
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[list, np.ndarray]:
+#: Hard ceiling on the driver-collected side of the broadcast-analog
+#: pattern.  100k rows x 128-dim float64 is ~100 MB on the driver and
+#: per-task closure — already generous for a "small side"; anything
+#: larger belongs in the distributed join paths (LSH / IVF / graph-ANN).
+MAX_COLLECT_ROWS = 100_000
+
+
+def _collect_matrix(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int = MAX_COLLECT_ROWS,
+) -> tuple[list, np.ndarray]:
     """Driver-collect a SMALL vector relation (query side / centroids)
     into (ids, unit-normalized float64 matrix).  This is the broadcast
     pattern: the matrix ships once per task inside the serialized UDF,
     exactly like ``F.broadcast`` ships a dim table — only ever used for
-    the side that is orders of magnitude smaller than the corpus."""
+    the side that is orders of magnitude smaller than the corpus.
+
+    Guard: fails loudly past ``max_rows`` (default
+    :data:`MAX_COLLECT_ROWS`) instead of silently inflating the driver
+    and every task closure — the same spirit as the hot-bucket guards.
+    Callers with a genuinely larger query side should use the
+    distributed paths (LSH probe / IVF / graph-ANN batch serve)."""
     rows = df.select(id_col, vec_col).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"_collect_matrix: side has {len(rows)} rows > max_rows={max_rows}; "
+            "this driver-collected side must stay broadcast-sized — use a "
+            "distributed path (lsh_probe_table / ivf_topk / "
+            "knn_graph_beam_search_batch) for large query relations, or "
+            "raise max_rows explicitly if the driver is provisioned for it."
+        )
     ids = [r[0] for r in rows]
     if not ids:  # empty side: 2-D empty matrix keeps consumers' numpy shapes valid
         return ids, np.zeros((0, 0), dtype=np.float64)
@@ -700,6 +726,12 @@ def ann_recall_report(
     ``n_hits = |exact@k ∩ approx@k|`` excluding self-matches on both
     sides."""
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if len(q_rows) > MAX_COLLECT_ROWS:
+        raise ValueError(
+            f"ann_recall_report: {len(q_rows)} query rows > {MAX_COLLECT_ROWS}; "
+            "the recall harness drives one probe per query and is meant for "
+            "eval-set-sized batches — sample the query relation down."
+        )
     if not q_rows:
         # no queries ⇒ an empty report, not a 0-denominator plan
         return corpus.sparkSession.createDataFrame(
@@ -960,6 +992,127 @@ def knn_graph_nn_descent(
     )
 
 
+def _undirect_pairs(pairs: DataFrame) -> DataFrame:
+    """Symmetrize an (a, b) edge relation (≤ N·k rows in, ≤ 2·N·k
+    out) and truncate lineage — the shared substrate every beam walk
+    expands over."""
+    return (
+        pairs.select("a", "b")
+        .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def _entry_slice_nodes(qn: DataFrame, entry_mod: int) -> DataFrame:
+    """Deterministic hash-sampled entry nodes (1/entry_mod of ``qn``)
+    with the r12-ADVICE fallback: an empty slice (tiny corpus /
+    unlucky modulus) seeds from the (hash, id)-minimal node instead
+    of silently searching from nothing."""
+    from vector_db_handler_spark.functions.text import portable_hash60
+
+    entries = qn.filter(
+        F.pmod(portable_hash60(F.col("nid").cast("string")), F.lit(int(entry_mod)))
+        == 0
+    ).select("nid")
+    if entries.isEmpty():
+        entries = (
+            qn.select(
+                "nid",
+                portable_hash60(F.col("nid").cast("string")).alias("eh"),
+            )
+            .orderBy(F.col("eh").asc(), F.col("nid").asc())
+            .limit(1)
+            .select("nid")
+        )
+    return entries
+
+
+def _beam_hops_single(
+    qn: DataFrame,
+    und: DataFrame,
+    qq: DataFrame,
+    entries: DataFrame,
+    beam: int,
+    hops: int,
+) -> DataFrame:
+    """The single-query beam walk: score the entry nodes, then
+    ``hops`` rounds of expand-over-``und`` → exact-integer re-score →
+    keep top-``beam`` with pinned (d DESC, nid ASC) ties.  Returns
+    the final (nid, d) beam.  ``qn`` is (nid, v int8-domain), ``qq``
+    a 1-row (qv) broadcast, ``und`` an (a, b) symmetric edge set."""
+
+    def _score(nodes: DataFrame) -> DataFrame:
+        return (
+            nodes.join(qn, "nid")
+            .crossJoin(F.broadcast(qq))
+            .select("nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
+        )
+
+    def _top_beam(nodes: DataFrame) -> DataFrame:
+        # (d, nid) is a total order, so orderBy().limit() is
+        # deterministic AND lowers to TakeOrderedAndProject —
+        # distributed local top-k per partition, no single-partition
+        # window over the entry slice.
+        return (
+            _score(nodes)
+            .orderBy(F.col("d").desc(), F.col("nid").asc())
+            .limit(int(beam))
+            .localCheckpoint(eager=False)
+        )
+
+    beam_df = _top_beam(entries)
+    for _ in range(int(hops)):
+        cand = (
+            beam_df.select("nid")
+            .join(und, beam_df["nid"] == und["a"])
+            .select(F.col("b").alias("nid"))
+            .unionByName(beam_df.select("nid"))
+            .distinct()
+        )
+        beam_df = _top_beam(cand)
+    return beam_df
+
+
+def _beam_hops_batch(
+    qn: DataFrame,
+    und: DataFrame,
+    qq: DataFrame,
+    entries: DataFrame,
+    beam: int,
+    hops: int,
+) -> DataFrame:
+    """The batch beam walk: every stage keyed by ``qid``, every
+    top-beam a window PARTITIONED by query.  ``qq`` is (qid, qv),
+    ``entries`` is (qid, nid) seed pairs.  Returns (qid, nid, d)."""
+    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("nid").asc())
+
+    def _top_beam(pairs: DataFrame) -> DataFrame:
+        scored = (
+            pairs.join(qn, "nid")
+            .join(F.broadcast(qq), "qid")
+            .select("qid", "nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .select("qid", "nid", "d")
+            .localCheckpoint(eager=False)
+        )
+
+    beam_df = _top_beam(entries)
+    for _ in range(int(hops)):
+        cand = (
+            beam_df.select("qid", "nid")
+            .join(und, beam_df["nid"] == und["a"])
+            .select("qid", F.col("b").alias("nid"))
+            .unionByName(beam_df.select("qid", "nid"))
+            .distinct()
+        )
+        beam_df = _top_beam(cand)
+    return beam_df
+
+
 def knn_graph_beam_search(
     emb: DataFrame,
     query_vec: list[float],
@@ -1016,7 +1169,6 @@ def knn_graph_beam_search(
     ≤ ``beam`` (the final answer is read off the beam)."""
     from pyspark.sql import Window
 
-    from vector_db_handler_spark.functions.text import portable_hash60
     from vector_db_handler_spark.operators.quantize import (
         max_abs_scale,
         quantize_int8,
@@ -1063,65 +1215,13 @@ def knn_graph_beam_search(
             embedding_col=embedding_col,
             id_col=id_col,
         )
-    und = (
-        graph.select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
-        .unionByName(
-            graph.select(
-                F.col("neighbor_id").alias("a"), F.col(id_col).alias("b")
-            )
+    und = _undirect_pairs(
+        graph.select(
+            F.col(id_col).alias("a"), F.col("neighbor_id").alias("b")
         )
-        .distinct()
-        .localCheckpoint(eager=False)
     )
-
-    def _score(nodes: DataFrame) -> DataFrame:
-        return (
-            nodes.join(qn, "nid")
-            .crossJoin(F.broadcast(qq))
-            .select("nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
-        )
-
-    def _top_beam(nodes: DataFrame) -> DataFrame:
-        # (d, nid) is a total order, so orderBy().limit() is
-        # deterministic AND lowers to TakeOrderedAndProject —
-        # distributed local top-k per partition, no single-partition
-        # window over the entry slice.
-        return (
-            _score(nodes)
-            .orderBy(F.col("d").desc(), F.col("nid").asc())
-            .limit(int(beam))
-            .localCheckpoint(eager=False)
-        )
-
-    entries = qn.filter(
-        F.pmod(portable_hash60(F.col("nid").cast("string")), F.lit(int(entry_mod)))
-        == 0
-    ).select("nid")
-    if entries.isEmpty():
-        # r12 ADVICE: an empty hash slice (tiny corpus / unlucky
-        # modulus) silently returned zero rows — indistinguishable
-        # from "no neighbors".  Seed from the deterministic
-        # (hash, id)-minimal node instead; take(1) lowers to a
-        # distributed TakeOrdered, no full sort.
-        entries = (
-            qn.select(
-                "nid",
-                portable_hash60(F.col("nid").cast("string")).alias("eh"),
-            )
-            .orderBy(F.col("eh").asc(), F.col("nid").asc())
-            .limit(1)
-            .select("nid")
-        )
-    beam_df = _top_beam(entries)
-    for _ in range(int(hops)):
-        cand = (
-            beam_df.select("nid")
-            .join(und, beam_df["nid"] == und["a"])
-            .select(F.col("b").alias("nid"))
-            .unionByName(beam_df.select("nid"))
-            .distinct()
-        )
-        beam_df = _top_beam(cand)
+    entries = _entry_slice_nodes(qn, entry_mod)
+    beam_df = _beam_hops_single(qn, und, qq, entries, beam, hops)
     w = Window.orderBy(F.col("d").desc(), F.col("nid").asc())
     return (
         beam_df.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1176,7 +1276,6 @@ def knn_graph_beam_search_batch(
     same as the single-query path."""
     from pyspark.sql import Window
 
-    from vector_db_handler_spark.functions.text import portable_hash60
     from vector_db_handler_spark.operators.quantize import (
         max_abs_scale,
         quantize_int8,
@@ -1217,61 +1316,14 @@ def knn_graph_beam_search_batch(
             embedding_col=embedding_col,
             id_col=id_col,
         )
-    und = (
-        graph.select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
-        .unionByName(
-            graph.select(
-                F.col("neighbor_id").alias("a"), F.col(id_col).alias("b")
-            )
+    und = _undirect_pairs(
+        graph.select(
+            F.col(id_col).alias("a"), F.col("neighbor_id").alias("b")
         )
-        .distinct()
-        .localCheckpoint(eager=False)
     )
+    entries = _entry_slice_nodes(qn, entry_mod).crossJoin(qq.select("qid"))
+    beam_df = _beam_hops_batch(qn, und, qq, entries, beam, hops)
     w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("nid").asc())
-
-    def _top_beam(pairs: DataFrame) -> DataFrame:
-        scored = (
-            pairs.join(qn, "nid")
-            .join(F.broadcast(qq), "qid")
-            .select("qid", "nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= beam)
-            .select("qid", "nid", "d")
-            .localCheckpoint(eager=False)
-        )
-
-    entry_slice = qn.filter(
-        F.pmod(
-            portable_hash60(F.col("nid").cast("string")),
-            F.lit(int(entry_mod)),
-        )
-        == 0
-    ).select("nid")
-    if entry_slice.isEmpty():
-        # Same fallback as the single-query path: never let an
-        # unlucky modulus turn every query's answer into zero rows.
-        entry_slice = (
-            qn.select(
-                "nid",
-                portable_hash60(F.col("nid").cast("string")).alias("eh"),
-            )
-            .orderBy(F.col("eh").asc(), F.col("nid").asc())
-            .limit(1)
-            .select("nid")
-        )
-    entries = entry_slice.crossJoin(qq.select("qid"))
-    beam_df = _top_beam(entries)
-    for _ in range(int(hops)):
-        cand = (
-            beam_df.select("qid", "nid")
-            .join(und, beam_df["nid"] == und["a"])
-            .select("qid", F.col("b").alias("nid"))
-            .unionByName(beam_df.select("qid", "nid"))
-            .distinct()
-        )
-        beam_df = _top_beam(cand)
     return (
         beam_df.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -1282,3 +1334,446 @@ def knn_graph_beam_search_batch(
             F.col("d").cast("long").alias("iscore"),
         )
     )
+
+
+def knn_graph_hierarchical_search(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    beam: int = 12,
+    hops: int = 2,
+    layer_mod: int = 4,
+    coarse_k: int = 5,
+    coarse_beam: int | None = None,
+    coarse_hops: int = 1,
+    coarse_entry_mod: int | None = None,
+    graph: DataFrame | None = None,
+    graph_k: int = 5,
+    graph_iters: int = 2,
+    kmeans_k: int = 8,
+    rand_buckets: int | None = None,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """HIERARCHICAL graph-ANN search — the coarse entry LAYER that
+    :func:`knn_graph_beam_search` explicitly defers (its docstring:
+    "a production deployment makes the entries hierarchical;
+    entry_mod is the single dial standing in for that layer").  The
+    HNSW construction (Malkov & Yashunin, TPAMI'18) searches a small
+    upper layer first and uses its result as the entry point of the
+    layer below; this is that two-level descent in the repo's
+    hash-replayable integer formulation:
+
+    * **Layer membership** is deterministic: nodes whose md5-hash ≡ 0
+      (mod ``layer_mod``) form the coarse layer (≈ N/layer_mod nodes)
+      — the same coin-flip-by-hash HNSW uses for level assignment,
+      derandomized.  An empty layer (tiny corpus) falls back to the
+      (hash, id)-minimal node.
+    * **Coarse edges are DERIVED from the base graph**, not rebuilt:
+      candidate pairs are the base graph's 1-hop ∪ 2-hop connections
+      restricted to layer×layer (the standard coarsening — sampled
+      nodes inherit shortcut edges through dropped intermediates),
+      exactly re-scored in the int8 integer domain, top-``coarse_k``
+      per node with pinned ties.  No second NN-descent chain, no
+      all-pairs stage: the 2-hop expansion starts FROM layer nodes
+      only, so it touches ≤ (N/layer_mod)·(2·graph_k)² pairs.
+    * **Search**: beam-walk the coarse layer from its own hash
+      entry slice (``coarse_entry_mod``, self-derived to a ~1024-node
+      expected slice of the LAYER when None), then seed the base-layer
+      beam with the coarse winners and walk ``hops`` rounds as usual.
+
+    Why it matters at 100 TB: the flat search's corpus-touching entry
+    scan reads N/entry_mod rows; here it reads
+    N/(layer_mod·coarse_entry_mod) — layer_mod× fewer for the same
+    expected slice quality, because the coarse walk (constant work)
+    replaces brute entry luck with navigation.  More levels = apply
+    the same construction recursively on the layer; two levels
+    already demonstrate the recursion step.
+
+    Determinism: every stage is md5-hash membership + exact BIGINT
+    dots + pinned ties, so the whole descent replays bit-for-bit
+    cross-engine.  Returns ``(vec_id, rank, iscore)`` like the flat
+    search.  Cite: reference delegates hierarchy to Qdrant's HNSW
+    (app/core/document_ingestor.py:332-364)."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.functions.text import portable_hash60
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_int8,
+    )
+
+    if k < 1 or beam < 1 or k > beam:
+        raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
+    if hops < 0 or coarse_hops < 0:
+        raise ValueError(
+            f"hops must be >= 0, got hops={hops} coarse_hops={coarse_hops}"
+        )
+    if layer_mod < 1:
+        raise ValueError(f"layer_mod must be >= 1, got {layer_mod}")
+    if coarse_k < 1:
+        raise ValueError(f"coarse_k must be >= 1, got {coarse_k}")
+    if coarse_beam is None:
+        coarse_beam = beam
+    if coarse_beam < 1:
+        raise ValueError(f"coarse_beam must be >= 1, got {coarse_beam}")
+
+    scale = max_abs_scale(emb, embedding_col)
+    qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col).select(
+        F.col(id_col).alias("nid"), F.col("qvec").alias("v")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qq = scale.select(
+        F.transform(
+            qlit,
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(F.lit(127.0) * x / F.col("s") + F.lit(0.5)),
+                ),
+            ).cast("long"),
+        ).alias("qv")
+    )
+
+    if graph is None:
+        graph = knn_graph_nn_descent(
+            emb,
+            k=graph_k,
+            iters=graph_iters,
+            kmeans_k=kmeans_k,
+            rand_buckets=rand_buckets,
+            embedding_col=embedding_col,
+            id_col=id_col,
+        )
+    und = _undirect_pairs(
+        graph.select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
+    )
+
+    # --- coarse layer: hash membership with the shared fallback ----------
+    lay = qn.filter(
+        F.pmod(
+            portable_hash60(F.col("nid").cast("string")), F.lit(int(layer_mod))
+        )
+        == 0
+    )
+    if lay.isEmpty():
+        lay = (
+            qn.select(
+                "nid",
+                "v",
+                portable_hash60(F.col("nid").cast("string")).alias("eh"),
+            )
+            .orderBy(F.col("eh").asc(), F.col("nid").asc())
+            .limit(1)
+            .select("nid", "v")
+        )
+        lay = lay.localCheckpoint(eager=False)
+
+    # --- coarse edges: 1-hop ∪ 2-hop of the base graph, layer-restricted,
+    # exactly re-scored, top-coarse_k per node (pinned ties) --------------
+    lay_a = lay.select(F.col("nid").alias("a"))
+    lay_b = lay.select(F.col("nid").alias("b"))
+    und_from_layer = und.join(lay_a, "a", "leftsemi")
+    two_hop = (
+        und_from_layer.alias("u1")
+        .join(und.alias("u2"), F.col("u1.b") == F.col("u2.a"))
+        .filter(F.col("u1.a") != F.col("u2.b"))
+        .select(F.col("u1.a").alias("a"), F.col("u2.b").alias("b"))
+    )
+    cpairs = (
+        und_from_layer.select("a", "b")
+        .unionByName(two_hop)
+        .distinct()
+        .join(lay_b, "b", "leftsemi")
+    )
+    qa = qn.select(F.col("nid").alias("a"), F.col("v").alias("va"))
+    qb = qn.select(F.col("nid").alias("b"), F.col("v").alias("vb"))
+    w_re = Window.partitionBy("a").orderBy(F.col("d").desc(), F.col("b").asc())
+    cedges = (
+        cpairs.join(qa, "a")
+        .join(qb, "b")
+        .select("a", "b", _int_dot(F.col("va"), F.col("vb")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_re))
+        .filter(F.col("rn") <= coarse_k)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    cund = _undirect_pairs(cedges)
+
+    # --- two-level descent ------------------------------------------------
+    if coarse_entry_mod is None:
+        coarse_entry_mod = max(1, lay.count() // 1024)
+    if coarse_entry_mod < 1:
+        raise ValueError(
+            f"coarse_entry_mod must be >= 1, got {coarse_entry_mod}"
+        )
+    centry = _entry_slice_nodes(lay.select("nid", "v"), coarse_entry_mod)
+    coarse_beam_df = _beam_hops_single(
+        lay, cund, qq, centry, coarse_beam, coarse_hops
+    )
+    seeds = coarse_beam_df.select("nid")
+    beam_df = _beam_hops_single(qn, und, qq, seeds, beam, hops)
+    w = Window.orderBy(F.col("d").desc(), F.col("nid").asc())
+    return (
+        beam_df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("nid").alias(id_col),
+            "rank",
+            F.col("d").cast("long").alias("iscore"),
+        )
+    )
+
+
+def write_knn_graph_index(
+    emb: DataFrame,
+    path: str,
+    graph_k: int = 5,
+    graph_iters: int = 2,
+    kmeans_k: int = 8,
+    rand_buckets: int | None = None,
+    entry_mod: int | None = None,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the graph-ANN index ON DISK — write/probe/append
+    parity with the LSH (`dedup.write_lsh_index`) and IVF
+    (`write_ivf_index`) stores, completing the index-persistence
+    story for the graph family.  Artifacts under ``path``:
+
+    * ``scale/``   — the 1-row max-abs quantization scale.  The scale
+      is part of the index GEOMETRY (like IVF centroids): appends
+      quantize new vectors with the stored scale, never re-derive it.
+    * ``meta/``    — 1 row of build dials (entry_mod, graph_k, dim…)
+      so probes reconstruct the search configuration.
+    * ``vectors/`` — (nid, v int8-domain BIGINT array), PARTITIONED BY
+      the ``entry`` flag (int 0/1 — partition-type
+      inference keeps integers typed; booleans read back as strings):
+      the entry slice (hash ≡ 0 mod entry_mod,
+      frozen at build like an HNSW top layer) lives in its own
+      partition directory, so a probe's entry scan prunes to
+      1/entry_mod of the corpus at PLANNING time instead of filtering
+      a full scan.
+    * ``edges/``   — the NN-descent graph (a, b, d), sorted by ``a``
+      within files so per-hop candidate joins benefit from row-group
+      min-max pruning.
+
+    Build cost is the NN-descent build + one corpus write; probes are
+    :func:`knn_graph_probe_table` and cost corpus-independent work
+    past the pruned entry scan."""
+    if entry_mod is None:
+        entry_mod = max(1, emb.count() // 1024)
+    if entry_mod < 1:
+        raise ValueError(f"entry_mod must be >= 1, got {entry_mod}")
+
+    from vector_db_handler_spark.functions.text import portable_hash60
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_int8,
+    )
+
+    spark = emb.sparkSession
+    scale = max_abs_scale(emb, embedding_col).localCheckpoint(eager=True)
+    scale.write.mode("overwrite").parquet(f"{path}/scale")
+
+    qn = quantize_int8(
+        emb, embedding_col=embedding_col, id_col=id_col, scale=scale
+    ).select(F.col(id_col).alias("nid"), F.col("qvec").alias("v"))
+    qn.withColumn(
+        "entry",
+        (
+            F.pmod(
+                portable_hash60(F.col("nid").cast("string")),
+                F.lit(int(entry_mod)),
+            )
+            == 0
+        ).cast("int"),
+    ).write.mode("overwrite").partitionBy("entry").parquet(f"{path}/vectors")
+
+    graph = knn_graph_nn_descent(
+        emb,
+        k=graph_k,
+        iters=graph_iters,
+        kmeans_k=kmeans_k,
+        rand_buckets=rand_buckets,
+        embedding_col=embedding_col,
+        id_col=id_col,
+    )
+    (
+        graph.select(
+            F.col(id_col).alias("a"),
+            F.col("neighbor_id").alias("b"),
+            F.col("iscore").alias("d"),
+        )
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(f"{path}/edges")
+    )
+    dim = len(emb.select(embedding_col).first()[0])
+    spark.createDataFrame(
+        [
+            (
+                int(entry_mod),
+                int(graph_k),
+                int(graph_iters),
+                int(kmeans_k),
+                -1 if rand_buckets is None else int(rand_buckets),
+                int(dim),
+            )
+        ],
+        "entry_mod long, graph_k long, graph_iters long, kmeans_k long,"
+        " rand_buckets long, dim long",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def knn_graph_probe_table(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    beam: int = 12,
+    hops: int = 2,
+) -> DataFrame:
+    """Probe a WRITTEN graph-ANN index (:func:`write_knn_graph_index`):
+    quantize the query with the STORED scale, seed the beam from the
+    ``entry=1`` partition (planning-time partition pruning — the
+    probe opens 1/entry_mod of the vector files, the on-disk analog of
+    the in-memory hash slice), and walk the stored edges.  A probe
+    against an index built from the same corpus with the same dials
+    returns exactly :func:`knn_graph_beam_search`'s answer — the same
+    build-once/probe-many contract as `lsh_probe_table` /
+    `ivf_probe_table`."""
+    if k < 1 or beam < 1 or k > beam:
+        raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+
+    scale = spark.read.parquet(f"{path}/scale")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    qn = vectors.select("nid", "v")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qq = scale.select(
+        F.transform(
+            qlit,
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(F.lit(127.0) * x / F.col("s") + F.lit(0.5)),
+                ),
+            ).cast("long"),
+        ).alias("qv")
+    )
+    und = _undirect_pairs(spark.read.parquet(f"{path}/edges").select("a", "b"))
+    entries = vectors.filter(F.col("entry") == 1).select("nid")
+    if entries.isEmpty():
+        # Build-time slice can be empty for a tiny corpus; same
+        # deterministic fallback as the in-memory search.
+        from vector_db_handler_spark.functions.text import portable_hash60
+
+        entries = (
+            qn.select(
+                "nid",
+                portable_hash60(F.col("nid").cast("string")).alias("eh"),
+            )
+            .orderBy(F.col("eh").asc(), F.col("nid").asc())
+            .limit(1)
+            .select("nid")
+        )
+    beam_df = _beam_hops_single(qn, und, qq, entries, beam, hops)
+    w = Window.orderBy(F.col("d").desc(), F.col("nid").asc())
+    return (
+        beam_df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("nid").alias("vec_id"),
+            "rank",
+            F.col("d").cast("long").alias("iscore"),
+        )
+    )
+
+
+def append_knn_graph_index(
+    new_rows: DataFrame,
+    path: str,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    beam: int | None = None,
+    hops: int = 2,
+) -> None:
+    """Ingest-time graph-index maintenance — the graph analog of
+    `append_lsh_index` / `append_ivf_index`, and the incremental-
+    insert step of HNSW: for each NEW vector, SEARCH the existing
+    graph (batch beam walk, one job for the whole arrival batch) and
+    connect it to its top-``graph_k`` discovered neighbors.
+
+    Cost is O(new batch): the entry scan reads the pruned
+    ``entry=1`` partition once for the whole batch; each new node
+    pays beam-bounded hop work; the existing index is never
+    rewritten.  New vectors are quantized with the STORED scale (the
+    index geometry — identical to IVF appends reusing the build
+    centroids).  Appended edges are directed new→old; the search
+    walks edges undirected, so the new nodes are immediately
+    REACHABLE through their own edges (pinned by test) — the
+    standard single-direction HNSW insert.  Nodes within one arrival
+    batch do not link to each other (insert-vs-batch-build
+    difference, documented by the HNSW paper too); periodic rebuild
+    (`write_knn_graph_index`) is the compaction story, same as the
+    LSH/IVF stores."""
+    spark = new_rows.sparkSession
+    from vector_db_handler_spark.functions.text import portable_hash60
+    from vector_db_handler_spark.operators.quantize import quantize_int8
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    graph_k = int(meta["graph_k"])
+    entry_mod = int(meta["entry_mod"])
+    if beam is None:
+        beam = max(8, 2 * graph_k)
+
+    scale = spark.read.parquet(f"{path}/scale")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    qn = vectors.select("nid", "v")
+    und = _undirect_pairs(spark.read.parquet(f"{path}/edges").select("a", "b"))
+
+    qnew = quantize_int8(
+        new_rows, embedding_col=embedding_col, id_col=id_col, scale=scale
+    ).select(F.col(id_col).alias("qid"), F.col("qvec").alias("qv"))
+
+    entry_nodes = vectors.filter(F.col("entry") == 1).select("nid")
+    if entry_nodes.isEmpty():
+        entry_nodes = (
+            qn.select(
+                "nid",
+                portable_hash60(F.col("nid").cast("string")).alias("eh"),
+            )
+            .orderBy(F.col("eh").asc(), F.col("nid").asc())
+            .limit(1)
+            .select("nid")
+        )
+    entries = entry_nodes.crossJoin(qnew.select("qid"))
+    found = _beam_hops_batch(qn, und, qnew, entries, beam, hops)
+    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("nid").asc())
+    new_edges = (
+        found.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= graph_k)
+        .select(
+            F.col("qid").alias("a"),
+            F.col("nid").alias("b"),
+            F.col("d"),
+        )
+    )
+    new_edges.sortWithinPartitions("a").write.mode("append").parquet(
+        f"{path}/edges"
+    )
+    qnew.select(
+        F.col("qid").alias("nid"),
+        F.col("qv").alias("v"),
+        (
+            F.pmod(
+                portable_hash60(F.col("qid").cast("string")),
+                F.lit(int(entry_mod)),
+            )
+            == 0
+        ).cast("int").alias("entry"),
+    ).write.mode("append").partitionBy("entry").parquet(f"{path}/vectors")
