@@ -1,0 +1,185 @@
+"""End-to-end training-data curation pipeline: dedup → quality →
+mixture → budget-pack → shard, emitting the per-(shard, domain)
+MANIFEST a 100 TB pretraining build hands to the trainer.
+
+Every stage is a registered, individually-hash-checked operator family
+(exact dedup `dedup.py`, Gopher flags, DoReMi-lite mixture
+`lm_score.py`, largest-remainder allocation `sampling.py`, rendezvous
+sharding `layout.py`); this module composes them into ONE deterministic
+relational plan so the driver can hash-check the whole pipeline, not
+just its stages.  The reference's ingest pipeline stops at
+embed→store (app/core/document_ingestor.py:25-1196); this is the
+corpus-side preparation that feeds such a store at scale.
+
+Scale shape: one text-hash shuffle (dedup) + one in-row flag pass
+(quality) + the mixture family's single bigram explode + one
+|domains|-row integer apportionment + one per-domain selection window
++ an in-row HRW argmax — no stage is ever all-pairs, and the manifest
+relation is |shards|·|domains| rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.functions import text as text_fns
+from vector_db_handler_spark.operators.layout import rendezvous_assign
+from vector_db_handler_spark.operators.lm_score import domain_mixture_weights
+
+#: Gopher stop-word list — MUST stay identical to the registered
+#: gopher_quality_flags row (driver_queries._GOPHER_STOPS aliases this).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_keep_expr(text_col: str = "text"):
+    """The registered Gopher keep-flag (word-count bounds, mean word
+    length 3–10, ≥80% alphabetic words, ≤10% symbol words, ≥2 stop
+    words) as a reusable Column — one in-row pass, zero shuffle."""
+    t = F.split(F.col(text_col), " ", -1)
+    n_words = F.size(t)
+    mean_len = F.length(F.array_join(t, "")).cast("double") / n_words
+    frac_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast(
+        "double"
+    ) / n_words
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*GOPHER_STOPS)))
+    sym_ratio = F.size(
+        F.filter(t, lambda x: (x == "#") | (x == "..."))
+    ).cast("double") / n_words
+    return (
+        n_words.between(30, 100000)
+        & mean_len.between(3, 10)
+        & (frac_alpha >= 0.8)
+        & (sym_ratio <= 0.1)
+        & (n_stop >= 2)
+    )
+
+
+def curation_manifest(
+    docs: DataFrame,
+    total_n: int,
+    shards: list[str],
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mixture_rounds: int = 2,
+    mixture_base: int = 4000,
+    salt: str = "curate",
+) -> DataFrame:
+    """Run the full curation pipeline and return the manifest
+    ``(shard, domain, n_docs, n_tokens, sum_doc_id)``.
+
+    1. **Dedup** (exact): keep the min-id doc per portable 60-bit text
+       hash — one map-side-combined shuffle.
+    2. **Quality**: Gopher keep-flag survivors only (in-row).
+    3. **Mixture**: DoReMi-lite weights over the SURVIVING corpus
+       (`domain_mixture_weights`) — the mix reflects what dedup and
+       quality left, not the raw crawl.
+    4. **Budget-pack**: apportion ``total_n`` docs across domains
+       ∝ ``weight_numer`` by the largest-remainder method in exact
+       integers (ties → domain ascending, the `allocate_stratified_
+       exact` convention), quota capped at each domain's availability
+       (a binding cap leaves the total short by construction —
+       documented, not silently rebalanced).
+    5. **Select**: each domain keeps its quota by smallest
+       ``(md5-hash(id|salt), id)`` rank — deterministic, reproducible
+       sampling (one per-domain window).
+    6. **Shard**: rendezvous (HRW) assignment over ``shards`` — in-row
+       argmax, no shuffle; incremental-copy rebalances by
+       construction.
+
+    Null-domain docs cannot carry a mixture weight and drop at stage
+    3 (same contract as `domain_mixture_weights`).  ``sum_doc_id`` is
+    the manifest's content checksum: BIGINT sum of selected ids per
+    cell, so two engines agreeing on every cell agree on the exact
+    selected SET."""
+    if total_n < 0:
+        raise ValueError(f"total_n must be >= 0, got {total_n}")
+    if not shards:
+        raise ValueError("need at least one shard name")
+
+    # 1. exact dedup: min-id winner per text-hash group
+    w_dedup = Window.partitionBy("_th").orderBy(F.col(id_col).asc())
+    survivors = (
+        docs.withColumn("_th", text_fns.portable_hash60(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_th", "_rn")
+    )
+    # 2. quality gate
+    survivors = survivors.filter(gopher_keep_expr(text_col))
+
+    # 3. mixture weights on the surviving corpus
+    weights = domain_mixture_weights(
+        survivors,
+        domain_col=domain_col,
+        text_col=text_col,
+        n_rounds=mixture_rounds,
+        base=mixture_base,
+    ).select("domain", "weight_numer")
+
+    # 4. largest-remainder apportionment of total_n ∝ weight_numer,
+    # capped at availability
+    avail = survivors.filter(F.col(domain_col).isNotNull()).groupBy(
+        F.col(domain_col).alias("domain")
+    ).agg(F.count(F.lit(1)).alias("n_avail"))
+    tot = weights.groupBy().agg(F.sum("weight_numer").alias("_w_tot"))
+    quota_base = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_base",
+            F.expr(f"CAST({int(total_n)} * weight_numer AS BIGINT) div _w_tot"),
+        )
+        .withColumn(
+            "_rem",
+            F.expr(f"CAST({int(total_n)} * weight_numer AS BIGINT) % _w_tot"),
+        )
+    )
+    w_lead = Window.orderBy(F.col("_rem").desc(), F.col("domain").asc())
+    leftover = F.lit(int(total_n)) - F.sum("_base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    quotas = (
+        quota_base.withColumn("_lead", F.row_number().over(w_lead))
+        .withColumn("_left", leftover)
+        .select(
+            "domain",
+            (
+                F.col("_base")
+                + F.when(F.col("_lead") <= F.col("_left"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_quota_raw"),
+        )
+        .join(avail, "domain")
+        .select(
+            "domain", F.least(F.col("_quota_raw"), F.col("n_avail")).alias("_quota")
+        )
+    )
+
+    # 5. deterministic per-domain selection by (hash, id) rank
+    pick_hash = text_fns.portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+    )
+    w_pick = Window.partitionBy(F.col(domain_col)).orderBy(
+        pick_hash.asc(), F.col(id_col).asc()
+    )
+    selected = (
+        survivors.filter(F.col(domain_col).isNotNull())
+        .withColumn("_pick", F.row_number().over(w_pick))
+        .join(
+            F.broadcast(quotas),
+            F.col(domain_col) == F.col("domain"),
+        )
+        .filter(F.col("_pick") <= F.col("_quota"))
+    )
+
+    # 6. shard + manifest rollup
+    return (
+        rendezvous_assign(selected, shards, id_col=id_col, out_col="shard")
+        .groupBy("shard", F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text_fns.token_count(F.col(text_col))).alias("n_tokens"),
+            F.sum(F.col(id_col)).alias("sum_doc_id"),
+        )
+    )
