@@ -249,3 +249,82 @@ def test_write_args_validated(spark, sf_dir, tmp_path):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="entry_mod"):
         write_knn_graph_index(emb, str(tmp_path / "x"), entry_mod=0)
+
+
+def test_batch_probe_equals_in_memory_batch(spark, sf_dir, index_path):
+    """The serve shape: batch probe of the written index answers a
+    whole queries relation exactly like the in-memory batch search."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_probe_table_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = knn_graph_beam_search_batch(
+        emb,
+        queries,
+        k=5,
+        beam=BEAM,
+        hops=HOPS,
+        entry_mod=ENTRY_MOD,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+    ).collect()
+    got = knn_graph_probe_table_batch(
+        spark, index_path, queries, k=5, beam=BEAM, hops=HOPS
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_compaction_preserves_relations_and_bounds_files(spark, sf_dir, tmp_path):
+    """Append a few batches, compact: the vectors and edges RELATIONS
+    are unchanged row-for-row, probe answers are unchanged, and the
+    edges file count drops back to the bounded compacted layout."""
+    import glob
+
+    from vector_db_handler_spark.operators.similarity import (
+        compact_knn_graph_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "gidx_compact")
+    write_knn_graph_index(
+        emb,
+        path,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+        entry_mod=ENTRY_MOD,
+    )
+    for i in range(3):
+        new = emb.filter(f"vec_id % 83 = {i}").limit(4).selectExpr(
+            f"vec_id + {100000 * (i + 1)} AS vec_id", "embedding", "label"
+        )
+        append_knn_graph_index(new, path)
+
+    before_edges = sorted(
+        map(tuple, spark.read.parquet(f"{path}/edges").collect())
+    )
+    before_vecs = sorted(
+        map(tuple, spark.read.parquet(f"{path}/vectors").collect())
+    )
+    before_probe = knn_graph_probe_table(
+        spark, path, dq.QUERY_VEC, k=K, beam=BEAM, hops=HOPS
+    ).collect()
+    n_files_before = len(glob.glob(f"{path}/edges/*.parquet"))
+
+    compact_knn_graph_index(spark, path)
+
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/edges").collect())) == before_edges
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/vectors").collect())) == before_vecs
+    after_probe = knn_graph_probe_table(
+        spark, path, dq.QUERY_VEC, k=K, beam=BEAM, hops=HOPS
+    ).collect()
+    assert [tuple(r) for r in after_probe] == [tuple(r) for r in before_probe]
+    n_files_after = len(glob.glob(f"{path}/edges/*.parquet"))
+    assert n_files_after < n_files_before

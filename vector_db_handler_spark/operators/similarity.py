@@ -1777,3 +1777,116 @@ def append_knn_graph_index(
             == 0
         ).cast("int").alias("entry"),
     ).write.mode("append").partitionBy("entry").parquet(f"{path}/vectors")
+
+
+def knn_graph_probe_table_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 8,
+    hops: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """BATCH probe of a written graph-ANN index — the serve shape a
+    vector DB runs in production: the index is built (and compacted)
+    offline, every arriving query batch is answered in ONE job whose
+    entry scan reads the pruned ``entry=1`` partition once for the
+    whole batch.  Returns ``(query_id, neighbor_id, rank, iscore)``,
+    exactly :func:`knn_graph_beam_search_batch`'s answer for an index
+    built from the same corpus with the same dials."""
+    if k < 1 or beam < 1 or k > beam:
+        raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+
+    from vector_db_handler_spark.functions.text import portable_hash60
+    from vector_db_handler_spark.operators.quantize import quantize_int8
+
+    scale = spark.read.parquet(f"{path}/scale")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    qn = vectors.select("nid", "v")
+    und = _undirect_pairs(spark.read.parquet(f"{path}/edges").select("a", "b"))
+    qq = quantize_int8(
+        queries,
+        embedding_col=query_vec_col,
+        id_col=query_id_col,
+        scale=scale,
+    ).select(F.col(query_id_col).alias("qid"), F.col("qvec").alias("qv"))
+
+    entry_nodes = vectors.filter(F.col("entry") == 1).select("nid")
+    if entry_nodes.isEmpty():
+        entry_nodes = (
+            qn.select(
+                "nid",
+                portable_hash60(F.col("nid").cast("string")).alias("eh"),
+            )
+            .orderBy(F.col("eh").asc(), F.col("nid").asc())
+            .limit(1)
+            .select("nid")
+        )
+    entries = entry_nodes.crossJoin(qq.select("qid"))
+    beam_df = _beam_hops_batch(qn, und, qq, entries, beam, hops)
+    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("nid").asc())
+    return (
+        beam_df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            F.col("d").cast("long").alias("iscore"),
+        )
+    )
+
+
+def compact_knn_graph_index(spark, path: str) -> None:
+    """Periodic maintenance for an appended graph index — the graph
+    twin of `dedup.compact_lsh_index` / the IVF per-cell rewrite:
+    appends accumulate one file-set per arrival batch in ``edges/``
+    and per ``vectors/`` partition; each file is internally sorted so
+    min-max pruning still works, but probe open-file counts grow with
+    batch count.  Compaction rewrites both back to the fully-clustered
+    single-write layout; results are byte-identical relations (pinned
+    by test), only the file layout changes.
+
+    ``vectors/`` is rewritten with dynamic partition overwrite
+    (per-partition swap, crash leaves old files); ``edges/`` is
+    unpartitioned, so it goes through the compact-copy-then-swap the
+    LSH shingle table uses."""
+    try:
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    except Exception:  # noqa: BLE001
+        prev_mode = None
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            spark.read.parquet(f"{path}/vectors")
+            .repartition("entry")
+            .sortWithinPartitions("nid")
+            .write.mode("overwrite")
+            .partitionBy("entry")
+            .parquet(f"{path}/vectors")
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+    edges = spark.read.parquet(f"{path}/edges")
+    n_parts = max(1, edges.rdd.getNumPartitions() // 8)
+    (
+        edges.repartition(n_parts, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(f"{path}/edges_compact")
+    )
+    spark.read.parquet(f"{path}/edges_compact").write.mode("overwrite").parquet(
+        f"{path}/edges"
+    )
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/edges_compact")
+    p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()).delete(p, True)
