@@ -1535,6 +1535,128 @@ def r12c(mult: int = 4) -> None:
         )
 
 
+def r13(mult: int = 4) -> None:
+    """Two-scale probes for the r13-staged families (register r14):
+
+    * ``knn_graph_hierarchical_search`` — entry scan reads
+      N/(layer_mod*coarse_entry_mod); coarse-edge derivation touches
+      (N/layer_mod)*(2k)^2 pairs (linear in N at fixed layer_mod);
+      both walks beam-bounded.  coarse_entry_mod scales with m so the
+      entry slice stays constant-sized.
+    * persisted graph index — build amortized (write once), probe
+      cost = pruned entry partition + constant hop work; append cost
+      = O(arrival batch), independent of corpus size with entry_mod
+      scaled.
+    * ``curation_manifest`` — every stage linear: one text-hash
+      shuffle, in-row flags, the mixture family's single bigram
+      explode, |domains|-row apportionment, per-domain selection
+      window, in-row HRW argmax.
+    * ``domain_mixture_weights`` at a THIRD scale (r12 verdict
+      stretch #7): its 4x wall was 2.1x (model relation grows with
+      replication); the 16x point checks sub-quadratic growth.
+    """
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from vector_db_handler_spark.operators.curation import curation_manifest
+    from vector_db_handler_spark.operators.lm_score import (
+        domain_mixture_weights,
+    )
+    from vector_db_handler_spark.operators.similarity import (
+        append_knn_graph_index,
+        knn_graph_hierarchical_search,
+        knn_graph_nn_descent,
+        knn_graph_probe_table,
+        write_knn_graph_index,
+    )
+
+    spark = get_spark("r13-probe")
+    sf = "/root/testdata/sf0.1"
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet")
+    qv = [((i * 37 + 11) % 101 - 50) / 50.0 for i in range(64)]
+
+    def rep_emb(m):
+        if m == 1:
+            return emb0
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return emb0.crossJoin(reps).select(
+            (F2.col("vec_id") * m + F2.col("rep")).alias("vec_id"),
+            "embedding", "label",
+        )
+
+    def rep_docs(m):
+        if m == 1:
+            return docs0
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return docs0.crossJoin(reps).select(
+            (F2.col("doc_id") * m + F2.col("rep")).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+
+    import tempfile
+
+    for m in (1, mult):
+        emb = rep_emb(m)
+        n = emb.count()
+        g = knn_graph_nn_descent(
+            emb, k=5, iters=2, kmeans_k=8 * m, rand_buckets=64 * m
+        ).localCheckpoint()
+        t0 = time.perf_counter()
+        out = knn_graph_hierarchical_search(
+            emb, qv, k=10, beam=12, hops=2, layer_mod=4,
+            coarse_k=5, coarse_hops=1, coarse_entry_mod=8 * m, graph=g,
+        ).count()
+        print(
+            f"hierarchical @ {n} vecs: {out} rows, "
+            f"wall {time.perf_counter()-t0:.1f}s (coarse_entry_mod {8*m})"
+        )
+
+        path = os.path.join(tempfile.gettempdir(), f"vdh_gidx_probe_{m}x")
+        t0 = time.perf_counter()
+        if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+            write_knn_graph_index(
+                emb, path, graph_k=5, graph_iters=2,
+                kmeans_k=8 * m, rand_buckets=64 * m, entry_mod=32 * m,
+            )
+        t1 = time.perf_counter()
+        p = knn_graph_probe_table(spark, path, qv, k=10, beam=12, hops=2).count()
+        t2 = time.perf_counter()
+        arrivals = emb.filter(F2.col("vec_id") % 101 == 0).limit(20).select(
+            (F2.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+        )
+        append_knn_graph_index(arrivals, path)
+        t3 = time.perf_counter()
+        print(
+            f"graph_index @ {n} vecs: build {t1-t0:.1f}s, probe {t2-t1:.1f}s "
+            f"({p} rows), append(20) {t3-t2:.1f}s"
+        )
+
+    for m in (1, mult):
+        docs = rep_docs(m)
+        n = docs.count()
+        t0 = time.perf_counter()
+        out = curation_manifest(
+            docs, total_n=1000 * m, shards=[f"s{i}" for i in range(8)]
+        ).count()
+        print(
+            f"curation_manifest @ {n} docs: {out} manifest cells, "
+            f"wall {time.perf_counter()-t0:.1f}s (budget {1000*m})"
+        )
+
+    # stretch #7: third-scale point for the mixture family
+    for m in (4 * mult,):
+        docs = rep_docs(m)
+        n = docs.count()
+        t0 = time.perf_counter()
+        out = domain_mixture_weights(docs).count()
+        print(
+            f"domain_mixture @ {n} docs: {out} domains, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
 def r12b(mult: int = 4) -> None:
     """Linearity probes for the six r12-STAGED operators (register in
     r13; probed before registration so the scale claims ship with the
@@ -2125,6 +2247,8 @@ if __name__ == "__main__":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r13":
+        r13(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r12d":
         r12d(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r12c":
