@@ -1644,13 +1644,30 @@ def knn_graph_probe_table(
     returns exactly :func:`knn_graph_beam_search`'s answer — the same
     build-once/probe-many contract as `lsh_probe_table` /
     `ivf_probe_table`."""
+    scale = spark.read.parquet(f"{path}/scale")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    edges = spark.read.parquet(f"{path}/edges")
+    return probe_graph_relations(scale, vectors, edges, query_vec, k, beam, hops)
+
+
+def probe_graph_relations(
+    scale: DataFrame,
+    vectors: DataFrame,
+    edges: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    beam: int = 12,
+    hops: int = 2,
+) -> DataFrame:
+    """The probe body over already-loaded index relations — shared by
+    :func:`knn_graph_probe_table` (one parquet index) and the
+    streaming ingest store's reader (base index + committed arrival
+    batches).  ``vectors`` is (nid, v, entry), ``edges`` (a, b, d)."""
     if k < 1 or beam < 1 or k > beam:
         raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
     if hops < 0:
         raise ValueError(f"hops must be >= 0, got {hops}")
 
-    scale = spark.read.parquet(f"{path}/scale")
-    vectors = spark.read.parquet(f"{path}/vectors")
     qn = vectors.select("nid", "v")
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     qq = scale.select(
@@ -1665,7 +1682,7 @@ def knn_graph_probe_table(
             ).cast("long"),
         ).alias("qv")
     )
-    und = _undirect_pairs(spark.read.parquet(f"{path}/edges").select("a", "b"))
+    und = _undirect_pairs(edges.select("a", "b"))
     entries = vectors.filter(F.col("entry") == 1).select("nid")
     if entries.isEmpty():
         # Build-time slice can be empty for a tiny corpus; same

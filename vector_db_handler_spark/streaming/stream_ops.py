@@ -1415,3 +1415,176 @@ def hll_store_read(
     if not done:
         return None
     return spark.read.parquet(os.path.join(out_path, f"version={done[0]}"))
+
+
+def streaming_graph_index_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    beam: int | None = None,
+    hops: int = 2,
+    timeout_sec: int = 180,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> None:
+    """Streaming vector ingest maintaining a PERSISTED graph-ANN index
+    (`similarity.write_knn_graph_index`) — the fourth exactly-once
+    serve twin (after the KNN, NB and HLL stores), and the streaming
+    shape of a vector DB's write path: arrivals flow in, every batch
+    is connected into the graph by the SAME HNSW-insert logic the
+    batch `append_knn_graph_index` uses, and probes see a complete,
+    crash-consistent index at all times.
+
+    Store layout: the base index stays untouched; each micro-batch
+    writes its arrivals' quantized vectors and discovered edges to its
+    OWN ``ingest/batch=<batch_id>/{vectors,edges}`` directories (plain
+    overwrite-mode parquet, so a crashed batch is simply re-written on
+    replay).  A batch is COMMITTED when both its ``_SUCCESS`` markers
+    exist; readers (:func:`graph_index_stream_state`) union the base
+    index with committed batches only, so a crash mid-batch is
+    invisible.  Replay guards, mirroring the HLL store's two layers:
+    a replayed batch whose directories are already committed
+    short-circuits to a no-op, and the graph state a batch searches
+    against is capped to batches STRICTLY BELOW its own id — so the
+    replayed computation sees exactly the state the original saw and
+    rewrites identical files.
+
+    Connectivity state grows by O(batch) per batch (each arrival adds
+    ≤ graph_k edges and one vector row); the entry slice, hop work and
+    search determinism are the batch append's, verbatim — the
+    batch-equals-stream test pins stream ingest against sequential
+    `append_knn_graph_index` calls row-for-row."""
+    import os
+
+    from vector_db_handler_spark.functions.text import portable_hash60
+    from vector_db_handler_spark.operators.quantize import quantize_int8
+    from vector_db_handler_spark.operators.similarity import (
+        _beam_hops_batch,
+        _undirect_pairs,
+    )
+    from pyspark.sql import Window
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bdir = os.path.join(index_path, "ingest", f"batch={int(batch_id)}")
+        if os.path.exists(os.path.join(bdir, "vectors", "_SUCCESS")) and os.path.exists(
+            os.path.join(bdir, "edges", "_SUCCESS")
+        ):
+            # Crash landed after this batch's commit but before the
+            # checkpoint commit: the store state IS these directories.
+            return
+        spark = batch_df.sparkSession
+        meta = spark.read.parquet(f"{index_path}/meta").first()
+        graph_k = int(meta["graph_k"])
+        entry_mod = int(meta["entry_mod"])
+        b = beam if beam is not None else max(8, 2 * graph_k)
+        scale = spark.read.parquet(f"{index_path}/scale")
+        vectors, edges = graph_index_stream_state(
+            spark, index_path, max_batch=int(batch_id)
+        )
+        qn = vectors.select("nid", "v")
+        und = _undirect_pairs(edges.select("a", "b"))
+        qnew = quantize_int8(
+            batch_df, embedding_col=embedding_col, id_col=id_col, scale=scale
+        ).select(F.col(id_col).alias("qid"), F.col("qvec").alias("qv"))
+        entry_nodes = vectors.filter(F.col("entry") == 1).select("nid")
+        if entry_nodes.isEmpty():
+            entry_nodes = (
+                qn.select(
+                    "nid",
+                    portable_hash60(F.col("nid").cast("string")).alias("eh"),
+                )
+                .orderBy(F.col("eh").asc(), F.col("nid").asc())
+                .limit(1)
+                .select("nid")
+            )
+        entries = entry_nodes.crossJoin(qnew.select("qid"))
+        found = _beam_hops_batch(qn, und, qnew, entries, b, hops)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("d").desc(), F.col("nid").asc()
+        )
+        new_edges = (
+            found.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= graph_k)
+            .select(F.col("qid").alias("a"), F.col("nid").alias("b"), "d")
+        )
+        new_edges.write.mode("overwrite").parquet(os.path.join(bdir, "edges"))
+        qnew.select(
+            F.col("qid").alias("nid"),
+            F.col("qv").alias("v"),
+            (
+                F.pmod(
+                    portable_hash60(F.col("qid").cast("string")),
+                    F.lit(entry_mod),
+                )
+                == 0
+            ).cast("int").alias("entry"),
+        ).write.mode("overwrite").parquet(os.path.join(bdir, "vectors"))
+
+    q = (
+        vec_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"graph ingest did not drain within {timeout_sec}s")
+
+
+def graph_index_stream_state(
+    spark: SparkSession, index_path: str, max_batch: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(vectors, edges) of a streaming-maintained graph index: the
+    base index unioned with every COMMITTED ingest batch (both
+    ``_SUCCESS`` markers present) whose id is strictly below
+    ``max_batch`` (None = all).  Uncommitted/crashed batch directories
+    are invisible — the same reader discipline as `hll_store_read`."""
+    import os
+
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    edges = spark.read.parquet(f"{index_path}/edges")
+    ingest_root = os.path.join(index_path, "ingest")
+    batches: list[int] = []
+    if os.path.isdir(ingest_root):
+        for d in os.listdir(ingest_root):
+            if not d.startswith("batch="):
+                continue
+            v = int(d.split("=", 1)[1])
+            if max_batch is not None and v >= max_batch:
+                continue
+            bdir = os.path.join(ingest_root, d)
+            if os.path.exists(
+                os.path.join(bdir, "vectors", "_SUCCESS")
+            ) and os.path.exists(os.path.join(bdir, "edges", "_SUCCESS")):
+                batches.append(v)
+    for v in sorted(batches):
+        bdir = os.path.join(ingest_root, f"batch={v}")
+        vectors = vectors.unionByName(
+            spark.read.parquet(os.path.join(bdir, "vectors"))
+        )
+        edges = edges.unionByName(
+            spark.read.parquet(os.path.join(bdir, "edges"))
+        )
+    return vectors, edges
+
+
+def graph_index_stream_probe(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    beam: int = 12,
+    hops: int = 2,
+) -> DataFrame:
+    """Probe a streaming-maintained graph index: the shared probe body
+    over the crash-consistent stream state."""
+    from vector_db_handler_spark.operators.similarity import (
+        probe_graph_relations,
+    )
+
+    scale = spark.read.parquet(f"{index_path}/scale")
+    vectors, edges = graph_index_stream_state(spark, index_path)
+    return probe_graph_relations(scale, vectors, edges, query_vec, k, beam, hops)
