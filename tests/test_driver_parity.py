@@ -20,6 +20,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 
 def test_all_queries_run(spark, sf_dir):
     # Entries without an oracle still must execute and return a schema.
+    # SERIAL-ONLY by design: this walks all 200+ queries through one
+    # Spark session; under concurrent pytest chunks (multiple 32-core
+    # sessions) it can drop the Py4J connection (r12 verdict rig note).
+    # Run the suite serially, as the builder does.
     for name, fn in dq.queries().items():
         df = fn(spark, sf_dir)
         assert df.columns, name
