@@ -1,0 +1,163 @@
+"""Graph-ANN recall report (beam search vs exact int8 top-k, per
+query): degenerate-exactness (full visibility ⇒ recall 1.0), bounds,
+determinism, and the cross-engine DuckDB replay composed onto the
+registered NN-descent + batch-beam chain.  Staged in r13 for r14
+driver registration."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_check import assert_oracle_types_hashable, compare
+from vector_db_handler_spark import driver_queries as dq
+from vector_db_handler_spark.operators.similarity import (
+    graph_ann_recall_report,
+)
+
+K = 5
+BEAM = 8
+HOPS = 2
+ENTRY_MOD = 32
+QUERY_MOD = dq._BEAM_QUERY_MOD  # the registered batch serve's query slice
+
+
+def _recall_oracle_sql() -> str:
+    sql = (
+        dq._NN_DESCENT_CTES
+        + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+qqs AS (
+  SELECT vec_id AS qid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {dq._QUANT_CLAMP})
+           AS qv
+  FROM embeddings, scale WHERE vec_id % {QUERY_MOD} = 0
+),
+b0 AS (
+  SELECT qid, nid, d FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, qqs q
+    WHERE CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {ENTRY_MOD} = 0
+  ) WHERE rn <= {BEAM}
+)"""
+        + "".join(
+            dq._BEAM_BATCH_HOP_SQL.format(i=i, j=i - 1, beam=BEAM)
+            for i in range(1, HOPS + 1)
+        )
+        + f""",
+approx AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY d DESC, nid ASC) AS rnk
+    FROM b{HOPS}
+  ) WHERE rnk <= {K}
+),
+exact AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, qqs q
+  ) WHERE rn <= {K}
+),
+hits AS (
+  SELECT a.qid, count(*) AS n_hits
+  FROM approx a JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
+  GROUP BY 1
+)
+SELECT q.qid AS query_id,
+       CAST({K} AS BIGINT) AS k,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST({K} AS DOUBLE), 6) AS recall
+FROM (SELECT DISTINCT qid FROM qqs) q LEFT JOIN hits h USING (qid)
+"""
+    )
+    return sql
+
+
+RECALL_ORACLE_SQL = _recall_oracle_sql()
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _run(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return graph_ann_recall_report(
+        emb,
+        queries,
+        k=K,
+        beam=BEAM,
+        hops=HOPS,
+        entry_mod=ENTRY_MOD,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+    )
+
+
+def test_oracle_types_hashable(duck):
+    assert_oracle_types_hashable(duck, RECALL_ORACLE_SQL, "graph_recall")
+
+
+def test_cross_engine_oracle_replay(spark, sf_dir, duck):
+    compare(_run(spark, sf_dir), duck, RECALL_ORACLE_SQL)
+
+
+def test_bounds_and_shape(spark, sf_dir):
+    rows = _run(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["k"] == K
+        assert 0 <= r["n_hits"] <= K
+        assert abs(r["recall"] - r["n_hits"] / K) < 1e-9
+
+
+def test_full_visibility_gives_recall_one(spark):
+    """entry_mod=1 + beam covering the corpus: the beam IS the exact
+    ranking, so every query's recall must be exactly 1.0."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, [((i * 7 + d * 3) % 11 - 5) / 5.0 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = _emb(spark, rows)
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = graph_ann_recall_report(
+        emb,
+        queries,
+        k=5,
+        beam=40,
+        hops=0,
+        entry_mod=1,
+        kmeans_k=2,
+        rand_buckets=8,
+    ).collect()
+    assert len(out) == 4
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 5 for r in out)
+
+
+def test_args_validated(spark):
+    emb = _emb(spark, [(0, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="k must be"):
+        graph_ann_recall_report(emb, emb, k=0)

@@ -1657,6 +1657,56 @@ def r13(mult: int = 4) -> None:
         )
 
 
+def r13b(mult: int = 4) -> None:
+    """Second r13-staged wave probes: the graph-ANN recall report
+    (eval harness: exact leg is the N x Q broadcast cross by design,
+    approx leg the measured batch serve) and the streaming graph-index
+    ingest cost per batch (should be flat in corpus size: pruned entry
+    scan + beam-bounded hops per arrival)."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from vector_db_handler_spark.operators.similarity import (
+        graph_ann_recall_report,
+        knn_graph_nn_descent,
+    )
+
+    spark = get_spark("r13b-probe")
+    sf = "/root/testdata/sf0.1"
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def rep_emb(m):
+        if m == 1:
+            return emb0
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return emb0.crossJoin(reps).select(
+            (F2.col("vec_id") * m + F2.col("rep")).alias("vec_id"),
+            "embedding", "label",
+        )
+
+    for m in (1, mult):
+        emb = rep_emb(m)
+        n = emb.count()
+        g = knn_graph_nn_descent(
+            emb, k=5, iters=2, kmeans_k=8 * m, rand_buckets=64 * m
+        ).localCheckpoint()
+        queries = emb.filter(F2.col("vec_id") % 97 == 0).select(
+            F2.col("vec_id").alias("query_id"), "embedding"
+        )
+        nq = queries.count()
+        t0 = time.perf_counter()
+        out = graph_ann_recall_report(
+            emb, queries, k=5, beam=8, hops=2, graph=g, entry_mod=32 * m,
+        )
+        mean_recall = out.agg(F2.avg("recall")).first()[0]
+        print(
+            f"graph_recall @ {n} vecs x {nq} queries: mean recall "
+            f"{mean_recall:.3f}, wall {time.perf_counter()-t0:.1f}s"
+        )
+
+
 def r12b(mult: int = 4) -> None:
     """Linearity probes for the six r12-STAGED operators (register in
     r13; probed before registration so the scale claims ship with the
@@ -2247,6 +2297,8 @@ if __name__ == "__main__":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r13b":
+        r13b(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r13":
         r13(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r12d":

@@ -1907,3 +1907,101 @@ def compact_knn_graph_index(spark, path: str) -> None:
     jvm = spark.sparkContext._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/edges_compact")
     p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()).delete(p, True)
+
+
+def graph_ann_recall_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 12,
+    hops: int = 2,
+    graph: DataFrame | None = None,
+    graph_k: int = 5,
+    graph_iters: int = 2,
+    kmeans_k: int = 8,
+    rand_buckets: int | None = None,
+    entry_mod: int | None = None,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the graph-ANN beam search against the exact int8
+    top-k, per query — the measurement that tunes beam/hops/entry_mod
+    before a graph index ships (the eval rail `ann_recall_report`
+    provides for IVF, for the graph family; completes
+    build→serve→measure).  Both rankers are deterministic integer
+    rankings with pinned ties, so the recall numbers are exact and
+    hash-checkable.
+
+    Self-matches are INCLUDED on both sides (the query set here is a
+    corpus slice and both rankers see the query node identically, so
+    exclusion would only subtract a constant hit from each) — the
+    convention difference from `ann_recall_report` is documented, not
+    accidental.
+
+    Shape: the graph is built ONCE (pass a prebuilt one to amortize);
+    the approx leg is the batch beam serve (shared entry scan,
+    per-query windows); the exact leg scores the corpus against the
+    BROADCAST query batch in one pass (the eval-harness N·Q baseline —
+    eval-set-sized Q only, the same contract as `ann_recall_report`).
+    Output: ``(query_id, k, n_hits, recall)``."""
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_int8,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    approx = knn_graph_beam_search_batch(
+        emb,
+        queries,
+        k=k,
+        beam=beam,
+        hops=hops,
+        graph=graph,
+        graph_k=graph_k,
+        graph_iters=graph_iters,
+        kmeans_k=kmeans_k,
+        rand_buckets=rand_buckets,
+        entry_mod=entry_mod,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(F.col(query_id_col).alias("qid"), F.col("neighbor_id").alias("nid"))
+
+    scale = max_abs_scale(emb, embedding_col)
+    qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col).select(
+        F.col(id_col).alias("nid"), F.col("qvec").alias("v")
+    )
+    qq = quantize_int8(
+        queries, embedding_col=query_vec_col, id_col=query_id_col, scale=scale
+    ).select(F.col(query_id_col).alias("qid"), F.col("qvec").alias("qv"))
+    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("nid").asc())
+    exact = (
+        qn.crossJoin(F.broadcast(qq))
+        .select("qid", "nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid")
+    )
+    hits = (
+        approx.join(exact, ["qid", "nid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        qq.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.lit(int(k)).cast("long").alias("k"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k)),
+                6,
+            ).alias("recall"),
+        )
+    )
