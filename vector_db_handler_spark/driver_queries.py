@@ -2207,7 +2207,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer counts, so the flags hash-match across engines.
 # ---------------------------------------------------------------------------
 
-_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# One source of truth with the curation pipeline's quality gate: the
+# staged curation_manifest twin replays these rules, so the stop list
+# must never drift between the registered row and the composed stage.
+from vector_db_handler_spark.operators.curation import (  # noqa: E402
+    GOPHER_STOPS as _GOPHER_STOPS,
+)
 
 _GOPHER_SQL = f"""
 WITH toks AS (
