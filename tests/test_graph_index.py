@@ -328,3 +328,74 @@ def test_compaction_preserves_relations_and_bounds_files(spark, sf_dir, tmp_path
     assert [tuple(r) for r in after_probe] == [tuple(r) for r in before_probe]
     n_files_after = len(glob.glob(f"{path}/edges/*.parquet"))
     assert n_files_after < n_files_before
+
+
+def test_hier_probe_equals_in_memory_hierarchical(spark, sf_dir, tmp_path):
+    """An index written with layer_mod persists the coarse layer; the
+    hierarchical probe must replay the in-memory hierarchical search
+    exactly (same corpus, same dials) — the coarsening pass moves from
+    per-query to build-time with zero answer drift."""
+    from tests.test_hierarchical_search import (
+        BEAM as H_BEAM,
+        COARSE_ENTRY_MOD,
+        COARSE_HOPS,
+        COARSE_K,
+        HOPS as H_HOPS,
+        K as H_K,
+        LAYER_MOD,
+    )
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_hierarchical_search,
+        knn_graph_probe_table_hier,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "gidx_hier")
+    write_knn_graph_index(
+        emb,
+        path,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+        entry_mod=ENTRY_MOD,
+        layer_mod=LAYER_MOD,
+        coarse_k=COARSE_K,
+    )
+    want = knn_graph_hierarchical_search(
+        emb,
+        dq.QUERY_VEC,
+        k=H_K,
+        beam=H_BEAM,
+        hops=H_HOPS,
+        layer_mod=LAYER_MOD,
+        coarse_k=COARSE_K,
+        coarse_hops=COARSE_HOPS,
+        coarse_entry_mod=COARSE_ENTRY_MOD,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+    ).collect()
+    got = knn_graph_probe_table_hier(
+        spark,
+        path,
+        dq.QUERY_VEC,
+        k=H_K,
+        beam=H_BEAM,
+        hops=H_HOPS,
+        coarse_hops=COARSE_HOPS,
+        coarse_entry_mod=COARSE_ENTRY_MOD,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    meta = spark.read.parquet(f"{path}/meta").first()
+    assert meta["layer_mod"] == LAYER_MOD and meta["coarse_k"] == COARSE_K
+
+
+def test_hier_probe_requires_layer(spark, index_path):
+    """Probing a layer-less index hierarchically fails loudly with the
+    rebuild hint instead of walking a missing directory."""
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_probe_table_hier,
+    )
+
+    with pytest.raises(ValueError, match="layer_mod"):
+        knn_graph_probe_table_hier(spark, index_path, dq.QUERY_VEC)

@@ -1336,6 +1336,47 @@ def knn_graph_beam_search_batch(
     )
 
 
+def _coarse_layer_edges(
+    qn: DataFrame, und: DataFrame, lay: DataFrame, coarse_k: int
+) -> DataFrame:
+    """Coarse-layer edges DERIVED from the base graph: candidate pairs
+    are the undirected base graph's 1-hop ∪ 2-hop connections
+    restricted to layer×layer (the standard coarsening — sampled nodes
+    inherit shortcut edges through dropped intermediates), exactly
+    re-scored in the int8 integer domain, top-``coarse_k`` per node
+    with pinned (d DESC, b ASC) ties.  The 2-hop expansion starts FROM
+    layer nodes only, so it touches ≤ |layer|·(2·graph_k)² pairs —
+    linear in N at fixed layer_mod.  Shared by the in-memory
+    hierarchical search and the written index's coarse-layer build."""
+    lay_a = lay.select(F.col("nid").alias("a"))
+    lay_b = lay.select(F.col("nid").alias("b"))
+    und_from_layer = und.join(lay_a, "a", "leftsemi")
+    two_hop = (
+        und_from_layer.alias("u1")
+        .join(und.alias("u2"), F.col("u1.b") == F.col("u2.a"))
+        .filter(F.col("u1.a") != F.col("u2.b"))
+        .select(F.col("u1.a").alias("a"), F.col("u2.b").alias("b"))
+    )
+    cpairs = (
+        und_from_layer.select("a", "b")
+        .unionByName(two_hop)
+        .distinct()
+        .join(lay_b, "b", "leftsemi")
+    )
+    qa = qn.select(F.col("nid").alias("a"), F.col("v").alias("va"))
+    qb = qn.select(F.col("nid").alias("b"), F.col("v").alias("vb"))
+    w_re = Window.partitionBy("a").orderBy(F.col("d").desc(), F.col("b").asc())
+    return (
+        cpairs.join(qa, "a")
+        .join(qb, "b")
+        .select("a", "b", _int_dot(F.col("va"), F.col("vb")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_re))
+        .filter(F.col("rn") <= coarse_k)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+
+
 def knn_graph_hierarchical_search(
     emb: DataFrame,
     query_vec: list[float],
@@ -1470,35 +1511,7 @@ def knn_graph_hierarchical_search(
         )
         lay = lay.localCheckpoint(eager=False)
 
-    # --- coarse edges: 1-hop ∪ 2-hop of the base graph, layer-restricted,
-    # exactly re-scored, top-coarse_k per node (pinned ties) --------------
-    lay_a = lay.select(F.col("nid").alias("a"))
-    lay_b = lay.select(F.col("nid").alias("b"))
-    und_from_layer = und.join(lay_a, "a", "leftsemi")
-    two_hop = (
-        und_from_layer.alias("u1")
-        .join(und.alias("u2"), F.col("u1.b") == F.col("u2.a"))
-        .filter(F.col("u1.a") != F.col("u2.b"))
-        .select(F.col("u1.a").alias("a"), F.col("u2.b").alias("b"))
-    )
-    cpairs = (
-        und_from_layer.select("a", "b")
-        .unionByName(two_hop)
-        .distinct()
-        .join(lay_b, "b", "leftsemi")
-    )
-    qa = qn.select(F.col("nid").alias("a"), F.col("v").alias("va"))
-    qb = qn.select(F.col("nid").alias("b"), F.col("v").alias("vb"))
-    w_re = Window.partitionBy("a").orderBy(F.col("d").desc(), F.col("b").asc())
-    cedges = (
-        cpairs.join(qa, "a")
-        .join(qb, "b")
-        .select("a", "b", _int_dot(F.col("va"), F.col("vb")).alias("d"))
-        .withColumn("rn", F.row_number().over(w_re))
-        .filter(F.col("rn") <= coarse_k)
-        .select("a", "b")
-        .localCheckpoint(eager=False)
-    )
+    cedges = _coarse_layer_edges(qn, und, lay, coarse_k)
     cund = _undirect_pairs(cedges)
 
     # --- two-level descent ------------------------------------------------
@@ -1534,6 +1547,8 @@ def write_knn_graph_index(
     kmeans_k: int = 8,
     rand_buckets: int | None = None,
     entry_mod: int | None = None,
+    layer_mod: int | None = None,
+    coarse_k: int = 5,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> None:
@@ -1558,10 +1573,17 @@ def write_knn_graph_index(
     * ``edges/``   — the NN-descent graph (a, b, d), sorted by ``a``
       within files so per-hop candidate joins benefit from row-group
       min-max pruning.
+    * ``coarse_edges/`` (only when ``layer_mod`` is set) — the
+      hierarchical coarse layer PRECOMPUTED at build time (the
+      production shape `knn_graph_hierarchical_search` derives
+      per-query): md5 layer membership, edges from the base graph's
+      1∪2-hop closure restricted to layer×layer, re-scored
+      top-``coarse_k``.  :func:`knn_graph_probe_table_hier` walks it.
 
-    Build cost is the NN-descent build + one corpus write; probes are
-    :func:`knn_graph_probe_table` and cost corpus-independent work
-    past the pruned entry scan."""
+    Build cost is the NN-descent build + one corpus write (+ one
+    layer-linear coarsening pass when ``layer_mod`` is set); probes
+    are :func:`knn_graph_probe_table` / `_hier` and cost
+    corpus-independent work past the pruned entry scan."""
     if entry_mod is None:
         entry_mod = max(1, emb.count() // 1024)
     if entry_mod < 1:
@@ -1610,6 +1632,39 @@ def write_knn_graph_index(
         .write.mode("overwrite")
         .parquet(f"{path}/edges")
     )
+    if layer_mod is not None:
+        if layer_mod < 1 or coarse_k < 1:
+            raise ValueError(
+                f"need layer_mod >= 1 and coarse_k >= 1, got "
+                f"layer_mod={layer_mod} coarse_k={coarse_k}"
+            )
+        und = _undirect_pairs(
+            graph.select(
+                F.col(id_col).alias("a"), F.col("neighbor_id").alias("b")
+            )
+        )
+        lay = qn.filter(
+            F.pmod(
+                portable_hash60(F.col("nid").cast("string")),
+                F.lit(int(layer_mod)),
+            )
+            == 0
+        )
+        if lay.isEmpty():
+            lay = (
+                qn.select(
+                    "nid",
+                    "v",
+                    portable_hash60(F.col("nid").cast("string")).alias("eh"),
+                )
+                .orderBy(F.col("eh").asc(), F.col("nid").asc())
+                .limit(1)
+                .select("nid", "v")
+            )
+        _coarse_layer_edges(qn, und, lay, coarse_k).sortWithinPartitions(
+            "a"
+        ).write.mode("overwrite").parquet(f"{path}/coarse_edges")
+
     dim = len(emb.select(embedding_col).first()[0])
     spark.createDataFrame(
         [
@@ -1620,10 +1675,12 @@ def write_knn_graph_index(
                 int(kmeans_k),
                 -1 if rand_buckets is None else int(rand_buckets),
                 int(dim),
+                -1 if layer_mod is None else int(layer_mod),
+                int(coarse_k),
             )
         ],
         "entry_mod long, graph_k long, graph_iters long, kmeans_k long,"
-        " rand_buckets long, dim long",
+        " rand_buckets long, dim long, layer_mod long, coarse_k long",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -2003,5 +2060,103 @@ def graph_ann_recall_report(
                 F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k)),
                 6,
             ).alias("recall"),
+        )
+    )
+
+
+def knn_graph_probe_table_hier(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    beam: int = 12,
+    hops: int = 2,
+    coarse_beam: int | None = None,
+    coarse_hops: int = 1,
+    coarse_entry_mod: int | None = None,
+) -> DataFrame:
+    """HIERARCHICAL probe of a written graph-ANN index built with
+    ``layer_mod`` set: the coarse layer's edges were PRECOMPUTED at
+    build time (``coarse_edges/``), so the per-query coarsening pass
+    the in-memory `knn_graph_hierarchical_search` pays is already on
+    disk — the probe walks stored coarse edges to find its entry into
+    the stored base edges.  Layer membership is re-derived from the
+    md5 hash (deterministic — identical to the build's), and the
+    answer is exactly the in-memory hierarchical search's for an index
+    built from the same corpus with the same dials (pinned by test)."""
+    if k < 1 or beam < 1 or k > beam:
+        raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
+    if hops < 0 or coarse_hops < 0:
+        raise ValueError(
+            f"hops must be >= 0, got hops={hops} coarse_hops={coarse_hops}"
+        )
+    if coarse_beam is None:
+        coarse_beam = beam
+
+    from vector_db_handler_spark.functions.text import portable_hash60
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    layer_mod = int(meta["layer_mod"])
+    if layer_mod < 1:
+        raise ValueError(
+            "index was written without a coarse layer (layer_mod unset); "
+            "rebuild with write_knn_graph_index(..., layer_mod=...) or use "
+            "knn_graph_probe_table"
+        )
+    scale = spark.read.parquet(f"{path}/scale")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    qn = vectors.select("nid", "v")
+    und = _undirect_pairs(spark.read.parquet(f"{path}/edges").select("a", "b"))
+    cund = _undirect_pairs(
+        spark.read.parquet(f"{path}/coarse_edges").select("a", "b")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qq = scale.select(
+        F.transform(
+            qlit,
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(F.lit(127.0) * x / F.col("s") + F.lit(0.5)),
+                ),
+            ).cast("long"),
+        ).alias("qv")
+    )
+    lay = qn.filter(
+        F.pmod(
+            portable_hash60(F.col("nid").cast("string")), F.lit(layer_mod)
+        )
+        == 0
+    )
+    if lay.isEmpty():
+        lay = (
+            qn.select(
+                "nid",
+                "v",
+                portable_hash60(F.col("nid").cast("string")).alias("eh"),
+            )
+            .orderBy(F.col("eh").asc(), F.col("nid").asc())
+            .limit(1)
+            .select("nid", "v")
+        )
+        lay = lay.localCheckpoint(eager=False)
+    if coarse_entry_mod is None:
+        coarse_entry_mod = max(1, lay.count() // 1024)
+    centry = _entry_slice_nodes(lay.select("nid", "v"), coarse_entry_mod)
+    coarse_beam_df = _beam_hops_single(
+        lay, cund, qq, centry, coarse_beam, coarse_hops
+    )
+    beam_df = _beam_hops_single(
+        qn, und, qq, coarse_beam_df.select("nid"), beam, hops
+    )
+    w = Window.orderBy(F.col("d").desc(), F.col("nid").asc())
+    return (
+        beam_df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("nid").alias("vec_id"),
+            "rank",
+            F.col("d").cast("long").alias("iscore"),
         )
     )
