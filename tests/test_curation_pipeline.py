@@ -216,3 +216,33 @@ def test_args_validated(spark, sf_dir):
         curation_manifest(docs, -1, SHARDS)
     with pytest.raises(ValueError, match="shard"):
         curation_manifest(docs, 10, [])
+
+
+def test_decontamination_stage_drops_benchmark_overlap(spark):
+    """Planted contamination: a benchmark doc duplicating a corpus
+    doc's text must knock that doc (and only that doc) out of the
+    manifest; the clean run keeps it."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sat down to rest with a bone that it have found near the old "
+        "mill while the sun set slowly of the evening be calm"
+    )
+    other = (
+        "a completely different story about the sea and the ships that "
+        "be sailing with the tide of dawn while sailors have kept watch "
+        "and that old lighthouse stood to guard the rocky shore below"
+    )
+    docs = spark.createDataFrame(
+        [(1, "en", good), (2, "en", other)],
+        "doc_id long, lang string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "en", good)], "doc_id long, lang string, text string"
+    )
+    clean = curation_manifest(docs, 10**6, ["only"]).collect()
+    assert sum(r["sum_doc_id"] for r in clean) == 1 + 2
+    decon = curation_manifest(
+        docs, 10**6, ["only"], decontaminate_against=bench
+    ).collect()
+    assert sum(r["sum_doc_id"] for r in decon) == 2
+    assert sum(r["n_docs"] for r in decon) == 1

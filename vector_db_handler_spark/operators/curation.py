@@ -64,6 +64,8 @@ def curation_manifest(
     mixture_rounds: int = 2,
     mixture_base: int = 4000,
     salt: str = "curate",
+    decontaminate_against: DataFrame | None = None,
+    decontam_threshold: float = 0.5,
 ) -> DataFrame:
     """Run the full curation pipeline and return the manifest
     ``(shard, domain, n_docs, n_tokens, sum_doc_id)``.
@@ -87,11 +89,21 @@ def curation_manifest(
        argmax, no shuffle; incremental-copy rebalances by
        construction.
 
-    Null-domain docs cannot carry a mixture weight and drop at stage
-    3 (same contract as `domain_mixture_weights`).  ``sum_doc_id`` is
-    the manifest's content checksum: BIGINT sum of selected ids per
-    cell, so two engines agreeing on every cell agree on the exact
-    selected SET."""
+    When ``decontaminate_against`` is given (an eval/benchmark doc
+    relation with the same text/id columns), a DECONTAMINATION stage
+    runs between quality and mixture: any survivor whose cross-corpus
+    shingle Jaccard with a benchmark doc reaches
+    ``decontam_threshold`` is dropped (the registered
+    `decontamination_pairs` family, `dedup.cross_jaccard_pairs` —
+    cost scales with the eval side's postings).  The contaminated id
+    set is benchmark-overlap-sized, so the removal is a broadcast
+    anti-join.
+
+    Null-domain docs cannot carry a mixture weight and drop at the
+    mixture stage (same contract as `domain_mixture_weights`).
+    ``sum_doc_id`` is the manifest's content checksum: BIGINT sum of
+    selected ids per cell, so two engines agreeing on every cell
+    agree on the exact selected SET."""
     if total_n < 0:
         raise ValueError(f"total_n must be >= 0, got {total_n}")
     if not shards:
@@ -107,6 +119,28 @@ def curation_manifest(
     )
     # 2. quality gate
     survivors = survivors.filter(gopher_keep_expr(text_col))
+    # 2b. optional decontamination against a benchmark/eval set
+    if decontaminate_against is not None:
+        from vector_db_handler_spark.operators.dedup import (
+            cross_jaccard_pairs,
+        )
+
+        contaminated = (
+            cross_jaccard_pairs(
+                survivors,
+                decontaminate_against,
+                threshold=decontam_threshold,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .select(F.col("left_id").alias("_contam_id"))
+            .distinct()
+        )
+        survivors = survivors.join(
+            F.broadcast(contaminated),
+            F.col(id_col) == F.col("_contam_id"),
+            "left_anti",
+        )
 
     # 3. mixture weights on the surviving corpus
     weights = domain_mixture_weights(
