@@ -163,3 +163,48 @@ def test_join_size_estimate_on_empty_tables_is_zero(spark, empty_all_dir):
     rows = dq.queries()["join_size_estimate_ol"](spark, empty_all_dir).collect()
     assert len(rows) == 1
     assert (rows[0].sample_pairs, rows[0].est_pairs, rows[0].exact_pairs) == (0, 0, 0)
+
+
+def test_r13_staged_operators_degrade_to_empty(spark, empty_dir):
+    """The r13-staged families on an empty corpus: hierarchical
+    search, the graph recall report and the curation manifest must
+    all return EMPTY relations, never crash — same contract as the
+    r7 battery above."""
+    from vector_db_handler_spark.operators import similarity as sim
+    from vector_db_handler_spark.operators.curation import curation_manifest
+
+    emb = spark.read.parquet(f"{empty_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{empty_dir}/documents.parquet")
+    assert (
+        sim.knn_graph_hierarchical_search(
+            emb, dq.QUERY_VEC, k=3, beam=4, hops=1, layer_mod=4,
+            coarse_k=2, coarse_hops=1, coarse_entry_mod=2,
+            kmeans_k=2, rand_buckets=4,
+        ).count()
+        == 0
+    )
+    assert (
+        sim.graph_ann_recall_report(
+            emb,
+            emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=2, beam=3, hops=1, entry_mod=2, kmeans_k=2, rand_buckets=4,
+        ).count()
+        == 0
+    )
+    assert curation_manifest(docs, 10, ["s0"]).count() == 0
+
+
+def test_graph_index_write_refuses_empty_corpus(spark, empty_dir, tmp_path):
+    """An index over nothing is a torn artifact waiting to happen:
+    the write fails FAST and loudly, before any directory lands."""
+    import os
+
+    from vector_db_handler_spark.operators.similarity import (
+        write_knn_graph_index,
+    )
+
+    emb = spark.read.parquet(f"{empty_dir}/embeddings.parquet")
+    path = str(tmp_path / "gidx_empty")
+    with pytest.raises(ValueError, match="empty"):
+        write_knn_graph_index(emb, path, entry_mod=4)
+    assert not os.path.exists(path)

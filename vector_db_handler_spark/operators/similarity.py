@@ -1588,6 +1588,16 @@ def write_knn_graph_index(
         entry_mod = max(1, emb.count() // 1024)
     if entry_mod < 1:
         raise ValueError(f"entry_mod must be >= 1, got {entry_mod}")
+    # Fail FAST on an empty corpus — before any artifact directory is
+    # written (a torn half-index is worse than no index).
+    first = emb.select(embedding_col).first()
+    if first is None:
+        raise ValueError(
+            "write_knn_graph_index: corpus is empty — an index needs at "
+            "least one vector (the scale, entry slice and graph are all "
+            "corpus-derived)"
+        )
+    dim = len(first[0])
 
     from vector_db_handler_spark.functions.text import portable_hash60
     from vector_db_handler_spark.operators.quantize import (
@@ -1665,7 +1675,6 @@ def write_knn_graph_index(
             "a"
         ).write.mode("overwrite").parquet(f"{path}/coarse_edges")
 
-    dim = len(emb.select(embedding_col).first()[0])
     spark.createDataFrame(
         [
             (
