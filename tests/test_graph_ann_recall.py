@@ -161,3 +161,145 @@ def test_args_validated(spark):
     emb = _emb(spark, [(0, [1.0, 0.0])])
     with pytest.raises(ValueError, match="k must be"):
         graph_ann_recall_report(emb, emb, k=0)
+
+
+# ---------------------------------------------------------------------------
+# beam_recall_curve — the beam-width tuning sweep over one shared build
+# ---------------------------------------------------------------------------
+
+CURVE_BEAMS = (6, 12)
+
+
+def _curve_oracle_sql() -> str:
+    """One NN-descent chain + one exact ranking, then per-beam approx
+    chains under suffixed CTE names, unioned into the curve."""
+    sql = (
+        dq._NN_DESCENT_CTES
+        + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+qqs AS (
+  SELECT vec_id AS qid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {dq._QUANT_CLAMP})
+           AS qv
+  FROM embeddings, scale WHERE vec_id % {QUERY_MOD} = 0
+),
+exact AS MATERIALIZED (
+  SELECT qid, nid FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, qqs q
+  ) WHERE rn <= {K}
+)"""
+    )
+    legs = []
+    for w, b in enumerate(CURVE_BEAMS):
+        sql += f""",
+b{w}x0 AS (
+  SELECT qid, nid, d FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, qqs q
+    WHERE CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {ENTRY_MOD} = 0
+  ) WHERE rn <= {b}
+)"""
+        for i in range(1, HOPS + 1):
+            sql += dq._BEAM_BATCH_HOP_SQL.format(
+                i=f"{w}x{i}", j=f"{w}x{i - 1}", beam=b
+            )
+        legs.append(
+            f"""SELECT CAST({b} AS BIGINT) AS beam,
+       q.nq AS n_queries,
+       CAST(h.nh AS BIGINT) AS n_hits,
+       ROUND(h.nh / CAST(q.nq * {K} AS DOUBLE), 6) AS recall
+FROM (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS nq FROM qqs) q,
+     (SELECT count(*) AS nh FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d DESC, nid ASC) AS rnk
+        FROM b{w}x{HOPS}
+      ) a JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
+      WHERE a.rnk <= {K}) h"""
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(legs)
+
+
+CURVE_ORACLE_SQL = _curve_oracle_sql()
+
+
+def _run_curve(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.operators.similarity import beam_recall_curve
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return beam_recall_curve(
+        emb,
+        queries,
+        k=K,
+        beams=CURVE_BEAMS,
+        hops=HOPS,
+        entry_mod=ENTRY_MOD,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+    )
+
+
+def test_curve_oracle_types_hashable(duck):
+    assert_oracle_types_hashable(duck, CURVE_ORACLE_SQL, "beam_curve")
+
+
+def test_curve_cross_engine_oracle_replay(spark, sf_dir, duck):
+    compare(_run_curve(spark, sf_dir), duck, CURVE_ORACLE_SQL)
+
+
+def test_curve_consistent_with_point_reports(spark, sf_dir):
+    """Each curve row must equal the summed per-query recall report at
+    that beam width — the curve is an aggregation, not a new ranker."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    curve = {r["beam"]: r for r in _run_curve(spark, sf_dir).collect()}
+    for b in CURVE_BEAMS:
+        rep = graph_ann_recall_report(
+            emb,
+            queries,
+            k=K,
+            beam=b,
+            hops=HOPS,
+            entry_mod=ENTRY_MOD,
+            graph_k=dq._NND_K,
+            graph_iters=dq._NND_ITERS,
+            rand_buckets=dq._NND_RAND_BUCKETS,
+        ).collect()
+        assert curve[b]["n_queries"] == len(rep)
+        assert curve[b]["n_hits"] == sum(r["n_hits"] for r in rep)
+
+
+def test_curve_args_validated(spark):
+    from vector_db_handler_spark.operators.similarity import beam_recall_curve
+
+    emb = _emb(spark, [(0, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="beams"):
+        beam_recall_curve(emb, emb, k=1, beams=())
+    with pytest.raises(ValueError, match="beams"):
+        beam_recall_curve(emb, emb, k=1, beams=(4, 4))
+    with pytest.raises(ValueError, match="exceeds"):
+        beam_recall_curve(emb, emb, k=9, beams=(4,))

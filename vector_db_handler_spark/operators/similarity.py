@@ -2169,3 +2169,90 @@ def knn_graph_probe_table_hier(
             F.col("d").cast("long").alias("iscore"),
         )
     )
+
+
+def beam_recall_curve(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    beams: Sequence[int] = (4, 8, 16),
+    hops: int = 2,
+    graph: DataFrame | None = None,
+    graph_k: int = 5,
+    graph_iters: int = 2,
+    kmeans_k: int = 8,
+    rand_buckets: int | None = None,
+    entry_mod: int | None = None,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Aggregate recall@k of the graph-ANN beam search as a function
+    of BEAM WIDTH — the tuning curve an operator reads before fixing
+    the serve dial (the graph twin of `mrl_recall_curve`'s
+    prefix-dimension sweep).  One graph build (pass ``graph`` to
+    amortize further) serves every point on the curve; each point is
+    one batch serve at that width.
+
+    Returns one row per beam width:
+    ``(beam, n_queries, n_hits, recall)`` where ``n_hits`` sums
+    |exact@k ∩ approx@k| over the query batch and
+    ``recall = n_hits / (n_queries·k)`` — exact integers up to the
+    one final division, so the curve is hash-checkable.  Monotone
+    non-decreasing in beam by construction ONLY when hops are
+    saturating; the curve measures, it does not assume."""
+    beams = [int(b) for b in beams]
+    if not beams or any(b < 1 for b in beams) or len(set(beams)) != len(beams):
+        raise ValueError(f"beams must be distinct and >= 1, got {beams}")
+    if any(k > b for b in beams):
+        raise ValueError(f"k={k} exceeds a beam width in {beams}")
+    if graph is None:
+        graph = knn_graph_nn_descent(
+            emb,
+            k=graph_k,
+            iters=graph_iters,
+            kmeans_k=kmeans_k,
+            rand_buckets=rand_buckets,
+            embedding_col=embedding_col,
+            id_col=id_col,
+        ).localCheckpoint(eager=False)
+    points = []
+    for b in beams:
+        rep = graph_ann_recall_report(
+            emb,
+            queries,
+            k=k,
+            beam=b,
+            hops=hops,
+            graph=graph,
+            graph_k=graph_k,
+            graph_iters=graph_iters,
+            kmeans_k=kmeans_k,
+            rand_buckets=rand_buckets,
+            entry_mod=entry_mod,
+            embedding_col=embedding_col,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        points.append(
+            rep.agg(
+                F.lit(b).cast("long").alias("beam"),
+                F.count(F.lit(1)).alias("n_queries"),
+                F.sum("n_hits").cast("long").alias("n_hits"),
+            )
+        )
+    curve = points[0]
+    for p in points[1:]:
+        curve = curve.unionByName(p)
+    return curve.select(
+        "beam",
+        "n_queries",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / (F.col("n_queries") * F.lit(float(k))),
+            6,
+        ).alias("recall"),
+    )
