@@ -1707,6 +1707,92 @@ def r13b(mult: int = 4) -> None:
         )
 
 
+def r13c(mult: int = 4) -> None:
+    """Third r13 probe set: streaming graph-index ingest (per-batch
+    wall should be FLAT in corpus size - pruned entry scan +
+    beam-bounded hops per arrival) and the beam_recall_curve sweep
+    (every point reuses ONE build; wall ~ n_points x one batch serve).
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from vector_db_handler_spark.operators.similarity import (
+        beam_recall_curve,
+        knn_graph_nn_descent,
+        write_knn_graph_index,
+    )
+    from vector_db_handler_spark.streaming.stream_ops import (
+        streaming_graph_index_ingest,
+    )
+
+    spark = get_spark("r13c-probe")
+    sf = "/root/testdata/sf0.1"
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def rep_emb(m):
+        if m == 1:
+            return emb0
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return emb0.crossJoin(reps).select(
+            (F2.col("vec_id") * m + F2.col("rep")).alias("vec_id"),
+            "embedding", "label",
+        )
+
+    for m in (1, mult):
+        emb = rep_emb(m)
+        n = emb.count()
+        root = tempfile.mkdtemp(prefix=f"vdh_sgidx_{m}x_")
+        path = os.path.join(root, "idx")
+        write_knn_graph_index(
+            emb, path, graph_k=5, graph_iters=2,
+            kmeans_k=8 * m, rand_buckets=64 * m, entry_mod=32 * m,
+        )
+        arrivals = emb.filter(F2.col("vec_id") % 101 == 0).limit(20).select(
+            (F2.col("vec_id") + 10_000_000).alias("vec_id"),
+            "embedding", "label",
+        )
+        src = os.path.join(root, "src")
+        arrivals.coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        streaming_graph_index_ingest(
+            stream, path, os.path.join(root, "cp")
+        )
+        print(
+            f"stream_ingest @ {n} vecs: 1 batch of 20 arrivals in "
+            f"{time.perf_counter()-t0:.1f}s"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+    for m in (1, mult):
+        emb = rep_emb(m)
+        n = emb.count()
+        g = knn_graph_nn_descent(
+            emb, k=5, iters=2, kmeans_k=8 * m, rand_buckets=64 * m
+        ).localCheckpoint()
+        queries = emb.filter(F2.col("vec_id") % 97 == 0).select(
+            F2.col("vec_id").alias("query_id"), "embedding"
+        )
+        nq = queries.count()
+        t0 = time.perf_counter()
+        rows = beam_recall_curve(
+            emb, queries, k=5, beams=(6, 12), hops=2, graph=g,
+            entry_mod=32 * m,
+        ).collect()
+        pts = {r["beam"]: round(r["recall"], 3) for r in rows}
+        print(
+            f"beam_curve @ {n} vecs x {nq} queries: {pts}, "
+            f"wall {time.perf_counter()-t0:.1f}s (2 points, 1 build)"
+        )
+
+
 def r12b(mult: int = 4) -> None:
     """Linearity probes for the six r12-STAGED operators (register in
     r13; probed before registration so the scale claims ship with the
@@ -2297,6 +2383,8 @@ if __name__ == "__main__":
         r7(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "ppjoin":
         ppjoin(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r13c":
+        r13c(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r13b":
         r13b(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r13":
