@@ -246,3 +246,18 @@ def test_decontamination_stage_drops_benchmark_overlap(spark):
     ).collect()
     assert sum(r["sum_doc_id"] for r in decon) == 2
     assert sum(r["n_docs"] for r in decon) == 1
+
+
+def test_total_n_overflow_preflight(spark, sf_dir):
+    """r13 ADVICE (medium): total_n * weight_numer runs in BIGINT and
+    weight_numer can reach (mixture_base + 64000)^mixture_rounds — a
+    doc budget big enough to overflow int64 must fail LOUDLY in Python
+    ints before any Spark job, not wrap into negative quotas."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # (4000 + 64000)^2 = 68000^2 = 4.624e9; 2^63/4.624e9 ≈ 1.995e9 —
+    # a 2.1e9-doc budget overflows, well inside a pretraining corpus.
+    with pytest.raises(ValueError, match="overflow"):
+        curation_manifest(docs, 2_100_000_000, SHARDS)
+    # ... and reducing the rounds dial restores the headroom: the
+    # preflight passes (the plan builds; we don't execute it).
+    curation_manifest(docs, 2_100_000_000, SHARDS, mixture_rounds=1)

@@ -399,3 +399,24 @@ def test_hier_probe_requires_layer(spark, index_path):
 
     with pytest.raises(ValueError, match="layer_mod"):
         knn_graph_probe_table_hier(spark, index_path, dq.QUERY_VEC)
+
+
+def test_probe_rejects_wrong_dim(spark, index_path):
+    """r13 ADVICE: meta['dim'] is now READ — a wrong-dimension query
+    raises instead of silently null-padding every zip_with score (all
+    three probe shapes)."""
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_probe_table_batch,
+        knn_graph_probe_table_hier,
+    )
+
+    bad = [1.0, 2.0, 3.0]
+    with pytest.raises(ValueError, match="dim"):
+        knn_graph_probe_table(spark, index_path, bad)
+    with pytest.raises(ValueError, match="dim"):
+        knn_graph_probe_table_hier(spark, index_path, bad)
+    qdf = spark.createDataFrame(
+        [(1, bad)], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        knn_graph_probe_table_batch(spark, index_path, qdf, k=1, beam=2)

@@ -379,5 +379,5 @@ def test_ann_recall_report_rejects_oversized_query_batch(spark, monkeypatch):
     rows = [(i, [float(i % 3), 1.0]) for i in range(8)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     monkeypatch.setattr(sim_ops, "MAX_COLLECT_ROWS", 4)
-    with pytest.raises(ValueError, match="query rows"):
+    with pytest.raises(ValueError, match="query relation exceeds"):
         sim_ops.ann_recall_report(emb, emb.limit(2), emb, k=2, nprobe=1)

@@ -178,3 +178,29 @@ def test_streamed_arrival_is_servable(spark, sf_dir, tmp_path):
         hops=3,
     ).collect()
     assert target["vec_id"] in {r["vec_id"] for r in got}
+
+def test_stray_batch_dir_is_skipped(spark, sf_dir, tmp_path):
+    """r13 ADVICE: a stray non-numeric ``batch=*`` entry (editor
+    droppings, partial temp dirs) must not crash every probe of the
+    store — the reader skips it like any other uncommitted state."""
+    path = str(tmp_path / "idx")
+    emb = _build_base(spark, sf_dir, path)
+    stream = _setup_stream(spark, emb, tmp_path)
+    streaming_graph_index_ingest(stream, path, str(tmp_path / "cp"))
+    v1, e1 = graph_index_stream_state(spark, path)
+    before = (_rel(v1), _rel(e1))
+
+    os.makedirs(os.path.join(path, "ingest", "batch=tmp.swp"))
+    v2, e2 = graph_index_stream_state(spark, path)
+    assert (_rel(v2), _rel(e2)) == before
+
+
+def test_stream_probe_rejects_wrong_dim(spark, sf_dir, tmp_path):
+    """r13 ADVICE: a wrong-dimension query must error loudly instead
+    of null-padding every score."""
+    import pytest
+
+    path = str(tmp_path / "idx")
+    _build_base(spark, sf_dir, path)
+    with pytest.raises(ValueError, match="dim"):
+        graph_index_stream_probe(spark, path, [1.0, 2.0, 3.0])

@@ -2208,9 +2208,18 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # One source of truth with the curation pipeline's quality gate: the
-# staged curation_manifest twin replays these rules, so the stop list
-# must never drift between the registered row and the composed stage.
+# curation_manifest twin replays these rules, so neither the stop list
+# nor any numeric threshold may drift between the registered row and
+# the composed stage — every constant below comes from curation.py
+# (r13 ADVICE: previously only the stop list was unified).
 from vector_db_handler_spark.operators.curation import (  # noqa: E402
+    GOPHER_MAX_SYMBOL_RATIO as _G_SYM,
+    GOPHER_MAX_WORDS as _G_MAXW,
+    GOPHER_MEAN_LEN_MAX as _G_MLMAX,
+    GOPHER_MEAN_LEN_MIN as _G_MLMIN,
+    GOPHER_MIN_ALPHA_FRAC as _G_ALPHA,
+    GOPHER_MIN_STOPS as _G_STOPS_MIN,
+    GOPHER_MIN_WORDS as _G_MINW,
     GOPHER_STOPS as _GOPHER_STOPS,
 )
 
@@ -2232,11 +2241,11 @@ SELECT doc_id, n_words,
        ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) AS frac_alpha,
        CAST(n_stop AS BIGINT) AS n_stop,
        ROUND(CAST(n_symbol AS DOUBLE) / n_words, 6) AS symbol_ratio,
-       (n_words BETWEEN 30 AND 100000
-        AND CAST(sum_word_len AS DOUBLE) / n_words BETWEEN 3 AND 10
-        AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
-        AND CAST(n_symbol AS DOUBLE) / n_words <= 0.1
-        AND n_stop >= 2) AS gopher_keep
+       (n_words BETWEEN {_G_MINW} AND {_G_MAXW}
+        AND CAST(sum_word_len AS DOUBLE) / n_words BETWEEN {_G_MLMIN} AND {_G_MLMAX}
+        AND CAST(n_alpha AS DOUBLE) / n_words >= {_G_ALPHA}
+        AND CAST(n_symbol AS DOUBLE) / n_words <= {_G_SYM}
+        AND n_stop >= {_G_STOPS_MIN}) AS gopher_keep
 FROM m
 """
 
@@ -2267,11 +2276,11 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.cast("long").alias("n_stop"),
         F.round(sym_ratio, 6).alias("symbol_ratio"),
         (
-            n_words.between(30, 100000)
-            & mean_len.between(3, 10)
-            & (frac_alpha >= 0.8)
-            & (sym_ratio <= 0.1)
-            & (n_stop >= 2)
+            n_words.between(_G_MINW, _G_MAXW)
+            & mean_len.between(_G_MLMIN, _G_MLMAX)
+            & (frac_alpha >= _G_ALPHA)
+            & (sym_ratio <= _G_SYM)
+            & (n_stop >= _G_STOPS_MIN)
         ).alias("gopher_keep"),
     )
 

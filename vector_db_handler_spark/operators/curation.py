@@ -26,9 +26,21 @@ from vector_db_handler_spark.functions import text as text_fns
 from vector_db_handler_spark.operators.layout import rendezvous_assign
 from vector_db_handler_spark.operators.lm_score import domain_mixture_weights
 
-#: Gopher stop-word list — MUST stay identical to the registered
-#: gopher_quality_flags row (driver_queries._GOPHER_STOPS aliases this).
+#: Gopher rule constants — ONE source of truth shared with the
+#: registered gopher_quality_flags row (driver_queries consumes every
+#: constant below in both its Spark expression and its oracle SQL, so
+#: the registered row and the curation gate cannot drift).  The
+#: word-count floor is 30 to fit the fixture's ~40-token docs
+#: (Gopher's corpus floor is 50 — a config constant, not a shape
+#: change).
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100000
+GOPHER_MEAN_LEN_MIN = 3
+GOPHER_MEAN_LEN_MAX = 10
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPS = 2
 
 
 def gopher_keep_expr(text_col: str = "text"):
@@ -46,11 +58,11 @@ def gopher_keep_expr(text_col: str = "text"):
         F.filter(t, lambda x: (x == "#") | (x == "..."))
     ).cast("double") / n_words
     return (
-        n_words.between(30, 100000)
-        & mean_len.between(3, 10)
-        & (frac_alpha >= 0.8)
-        & (sym_ratio <= 0.1)
-        & (n_stop >= 2)
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MEAN_LEN_MIN, GOPHER_MEAN_LEN_MAX)
+        & (frac_alpha >= GOPHER_MIN_ALPHA_FRAC)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (n_stop >= GOPHER_MIN_STOPS)
     )
 
 
@@ -108,6 +120,21 @@ def curation_manifest(
         raise ValueError(f"total_n must be >= 0, got {total_n}")
     if not shards:
         raise ValueError("need at least one shard name")
+    # The quota arithmetic total_n·weight_numer runs in BIGINT, and
+    # weight_numer can reach (mixture_base + 64000)^mixture_rounds (the
+    # domain_mixture_weights worst case: excess_milli ≤ 64000).  Check
+    # the product against int64 EXACTLY in Python ints and fail loudly
+    # — non-ANSI Spark would wrap it into negative/garbage quotas in a
+    # module whose contract is exact-integer apportionment.
+    max_numer = (int(mixture_base) + 64000) ** int(mixture_rounds)
+    if int(total_n) * max_numer > 2**63 - 1:
+        raise ValueError(
+            f"total_n={total_n} with mixture_base={mixture_base}, "
+            f"mixture_rounds={mixture_rounds} can overflow BIGINT: "
+            f"worst-case total_n * weight_numer = total_n * "
+            f"({int(mixture_base) + 64000}^{mixture_rounds}) exceeds "
+            "int64; reduce mixture_rounds, mixture_base or total_n"
+        )
 
     # 1. exact dedup: min-id winner per text-hash group
     w_dedup = Window.partitionBy("_th").orderBy(F.col(id_col).asc())

@@ -60,17 +60,23 @@ def _collect_matrix(
     Guard: fails loudly past ``max_rows`` (default
     :data:`MAX_COLLECT_ROWS`) instead of silently inflating the driver
     and every task closure — the same spirit as the hot-bucket guards.
-    Callers with a genuinely larger query side should use the
-    distributed paths (LSH probe / IVF / graph-ANN batch serve)."""
-    rows = df.select(id_col, vec_col).collect()
-    if len(rows) > max_rows:
+    The check runs BEFORE the vectors are collected (r13 ADVICE: a
+    post-collect check only prevents the task-closure inflation, not
+    the driver OOM itself): counting an id-only ``limit(max_rows+1)``
+    projection costs one cheap job and never materializes the
+    oversized relation on the driver.  Callers with a genuinely larger
+    query side should use the distributed paths (LSH probe / IVF /
+    graph-ANN batch serve)."""
+    n_probe = df.select(id_col).limit(max_rows + 1).count()
+    if n_probe > max_rows:
         raise ValueError(
-            f"_collect_matrix: side has {len(rows)} rows > max_rows={max_rows}; "
+            f"_collect_matrix: side has > max_rows={max_rows} rows; "
             "this driver-collected side must stay broadcast-sized — use a "
             "distributed path (lsh_probe_table / ivf_topk / "
             "knn_graph_beam_search_batch) for large query relations, or "
             "raise max_rows explicitly if the driver is provisioned for it."
         )
+    rows = df.select(id_col, vec_col).collect()
     ids = [r[0] for r in rows]
     if not ids:  # empty side: 2-D empty matrix keeps consumers' numpy shapes valid
         return ids, np.zeros((0, 0), dtype=np.float64)
@@ -725,13 +731,17 @@ def ann_recall_report(
     ranker.  Output: ``(query_id, k, n_hits, recall)`` where
     ``n_hits = |exact@k ∩ approx@k|`` excluding self-matches on both
     sides."""
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    if len(q_rows) > MAX_COLLECT_ROWS:
+    # Size check BEFORE the collect (r13 ADVICE): an id-only
+    # limit-count probe keeps an oversized query relation off the
+    # driver entirely instead of raising after it materialized.
+    n_probe = queries.select(id_col).limit(MAX_COLLECT_ROWS + 1).count()
+    if n_probe > MAX_COLLECT_ROWS:
         raise ValueError(
-            f"ann_recall_report: {len(q_rows)} query rows > {MAX_COLLECT_ROWS}; "
+            f"ann_recall_report: query relation exceeds {MAX_COLLECT_ROWS} rows; "
             "the recall harness drives one probe per query and is meant for "
             "eval-set-sized batches — sample the query relation down."
         )
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     if not q_rows:
         # no queries ⇒ an empty report, not a 0-denominator plan
         return corpus.sparkSession.createDataFrame(
@@ -1693,6 +1703,21 @@ def write_knn_graph_index(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def _check_index_dim(spark, path: str, query_dim: int, what: str) -> None:
+    """Validate a probe's query dimensionality against the ``dim``
+    recorded in the written index's ``meta/`` (r13 ADVICE: without
+    this, ``zip_with`` null-pads a wrong-dimension query, every score
+    goes NULL, and the probe silently returns id-ordered rows instead
+    of erroring)."""
+    dim = int(spark.read.parquet(f"{path}/meta").first()["dim"])
+    if dim != int(query_dim):
+        raise ValueError(
+            f"{what}: query vector has dim {query_dim} but the index at "
+            f"{path} was built with dim {dim} (meta/) — a mismatched "
+            "query would null-out every score instead of ranking"
+        )
+
+
 def knn_graph_probe_table(
     spark,
     path: str,
@@ -1710,6 +1735,7 @@ def knn_graph_probe_table(
     returns exactly :func:`knn_graph_beam_search`'s answer — the same
     build-once/probe-many contract as `lsh_probe_table` /
     `ivf_probe_table`."""
+    _check_index_dim(spark, path, len(query_vec), "knn_graph_probe_table")
     scale = spark.read.parquet(f"{path}/scale")
     vectors = spark.read.parquet(f"{path}/vectors")
     edges = spark.read.parquet(f"{path}/edges")
@@ -1887,6 +1913,11 @@ def knn_graph_probe_table_batch(
     from vector_db_handler_spark.functions.text import portable_hash60
     from vector_db_handler_spark.operators.quantize import quantize_int8
 
+    first_q = queries.select(query_vec_col).first()
+    if first_q is not None:
+        _check_index_dim(
+            spark, path, len(first_q[0]), "knn_graph_probe_table_batch"
+        )
     scale = spark.read.parquet(f"{path}/scale")
     vectors = spark.read.parquet(f"{path}/vectors")
     qn = vectors.select("nid", "v")
@@ -2105,6 +2136,13 @@ def knn_graph_probe_table_hier(
     from vector_db_handler_spark.functions.text import portable_hash60
 
     meta = spark.read.parquet(f"{path}/meta").first()
+    if int(meta["dim"]) != len(query_vec):
+        raise ValueError(
+            f"knn_graph_probe_table_hier: query vector has dim "
+            f"{len(query_vec)} but the index at {path} was built with dim "
+            f"{int(meta['dim'])} (meta/) — a mismatched query would "
+            "null-out every score instead of ranking"
+        )
     layer_mod = int(meta["layer_mod"])
     if layer_mod < 1:
         raise ValueError(

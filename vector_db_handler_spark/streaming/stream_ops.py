@@ -1552,7 +1552,15 @@ def graph_index_stream_state(
         for d in os.listdir(ingest_root):
             if not d.startswith("batch="):
                 continue
-            v = int(d.split("=", 1)[1])
+            try:
+                v = int(d.split("=", 1)[1])
+            except ValueError:
+                # Stray non-numeric batch=* entry (editor droppings,
+                # partial temp dirs): skip it instead of taking every
+                # probe of the store down — the same defensive posture
+                # the reader already has toward uncommitted state
+                # (r13 ADVICE).
+                continue
             if max_batch is not None and v >= max_batch:
                 continue
             bdir = os.path.join(ingest_root, d)
@@ -1582,9 +1590,13 @@ def graph_index_stream_probe(
     """Probe a streaming-maintained graph index: the shared probe body
     over the crash-consistent stream state."""
     from vector_db_handler_spark.operators.similarity import (
+        _check_index_dim,
         probe_graph_relations,
     )
 
+    _check_index_dim(
+        spark, index_path, len(query_vec), "graph_index_stream_probe"
+    )
     scale = spark.read.parquet(f"{index_path}/scale")
     vectors, edges = graph_index_stream_state(spark, index_path)
     return probe_graph_relations(scale, vectors, edges, query_vec, k, beam, hops)
