@@ -15,9 +15,13 @@ from vector_db_handler_spark.operators.similarity import (
 )
 
 K = 5
-BEAM = 8
-HOPS = 2
+BEAM = 16
+HOPS = 3
 ENTRY_MOD = 32
+RECALL_FLOOR = 0.9
+# recall >= floor  <=>  n_hits >= ceil(floor*k): exact-integer twin of
+# the operator's min_hits derivation.
+MIN_HITS = 5
 QUERY_MOD = dq._BEAM_QUERY_MOD  # the registered batch serve's query slice
 
 
@@ -79,7 +83,8 @@ hits AS (
 SELECT q.qid AS query_id,
        CAST({K} AS BIGINT) AS k,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       ROUND(COALESCE(h.n_hits, 0) / CAST({K} AS DOUBLE), 6) AS recall
+       ROUND(COALESCE(h.n_hits, 0) / CAST({K} AS DOUBLE), 6) AS recall,
+       (COALESCE(h.n_hits, 0) >= {MIN_HITS}) AS floor_met
 FROM (SELECT DISTINCT qid FROM qqs) q LEFT JOIN hits h USING (qid)
 """
     )
@@ -167,7 +172,7 @@ def test_args_validated(spark):
 # beam_recall_curve — the beam-width tuning sweep over one shared build
 # ---------------------------------------------------------------------------
 
-CURVE_BEAMS = (6, 12)
+CURVE_BEAMS = (8, 16)
 
 
 def _curve_oracle_sql() -> str:
@@ -303,3 +308,108 @@ def test_curve_args_validated(spark):
         beam_recall_curve(emb, emb, k=1, beams=(4, 4))
     with pytest.raises(ValueError, match="exceeds"):
         beam_recall_curve(emb, emb, k=9, beams=(4,))
+
+
+# ---------------------------------------------------------------------------
+# Default-dial recall floor on a NAVIGABLE fixture (r13 verdict #3): the
+# shipped defaults (graph_k=8, beam=16, hops=3) must reach recall@10
+# >= 0.9 on clustered data — the data shape graph-ANN exists for.  The
+# fixture is deterministic (seeded numpy), so these are exact pins, not
+# flaky statistical tests.
+# ---------------------------------------------------------------------------
+
+
+def _clustered_emb(spark, n=1000, dim=64, n_clusters=10, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(0.0, 1.0, (n_clusters, dim))
+    rows = [
+        (
+            i,
+            [
+                float(x)
+                for x in centers[i % n_clusters] + rng.normal(0.0, 0.18, dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_default_dials_meet_recall_floor_on_navigable_fixture(spark):
+    """The navigability contract: default dials, clustered corpus,
+    recall@10 >= 0.9 (measured 1.0 at pin time).  entry_mod is pinned
+    to 16 so the entry stage is a real 1/16 hash slice — the
+    self-derived dial is 1 at this corpus size, which would make the
+    entry scan exact and the test vacuous."""
+    from pyspark.sql import functions as F
+
+    emb = _clustered_emb(spark).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rep = graph_ann_recall_report(emb, queries, entry_mod=16).collect()
+    assert len(rep) == 11
+    mean_recall = sum(r["recall"] for r in rep) / len(rep)
+    assert mean_recall >= 0.9
+    # floor_met is the per-query contract flag the report now ships
+    assert sum(1 for r in rep if r["floor_met"]) >= 10
+    for r in rep:
+        assert r["floor_met"] == (r["n_hits"] >= 9)  # ceil(0.9*10)
+
+
+def test_hierarchical_default_dials_meet_recall_floor(spark):
+    """The two-level descent at default dials (layer_mod=8) on the
+    same clustered fixture: every cluster holds layer nodes, the
+    coarse walk navigates to the query's cluster, and per-query
+    recall@10 >= 0.9 — the written index builds this layer by default
+    (DEFAULT_LAYER_MOD)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_int8,
+    )
+    from vector_db_handler_spark.operators.similarity import (
+        _int_dot,
+        knn_graph_hierarchical_search,
+        knn_graph_nn_descent,
+    )
+
+    emb = _clustered_emb(spark).localCheckpoint()
+    g = knn_graph_nn_descent(emb).localCheckpoint()
+    qn = quantize_int8(emb).select(
+        F.col("vec_id").alias("nid"), F.col("qvec").alias("v")
+    )
+    scale = max_abs_scale(emb).first()["s"]
+
+    import math
+
+    for qid in (0, 291, 582):
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        got = {
+            r["vec_id"]
+            for r in knn_graph_hierarchical_search(emb, qv, graph=g).collect()
+        }
+        qq = [
+            max(-127, min(127, math.floor(127.0 * x / scale + 0.5)))
+            for x in qv
+        ]
+        exact = (
+            qn.select(
+                "nid",
+                _int_dot(
+                    F.col("v"),
+                    F.array(*[F.lit(int(c)).cast("long") for c in qq]),
+                ).alias("d"),
+            )
+            .orderBy(F.col("d").desc(), F.col("nid").asc())
+            .limit(10)
+            .collect()
+        )
+        want = {r["nid"] for r in exact}
+        assert len(got & want) >= 9  # recall@10 >= 0.9 per query

@@ -390,15 +390,29 @@ def test_hier_probe_equals_in_memory_hierarchical(spark, sf_dir, tmp_path):
     assert meta["layer_mod"] == LAYER_MOD and meta["coarse_k"] == COARSE_K
 
 
-def test_hier_probe_requires_layer(spark, index_path):
+def test_hier_probe_requires_layer(spark, sf_dir, tmp_path):
     """Probing a layer-less index hierarchically fails loudly with the
-    rebuild hint instead of walking a missing directory."""
+    rebuild hint instead of walking a missing directory.  The layer is
+    ON by default now (DEFAULT_LAYER_MOD), so a flat-only index takes
+    an explicit ``layer_mod=None``."""
     from vector_db_handler_spark.operators.similarity import (
         knn_graph_probe_table_hier,
     )
 
+    path = str(tmp_path / "gidx_flat_only")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    write_knn_graph_index(
+        emb,
+        path,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+        entry_mod=ENTRY_MOD,
+        layer_mod=None,
+    )
+    assert not (tmp_path / "gidx_flat_only" / "coarse_edges").exists()
     with pytest.raises(ValueError, match="layer_mod"):
-        knn_graph_probe_table_hier(spark, index_path, dq.QUERY_VEC)
+        knn_graph_probe_table_hier(spark, path, dq.QUERY_VEC)
 
 
 def test_probe_rejects_wrong_dim(spark, index_path):

@@ -44,6 +44,17 @@ from vector_db_handler_spark.functions.vector import cosine_score
 #: larger belongs in the distributed join paths (LSH / IVF / graph-ANN).
 MAX_COLLECT_ROWS = 100_000
 
+#: The written graph-ANN index builds its hierarchical coarse layer by
+#: DEFAULT (r13 verdict: the flat entry slice was the navigability
+#: bottleneck — a cluster with no entry node in the hash slice is
+#: unreachable, measured recall@10 0.333 at the r13 probe dials).  The
+#: coarse walk scans its whole ~N/8 layer when the layer is small
+#: (coarse_entry_mod self-derives to 1 below ~8k layer nodes) and a
+#: 1024-node slice of it at scale, so every cluster with a layer node
+#: is navigable-to.  Pass ``layer_mod=None`` to write a flat-only
+#: index.
+DEFAULT_LAYER_MOD = 8
+
 
 def _collect_matrix(
     df: DataFrame,
@@ -864,7 +875,7 @@ def _int_dot(a: Column, b: Column) -> Column:
 
 def knn_graph_nn_descent(
     emb: DataFrame,
-    k: int = 5,
+    k: int = 8,
     iters: int = 2,
     kmeans_k: int = 8,
     rand_buckets: int | None = None,
@@ -1127,10 +1138,10 @@ def knn_graph_beam_search(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    beam: int = 8,
-    hops: int = 2,
+    beam: int = 16,
+    hops: int = 3,
     graph: DataFrame | None = None,
-    graph_k: int = 5,
+    graph_k: int = 8,
     graph_iters: int = 2,
     kmeans_k: int = 8,
     rand_buckets: int | None = None,
@@ -1248,8 +1259,8 @@ def knn_graph_beam_search_batch(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    beam: int = 8,
-    hops: int = 2,
+    beam: int = 16,
+    hops: int = 3,
     graph: DataFrame | None = None,
     graph_k: int = 5,
     graph_iters: int = 2,
@@ -1391,15 +1402,15 @@ def knn_graph_hierarchical_search(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    beam: int = 12,
-    hops: int = 2,
-    layer_mod: int = 4,
+    beam: int = 16,
+    hops: int = 3,
+    layer_mod: int = 8,
     coarse_k: int = 5,
     coarse_beam: int | None = None,
     coarse_hops: int = 1,
     coarse_entry_mod: int | None = None,
     graph: DataFrame | None = None,
-    graph_k: int = 5,
+    graph_k: int = 8,
     graph_iters: int = 2,
     kmeans_k: int = 8,
     rand_buckets: int | None = None,
@@ -1552,12 +1563,12 @@ def knn_graph_hierarchical_search(
 def write_knn_graph_index(
     emb: DataFrame,
     path: str,
-    graph_k: int = 5,
+    graph_k: int = 8,
     graph_iters: int = 2,
     kmeans_k: int = 8,
     rand_buckets: int | None = None,
     entry_mod: int | None = None,
-    layer_mod: int | None = None,
+    layer_mod: int | None = DEFAULT_LAYER_MOD,
     coarse_k: int = 5,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
@@ -1723,8 +1734,8 @@ def knn_graph_probe_table(
     path: str,
     query_vec: list[float],
     k: int = 10,
-    beam: int = 12,
-    hops: int = 2,
+    beam: int = 16,
+    hops: int = 3,
 ) -> DataFrame:
     """Probe a WRITTEN graph-ANN index (:func:`write_knn_graph_index`):
     quantize the query with the STORED scale, seed the beam from the
@@ -1748,8 +1759,8 @@ def probe_graph_relations(
     edges: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    beam: int = 12,
-    hops: int = 2,
+    beam: int = 16,
+    hops: int = 3,
 ) -> DataFrame:
     """The probe body over already-loaded index relations — shared by
     :func:`knn_graph_probe_table` (one parquet index) and the
@@ -1893,8 +1904,8 @@ def knn_graph_probe_table_batch(
     path: str,
     queries: DataFrame,
     k: int = 5,
-    beam: int = 8,
-    hops: int = 2,
+    beam: int = 16,
+    hops: int = 3,
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
 ) -> DataFrame:
@@ -2010,10 +2021,10 @@ def graph_ann_recall_report(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    beam: int = 12,
-    hops: int = 2,
+    beam: int = 16,
+    hops: int = 3,
     graph: DataFrame | None = None,
-    graph_k: int = 5,
+    graph_k: int = 8,
     graph_iters: int = 2,
     kmeans_k: int = 8,
     rand_buckets: int | None = None,
@@ -2022,6 +2033,7 @@ def graph_ann_recall_report(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    recall_floor: float = 0.9,
 ) -> DataFrame:
     """Recall@k of the graph-ANN beam search against the exact int8
     top-k, per query — the measurement that tunes beam/hops/entry_mod
@@ -2030,6 +2042,18 @@ def graph_ann_recall_report(
     build→serve→measure).  Both rankers are deterministic integer
     rankings with pinned ties, so the recall numbers are exact and
     hash-checkable.
+
+    The NAVIGABILITY CONTRACT is part of the output, not prose (r13
+    verdict): every row carries ``floor_met`` — whether that query's
+    recall reached ``recall_floor`` (default 0.9, the shipping bar the
+    repo's default dials meet on a clustered fixture — the pytest
+    recall-floor pin).  The comparison is exact-integer
+    (``n_hits ≥ ceil(recall_floor·k)``), so the flag hash-checks.
+    Graph-ANN recall is DATA-DEPENDENT: on uniform-random vectors (no
+    cluster structure — the adversarial case for every navigable-graph
+    method) the same dials measure ~0.7, which is exactly the signal
+    this report exists to surface before an index rolls out; exact KNN
+    and IVF remain the correctness paths when the report says no.
 
     Self-matches are INCLUDED on both sides (the query set here is a
     corpus slice and both rankers see the query node identically, so
@@ -2050,6 +2074,15 @@ def graph_ann_recall_report(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= recall_floor <= 1.0:
+        raise ValueError(
+            f"recall_floor must be in [0, 1], got {recall_floor}"
+        )
+    import math
+
+    # recall >= floor  <=>  n_hits >= ceil(floor*k)  (n_hits integer) —
+    # computed ONCE in Python so both engines compare exact integers.
+    min_hits = math.ceil(recall_floor * k - 1e-12)
     approx = knn_graph_beam_search_batch(
         emb,
         queries,
@@ -2100,6 +2133,9 @@ def graph_ann_recall_report(
                 F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k)),
                 6,
             ).alias("recall"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) >= F.lit(int(min_hits))
+            ).alias("floor_met"),
         )
     )
 
@@ -2109,8 +2145,8 @@ def knn_graph_probe_table_hier(
     path: str,
     query_vec: list[float],
     k: int = 10,
-    beam: int = 12,
-    hops: int = 2,
+    beam: int = 16,
+    hops: int = 3,
     coarse_beam: int | None = None,
     coarse_hops: int = 1,
     coarse_entry_mod: int | None = None,
@@ -2213,10 +2249,10 @@ def beam_recall_curve(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    beams: Sequence[int] = (4, 8, 16),
-    hops: int = 2,
+    beams: Sequence[int] = (8, 16, 32),
+    hops: int = 3,
     graph: DataFrame | None = None,
-    graph_k: int = 5,
+    graph_k: int = 8,
     graph_iters: int = 2,
     kmeans_k: int = 8,
     rand_buckets: int | None = None,
