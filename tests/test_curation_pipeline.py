@@ -1,8 +1,8 @@
 """End-to-end curation pipeline (dedup → quality → mixture →
 budget-pack → shard → manifest): stage-composition semantics, exact
 apportionment invariants, determinism, and the cross-engine DuckDB
-replay of the WHOLE pipeline in one query.  Staged in r13 for r14
-driver registration (oracle moves to driver_queries then)."""
+replay of the WHOLE pipeline in one query.  Registered in r14; the
+oracle lives in driver_queries, aliased back here."""
 
 from __future__ import annotations
 
@@ -16,119 +16,15 @@ from vector_db_handler_spark.operators.curation import (
     gopher_keep_expr,
 )
 
-TOTAL_N = 120
-SHARDS = [f"s{i}" for i in range(6)]
-SALT = "curate"
+# Dials + oracle registered in r14 — aliased from driver_queries (one
+# source of truth); the parameterized builder stays importable for the
+# capped-budget test.
+TOTAL_N = dq._CURATION_TOTAL_N
+SHARDS = dq._CURATION_SHARDS
+SALT = dq._CURATION_SALT
+_curation_oracle_sql = dq._curation_sql
 
-_H60 = "CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT)"
-
-
-def _curation_oracle_sql(total_n: int = TOTAL_N) -> str:
-    shard_values = ", ".join(f"('{s}')" for s in sorted(SHARDS))
-    pick_h = _H60.format(e="CAST(doc_id AS VARCHAR) || '|" + SALT + "'")
-    rdv_h = _H60.format(e="CAST(doc_id AS VARCHAR) || '|' || shard")
-    return f"""
-WITH dd AS (
-  SELECT doc_id, lang, text FROM (
-    SELECT doc_id, lang, text,
-           row_number() OVER (
-             PARTITION BY {_H60.format(e='text')}
-             ORDER BY doc_id ASC) AS rn
-    FROM documents
-  ) WHERE rn = 1
-),
-gt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM dd),
-sv AS (
-  SELECT doc_id, lang, text FROM gt
-  WHERE len(t) BETWEEN 30 AND 100000
-    AND CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t) BETWEEN 3 AND 10
-    AND CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-        / len(t) >= 0.8
-    AND CAST(len(list_filter(t, x -> x = '#' OR x = '...')) AS DOUBLE)
-        / len(t) <= 0.1
-    AND len(list_filter(t, x -> x IN {GOPHER_STOPS})) >= 2
-),
-toks AS (
-  SELECT lang AS domain, string_split(text, ' ') AS t FROM sv
-  WHERE lang IS NOT NULL
-),
-doc_bigrams AS (
-  SELECT domain,
-         unnest(list_transform(generate_series(1, len(t) - 1),
-                               i -> t[i] || ' ' || t[i + 1])) AS bigram
-  FROM toks
-),
-model AS (SELECT bigram, count(*) AS n FROM doc_bigrams GROUP BY 1),
-credited AS (
-  SELECT d.domain, length(printf('%b', m.n)) AS bits
-  FROM doc_bigrams d JOIN model m USING (bigram)
-),
-per_domain AS (
-  SELECT domain, CAST(count(*) AS BIGINT) AS n_bigrams,
-         CAST(sum(bits) AS BIGINT) AS credit
-  FROM credited GROUP BY 1
-),
-gtot AS (
-  SELECT CAST(sum(n_bigrams) AS BIGINT) AS tot_bigrams,
-         CAST(sum(credit) AS BIGINT) AS tot_credit
-  FROM per_domain
-),
-weighted AS (
-  SELECT p.domain,
-         CAST(power(greatest(CAST(1 AS BIGINT),
-                {dq._DM_BASE}
-                + CAST(1000 * g.tot_credit AS BIGINT) // g.tot_bigrams
-                - CAST(1000 * p.credit AS BIGINT) // p.n_bigrams),
-              {dq._DM_ROUNDS}) AS BIGINT) AS weight_numer
-  FROM per_domain p, gtot g
-),
-wtot AS (SELECT CAST(sum(weight_numer) AS BIGINT) AS w_tot FROM weighted),
-qb AS (
-  SELECT domain,
-         CAST({total_n} * weight_numer AS BIGINT) // w.w_tot AS base,
-         CAST({total_n} * weight_numer AS BIGINT) % w.w_tot AS rem
-  FROM weighted, wtot w
-),
-availq AS (
-  SELECT lang AS domain, count(*) AS n_avail FROM sv
-  WHERE lang IS NOT NULL GROUP BY 1
-),
-quotas AS (
-  SELECT l.domain,
-         least(l.base + CASE WHEN row_number() OVER (
-                  ORDER BY l.rem DESC, l.domain ASC)
-                <= {total_n} - (SELECT sum(base) FROM qb)
-              THEN 1 ELSE 0 END,
-              a.n_avail) AS quota
-  FROM qb l JOIN availq a USING (domain)
-),
-picked AS (
-  SELECT s.doc_id, s.lang, s.text
-  FROM (
-    SELECT doc_id, lang, text,
-           row_number() OVER (PARTITION BY lang
-             ORDER BY {pick_h} ASC, doc_id ASC) AS pick
-    FROM sv WHERE lang IS NOT NULL
-  ) s JOIN quotas q ON s.lang = q.domain
-  WHERE s.pick <= q.quota
-),
-sharded AS (
-  SELECT doc_id, lang, text, shard FROM (
-    SELECT p.doc_id, p.lang, p.text, v.shard,
-           row_number() OVER (PARTITION BY p.doc_id
-             ORDER BY {rdv_h} DESC, shard DESC) AS srn
-    FROM picked p, (VALUES {shard_values}) v(shard)
-  ) WHERE srn = 1
-)
-SELECT shard, lang AS domain,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
-FROM sharded GROUP BY 1, 2
-"""
-
-
-CURATION_ORACLE_SQL = _curation_oracle_sql()
+CURATION_ORACLE_SQL = dq._CURATION_SQL
 
 
 def _docs(spark, sf_dir):

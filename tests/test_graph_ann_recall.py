@@ -1,8 +1,8 @@
 """Graph-ANN recall report (beam search vs exact int8 top-k, per
 query): degenerate-exactness (full visibility ⇒ recall 1.0), bounds,
 determinism, and the cross-engine DuckDB replay composed onto the
-registered NN-descent + batch-beam chain.  Staged in r13 for r14
-driver registration."""
+registered NN-descent + batch-beam chain.  Registered in r14; oracles
+live in driver_queries, aliased back here."""
 
 from __future__ import annotations
 
@@ -14,84 +14,16 @@ from vector_db_handler_spark.operators.similarity import (
     graph_ann_recall_report,
 )
 
-K = 5
-BEAM = 16
-HOPS = 3
-ENTRY_MOD = 32
-RECALL_FLOOR = 0.9
-# recall >= floor  <=>  n_hits >= ceil(floor*k): exact-integer twin of
-# the operator's min_hits derivation.
-MIN_HITS = 5
+# Dials + oracle registered in r14 — aliased from driver_queries (one
+# source of truth; the staging direction reversed).
+K = dq._GREC_K
+BEAM = dq._GREC_BEAM
+HOPS = dq._GREC_HOPS
+ENTRY_MOD = dq._GREC_ENTRY_MOD
 QUERY_MOD = dq._BEAM_QUERY_MOD  # the registered batch serve's query slice
+MIN_HITS = dq._GREC_MIN_HITS
 
-
-def _recall_oracle_sql() -> str:
-    sql = (
-        dq._NN_DESCENT_CTES
-        + f""",
-gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
-und AS MATERIALIZED (
-  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
-),
-qqs AS (
-  SELECT vec_id AS qid,
-         list_transform(CAST(embedding AS DOUBLE[]), x -> {dq._QUANT_CLAMP})
-           AS qv
-  FROM embeddings, scale WHERE vec_id % {QUERY_MOD} = 0
-),
-b0 AS (
-  SELECT qid, nid, d FROM (
-    SELECT q.qid, c.vec_id AS nid,
-           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
-           row_number() OVER (
-             PARTITION BY q.qid
-             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
-                      c.vec_id ASC) AS rn
-    FROM qv c, qqs q
-    WHERE CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)
-               AS BIGINT) % {ENTRY_MOD} = 0
-  ) WHERE rn <= {BEAM}
-)"""
-        + "".join(
-            dq._BEAM_BATCH_HOP_SQL.format(i=i, j=i - 1, beam=BEAM)
-            for i in range(1, HOPS + 1)
-        )
-        + f""",
-approx AS (
-  SELECT qid, nid FROM (
-    SELECT qid, nid,
-           row_number() OVER (PARTITION BY qid
-                              ORDER BY d DESC, nid ASC) AS rnk
-    FROM b{HOPS}
-  ) WHERE rnk <= {K}
-),
-exact AS (
-  SELECT qid, nid FROM (
-    SELECT q.qid, c.vec_id AS nid,
-           row_number() OVER (
-             PARTITION BY q.qid
-             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
-                      c.vec_id ASC) AS rn
-    FROM qv c, qqs q
-  ) WHERE rn <= {K}
-),
-hits AS (
-  SELECT a.qid, count(*) AS n_hits
-  FROM approx a JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
-  GROUP BY 1
-)
-SELECT q.qid AS query_id,
-       CAST({K} AS BIGINT) AS k,
-       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       ROUND(COALESCE(h.n_hits, 0) / CAST({K} AS DOUBLE), 6) AS recall,
-       (COALESCE(h.n_hits, 0) >= {MIN_HITS}) AS floor_met
-FROM (SELECT DISTINCT qid FROM qqs) q LEFT JOIN hits h USING (qid)
-"""
-    )
-    return sql
-
-
-RECALL_ORACLE_SQL = _recall_oracle_sql()
+RECALL_ORACLE_SQL = dq._GRAPH_RECALL_SQL
 
 
 def _emb(spark, rows):
@@ -172,74 +104,9 @@ def test_args_validated(spark):
 # beam_recall_curve — the beam-width tuning sweep over one shared build
 # ---------------------------------------------------------------------------
 
-CURVE_BEAMS = (8, 16)
+CURVE_BEAMS = dq._CURVE_BEAMS
 
-
-def _curve_oracle_sql() -> str:
-    """One NN-descent chain + one exact ranking, then per-beam approx
-    chains under suffixed CTE names, unioned into the curve."""
-    sql = (
-        dq._NN_DESCENT_CTES
-        + f""",
-gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
-und AS MATERIALIZED (
-  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
-),
-qqs AS (
-  SELECT vec_id AS qid,
-         list_transform(CAST(embedding AS DOUBLE[]), x -> {dq._QUANT_CLAMP})
-           AS qv
-  FROM embeddings, scale WHERE vec_id % {QUERY_MOD} = 0
-),
-exact AS MATERIALIZED (
-  SELECT qid, nid FROM (
-    SELECT q.qid, c.vec_id AS nid,
-           row_number() OVER (
-             PARTITION BY q.qid
-             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
-                      c.vec_id ASC) AS rn
-    FROM qv c, qqs q
-  ) WHERE rn <= {K}
-)"""
-    )
-    legs = []
-    for w, b in enumerate(CURVE_BEAMS):
-        sql += f""",
-b{w}x0 AS (
-  SELECT qid, nid, d FROM (
-    SELECT q.qid, c.vec_id AS nid,
-           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
-           row_number() OVER (
-             PARTITION BY q.qid
-             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
-                      c.vec_id ASC) AS rn
-    FROM qv c, qqs q
-    WHERE CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)
-               AS BIGINT) % {ENTRY_MOD} = 0
-  ) WHERE rn <= {b}
-)"""
-        for i in range(1, HOPS + 1):
-            sql += dq._BEAM_BATCH_HOP_SQL.format(
-                i=f"{w}x{i}", j=f"{w}x{i - 1}", beam=b
-            )
-        legs.append(
-            f"""SELECT CAST({b} AS BIGINT) AS beam,
-       q.nq AS n_queries,
-       CAST(h.nh AS BIGINT) AS n_hits,
-       ROUND(h.nh / CAST(q.nq * {K} AS DOUBLE), 6) AS recall
-FROM (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS nq FROM qqs) q,
-     (SELECT count(*) AS nh FROM (
-        SELECT qid, nid,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY d DESC, nid ASC) AS rnk
-        FROM b{w}x{HOPS}
-      ) a JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
-      WHERE a.rnk <= {K}) h"""
-        )
-    return sql + "\n" + "\nUNION ALL\n".join(legs)
-
-
-CURVE_ORACLE_SQL = _curve_oracle_sql()
+CURVE_ORACLE_SQL = dq._BEAM_CURVE_SQL
 
 
 def _run_curve(spark, sf_dir):

@@ -3,8 +3,8 @@ and IVF stores): probe-vs-in-memory equality, planning-time partition
 pruning of the entry slice, HNSW-style incremental append semantics,
 and the cross-engine DuckDB replay (a probe of an index built from the
 same corpus with the same dials answers exactly like the in-memory
-search, so the twin is the parameterized beam-search chain).  Staged
-in r13 for r14 driver registration."""
+search, so the twin is the parameterized beam-search chain).  Registered
+in r14; the oracle lives in driver_queries, aliased back here."""
 
 from __future__ import annotations
 
@@ -21,59 +21,15 @@ from vector_db_handler_spark.operators.similarity import (
     write_knn_graph_index,
 )
 
-# Distinct dials from the registered flat-search row (same chain,
-# different beam geometry) — the staged driver row pins these.
-K = 8
-BEAM = 10
-HOPS = 2
-ENTRY_MOD = 16
+# Dials + oracle registered in r14 — driver_queries holds the
+# parameterized beam chain (_beam_search_sql) and the pinned dials;
+# this file aliases them back (one source of truth).
+K = dq._GIDX_K
+BEAM = dq._GIDX_BEAM
+HOPS = dq._GIDX_HOPS
+ENTRY_MOD = dq._GIDX_ENTRY_MOD
 
-
-def _beam_search_sql(k: int, beam: int, hops: int, entry_mod: int) -> str:
-    """Parameterized re-assembly of dq._BEAM_SEARCH_SQL — identical
-    structure, caller-chosen dials.  Moves to driver_queries at
-    registration (the flat row's constant then becomes
-    _beam_search_sql(_BEAM_K, _BEAM_WIDTH, _BEAM_HOPS, _BEAM_ENTRY_MOD))."""
-    return (
-        dq._NN_DESCENT_CTES
-        + f""",
-gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
-und AS MATERIALIZED (
-  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
-),
-qq AS (
-  SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
-),
-b0 AS (
-  SELECT nid, d FROM (
-    SELECT q.vec_id AS nid,
-           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
-           row_number() OVER (
-             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
-                           AS BIGINT) DESC, q.vec_id ASC) AS rn
-    FROM qv q
-    WHERE CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15)
-               AS BIGINT) % {entry_mod} = 0
-  ) WHERE rn <= {beam}
-)"""
-        + "".join(
-            dq._BEAM_HOP_SQL.format(i=i, j=i - 1, beam=beam)
-            for i in range(1, hops + 1)
-        )
-        + f"""
-SELECT nid AS vec_id,
-       CAST(rnk AS BIGINT) AS rank,
-       d AS iscore
-FROM (
-  SELECT nid, d,
-         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
-  FROM b{hops}
-) WHERE rnk <= {k}
-"""
-    )
-
-
-GIDX_ORACLE_SQL = _beam_search_sql(K, BEAM, HOPS, ENTRY_MOD)
+GIDX_ORACLE_SQL = dq._beam_search_sql(K, BEAM, HOPS, ENTRY_MOD)
 
 
 @pytest.fixture(scope="module")

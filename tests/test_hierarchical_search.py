@@ -2,8 +2,8 @@
 `knn_graph_beam_search` defers): layer membership + coarse-edge
 derivation semantics, two-level descent determinism, tiny-corpus
 fallbacks, and the cross-engine DuckDB replay composed onto the
-registered NN-descent CTE chain.  Staged in r13 for r14 driver
-registration (oracle moves to driver_queries then; tests re-alias)."""
+registered NN-descent CTE chain.  Registered in r14; the oracle
+lives in driver_queries and this file aliases it back."""
 
 from __future__ import annotations
 
@@ -16,123 +16,17 @@ from vector_db_handler_spark.operators.similarity import (
     knn_graph_hierarchical_search,
 )
 
-# Pinned dials for the staged driver row (distinct from the flat
-# beam-search registration: same k, different navigation shape).
-K = 10
-BEAM = 12
-HOPS = 2
-LAYER_MOD = 4
-COARSE_K = 5
-COARSE_HOPS = 1
-COARSE_ENTRY_MOD = 8
+# Dials + oracle registered in r14 — driver_queries is the one source
+# of truth; this file aliases them (the staging direction reversed).
+K = dq._HIER_K
+BEAM = dq._HIER_BEAM
+HOPS = dq._HIER_HOPS
+LAYER_MOD = dq._HIER_LAYER_MOD
+COARSE_K = dq._HIER_COARSE_K
+COARSE_HOPS = dq._HIER_COARSE_HOPS
+COARSE_ENTRY_MOD = dq._HIER_COARSE_ENTRY_MOD
 
-_MD5_60 = "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15) AS BIGINT)"
-_IDOT = (
-    "CAST(list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
-    " AS BIGINT)"
-)
-
-
-def _hier_oracle_sql() -> str:
-    """DuckDB twin: the registered NN-descent chain + layer membership
-    (md5 ≡ 0 mod LAYER_MOD) + coarse edges (1-hop ∪ 2-hop of the base
-    graph restricted to layer×layer, re-scored, top-COARSE_K) + the
-    coarse walk (hash entry slice with the min-hash fallback leg,
-    COARSE_HOPS hops) + the base walk seeded by the coarse winners."""
-    h_nid = _MD5_60.format(c="nid")
-    h_vec = _MD5_60.format(c="vec_id")
-    dot_q = _IDOT.format(x="q.v", y="(SELECT v FROM qq)")
-    sql = (
-        dq._NN_DESCENT_CTES
-        + f""",
-gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
-und AS MATERIALIZED (
-  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
-),
-qq AS (
-  SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
-),
-lay AS MATERIALIZED (
-  SELECT vec_id AS nid FROM qv WHERE {h_vec} % {LAYER_MOD} = 0
-),
-cpairs AS (
-  SELECT DISTINCT p.a, p.b FROM (
-    SELECT u.a, u.b FROM und u JOIN lay la ON u.a = la.nid
-    UNION
-    SELECT u1.a, u2.b
-    FROM und u1 JOIN lay la ON u1.a = la.nid
-         JOIN und u2 ON u1.b = u2.a
-    WHERE u2.b != u1.a
-  ) p JOIN lay lb ON p.b = lb.nid
-),
-cedges AS MATERIALIZED (
-  SELECT a, b FROM (
-    SELECT c.a, c.b,
-           row_number() OVER (PARTITION BY c.a
-             ORDER BY {_IDOT.format(x='qa.v', y='qb.v')} DESC, c.b ASC) AS rn
-    FROM cpairs c JOIN qv qa ON c.a = qa.vec_id
-                  JOIN qv qb ON c.b = qb.vec_id
-  ) WHERE rn <= {COARSE_K}
-),
-cund AS MATERIALIZED (
-  SELECT a, b FROM cedges UNION SELECT b, a FROM cedges
-),
-centry AS (
-  SELECT nid FROM lay WHERE {h_nid} % {COARSE_ENTRY_MOD} = 0
-  UNION ALL
-  SELECT nid FROM (
-    SELECT nid FROM lay ORDER BY {h_nid} ASC, nid ASC LIMIT 1
-  ) WHERE NOT EXISTS (
-    SELECT 1 FROM lay WHERE {h_nid} % {COARSE_ENTRY_MOD} = 0
-  )
-),
-cb0 AS (
-  SELECT nid, d FROM (
-    SELECT q.vec_id AS nid, {dot_q} AS d,
-           row_number() OVER (ORDER BY {dot_q} DESC, q.vec_id ASC) AS rn
-    FROM centry e JOIN qv q ON e.nid = q.vec_id
-  ) WHERE rn <= {BEAM}
-)"""
-    )
-    # Coarse hops walk cund; base hop 0 re-scores the coarse winners
-    # (identical scores — the seed stage of _beam_hops_single), then
-    # the base hops walk und.
-    for i in range(1, COARSE_HOPS + 1):
-        sql += dq._BEAM_HOP_SQL.format(i=i, j=i - 1, beam=BEAM).replace(
-            "JOIN und u", "JOIN cund u"
-        ).replace("x{0}".format(i), f"cx{i}").replace(
-            f"b{i} AS", f"cb{i} AS"
-        ).replace(
-            f"FROM b{i-1}", f"FROM cb{i-1}"
-        ).replace(
-            f"ON u.a = b{i-1}.nid", f"ON u.a = cb{i-1}.nid"
-        ).replace(
-            f"FROM cx{i} c", f"FROM cx{i} c"
-        )
-    sql += f""",
-b0 AS (
-  SELECT nid, d FROM (
-    SELECT s.nid, {dot_q.replace('q.v', 'q.v')} AS d,
-           row_number() OVER (ORDER BY {dot_q} DESC, s.nid ASC) AS rn
-    FROM cb{COARSE_HOPS} s JOIN qv q ON s.nid = q.vec_id
-  ) WHERE rn <= {BEAM}
-)"""
-    for i in range(1, HOPS + 1):
-        sql += dq._BEAM_HOP_SQL.format(i=i, j=i - 1, beam=BEAM)
-    sql += f"""
-SELECT nid AS vec_id,
-       CAST(rnk AS BIGINT) AS rank,
-       d AS iscore
-FROM (
-  SELECT nid, d,
-         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
-  FROM b{HOPS}
-) WHERE rnk <= {K}
-"""
-    return sql
-
-
-HIER_ORACLE_SQL = _hier_oracle_sql()
+HIER_ORACLE_SQL = dq._HIER_SEARCH_SQL
 
 
 def _emb(spark, rows):

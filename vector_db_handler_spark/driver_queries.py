@@ -175,75 +175,30 @@ DRIVER_WINDOW: int = 50
 #: EXACTLY the 50 names intended for this round's driver window, in
 #: check order.  tests/test_driver_window.py asserts len == 50, all
 #: registered, no duplicates, queries() starts with this list verbatim,
-#: and zero overlap with CORRECTNESS_r12.json's checked set.
+#: and zero overlap with CORRECTNESS_r13.json's checked set.
 #:
-#: Round 13: (a) the 12 round-13 registrations — the nine families
-#: staged in r12 (beam search ×2, HyperBall ×2, watermark audit,
-#: domain mixture, min/max pruning, power iteration, stratified
-#: allocation, CUBE, SQLite edge) plus ``tpch_rotating``, the first
-#: installment of the §8.0 cap fold (the 22 per-query TPC-H rows are
-#: retired to ``_RETIRED_QUERIES``; pytest still replays all 22);
-#: (b) the 31 r8-vintage rows staged in r12's ``_BELOW_WINDOW``;
-#: (c) the 7 stalest r9-vintage rows in registration order.
-_R13_WINDOW: list[str] = [
-    # (a) round-13 registrations, never driver-checked
-    "knn_graph_beam_search",
-    "knn_graph_beam_search_batch",
-    "hyperball_neighborhood",
-    "neighborhood_function",
-    "watermark_late_audit",
-    "domain_mixture_weights",
-    "minmax_pruning_report",
-    "power_iteration_top_pc",
-    "allocate_stratified_exact",
-    "cube_by_day_type_source",
-    "sqlite_roundtrip_stats",
-    "tpch_rotating",
-    # (b) the 31 r8-vintage rows staged by round 12
-    "mad_value_outliers",
-    "fuzzy_part_name_pairs",
-    "latest_user_value_stream",
-    "dbscan_embedding_clusters",
-    "rrf_hybrid_topk",
-    "value_drift_tv",
-    "weighted_doc_sample",
-    "funnel_view_click_purchase",
-    "hard_negative_triplets",
-    "weighted_jaccard_pairs",
-    "kcore_part_graph",
-    "join_size_estimate_ol",
-    "theil_sen_user_trend",
-    "cusum_user_alarms",
-    "frequent_part_triples",
-    "stream_stream_left_outer",
-    "ann_recall_report",
-    "er_golden_records",
-    "bfs_brand_seed_hops",
-    "scd2_asof_order_lookup",
-    "mrl_recall_curve",
-    "split_leakage_pairs",
-    "funnel_stream_counts",
-    "label_propagation_embeddings",
-    "sq8_distortion_by_label",
-    "embedding_dim_robust_stats",
-    "bootstrap_value_ci",
-    "clustering_coefficient_parts",
-    "cohort_retention_matrix",
-    "value_drift_tv_stream",
-    "incremental_neardup_components",
-    # (c) the 7 stalest r9-vintage rows, registration order
-    "cosine_topk_join",
-    "cosine_neardup_pairs",
-    "cosine_neardup_ann",
-    "ivf_topk",
-    "media_modality_stats",
-    "media_real_decode_stats",
-    "media_phash",
-]
-
-#: Rank 51+: below the checked window; these 23 remaining r9-vintage
-#: rows lead the r14 window.
-_BELOW_WINDOW: list[str] = [
+#: Round 14 (emitted verbatim by ``tools/plan_next_window.py``):
+#: (a) the 8 round-14 registrations — the six families staged in r13
+#: (hierarchical graph-ANN search; the persisted graph index's
+#: flat/batch/hier probe rows; the streaming graph-index ingest, the
+#: fourth exactly-once serve twin; the graph recall report + beam
+#: curve eval rail; the end-to-end curation manifest); the same
+#: commit RETIRES ``knn_graph_beam_search_batch`` under the cap
+#: policy's parameter-variant rule (the persisted batch probe drives
+#: the same `_beam_hops_batch` core; pytest still replays the retired
+#: row); (b) the 23 r9-vintage rows staged in r13's ``_BELOW_WINDOW``;
+#: (c) the 19 stalest r10-vintage rows in registration order.
+_R14_WINDOW: list[str] = [
+    # (a) round-14 registrations, never driver-checked
+    "knn_graph_hierarchical_search",
+    "knn_graph_probe_table",
+    "knn_graph_probe_table_batch",
+    "knn_graph_probe_table_hier",
+    "streaming_graph_index_ingest",
+    "graph_ann_recall_report",
+    "beam_recall_curve",
+    "curation_manifest",
+    # (b) the 23 r9-vintage rows staged by round 13
     "media_resize_fingerprint",
     "streaming_dedup_first",
     "sketch_accuracy_by_lang",
@@ -267,9 +222,64 @@ _BELOW_WINDOW: list[str] = [
     "user_anomaly_stream",
     "value_decile_bins",
     "rfm_user_segments",
+    # (c) the 19 stalest r10-vintage rows, registration order
+    "knn_topk",
+    "knn_filtered",
+    "knn_filtered_empty_ids",
+    "knn_score_threshold",
+    "scroll_collection",
+    "scroll_doc",
+    "scroll_docs",
+    "scroll_docs_empty",
+    "delete_doc",
+    "delete_by_id_list",
+    "delete_doc_by_title",
+    "delete_chunk",
+    "delete_by_id",
+    "truncate_collection",
+    "scroll_chunk",
+    "update_vector_first_match",
+    "list_collections",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
 ]
 
-_DRIVER_FRONT: list[str] = _R13_WINDOW + _BELOW_WINDOW
+#: Rank 51+: below the checked window; these 30 remaining r10-vintage
+#: rows lead the r15 window.
+_BELOW_WINDOW: list[str] = [
+    "minhash_lsh_pairs",
+    "lsh_index_probe",
+    "simhash64",
+    "text_stats",
+    "lang_id_counts",
+    "doc_fingerprint",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "winnowing_containment_pairs",
+    "tumbling_events",
+    "sliding_events",
+    "sessionize_events",
+    "sample_per_lang_topk",
+    "doc_repetition",
+    "quantized_knn_topk",
+    "source_quality_report",
+    "vocab_topk_tokens",
+    "ivfsq_probe_topk",
+    "deduped_corpus",
+    "media_neardup_pairs",
+    "cube_source_lang",
+    "ivfsq_batch_probe",
+    "minhash_jaccard_estimate",
+    "anti_join_novel_docs",
+    "grouped_embedding_norms",
+    "substring_dup_spans",
+    "lsh_recall_report",
+    "shot_boundaries",
+    "rank_sum_drift",
+    "audio_neardup_pairs",
+]
+
+_DRIVER_FRONT: list[str] = _R14_WINDOW + _BELOW_WINDOW
 
 
 def _rotated(entries: dict) -> dict:
@@ -12295,9 +12305,16 @@ b{i} AS (
 #: entry beam + unrolled beam hops.  ``gmat``/``und`` MATERIALIZED:
 #: DuckDB inlines plain CTEs, so each beam stage would otherwise re-run
 #: the whole k-means + NN-descent chain (measured 305 s vs ~30 s).
-_BEAM_SEARCH_SQL = (
-    _NN_DESCENT_CTES
-    + f""",
+#: Parameterized (r14): the same chain replays the flat in-memory
+#: search AND the written-index probe at their respective dials — a
+#: probe of an index built from the same corpus with the same dials
+#: answers exactly like the in-memory search (pinned by
+#: tests/test_graph_index.py), so the twin is dial-parameterized, not
+#: duplicated.
+def _beam_search_sql(k: int, beam: int, hops: int, entry_mod: int) -> str:
+    return (
+        _NN_DESCENT_CTES
+        + f""",
 gmat AS MATERIALIZED (SELECT a, b, d FROM g{_NND_ITERS}),
 und AS MATERIALIZED (
   SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
@@ -12314,23 +12331,28 @@ b0 AS (
                            AS BIGINT) DESC, q.vec_id ASC) AS rn
     FROM qv q
     WHERE CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15)
-               AS BIGINT) % {_BEAM_ENTRY_MOD} = 0
-  ) WHERE rn <= {_BEAM_WIDTH}
+               AS BIGINT) % {entry_mod} = 0
+  ) WHERE rn <= {beam}
 )"""
-    + "".join(
-        _BEAM_HOP_SQL.format(i=i, j=i - 1, beam=_BEAM_WIDTH)
-        for i in range(1, _BEAM_HOPS + 1)
-    )
-    + f"""
+        + "".join(
+            _BEAM_HOP_SQL.format(i=i, j=i - 1, beam=beam)
+            for i in range(1, hops + 1)
+        )
+        + f"""
 SELECT nid AS vec_id,
        CAST(rnk AS BIGINT) AS rank,
        d AS iscore
 FROM (
   SELECT nid, d,
          row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
-  FROM b{_BEAM_HOPS}
-) WHERE rnk <= {_BEAM_K}
+  FROM b{hops}
+) WHERE rnk <= {k}
 """
+    )
+
+
+_BEAM_SEARCH_SQL = _beam_search_sql(
+    _BEAM_K, _BEAM_WIDTH, _BEAM_HOPS, _BEAM_ENTRY_MOD
 )
 
 
@@ -12384,9 +12406,13 @@ b{i} AS (
 #: DuckDB twin of the BATCH serve — the NN-descent chain + a quantized-
 #: queries relation (the vec_id % 97 slice, corpus scale) + per-query
 #: entry beams and hops (all windows PARTITION BY qid).
-_BEAM_BATCH_SQL = (
-    _NN_DESCENT_CTES
-    + f""",
+def _beam_batch_sql(k: int, beam: int, hops: int, entry_mod: int) -> str:
+    """Parameterized batch-serve twin (r14): replays the in-memory
+    batch search and the written-index batch probe at their dials —
+    the probe-equals-in-memory pin makes one chain serve both."""
+    return (
+        _NN_DESCENT_CTES
+        + f""",
 gmat AS MATERIALIZED (SELECT a, b, d FROM g{_NND_ITERS}),
 und AS MATERIALIZED (
   SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
@@ -12407,34 +12433,48 @@ b0 AS (
                       c.vec_id ASC) AS rn
     FROM qv c, qqs q
     WHERE CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)
-               AS BIGINT) % {_BEAM_ENTRY_MOD} = 0
-  ) WHERE rn <= {_BEAM_WIDTH}
+               AS BIGINT) % {entry_mod} = 0
+  ) WHERE rn <= {beam}
 )"""
-    + "".join(
-        _BEAM_BATCH_HOP_SQL.format(i=i, j=i - 1, beam=_BEAM_WIDTH)
-        for i in range(1, _BEAM_HOPS + 1)
-    )
-    + f"""
+        + "".join(
+            _BEAM_BATCH_HOP_SQL.format(i=i, j=i - 1, beam=beam)
+            for i in range(1, hops + 1)
+        )
+        + f"""
 SELECT qid AS query_id, nid AS neighbor_id,
        CAST(rnk AS BIGINT) AS rank, d AS iscore
 FROM (
   SELECT qid, nid, d,
          row_number() OVER (PARTITION BY qid
                             ORDER BY d DESC, nid ASC) AS rnk
-  FROM b{_BEAM_HOPS}
-) WHERE rnk <= {_BEAM_K}
+  FROM b{hops}
+) WHERE rnk <= {k}
 """
+    )
+
+
+_BEAM_BATCH_SQL = _beam_batch_sql(
+    _BEAM_K, _BEAM_WIDTH, _BEAM_HOPS, _BEAM_ENTRY_MOD
 )
 
 
-@register("knn_graph_beam_search_batch", _BEAM_BATCH_SQL)
+@register_retired("knn_graph_beam_search_batch", _BEAM_BATCH_SQL)
 def knn_graph_beam_search_batch_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """BATCH graph-ANN serve: one NN-descent build answers a whole
     queries relation in one job (every top-beam window PARTITIONed by
     query) — the production one-build-many-queries shape of a vector
-    DB.  Measured in r12's probe: 21 queries at the wall cost of one."""
+    DB.  Measured in r12's probe: 21 queries at the wall cost of one.
+
+    RETIRED in r14 under the cap policy's parameter-variant rule (r13
+    verdict stretch #7): the registered `knn_graph_probe_table_batch`
+    drives the same `_beam_hops_batch` core over the persisted index,
+    and `graph_ann_recall_report` / `beam_recall_curve` call this
+    operator directly — the in-memory batch row re-paid the ~5.7 s
+    NN-descent build each bench run for no distinct code-path
+    evidence.  The pytest oracle replay still runs it every suite
+    run."""
     from vector_db_handler_spark.operators import similarity as sim_ops
 
     emb = load(spark, sf_dir, "embeddings")
@@ -13156,7 +13196,7 @@ _TPCH_FOLD_GROUPS: list[list[str]] = [
 #: The round about to consume this window (bumped by each round's
 #: rotation commit, like _R{N}_WINDOW).  Round N fronts group
 #: ``(N - 13) % len(_TPCH_FOLD_GROUPS)`` — r13 starts at q1–q4.
-_TPCH_ROTATION_ROUND: int = 13
+_TPCH_ROTATION_ROUND: int = 14
 
 _TPCH_ROTATION_SUBSET: list[str] = _TPCH_FOLD_GROUPS[
     (_TPCH_ROTATION_ROUND - 13) % len(_TPCH_FOLD_GROUPS)
@@ -13247,3 +13287,842 @@ def tpch_rotating(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-14 registrations — the six families staged in r13: hierarchical
+# graph-ANN search, the PERSISTED graph index (flat/batch/hier probes +
+# the streaming ingest serve twin), the graph family's eval rail
+# (recall report + beam curve), and the end-to-end curation manifest.
+# Oracles MOVED here from the staging tests (which import them back —
+# one source of truth).  Cite: the reference delegates the vector-index
+# role to Qdrant's HNSW (app/core/document_ingestor.py:332-364); these
+# rows are the hash-replayable Spark-first formulation of that index's
+# build/persist/serve/append/measure lifecycle.
+# ---------------------------------------------------------------------------
+
+_MD5_60_EXPR = "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15) AS BIGINT)"
+_IDOT_EXPR = (
+    "CAST(list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+    " AS BIGINT)"
+)
+
+# --- hierarchical search (similarity.knn_graph_hierarchical_search) --------
+# Pinned dials for the registered row (distinct from the flat
+# beam-search registration: same k, different navigation shape).
+_HIER_K = 10
+_HIER_BEAM = 12
+_HIER_HOPS = 2
+_HIER_LAYER_MOD = 4
+_HIER_COARSE_K = 5
+_HIER_COARSE_HOPS = 1
+_HIER_COARSE_ENTRY_MOD = 8
+
+
+def _hier_search_sql() -> str:
+    """DuckDB twin: the registered NN-descent chain + layer membership
+    (md5 ≡ 0 mod layer_mod) + coarse edges (1-hop ∪ 2-hop of the base
+    graph restricted to layer×layer, re-scored, top-coarse_k) + the
+    coarse walk (hash entry slice with the min-hash fallback leg) + the
+    base walk seeded by the coarse winners.  Also the twin of the
+    written index's hierarchical probe: the stored coarse layer is
+    byte-identical to the per-query derivation (pinned by
+    tests/test_graph_index.py), so one chain replays both rows."""
+    h_nid = _MD5_60_EXPR.format(c="nid")
+    h_vec = _MD5_60_EXPR.format(c="vec_id")
+    dot_q = _IDOT_EXPR.format(x="q.v", y="(SELECT v FROM qq)")
+    sql = (
+        _NN_DESCENT_CTES
+        + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{_NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+),
+lay AS MATERIALIZED (
+  SELECT vec_id AS nid FROM qv WHERE {h_vec} % {_HIER_LAYER_MOD} = 0
+),
+cpairs AS (
+  SELECT DISTINCT p.a, p.b FROM (
+    SELECT u.a, u.b FROM und u JOIN lay la ON u.a = la.nid
+    UNION
+    SELECT u1.a, u2.b
+    FROM und u1 JOIN lay la ON u1.a = la.nid
+         JOIN und u2 ON u1.b = u2.a
+    WHERE u2.b != u1.a
+  ) p JOIN lay lb ON p.b = lb.nid
+),
+cedges AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT c.a, c.b,
+           row_number() OVER (PARTITION BY c.a
+             ORDER BY {_IDOT_EXPR.format(x='qa.v', y='qb.v')} DESC, c.b ASC) AS rn
+    FROM cpairs c JOIN qv qa ON c.a = qa.vec_id
+                  JOIN qv qb ON c.b = qb.vec_id
+  ) WHERE rn <= {_HIER_COARSE_K}
+),
+cund AS MATERIALIZED (
+  SELECT a, b FROM cedges UNION SELECT b, a FROM cedges
+),
+centry AS (
+  SELECT nid FROM lay WHERE {h_nid} % {_HIER_COARSE_ENTRY_MOD} = 0
+  UNION ALL
+  SELECT nid FROM (
+    SELECT nid FROM lay ORDER BY {h_nid} ASC, nid ASC LIMIT 1
+  ) WHERE NOT EXISTS (
+    SELECT 1 FROM lay WHERE {h_nid} % {_HIER_COARSE_ENTRY_MOD} = 0
+  )
+),
+cb0 AS (
+  SELECT nid, d FROM (
+    SELECT q.vec_id AS nid, {dot_q} AS d,
+           row_number() OVER (ORDER BY {dot_q} DESC, q.vec_id ASC) AS rn
+    FROM centry e JOIN qv q ON e.nid = q.vec_id
+  ) WHERE rn <= {_HIER_BEAM}
+)"""
+    )
+    # Coarse hops walk cund; base hop 0 re-scores the coarse winners
+    # (identical scores — the seed stage of _beam_hops_single), then
+    # the base hops walk und.
+    for i in range(1, _HIER_COARSE_HOPS + 1):
+        sql += _BEAM_HOP_SQL.format(i=i, j=i - 1, beam=_HIER_BEAM).replace(
+            "JOIN und u", "JOIN cund u"
+        ).replace("x{0}".format(i), f"cx{i}").replace(
+            f"b{i} AS", f"cb{i} AS"
+        ).replace(
+            f"FROM b{i-1}", f"FROM cb{i-1}"
+        ).replace(
+            f"ON u.a = b{i-1}.nid", f"ON u.a = cb{i-1}.nid"
+        )
+    sql += f""",
+b0 AS (
+  SELECT nid, d FROM (
+    SELECT s.nid, {dot_q} AS d,
+           row_number() OVER (ORDER BY {dot_q} DESC, s.nid ASC) AS rn
+    FROM cb{_HIER_COARSE_HOPS} s JOIN qv q ON s.nid = q.vec_id
+  ) WHERE rn <= {_HIER_BEAM}
+)"""
+    for i in range(1, _HIER_HOPS + 1):
+        sql += _BEAM_HOP_SQL.format(i=i, j=i - 1, beam=_HIER_BEAM)
+    sql += f"""
+SELECT nid AS vec_id,
+       CAST(rnk AS BIGINT) AS rank,
+       d AS iscore
+FROM (
+  SELECT nid, d,
+         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
+  FROM b{_HIER_HOPS}
+) WHERE rnk <= {_HIER_K}
+"""
+    return sql
+
+
+_HIER_SEARCH_SQL = _hier_search_sql()
+
+
+@register("knn_graph_hierarchical_search", _HIER_SEARCH_SQL)
+def knn_graph_hierarchical_search_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HNSW-style two-level graph-ANN descent
+    (`similarity.knn_graph_hierarchical_search`): a hash-derived coarse
+    LAYER (≈ N/layer_mod nodes) with edges DERIVED from the base
+    graph's 1∪2-hop closure is walked first, and its winners seed the
+    base-layer beam — the coarse walk replaces the flat search's entry
+    luck with navigation.  At 100 TB the corpus-touching entry scan
+    shrinks from N/entry_mod to N/(layer_mod·coarse_entry_mod) rows.
+    Closes the r12 verdict's "missing #4" (Qdrant's HNSW hierarchy)."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_ops.knn_graph_hierarchical_search(
+        emb,
+        QUERY_VEC,
+        k=_HIER_K,
+        beam=_HIER_BEAM,
+        hops=_HIER_HOPS,
+        layer_mod=_HIER_LAYER_MOD,
+        coarse_k=_HIER_COARSE_K,
+        coarse_hops=_HIER_COARSE_HOPS,
+        coarse_entry_mod=_HIER_COARSE_ENTRY_MOD,
+        graph_k=_NND_K,
+        graph_iters=_NND_ITERS,
+        rand_buckets=_NND_RAND_BUCKETS,
+    )
+
+
+# --- persisted graph-ANN index (write once / probe many) --------------------
+# Distinct dials from the registered flat-search row (same chain,
+# different beam geometry); the index is built ONCE into a scratch path
+# keyed by (dials | fixture vintage) and shared by the flat, batch and
+# hierarchical probe rows AND the streaming-ingest row's base (the
+# ingest writes only under its own ingest/ subtree, invisible to the
+# plain probes).
+_GIDX_K = 8
+_GIDX_BEAM = 10
+_GIDX_HOPS = 2
+_GIDX_ENTRY_MOD = 16
+_GIDX_BATCH_K = 5
+
+
+def _graph_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    basis = (
+        f"gidx|{_NND_K}|{_NND_ITERS}|{_NND_RAND_BUCKETS}|{_GIDX_ENTRY_MOD}|"
+        f"{_HIER_LAYER_MOD}|{_HIER_COARSE_K}|"
+        f"{_fixture_tag(sf_dir, 'embeddings')}"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_gidx_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    # meta/ is the LAST artifact write_knn_graph_index commits, so its
+    # _SUCCESS marker is a valid whole-index completion marker.
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        sim_ops.write_knn_graph_index(
+            load(spark, sf_dir, "embeddings"),
+            path,
+            graph_k=_NND_K,
+            graph_iters=_NND_ITERS,
+            rand_buckets=_NND_RAND_BUCKETS,
+            entry_mod=_GIDX_ENTRY_MOD,
+            layer_mod=_HIER_LAYER_MOD,
+            coarse_k=_HIER_COARSE_K,
+        )
+    return path
+
+
+@register(
+    "knn_graph_probe_table",
+    _beam_search_sql(_GIDX_K, _GIDX_BEAM, _GIDX_HOPS, _GIDX_ENTRY_MOD),
+)
+def knn_graph_probe_table_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a WRITTEN graph-ANN index: the stored entry slice lives in
+    its own ``entry=1`` partition directory, so the probe's entry scan
+    prunes at PLANNING time (PartitionFilters, pinned by test) instead
+    of filtering a full scan — the on-disk analog of the in-memory hash
+    slice, and the same build-once/probe-many contract as
+    `lsh_index_probe` / `ivf_probe_table`.  The oracle is the
+    dial-parameterized flat beam chain: probe ≡ in-memory search for
+    an index built from the same corpus with the same dials."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    path = _graph_index_path(spark, sf_dir)
+    return sim_ops.knn_graph_probe_table(
+        spark, path, QUERY_VEC, k=_GIDX_K, beam=_GIDX_BEAM, hops=_GIDX_HOPS
+    )
+
+
+@register(
+    "knn_graph_probe_table_batch",
+    _beam_batch_sql(_GIDX_BATCH_K, _GIDX_BEAM, _GIDX_HOPS, _GIDX_ENTRY_MOD),
+)
+def knn_graph_probe_table_batch_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH probe of the written graph-ANN index — the production
+    serve shape: the index is built offline, every arriving query
+    batch is answered in ONE job whose entry scan reads the pruned
+    ``entry=1`` partition once for the whole batch.  Replaces the
+    retired in-memory `knn_graph_beam_search_batch` row (cap policy,
+    parameter-variant rule): same `_beam_hops_batch` core, but over
+    the persisted index — the build is amortized, not re-paid per
+    bench run."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    path = _graph_index_path(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % _BEAM_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.knn_graph_probe_table_batch(
+        spark,
+        path,
+        queries_df,
+        k=_GIDX_BATCH_K,
+        beam=_GIDX_BEAM,
+        hops=_GIDX_HOPS,
+    )
+
+
+@register("knn_graph_probe_table_hier", _HIER_SEARCH_SQL)
+def knn_graph_probe_table_hier_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIERARCHICAL probe of the written index: the coarse layer's
+    edges were PRECOMPUTED at build time (``coarse_edges/``), so the
+    per-query coarsening pass the in-memory hierarchical search pays
+    moves to build time — the probe walks stored coarse edges to find
+    its entry into the stored base edges, with zero answer drift
+    (pinned bit-equal by test; the oracle is therefore the SAME
+    hierarchical chain as the in-memory row — one source of truth for
+    both code paths)."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    path = _graph_index_path(spark, sf_dir)
+    return sim_ops.knn_graph_probe_table_hier(
+        spark,
+        path,
+        QUERY_VEC,
+        k=_HIER_K,
+        beam=_HIER_BEAM,
+        hops=_HIER_HOPS,
+        coarse_hops=_HIER_COARSE_HOPS,
+        coarse_entry_mod=_HIER_COARSE_ENTRY_MOD,
+    )
+
+
+# --- streaming graph-index ingest (the fourth exactly-once serve twin) -----
+#: Arrival slices: two deterministic batches derived from the corpus
+#: (ids shifted out of the base range).  149 gives 1/1 arrivals at
+#: sf0.001, 4/4 at sf0.01, 14/14 at sf0.1.
+_GI_ARR_MOD = 149
+#: The ingest's serve dials are DERIVED from the stored meta (beam =
+#: max(8, 2·graph_k), hops = the append default) — the twin pins the
+#: same derivation.
+_GI_BEAM = max(8, 2 * _NND_K)
+_GI_HOPS = 2
+
+#: One batch-keyed beam hop over caller-chosen relations: {p} prefixes
+#: the per-leg CTE names, {und}/{corpus}/{queries} choose the graph
+#: state the leg walks (leg 0: the base index; leg 1: base ∪ batch 0 —
+#: the exactly-once store's strictly-below-own-id replay contract).
+_GI_HOP_SQL = """,
+{p}x{i} AS (
+  SELECT b.qid, u.b AS nid FROM {p}b{j} b JOIN {und} u ON u.a = b.nid
+  UNION
+  SELECT qid, nid FROM {p}b{j}
+),
+{p}b{i} AS (
+  SELECT qid, nid, d FROM (
+    SELECT x.qid, x.nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY x.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      x.nid ASC) AS rn
+    FROM {p}x{i} x JOIN {corpus} c ON x.nid = c.vec_id
+                 JOIN {queries} q ON x.qid = q.qid
+  ) WHERE rn <= {beam}
+)"""
+
+
+def _graph_ingest_sql() -> str:
+    """DuckDB twin of the streaming graph-index ingest: batch 0's
+    arrivals beam-search the BASE index and keep top-graph_k edges;
+    batch 1's arrivals search base ∪ batch 0 (vectors AND edges,
+    including batch-0 arrivals that landed in the entry slice) — the
+    incremental HNSW insert, unrolled as two SQL legs.  The registered
+    row returns the two committed batches' edge relations, so a hash
+    match proves the entire ingest computation including the
+    state-capping replay discipline."""
+    h_c = _MD5_60_EXPR.format(c="c.vec_id")
+    sql = (
+        _NN_DESCENT_CTES
+        + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{_NND_ITERS}),
+iu0 AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+arr0 AS MATERIALIZED (
+  SELECT vec_id + 1000000 AS qid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP})
+           AS qv
+  FROM embeddings, scale WHERE vec_id % {_GI_ARR_MOD} = 0
+),
+arr1 AS MATERIALIZED (
+  SELECT vec_id + 2000000 AS qid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP})
+           AS qv
+  FROM embeddings, scale WHERE vec_id % {_GI_ARR_MOD} = 1
+),
+a0b0 AS (
+  SELECT qid, nid, d FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, arr0 q
+    WHERE {h_c} % {_GIDX_ENTRY_MOD} = 0
+  ) WHERE rn <= {_GI_BEAM}
+)"""
+    )
+    for i in range(1, _GI_HOPS + 1):
+        sql += _GI_HOP_SQL.format(
+            p="a0", i=i, j=i - 1, und="iu0", corpus="qv", queries="arr0",
+            beam=_GI_BEAM,
+        )
+    sql += f""",
+e0 AS MATERIALIZED (
+  SELECT qid AS a, nid AS b, d FROM (
+    SELECT qid, nid, d,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY d DESC, nid ASC) AS rn
+    FROM a0b{_GI_HOPS}
+  ) WHERE rn <= {_NND_K}
+),
+iqv1 AS MATERIALIZED (
+  SELECT vec_id, v FROM qv
+  UNION ALL
+  SELECT qid AS vec_id, qv AS v FROM arr0
+),
+iu1 AS MATERIALIZED (
+  SELECT a, b FROM iu0
+  UNION SELECT a, b FROM e0
+  UNION SELECT b, a FROM e0
+),
+a1b0 AS (
+  SELECT qid, nid, d FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM iqv1 c, arr1 q
+    WHERE {h_c} % {_GIDX_ENTRY_MOD} = 0
+  ) WHERE rn <= {_GI_BEAM}
+)"""
+    for i in range(1, _GI_HOPS + 1):
+        sql += _GI_HOP_SQL.format(
+            p="a1", i=i, j=i - 1, und="iu1", corpus="iqv1", queries="arr1",
+            beam=_GI_BEAM,
+        )
+    sql += f""",
+e1 AS (
+  SELECT qid AS a, nid AS b, d FROM (
+    SELECT qid, nid, d,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY d DESC, nid ASC) AS rn
+    FROM a1b{_GI_HOPS}
+  ) WHERE rn <= {_NND_K}
+)
+SELECT a AS new_id, b AS neighbor_id, d AS iscore FROM e0
+UNION ALL
+SELECT a AS new_id, b AS neighbor_id, d AS iscore FROM e1
+"""
+    return sql
+
+
+_GRAPH_INGEST_SQL = _graph_ingest_sql()
+
+
+@register("streaming_graph_index_ingest", _GRAPH_INGEST_SQL)
+def streaming_graph_index_ingest_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming vector ingest maintaining the persisted graph-ANN
+    index (`stream_ops.streaming_graph_index_ingest`) — the FOURTH
+    exactly-once serve twin (after the KNN, NB and HLL stores).  Two
+    arrival batches are drained SEQUENTIALLY against one checkpoint
+    (deterministic batch order), each connecting its arrivals into the
+    graph by the batch append's HNSW-insert logic against state capped
+    strictly below its own batch id; the row returns both committed
+    batches' edge relations and the oracle replays the full two-leg
+    incremental computation."""
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.operators import similarity as sim_ops
+    from vector_db_handler_spark.streaming import stream_ops
+
+    basis = (
+        f"gingest|{_NND_K}|{_NND_ITERS}|{_NND_RAND_BUCKETS}|"
+        f"{_GIDX_ENTRY_MOD}|{_GI_ARR_MOD}|{_GI_HOPS}|"
+        f"{_fixture_tag(sf_dir, 'embeddings')}"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_gingest_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    path = os.path.join(base, "idx")
+    done = os.path.join(base, "_vdh_done")
+    if not os.path.exists(done):
+        emb = load(spark, sf_dir, "embeddings")
+        sim_ops.write_knn_graph_index(
+            emb,
+            path,
+            graph_k=_NND_K,
+            graph_iters=_NND_ITERS,
+            rand_buckets=_NND_RAND_BUCKETS,
+            entry_mod=_GIDX_ENTRY_MOD,
+            layer_mod=None,
+        )
+        src = os.path.join(base, "src")
+        # One source dir, one checkpoint: write arrival file b, drain
+        # (availableNow), repeat — the second drain discovers only the
+        # new file, so batch ids are 0 then 1 by construction.
+        for off, residue in ((1000000, 0), (2000000, 1)):
+            arr = emb.filter(F.col("vec_id") % _GI_ARR_MOD == residue).select(
+                (F.col("vec_id") + off).alias("vec_id"), "embedding", "label"
+            )
+            arr.coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(arr.schema).parquet(src)
+            stream_ops.streaming_graph_index_ingest(
+                stream, path, os.path.join(base, "cp"), hops=_GI_HOPS
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    e0 = spark.read.parquet(os.path.join(path, "ingest", "batch=0", "edges"))
+    e1 = spark.read.parquet(os.path.join(path, "ingest", "batch=1", "edges"))
+    return e0.unionByName(e1).select(
+        F.col("a").alias("new_id"),
+        F.col("b").alias("neighbor_id"),
+        F.col("d").alias("iscore"),
+    )
+
+
+# --- graph-ANN eval rail: recall report + beam curve -------------------------
+#: The registered rows' operating point — the r14 default serve dials
+#: (beam 16 / hops 3, PERF.md "Round 14") over the registered
+#: graph_k=5 NN-descent chain, entry_mod pinned for replay parity.
+_GREC_K = 5
+_GREC_BEAM = 16
+_GREC_HOPS = 3
+_GREC_ENTRY_MOD = 32
+#: ceil(recall_floor·k) at the default floor 0.9 — the exact-integer
+#: twin of graph_ann_recall_report's min_hits derivation.
+_GREC_MIN_HITS = 5
+_CURVE_BEAMS = (8, 16)
+
+
+def _graph_recall_sql() -> str:
+    return (
+        _NN_DESCENT_CTES
+        + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{_NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+qqs AS (
+  SELECT vec_id AS qid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP})
+           AS qv
+  FROM embeddings, scale WHERE vec_id % {_BEAM_QUERY_MOD} = 0
+),
+b0 AS (
+  SELECT qid, nid, d FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, qqs q
+    WHERE CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {_GREC_ENTRY_MOD} = 0
+  ) WHERE rn <= {_GREC_BEAM}
+)"""
+        + "".join(
+            _BEAM_BATCH_HOP_SQL.format(i=i, j=i - 1, beam=_GREC_BEAM)
+            for i in range(1, _GREC_HOPS + 1)
+        )
+        + f""",
+approx AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY d DESC, nid ASC) AS rnk
+    FROM b{_GREC_HOPS}
+  ) WHERE rnk <= {_GREC_K}
+),
+exact AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, qqs q
+  ) WHERE rn <= {_GREC_K}
+),
+hits AS (
+  SELECT a.qid, count(*) AS n_hits
+  FROM approx a JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
+  GROUP BY 1
+)
+SELECT q.qid AS query_id,
+       CAST({_GREC_K} AS BIGINT) AS k,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST({_GREC_K} AS DOUBLE), 6) AS recall,
+       (COALESCE(h.n_hits, 0) >= {_GREC_MIN_HITS}) AS floor_met
+FROM (SELECT DISTINCT qid FROM qqs) q LEFT JOIN hits h USING (qid)
+"""
+    )
+
+
+_GRAPH_RECALL_SQL = _graph_recall_sql()
+
+
+@register("graph_ann_recall_report", _GRAPH_RECALL_SQL)
+def graph_ann_recall_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@k of the graph-ANN beam serve vs the exact int8 ranking,
+    per query — build→serve→MEASURE for the graph family (the rail
+    that caught the r13 default-dial recall gap).  Every row carries
+    ``floor_met`` (exact-integer n_hits ≥ ceil(0.9·k)): the
+    navigability contract ships in the output, not prose.  The
+    fixture's embeddings are uniform-random (the adversarial case for
+    every navigable-graph method), so sub-floor rows here are the
+    measurement working — the pytest floor pin uses a clustered
+    fixture, where the same dials measure recall 1.0."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % _BEAM_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.graph_ann_recall_report(
+        emb,
+        queries_df,
+        k=_GREC_K,
+        beam=_GREC_BEAM,
+        hops=_GREC_HOPS,
+        entry_mod=_GREC_ENTRY_MOD,
+        graph_k=_NND_K,
+        graph_iters=_NND_ITERS,
+        rand_buckets=_NND_RAND_BUCKETS,
+    )
+
+
+def _beam_curve_sql() -> str:
+    """One NN-descent chain + one exact ranking, then per-beam approx
+    chains under suffixed CTE names, unioned into the curve."""
+    sql = (
+        _NN_DESCENT_CTES
+        + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{_NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+qqs AS (
+  SELECT vec_id AS qid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP})
+           AS qv
+  FROM embeddings, scale WHERE vec_id % {_BEAM_QUERY_MOD} = 0
+),
+exact AS MATERIALIZED (
+  SELECT qid, nid FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, qqs q
+  ) WHERE rn <= {_GREC_K}
+)"""
+    )
+    legs = []
+    for w, b in enumerate(_CURVE_BEAMS):
+        sql += f""",
+b{w}x0 AS (
+  SELECT qid, nid, d FROM (
+    SELECT q.qid, c.vec_id AS nid,
+           CAST(list_dot_product(c.v, q.qv) AS BIGINT) AS d,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_dot_product(c.v, q.qv) AS BIGINT) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qv c, qqs q
+    WHERE CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {_GREC_ENTRY_MOD} = 0
+  ) WHERE rn <= {b}
+)"""
+        for i in range(1, _GREC_HOPS + 1):
+            sql += _BEAM_BATCH_HOP_SQL.format(
+                i=f"{w}x{i}", j=f"{w}x{i - 1}", beam=b
+            )
+        legs.append(
+            f"""SELECT CAST({b} AS BIGINT) AS beam,
+       q.nq AS n_queries,
+       CAST(h.nh AS BIGINT) AS n_hits,
+       ROUND(h.nh / CAST(q.nq * {_GREC_K} AS DOUBLE), 6) AS recall
+FROM (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS nq FROM qqs) q,
+     (SELECT count(*) AS nh FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d DESC, nid ASC) AS rnk
+        FROM b{w}x{_GREC_HOPS}
+      ) a JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
+      WHERE a.rnk <= {_GREC_K}) h"""
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(legs)
+
+
+_BEAM_CURVE_SQL = _beam_curve_sql()
+
+
+@register("beam_recall_curve", _BEAM_CURVE_SQL)
+def beam_recall_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate recall@k as a function of BEAM WIDTH over ONE shared
+    graph build — the tuning curve that picked the r14 default
+    (beam=16; the curve brackets it from below).  Each point is one
+    batch serve; wall ≈ n_points × one serve, the build amortized."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % _BEAM_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.beam_recall_curve(
+        emb,
+        queries_df,
+        k=_GREC_K,
+        beams=_CURVE_BEAMS,
+        hops=_GREC_HOPS,
+        entry_mod=_GREC_ENTRY_MOD,
+        graph_k=_NND_K,
+        graph_iters=_NND_ITERS,
+        rand_buckets=_NND_RAND_BUCKETS,
+    )
+
+
+# --- end-to-end curation manifest (operators/curation.py) --------------------
+_CURATION_TOTAL_N = 120
+_CURATION_SHARDS = [f"s{i}" for i in range(6)]
+_CURATION_SALT = "curate"
+
+
+def _curation_sql(total_n: int = _CURATION_TOTAL_N) -> str:
+    """DuckDB twin of the WHOLE curation pipeline in one statement:
+    exact dedup → Gopher gate (the _G_* constants — one source of
+    truth with the registered gopher_quality_flags row) → DoReMi-lite
+    mixture (the registered _DM_* dials) → largest-remainder
+    apportionment capped at availability → deterministic (hash, id)
+    pick → HRW sharding → the manifest rollup."""
+    h60 = "CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT)"
+    shard_values = ", ".join(f"('{s}')" for s in sorted(_CURATION_SHARDS))
+    pick_h = h60.format(e="CAST(doc_id AS VARCHAR) || '|" + _CURATION_SALT + "'")
+    rdv_h = h60.format(e="CAST(doc_id AS VARCHAR) || '|' || shard")
+    return f"""
+WITH dd AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (
+             PARTITION BY {h60.format(e='text')}
+             ORDER BY doc_id ASC) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+gt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM dd),
+sv AS (
+  SELECT doc_id, lang, text FROM gt
+  WHERE len(t) BETWEEN {_G_MINW} AND {_G_MAXW}
+    AND CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t)
+        BETWEEN {_G_MLMIN} AND {_G_MLMAX}
+    AND CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        / len(t) >= {_G_ALPHA}
+    AND CAST(len(list_filter(t, x -> x = '#' OR x = '...')) AS DOUBLE)
+        / len(t) <= {_G_SYM}
+    AND len(list_filter(t, x -> x IN {_GOPHER_STOPS})) >= {_G_STOPS_MIN}
+),
+toks AS (
+  SELECT lang AS domain, string_split(text, ' ') AS t FROM sv
+  WHERE lang IS NOT NULL
+),
+doc_bigrams AS (
+  SELECT domain,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+),
+model AS (SELECT bigram, count(*) AS n FROM doc_bigrams GROUP BY 1),
+credited AS (
+  SELECT d.domain, length(printf('%b', m.n)) AS bits
+  FROM doc_bigrams d JOIN model m USING (bigram)
+),
+per_domain AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bits) AS BIGINT) AS credit
+  FROM credited GROUP BY 1
+),
+gtot AS (
+  SELECT CAST(sum(n_bigrams) AS BIGINT) AS tot_bigrams,
+         CAST(sum(credit) AS BIGINT) AS tot_credit
+  FROM per_domain
+),
+weighted AS (
+  SELECT p.domain,
+         CAST(power(greatest(CAST(1 AS BIGINT),
+                {_DM_BASE}
+                + CAST(1000 * g.tot_credit AS BIGINT) // g.tot_bigrams
+                - CAST(1000 * p.credit AS BIGINT) // p.n_bigrams),
+              {_DM_ROUNDS}) AS BIGINT) AS weight_numer
+  FROM per_domain p, gtot g
+),
+wtot AS (SELECT CAST(sum(weight_numer) AS BIGINT) AS w_tot FROM weighted),
+qb AS (
+  SELECT domain,
+         CAST({total_n} * weight_numer AS BIGINT) // w.w_tot AS base,
+         CAST({total_n} * weight_numer AS BIGINT) % w.w_tot AS rem
+  FROM weighted, wtot w
+),
+availq AS (
+  SELECT lang AS domain, count(*) AS n_avail FROM sv
+  WHERE lang IS NOT NULL GROUP BY 1
+),
+quotas AS (
+  SELECT l.domain,
+         least(l.base + CASE WHEN row_number() OVER (
+                  ORDER BY l.rem DESC, l.domain ASC)
+                <= {total_n} - (SELECT sum(base) FROM qb)
+              THEN 1 ELSE 0 END,
+              a.n_avail) AS quota
+  FROM qb l JOIN availq a USING (domain)
+),
+picked AS (
+  SELECT s.doc_id, s.lang, s.text
+  FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY {pick_h} ASC, doc_id ASC) AS pick
+    FROM sv WHERE lang IS NOT NULL
+  ) s JOIN quotas q ON s.lang = q.domain
+  WHERE s.pick <= q.quota
+),
+sharded AS (
+  SELECT doc_id, lang, text, shard FROM (
+    SELECT p.doc_id, p.lang, p.text, v.shard,
+           row_number() OVER (PARTITION BY p.doc_id
+             ORDER BY {rdv_h} DESC, shard DESC) AS srn
+    FROM picked p, (VALUES {shard_values}) v(shard)
+  ) WHERE srn = 1
+)
+SELECT shard, lang AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM sharded GROUP BY 1, 2
+"""
+
+
+_CURATION_SQL = _curation_sql()
+
+
+@register("curation_manifest", _CURATION_SQL)
+def curation_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data curation pipeline in ONE
+    hash-checked plan: exact dedup → Gopher quality gate → DoReMi-lite
+    domain mixture → largest-remainder budget apportionment (capped at
+    availability) → deterministic per-domain selection → rendezvous
+    sharding → the per-(shard, domain) manifest with an exact
+    ``sum_doc_id`` content checksum — two engines agreeing on every
+    cell agree on the exact selected document SET.  Every stage is a
+    registered family; this row proves their COMPOSITION."""
+    from vector_db_handler_spark.operators.curation import curation_manifest
+
+    docs = load(spark, sf_dir, "documents")
+    return curation_manifest(
+        docs, _CURATION_TOTAL_N, _CURATION_SHARDS, salt=_CURATION_SALT
+    )
