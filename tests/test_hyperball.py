@@ -175,3 +175,25 @@ def test_neighborhood_cross_engine_replay(spark, sf_dir, duck):
     compare(
         neighborhood_function(edges, n_hops=HOPS, p=P), duck, NEIGHBORHOOD_SQL
     )
+
+
+def test_rollup_from_shared_per_node_is_identical(spark, sf_dir):
+    """r13 verdict #4: the N(h) rollup passed a precomputed per-node
+    relation must equal the self-contained form bit-for-bit — the
+    shared-propagation memo is an optimization, never a semantics
+    change."""
+    from vector_db_handler_spark import driver_queries as dq
+    from vector_db_handler_spark.operators.graph import (
+        hyperball_neighborhood,
+        neighborhood_function,
+    )
+
+    edges = dq._part_supplier_edges(spark, sf_dir)
+    direct = neighborhood_function(edges, n_hops=2, p=6).collect()
+    shared = neighborhood_function(
+        edges,
+        n_hops=2,
+        p=6,
+        per_node=hyperball_neighborhood(edges, n_hops=2, p=6),
+    ).collect()
+    assert sorted(map(tuple, shared)) == sorted(map(tuple, direct))

@@ -588,6 +588,7 @@ def neighborhood_function(
     coverage_q: float = 0.9,
     src_col: str = "src",
     dst_col: str = "dst",
+    per_node: DataFrame | None = None,
 ) -> DataFrame:
     """The graph-level NEIGHBOURHOOD FUNCTION N(h) and the effective-
     diameter readout built on :func:`hyperball_neighborhood` — the
@@ -606,10 +607,16 @@ def neighborhood_function(
 
     Scale shape: the per-node relation is |V|·(n_hops+1) rows; this
     adds one map-side-combined rollup and a 1-row broadcast of the
-    deepest hop's total."""
-    per_node = hyperball_neighborhood(
-        edges, n_hops=n_hops, p=p, src_col=src_col, dst_col=dst_col
-    )
+    deepest hop's total.  Pass ``per_node`` (a precomputed
+    :func:`hyperball_neighborhood` relation for the same edges/dials)
+    to SHARE the register propagation instead of re-running it — the
+    rollup is pure downstream algebra over that relation (r13 verdict
+    #4: the propagation is the whole cost; two consumers should pay
+    it once)."""
+    if per_node is None:
+        per_node = hyperball_neighborhood(
+            edges, n_hops=n_hops, p=p, src_col=src_col, dst_col=dst_col
+        )
     rolled = per_node.groupBy("hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.floor(F.col("est_used") * F.lit(1_000_000.0)).cast("long"))
