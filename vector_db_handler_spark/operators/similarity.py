@@ -1357,6 +1357,181 @@ def knn_graph_beam_search_batch(
     )
 
 
+def knn_graph_beam_search_filtered(
+    emb: DataFrame,
+    query_vec: list[float],
+    predicate: str,
+    k: int = 10,
+    beam: int = 16,
+    hops: int = 3,
+    exact_threshold: int = 1024,
+    graph: DataFrame | None = None,
+    graph_k: int = 8,
+    graph_iters: int = 2,
+    kmeans_k: int = 8,
+    rand_buckets: int | None = None,
+    entry_mod: int | None = None,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """FILTERED graph-ANN search — the payload-predicate + beam
+    composition a vector DB serves for H14-style "search within these
+    docs" queries (Qdrant's filtered HNSW; the reference exposes it as
+    `search_query_on_doc`, app/core/document_ingestor.py:366-441).
+    ``predicate`` is a SQL boolean expression over the corpus columns
+    (e.g. ``"label = 3"``), kept as a string so registered rows and
+    DuckDB twins replay it verbatim.
+
+    Two regimes, dispatched on the passing-set size — the same switch
+    production filtered-HNSW implementations make, because a graph
+    walk cannot navigate a near-empty admissible set:
+
+    * **Selective** (``|passing| <= exact_threshold``): exact integer
+      top-k over the passing rows only.  The predicate reaches the
+      parquet scan (pushdown), the passing side is tiny by the
+      branch's own condition, and the result EQUALS
+      post-filtered-exact BY CONSTRUCTION — vectors are quantized with
+      the FULL-corpus scale (the index geometry), so scores are
+      bit-identical to the unfiltered exact ranking's.
+    * **Broad**: the standard beam walk routes over the FULL graph
+      (filtering the ROUTE starves navigation — the known
+      filtered-HNSW failure mode), and the answer is the top-k
+      PASSING nodes over the union of every hop's beam; the beam
+      gives k-headroom the way ef > k does in HNSW post-filtering,
+      and dense predicates keep the union well-stocked.
+
+    The dispatch count is one id-only aggregate on the filtered scan.
+    Returns ``(vec_id, rank, iscore)``; deterministic in both
+    branches (exact integer scores, pinned ties, md5 entry slice)."""
+    from pyspark.sql import Window
+
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_int8,
+    )
+
+    if k < 1 or beam < 1 or k > beam:
+        raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+    if exact_threshold < 0:
+        raise ValueError(
+            f"exact_threshold must be >= 0, got {exact_threshold}"
+        )
+    if not isinstance(predicate, str) or not predicate.strip():
+        raise ValueError("predicate must be a non-empty SQL boolean string")
+
+    passing = emb.filter(F.expr(predicate))
+    scale = max_abs_scale(emb, embedding_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qq = scale.select(
+        F.transform(
+            qlit,
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(F.lit(127.0) * x / F.col("s") + F.lit(0.5)),
+                ),
+            ).cast("long"),
+        ).alias("qv")
+    )
+    w = Window.orderBy(F.col("d").desc(), F.col("nid").asc())
+
+    n_pass = passing.select(id_col).count()
+    if n_pass <= exact_threshold:
+        # Selective branch: exact integer ranking of the passing set,
+        # quantized with the full-corpus scale (== post-filtered-exact).
+        qpass = quantize_int8(
+            passing, embedding_col=embedding_col, id_col=id_col, scale=scale
+        ).select(F.col(id_col).alias("nid"), F.col("qvec").alias("v"))
+        scored = qpass.crossJoin(F.broadcast(qq)).select(
+            "nid", _int_dot(F.col("v"), F.col("qv")).alias("d")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("nid").alias(id_col),
+                "rank",
+                F.col("d").cast("long").alias("iscore"),
+            )
+        )
+
+    # Broad branch: route over the full graph, admit passing nodes
+    # from every hop's beam.
+    if entry_mod is None:
+        entry_mod = max(1, emb.count() // 1024)
+    if entry_mod < 1:
+        raise ValueError(f"entry_mod must be >= 1, got {entry_mod}")
+    qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col).select(
+        F.col(id_col).alias("nid"), F.col("qvec").alias("v")
+    )
+    if graph is None:
+        graph = knn_graph_nn_descent(
+            emb,
+            k=graph_k,
+            iters=graph_iters,
+            kmeans_k=kmeans_k,
+            rand_buckets=rand_buckets,
+            embedding_col=embedding_col,
+            id_col=id_col,
+        )
+    und = _undirect_pairs(
+        graph.select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
+    )
+    entries = _entry_slice_nodes(qn, entry_mod)
+
+    def _score(nodes: DataFrame) -> DataFrame:
+        return (
+            nodes.join(qn, "nid")
+            .crossJoin(F.broadcast(qq))
+            .select("nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
+        )
+
+    def _top_beam(nodes: DataFrame) -> DataFrame:
+        return (
+            _score(nodes)
+            .orderBy(F.col("d").desc(), F.col("nid").asc())
+            .limit(int(beam))
+            .localCheckpoint(eager=False)
+        )
+
+    beam_df = _top_beam(entries)
+    seen = [beam_df]
+    for _ in range(int(hops)):
+        cand = (
+            beam_df.select("nid")
+            .join(und, beam_df["nid"] == und["a"])
+            .select(F.col("b").alias("nid"))
+            .unionByName(beam_df.select("nid"))
+            .distinct()
+        )
+        beam_df = _top_beam(cand)
+        seen.append(beam_df)
+    union = seen[0]
+    for b in seen[1:]:
+        union = union.unionByName(b)
+    admitted = (
+        union.groupBy("nid")
+        .agg(F.max("d").alias("d"))
+        .join(
+            passing.select(F.col(id_col).alias("nid")),
+            "nid",
+            "leftsemi",
+        )
+    )
+    return (
+        admitted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("nid").alias(id_col),
+            "rank",
+            F.col("d").cast("long").alias("iscore"),
+        )
+    )
+
+
 def _coarse_layer_edges(
     qn: DataFrame, und: DataFrame, lay: DataFrame, coarse_k: int
 ) -> DataFrame:
