@@ -13641,15 +13641,12 @@ _GI_HOP_SQL = """,
 )"""
 
 
-def _graph_ingest_sql() -> str:
-    """DuckDB twin of the streaming graph-index ingest: batch 0's
-    arrivals beam-search the BASE index and keep top-graph_k edges;
-    batch 1's arrivals search base ∪ batch 0 (vectors AND edges,
-    including batch-0 arrivals that landed in the entry slice) — the
-    incremental HNSW insert, unrolled as two SQL legs.  The registered
-    row returns the two committed batches' edge relations, so a hash
-    match proves the entire ingest computation including the
-    state-capping replay discipline."""
+def _graph_ingest_ctes() -> str:
+    """The CTE chain of the streaming-ingest twin, through ``e1``
+    (batch 1's discovered edges) — shared by the registered ingest row
+    (which SELECTs the two edge relations) and the staged merged-probe
+    twin (which walks the post-merge state ``iqv1 ∪ arr1`` /
+    ``iu1 ∪ e1``)."""
     h_c = _MD5_60_EXPR.format(c="c.vec_id")
     sql = (
         _NN_DESCENT_CTES
@@ -13725,22 +13722,30 @@ a1b0 AS (
             beam=_GI_BEAM,
         )
     sql += f""",
-e1 AS (
+e1 AS MATERIALIZED (
   SELECT qid AS a, nid AS b, d FROM (
     SELECT qid, nid, d,
            row_number() OVER (PARTITION BY qid
                               ORDER BY d DESC, nid ASC) AS rn
     FROM a1b{_GI_HOPS}
   ) WHERE rn <= {_NND_K}
-)
+)"""
+    return sql
+
+
+#: DuckDB twin of the streaming graph-index ingest: batch 0's
+#: arrivals beam-search the BASE index and keep top-graph_k edges;
+#: batch 1's arrivals search base ∪ batch 0 (vectors AND edges,
+#: including batch-0 arrivals that landed in the entry slice) — the
+#: incremental HNSW insert, unrolled as two SQL legs.  The registered
+#: row returns the two committed batches' edge relations, so a hash
+#: match proves the entire ingest computation including the
+#: state-capping replay discipline.
+_GRAPH_INGEST_SQL = _graph_ingest_ctes() + """
 SELECT a AS new_id, b AS neighbor_id, d AS iscore FROM e0
 UNION ALL
 SELECT a AS new_id, b AS neighbor_id, d AS iscore FROM e1
 """
-    return sql
-
-
-_GRAPH_INGEST_SQL = _graph_ingest_sql()
 
 
 @register("streaming_graph_index_ingest", _GRAPH_INGEST_SQL)

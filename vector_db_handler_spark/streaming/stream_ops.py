@@ -1474,6 +1474,12 @@ def streaming_graph_index_ingest(
             # Crash landed after this batch's commit but before the
             # checkpoint commit: the store state IS these directories.
             return
+        if int(batch_id) <= _read_merge_fence(index_path):
+            # This batch id was already MERGED into the base index
+            # (its directory is gone) — a fresh-checkpoint replay must
+            # not re-append it.  The fence preserves the store's
+            # rerun-no-duplicate guarantee across merges.
+            return
         spark = batch_df.sparkSession
         meta = spark.read.parquet(f"{index_path}/meta").first()
         graph_k = int(meta["graph_k"])
@@ -1544,8 +1550,18 @@ def graph_index_stream_state(
     are invisible — the same reader discipline as `hll_store_read`."""
     import os
 
-    vectors = spark.read.parquet(f"{index_path}/vectors")
-    edges = spark.read.parquet(f"{index_path}/edges")
+    merged_ids, merged_base = _read_merge_manifest(index_path)
+    if merged_base:
+        # A COMMITTED but not-yet-finalized merge: the merged side dirs
+        # are the authoritative base and the manifest's batch ids are
+        # already folded into them (their directories may or may not
+        # still exist — skip them either way).
+        vectors = spark.read.parquet(f"{index_path}/merged/vectors")
+        edges = spark.read.parquet(f"{index_path}/merged/edges")
+    else:
+        vectors = spark.read.parquet(f"{index_path}/vectors")
+        edges = spark.read.parquet(f"{index_path}/edges")
+    fence = _read_merge_fence(index_path)
     ingest_root = os.path.join(index_path, "ingest")
     batches: list[int] = []
     if os.path.isdir(ingest_root):
@@ -1562,6 +1578,8 @@ def graph_index_stream_state(
                 # (r13 ADVICE).
                 continue
             if max_batch is not None and v >= max_batch:
+                continue
+            if v in merged_ids or v <= fence:
                 continue
             bdir = os.path.join(ingest_root, d)
             if os.path.exists(
@@ -1584,8 +1602,8 @@ def graph_index_stream_probe(
     index_path: str,
     query_vec: list[float],
     k: int = 10,
-    beam: int = 12,
-    hops: int = 2,
+    beam: int = 16,
+    hops: int = 3,
 ) -> DataFrame:
     """Probe a streaming-maintained graph index: the shared probe body
     over the crash-consistent stream state."""
@@ -1600,3 +1618,144 @@ def graph_index_stream_probe(
     scale = spark.read.parquet(f"{index_path}/scale")
     vectors, edges = graph_index_stream_state(spark, index_path)
     return probe_graph_relations(scale, vectors, edges, query_vec, k, beam, hops)
+
+
+def _read_merge_fence(index_path: str) -> int:
+    """Highest batch id ever MERGED into the base index (−1 if none).
+    Written atomically by :func:`merge_graph_index_ingest`; consulted
+    by the state reader and by the ingest's replay short-circuit."""
+    import os
+
+    p = os.path.join(index_path, "ingest", "_merged_through")
+    try:
+        with open(p) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _read_merge_manifest(index_path: str) -> tuple[set[int], bool]:
+    """(batch ids folded into the merged side dirs, manifest committed).
+    The manifest file is the merge's COMMIT POINT: it is renamed into
+    place only after both merged side relations are fully written, so
+    its presence means ``merged/{vectors,edges}`` are authoritative."""
+    import json
+    import os
+
+    p = os.path.join(index_path, "merged", "_manifest.json")
+    try:
+        with open(p) as fh:
+            ids = json.load(fh)["batches"]
+        return {int(v) for v in ids}, True
+    except (OSError, ValueError, KeyError):
+        return set(), False
+
+
+def merge_graph_index_ingest(spark: SparkSession, index_path: str) -> int:
+    """MERGE the committed streaming-ingest batches into the base
+    graph index — the LSM minor→major compaction the per-batch ingest
+    store accumulates toward (each drain adds one file-set; probes of
+    the stream state union base + N batch directories, and N grows
+    forever without this).  After the merge the plain
+    `knn_graph_probe_table` probes — which read only ``vectors/`` and
+    ``edges/`` — serve the arrivals too, and the stream state reader
+    sees the identical relation it saw before (pinned by test: probe
+    parity across the merge, bit-for-bit).
+
+    Returns the number of batches merged (0 = nothing to do).
+
+    Crash-safety protocol (every crash point leaves a readable,
+    non-duplicating store; a re-run finalizes and continues):
+
+    1. write ``merged/{vectors,edges}`` side dirs = the full stream
+       state (base ∪ committed batches);
+    2. rename ``merged/_manifest.json`` into place — the COMMIT POINT:
+       from here the state reader treats the merged dirs as base and
+       skips the manifest's batch ids wherever their directories are;
+    3. rewrite ``vectors/`` + ``edges/`` from the merged dirs;
+    4. atomically advance ``ingest/_merged_through`` (the replay
+       fence: a fresh-checkpoint re-drain of already-merged batch ids
+       short-circuits instead of re-appending — the store's
+       rerun-no-duplicate guarantee survives the merge);
+    5. delete the merged batch directories;
+    6. unlink the manifest (reader flips back to the base dirs, which
+       now EQUAL the merged relation), then remove the side dirs.
+
+    Like `compact_knn_graph_index`, step 3's in-place overwrite
+    assumes no CONCURRENT reader mid-job (offline maintenance); crash
+    RESTART consistency is what the protocol guarantees."""
+    import json
+    import os
+    import shutil
+
+    ingest_root = os.path.join(index_path, "ingest")
+    mdir = os.path.join(index_path, "merged")
+    manifest = os.path.join(mdir, "_manifest.json")
+
+    def _finalize() -> int:
+        ids, committed = _read_merge_manifest(index_path)
+        if not committed:
+            return 0
+        for sub in ("vectors", "edges"):
+            df = spark.read.parquet(os.path.join(mdir, sub))
+            w = df.write.mode("overwrite")
+            if sub == "vectors":
+                w = w.partitionBy("entry")
+            w.parquet(os.path.join(index_path, sub))
+        fence = max(ids) if ids else -1
+        if fence > _read_merge_fence(index_path):
+            tmp = os.path.join(ingest_root, "_merged_through.tmp")
+            os.makedirs(ingest_root, exist_ok=True)
+            with open(tmp, "w") as fh:
+                fh.write(str(fence))
+            os.replace(tmp, os.path.join(ingest_root, "_merged_through"))
+        for v in sorted(ids):
+            shutil.rmtree(
+                os.path.join(ingest_root, f"batch={v}"), ignore_errors=True
+            )
+        os.unlink(manifest)
+        shutil.rmtree(mdir, ignore_errors=True)
+        return len(ids)
+
+    # Resume a committed-but-unfinalized merge from a prior crash.
+    done = _finalize()
+    if done:
+        return done
+
+    fence = _read_merge_fence(index_path)
+    batches: list[int] = []
+    if os.path.isdir(ingest_root):
+        for d in os.listdir(ingest_root):
+            if not d.startswith("batch="):
+                continue
+            try:
+                v = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if v <= fence:
+                continue
+            bdir = os.path.join(ingest_root, d)
+            if os.path.exists(
+                os.path.join(bdir, "vectors", "_SUCCESS")
+            ) and os.path.exists(os.path.join(bdir, "edges", "_SUCCESS")):
+                batches.append(v)
+    if not batches:
+        return 0
+
+    shutil.rmtree(mdir, ignore_errors=True)  # torn pre-commit leftovers
+    vectors, edges = graph_index_stream_state(spark, index_path)
+    (
+        vectors.repartition("entry")
+        .sortWithinPartitions("nid")
+        .write.mode("overwrite")
+        .partitionBy("entry")
+        .parquet(os.path.join(mdir, "vectors"))
+    )
+    edges.sortWithinPartitions("a").write.mode("overwrite").parquet(
+        os.path.join(mdir, "edges")
+    )
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"batches": sorted(batches)}, fh)
+    os.replace(tmp, manifest)  # COMMIT
+    return _finalize()
