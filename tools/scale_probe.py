@@ -1793,6 +1793,132 @@ def r13c(mult: int = 4) -> None:
         )
 
 
+def r14(mult: int = 4) -> None:
+    """Round-14 probes: (1) SERVE LATENCY of the persisted graph index
+    — p50/p95 per-query probe wall at two corpus scales, the number a
+    serving SLA reads (r13 verdict next-#6c); (2) recall-vs-scale of
+    the HIERARCHICAL search at the r14 default dials with the coarse
+    layer ON (r13 verdict stretch #8: the trend that decides the
+    layer's default)."""
+    import math
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_int8,
+    )
+    from vector_db_handler_spark.operators.similarity import (
+        _int_dot,
+        knn_graph_hierarchical_search,
+        knn_graph_nn_descent,
+        knn_graph_probe_table,
+        knn_graph_probe_table_batch,
+        write_knn_graph_index,
+    )
+
+    spark = get_spark("r14-probe")
+    sf = "/root/testdata/sf0.1"
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def rep_emb(m):
+        if m == 1:
+            return emb0
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return emb0.crossJoin(reps).select(
+            (F2.col("vec_id") * m + F2.col("rep")).alias("vec_id"),
+            "embedding", "label",
+        )
+
+    # --- (1) serve latency: p50/p95 of 20 sequential single-query
+    # probes + the amortized batch serve, at 1x and {mult}x ------------
+    for m in (1, mult):
+        emb = rep_emb(m).localCheckpoint()
+        n = emb.count()
+        root = tempfile.mkdtemp(prefix=f"vdh_r14lat_{m}x_")
+        path = f"{root}/idx"
+        write_knn_graph_index(
+            emb, path, graph_k=8, graph_iters=2,
+            kmeans_k=8 * m, rand_buckets=64 * m, entry_mod=32 * m,
+            layer_mod=8,
+        )
+        qrows = emb.filter(F2.col("vec_id") % 97 == 0).limit(20).collect()
+        walls = []
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            t0 = time.perf_counter()
+            knn_graph_probe_table(spark, path, qv, k=10, beam=16, hops=3).collect()
+            walls.append(time.perf_counter() - t0)
+        walls.sort()
+        p50 = walls[len(walls) // 2]
+        p95 = walls[min(len(walls) - 1, math.ceil(0.95 * len(walls)) - 1)]
+        queries = emb.filter(F2.col("vec_id") % 97 == 0).select(
+            F2.col("vec_id").alias("query_id"), "embedding"
+        )
+        nq = queries.count()
+        t0 = time.perf_counter()
+        knn_graph_probe_table_batch(
+            spark, path, queries, k=10, beam=16, hops=3
+        ).collect()
+        bw = time.perf_counter() - t0
+        print(
+            f"serve_latency @ {n} vecs: single-query p50 {p50:.2f}s "
+            f"p95 {p95:.2f}s (20 probes); batch {nq} queries in {bw:.1f}s "
+            f"= {bw / nq:.3f}s/q amortized", flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+    # --- (2) hierarchical recall vs scale (layer ON, default dials) --
+    for m in (1, mult, 4 * mult):
+        emb = rep_emb(m).localCheckpoint()
+        n = emb.count()
+        g = knn_graph_nn_descent(
+            emb, k=8, iters=2, kmeans_k=8 * m, rand_buckets=64 * m
+        ).localCheckpoint()
+        qn = quantize_int8(emb).select(
+            F2.col("vec_id").alias("nid"), F2.col("qvec").alias("v")
+        ).localCheckpoint()
+        scale = max_abs_scale(emb).first()["s"]
+        qrows = emb.filter(F2.col("vec_id") % 499 == 0).limit(12).collect()
+        hits = tot = 0
+        t0 = time.perf_counter()
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            got = {
+                x["vec_id"]
+                for x in knn_graph_hierarchical_search(
+                    emb, qv, graph=g, coarse_entry_mod=max(1, n // (8 * 1024)),
+                ).collect()
+            }
+            qq = [
+                max(-127, min(127, math.floor(127.0 * x / scale + 0.5)))
+                for x in qv
+            ]
+            exact = (
+                qn.select(
+                    "nid",
+                    _int_dot(
+                        F2.col("v"),
+                        F2.array(*[F2.lit(int(c)).cast("long") for c in qq]),
+                    ).alias("d"),
+                )
+                .orderBy(F2.col("d").desc(), F2.col("nid").asc())
+                .limit(10)
+                .collect()
+            )
+            hits += len(got & {x["nid"] for x in exact})
+            tot += 10
+        print(
+            f"hier_recall @ {n} vecs (layer ON, default dials): "
+            f"recall@10 {hits / tot:.3f} over {len(qrows)} queries, "
+            f"wall {time.perf_counter() - t0:.1f}s", flush=True,
+        )
+
+
+
 def r12b(mult: int = 4) -> None:
     """Linearity probes for the six r12-STAGED operators (register in
     r13; probed before registration so the scale claims ship with the
@@ -2389,6 +2515,8 @@ if __name__ == "__main__":
         r13b(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r13":
         r13(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r14":
+        r14(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r12d":
         r12d(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r12c":
