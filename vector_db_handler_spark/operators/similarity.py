@@ -1904,6 +1904,46 @@ def _check_index_dim(spark, path: str, query_dim: int, what: str) -> None:
         )
 
 
+def delete_knn_graph_index(spark, path: str, ids) -> None:
+    """DELETE vectors from a written graph-ANN index by TOMBSTONE —
+    the H5–H12 mutation family's graph-index analog (the reference
+    deletes points from its Qdrant collection,
+    app/core/document_ingestor.py:443-520; an HNSW index deletes the
+    same way: mark, exclude from results, physically remove at
+    compaction).  ``ids`` is a list of vector ids or a 1-column
+    DataFrame.  Tombstoned nodes stay ROUTABLE (their edges keep
+    navigating the walk — removing them from routing is what degrades
+    filtered-HNSW recall) but can never be RETURNED: every probe shape
+    (flat/batch/hier/stream) anti-joins the tombstone set at its final
+    ranking.  `compact_knn_graph_index` physically removes them and
+    repairs the routing graph.  Idempotent: re-deleting an id appends
+    a duplicate tombstone row, which the anti-join ignores."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "nid long")
+    else:
+        ids = ids.select(F.col(ids.columns[0]).cast("long").alias("nid"))
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def _load_tombstones(spark, path: str) -> DataFrame | None:
+    """The index's tombstone relation, or None when nothing was ever
+    deleted (absent directory — the zero-cost common case)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "tombstones", "_SUCCESS")):
+        return None
+    return spark.read.parquet(f"{path}/tombstones").select("nid").distinct()
+
+
+def _drop_tombstoned(ranked_src: DataFrame, tombstones: DataFrame | None) -> DataFrame:
+    """Anti-join a beam relation (carrying ``nid``) against the
+    tombstone set — a broadcast anti-join on the deleted-id relation,
+    applied BEFORE the final rank window so survivors fill the top-k."""
+    if tombstones is None:
+        return ranked_src
+    return ranked_src.join(F.broadcast(tombstones), "nid", "left_anti")
+
+
 def knn_graph_probe_table(
     spark,
     path: str,
@@ -1925,7 +1965,10 @@ def knn_graph_probe_table(
     scale = spark.read.parquet(f"{path}/scale")
     vectors = spark.read.parquet(f"{path}/vectors")
     edges = spark.read.parquet(f"{path}/edges")
-    return probe_graph_relations(scale, vectors, edges, query_vec, k, beam, hops)
+    return probe_graph_relations(
+        scale, vectors, edges, query_vec, k, beam, hops,
+        tombstones=_load_tombstones(spark, path),
+    )
 
 
 def probe_graph_relations(
@@ -1936,11 +1979,14 @@ def probe_graph_relations(
     k: int = 10,
     beam: int = 16,
     hops: int = 3,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """The probe body over already-loaded index relations — shared by
     :func:`knn_graph_probe_table` (one parquet index) and the
     streaming ingest store's reader (base index + committed arrival
-    batches).  ``vectors`` is (nid, v, entry), ``edges`` (a, b, d)."""
+    batches).  ``vectors`` is (nid, v, entry), ``edges`` (a, b, d);
+    ``tombstones`` (a deleted-id relation) nodes stay routable in the
+    walk but are excluded from the final ranking."""
     if k < 1 or beam < 1 or k > beam:
         raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
     if hops < 0:
@@ -1976,7 +2022,9 @@ def probe_graph_relations(
             .limit(1)
             .select("nid")
         )
-    beam_df = _beam_hops_single(qn, und, qq, entries, beam, hops)
+    beam_df = _drop_tombstoned(
+        _beam_hops_single(qn, und, qq, entries, beam, hops), tombstones
+    )
     w = Window.orderBy(F.col("d").desc(), F.col("nid").asc())
     return (
         beam_df.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -2127,7 +2175,10 @@ def knn_graph_probe_table_batch(
             .select("nid")
         )
     entries = entry_nodes.crossJoin(qq.select("qid"))
-    beam_df = _beam_hops_batch(qn, und, qq, entries, beam, hops)
+    beam_df = _drop_tombstoned(
+        _beam_hops_batch(qn, und, qq, entries, beam, hops),
+        _load_tombstones(spark, path),
+    )
     w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("nid").asc())
     return (
         beam_df.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -2154,7 +2205,86 @@ def compact_knn_graph_index(spark, path: str) -> None:
     ``vectors/`` is rewritten with dynamic partition overwrite
     (per-partition swap, crash leaves old files); ``edges/`` is
     unpartitioned, so it goes through the compact-copy-then-swap the
-    LSH shingle table uses."""
+    LSH shingle table uses.
+
+    When TOMBSTONES exist (`delete_knn_graph_index`), compaction also
+    PHYSICALLY removes them — the HNSW delete's second half: deleted
+    vectors drop from ``vectors/``, their edges drop from ``edges/``,
+    and the routing graph is REPAIRED by bridging a→b for every
+    undirected 2-path a→d→b through a deleted node d (both endpoints
+    alive), exactly re-scored and folded into each survivor's
+    top-``graph_k`` list (pinned ties) — so reachability through
+    deleted hubs survives the removal.  The tombstone directory is
+    cleared afterward.  With no tombstones the rewrite is byte-
+    identical relations (the original pin), no repair pass runs."""
+    import shutil as _shutil
+
+    tombs = _load_tombstones(spark, path)
+    if tombs is not None:
+        tombs = tombs.localCheckpoint(eager=True)
+        graph_k = int(spark.read.parquet(f"{path}/meta").first()["graph_k"])
+        vectors = spark.read.parquet(f"{path}/vectors")
+        alive = vectors.join(F.broadcast(tombs), "nid", "left_anti")
+        edges = spark.read.parquet(f"{path}/edges")
+        und = _undirect_pairs(edges.select("a", "b"))
+        dead_a = tombs.select(F.col("nid").alias("a"))
+        dead_any = tombs.select("nid")
+        # bridges: a --(dead d)-- b with a, b alive
+        thru = (
+            und.join(F.broadcast(tombs), und["b"] == tombs["nid"], "leftsemi")
+            .join(F.broadcast(dead_a), "a", "left_anti")
+        )  # alive a -> dead d  (column b IS the dead node)
+        back = und.join(
+            F.broadcast(tombs), und["a"] == tombs["nid"], "leftsemi"
+        ).join(
+            F.broadcast(dead_any), und["b"] == dead_any["nid"], "left_anti"
+        ).select(F.col("a").alias("d"), F.col("b").alias("bb"))  # dead -> alive
+        bridges = (
+            thru.join(back, thru["b"] == back["d"])
+            .filter(F.col("a") != F.col("bb"))
+            .select("a", F.col("bb").alias("b"))
+            .distinct()
+        )
+        qa = alive.select(F.col("nid").alias("a"), F.col("v").alias("va"))
+        qb = alive.select(F.col("nid").alias("b"), F.col("v").alias("vb"))
+        scored_bridges = (
+            bridges.join(qa, "a")
+            .join(qb, "b")
+            .select("a", "b", _int_dot(F.col("va"), F.col("vb")).alias("d"))
+        )
+        alive_edges = (
+            edges.join(F.broadcast(tombs), edges["a"] == tombs["nid"], "left_anti")
+            .join(F.broadcast(dead_any), edges["b"] == dead_any["nid"], "left_anti")
+            .select("a", "b", "d")
+        )
+        w_rep = Window.partitionBy("a").orderBy(
+            F.col("d").desc(), F.col("b").asc()
+        )
+        repaired = (
+            alive_edges.unionByName(scored_bridges)
+            .groupBy("a", "b")
+            .agg(F.max("d").alias("d"))
+            .withColumn("rn", F.row_number().over(w_rep))
+            .filter(F.col("rn") <= graph_k)
+            .select("a", "b", "d")
+        )
+        alive.repartition("entry").sortWithinPartitions("nid").write.mode(
+            "overwrite"
+        ).partitionBy("entry").parquet(f"{path}/vectors_compact")
+        repaired.sortWithinPartitions("a").write.mode("overwrite").parquet(
+            f"{path}/edges_compact2"
+        )
+        spark.read.parquet(f"{path}/vectors_compact").write.mode(
+            "overwrite"
+        ).partitionBy("entry").parquet(f"{path}/vectors")
+        spark.read.parquet(f"{path}/edges_compact2").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/edges")
+        import os as _os
+
+        for side in ("vectors_compact", "edges_compact2", "tombstones"):
+            _shutil.rmtree(_os.path.join(path, side), ignore_errors=True)
+        return
     try:
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     except Exception:  # noqa: BLE001
@@ -2405,8 +2535,11 @@ def knn_graph_probe_table_hier(
     coarse_beam_df = _beam_hops_single(
         lay, cund, qq, centry, coarse_beam, coarse_hops
     )
-    beam_df = _beam_hops_single(
-        qn, und, qq, coarse_beam_df.select("nid"), beam, hops
+    beam_df = _drop_tombstoned(
+        _beam_hops_single(
+            qn, und, qq, coarse_beam_df.select("nid"), beam, hops
+        ),
+        _load_tombstones(spark, path),
     )
     w = Window.orderBy(F.col("d").desc(), F.col("nid").asc())
     return (

@@ -1615,9 +1615,16 @@ def graph_index_stream_probe(
     _check_index_dim(
         spark, index_path, len(query_vec), "graph_index_stream_probe"
     )
+    from vector_db_handler_spark.operators.similarity import (
+        _load_tombstones,
+    )
+
     scale = spark.read.parquet(f"{index_path}/scale")
     vectors, edges = graph_index_stream_state(spark, index_path)
-    return probe_graph_relations(scale, vectors, edges, query_vec, k, beam, hops)
+    return probe_graph_relations(
+        scale, vectors, edges, query_vec, k, beam, hops,
+        tombstones=_load_tombstones(spark, index_path),
+    )
 
 
 def _read_merge_fence(index_path: str) -> int:
