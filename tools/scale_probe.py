@@ -1919,6 +1919,108 @@ def r14(mult: int = 4) -> None:
 
 
 
+def r14b(mult: int = 4) -> None:
+    """Probes for the three r14-staged families (register in r15):
+    filtered graph-ANN search (both dispatch branches), the
+    graph-index ingest MERGE, and the DELETE path (tombstone probe +
+    compaction with edge repair)."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from vector_db_handler_spark import driver_queries as dq
+    from vector_db_handler_spark.operators.similarity import (
+        compact_knn_graph_index,
+        delete_knn_graph_index,
+        knn_graph_beam_search_filtered,
+        knn_graph_nn_descent,
+        knn_graph_probe_table,
+        write_knn_graph_index,
+    )
+    from vector_db_handler_spark.streaming.stream_ops import (
+        graph_index_stream_probe,
+        merge_graph_index_ingest,
+        streaming_graph_index_ingest,
+    )
+
+    spark = get_spark("r14b-probe")
+    sf = "/root/testdata/sf0.1"
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def rep_emb(m):
+        if m == 1:
+            return emb0
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return emb0.crossJoin(reps).select(
+            (F2.col("vec_id") * m + F2.col("rep")).alias("vec_id"),
+            "embedding", "label",
+        )
+
+    for m in (1, mult):
+        emb = rep_emb(m).localCheckpoint()
+        n = emb.count()
+        g = knn_graph_nn_descent(
+            emb, k=8, iters=2, kmeans_k=8 * m, rand_buckets=64 * m
+        ).localCheckpoint()
+        qv = dq.QUERY_VEC
+        t0 = time.perf_counter()
+        n_sel = knn_graph_beam_search_filtered(
+            emb, qv, "label = 3", k=8, beam=10, hops=2
+        ).count()
+        t1 = time.perf_counter()
+        n_broad = knn_graph_beam_search_filtered(
+            emb, qv, "label >= 2", k=8, beam=10, hops=2,
+            exact_threshold=0, entry_mod=16 * m, graph=g,
+        ).count()
+        t2 = time.perf_counter()
+        print(
+            f"filtered_search @ {n} vecs: selective(exact branch) "
+            f"{t1-t0:.1f}s/{n_sel} rows; broad(walk branch, build "
+            f"amortized) {t2-t1:.1f}s/{n_broad} rows", flush=True,
+        )
+
+    for m in (1, mult):
+        emb = rep_emb(m).localCheckpoint()
+        n = emb.count()
+        root = tempfile.mkdtemp(prefix=f"vdh_r14b_{m}x_")
+        path = f"{root}/idx"
+        write_knn_graph_index(
+            emb, path, graph_k=8, graph_iters=2, kmeans_k=8 * m,
+            rand_buckets=64 * m, entry_mod=16 * m, layer_mod=None,
+        )
+        src = f"{root}/src"
+        for b, (off, residue) in enumerate([(10_000_000, 0), (20_000_000, 1)]):
+            arr = emb.filter(F2.col("vec_id") % 149 == residue).select(
+                (F2.col("vec_id") + off).alias("vec_id"), "embedding", "label"
+            )
+            arr.coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(arr.schema).parquet(src)
+            streaming_graph_index_ingest(stream, path, f"{root}/cp", hops=2)
+        t0 = time.perf_counter()
+        nb = merge_graph_index_ingest(spark, path)
+        t1 = time.perf_counter()
+        graph_index_stream_probe(spark, path, dq.QUERY_VEC, k=8, beam=10, hops=2).collect()
+        t2 = time.perf_counter()
+        # delete 1/173 of the corpus, probe tombstoned, then compact
+        doomed = emb.filter(F2.col("vec_id") % 173 == 0).select("vec_id")
+        delete_knn_graph_index(spark, path, doomed)
+        t3 = time.perf_counter()
+        knn_graph_probe_table(spark, path, dq.QUERY_VEC, k=8, beam=10, hops=2).collect()
+        t4 = time.perf_counter()
+        compact_knn_graph_index(spark, path)
+        t5 = time.perf_counter()
+        print(
+            f"merge+delete @ {n} vecs: merge({nb} batches) {t1-t0:.1f}s, "
+            f"post-merge probe {t2-t1:.1f}s, delete {t3-t2:.1f}s, "
+            f"tombstoned probe {t4-t3:.1f}s, compact+repair {t5-t4:.1f}s",
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+
+
 def r12b(mult: int = 4) -> None:
     """Linearity probes for the six r12-STAGED operators (register in
     r13; probed before registration so the scale claims ship with the
@@ -2515,6 +2617,8 @@ if __name__ == "__main__":
         r13b(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r13":
         r13(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r14b":
+        r14b(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r14":
         r14(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r12d":
