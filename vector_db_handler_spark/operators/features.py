@@ -187,6 +187,95 @@ def embedding_dim_stats(
     )
 
 
+def embedding_drift_report(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    vec_col: str = "embedding",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-dimension DRIFT between two embedding corpora — the
+    embedding-space member of the drift battery (`tv_drift_by` for
+    values, `kl_token_drift` / `rank_sum_drift` for tokens): did the
+    new crawl / new encoder version / new preprocessing shift the
+    vector distribution the index geometry was built for?  Run before
+    reusing centroids, quantization scales or a graph index across
+    snapshots — the same per-dimension moments `embedding_dim_stats`
+    profiles, compared across corpora.
+
+    Exactness: both sides accumulate the nano-int moments of
+    `embedding_dim_stats` (one double→DECIMAL(18,9) rounding, Σx and
+    Σx² in DECIMAL(38,0)); means/stds and the Welch z-statistic
+
+        z = (mean_b − mean_a) / sqrt(var_a/n_a + var_b/n_b)
+
+    are derived by ONE fixed sequence of IEEE casts/divisions both
+    engines evaluate identically, so every column hash-checks.
+    ``drifted`` flags |z| ≥ ``z_threshold`` (default 3σ).
+
+    Output: one row per dimension —
+    ``(pos, n_a, n_b, mean_a, mean_b, mean_shift, std_a, std_b, z,
+    drifted)``.  Scale shape: one posexplode + one map-side-combined
+    per-dimension aggregate PER SIDE; the join and the arithmetic run
+    on |dims|-row relations regardless of corpus size."""
+    if z_threshold < 0:
+        raise ValueError(f"z_threshold must be >= 0, got {z_threshold}")
+
+    nano = (
+        F.col("v").cast("double").cast("decimal(18,9)") * F.lit(1_000_000_000)
+    ).cast("long")
+
+    def _moments(emb: DataFrame, tag: str) -> DataFrame:
+        exploded = emb.select(F.posexplode(vec_col).alias("pos", "v")).select(
+            "pos", nano.alias("x")
+        )
+        c = F.count(F.lit(1))
+        s = F.sum(F.col("x").cast("decimal(38,0)"))
+        q = F.sum(
+            (F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)")
+        )
+        return exploded.groupBy("pos").agg(
+            c.alias(f"n_{tag}"),
+            s.alias(f"s_{tag}"),
+            q.alias(f"q_{tag}"),
+        )
+
+    a = _moments(emb_a, "a")
+    b = _moments(emb_b, "b")
+    j = a.join(b, "pos")
+
+    def _mean(tag: str):
+        return (
+            F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}") / F.lit(1e9)
+        )
+
+    def _var(tag: str):
+        # population variance in (nano-units)², then back to units²
+        num = (
+            F.col(f"n_{tag}") * F.col(f"q_{tag}")
+            - F.col(f"s_{tag}") * F.col(f"s_{tag}")
+        ).cast("decimal(38,0)")
+        return num.cast("double") / (
+            F.col(f"n_{tag}").cast("double")
+            * F.col(f"n_{tag}").cast("double")
+            * F.lit(1e18)
+        )
+
+    shift = _mean("b") - _mean("a")
+    z = shift / F.sqrt(_var("a") / F.col("n_a") + _var("b") / F.col("n_b"))
+    return j.select(
+        "pos",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        _mean("a").alias("mean_a"),
+        _mean("b").alias("mean_b"),
+        shift.alias("mean_shift"),
+        (F.sqrt(_var("a"))).alias("std_a"),
+        (F.sqrt(_var("b"))).alias("std_b"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) >= F.lit(float(z_threshold))).alias("drifted"),
+    )
+
+
 def cooccurrence_lift(
     df: DataFrame,
     basket_col: str,
