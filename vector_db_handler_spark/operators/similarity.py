@@ -2037,6 +2037,217 @@ def probe_graph_relations(
     )
 
 
+def knn_graph_probe_table_on_ids(
+    spark,
+    path: str,
+    query_vec: list[float],
+    allowed_ids: DataFrame | None,
+    k: int = 10,
+    beam: int = 16,
+    hops: int = 3,
+    exact_threshold: int = 1024,
+) -> DataFrame:
+    """FILTERED probe of a WRITTEN graph-ANN index — the persisted-
+    serve shape of H14's ``search_query_on_doc`` ("search within these
+    docs", app/core/document_ingestor.py:366-441) composed with the
+    graph index: ``allowed_ids`` is a 1-column relation of admissible
+    vector ids; ``None`` means match-all (the reference's empty-filter
+    convention), degrading to the plain probe.
+
+    The same two dispatch regimes as the in-memory
+    :func:`knn_graph_beam_search_filtered`, over the STORED artifacts:
+
+    * **Selective** (``|allowed ∩ index| ≤ exact_threshold``): exact
+      integer top-k over just the admissible stored vectors — a
+      broadcast semi-join prunes the scan, the stored scale keeps
+      scores bit-identical to post-filtered-exact.
+    * **Broad**: the standard stored-edge walk routes over the FULL
+      graph; admissible nodes from every hop's beam form the answer.
+
+    Tombstoned ids are excluded in both regimes (a deleted vector is
+    never admissible).  Returns ``(vec_id, rank, iscore)``."""
+    if k < 1 or beam < 1 or k > beam:
+        raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+    if exact_threshold < 0:
+        raise ValueError(
+            f"exact_threshold must be >= 0, got {exact_threshold}"
+        )
+    if allowed_ids is None:
+        return knn_graph_probe_table(spark, path, query_vec, k, beam, hops)
+    _check_index_dim(
+        spark, path, len(query_vec), "knn_graph_probe_table_on_ids"
+    )
+    allowed = allowed_ids.select(
+        F.col(allowed_ids.columns[0]).cast("long").alias("nid")
+    ).distinct()
+    tombs = _load_tombstones(spark, path)
+    if tombs is not None:
+        allowed = allowed.join(F.broadcast(tombs), "nid", "left_anti")
+
+    scale = spark.read.parquet(f"{path}/scale")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    qn = vectors.select("nid", "v")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qq = scale.select(
+        F.transform(
+            qlit,
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(F.lit(127.0) * x / F.col("s") + F.lit(0.5)),
+                ),
+            ).cast("long"),
+        ).alias("qv")
+    )
+    w = Window.orderBy(F.col("d").desc(), F.col("nid").asc())
+
+    admissible = qn.join(allowed, "nid", "leftsemi")
+    n_pass = admissible.select("nid").limit(exact_threshold + 1).count()
+    if n_pass <= exact_threshold:
+        scored = admissible.crossJoin(F.broadcast(qq)).select(
+            "nid", _int_dot(F.col("v"), F.col("qv")).alias("d")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("nid").alias("vec_id"),
+                "rank",
+                F.col("d").cast("long").alias("iscore"),
+            )
+        )
+
+    und = _undirect_pairs(
+        spark.read.parquet(f"{path}/edges").select("a", "b")
+    )
+    entries = vectors.filter(F.col("entry") == 1).select("nid")
+    if entries.isEmpty():
+        from vector_db_handler_spark.functions.text import portable_hash60
+
+        entries = (
+            qn.select(
+                "nid",
+                portable_hash60(F.col("nid").cast("string")).alias("eh"),
+            )
+            .orderBy(F.col("eh").asc(), F.col("nid").asc())
+            .limit(1)
+            .select("nid")
+        )
+
+    def _score(nodes: DataFrame) -> DataFrame:
+        return (
+            nodes.join(qn, "nid")
+            .crossJoin(F.broadcast(qq))
+            .select("nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
+        )
+
+    def _top_beam(nodes: DataFrame) -> DataFrame:
+        return (
+            _score(nodes)
+            .orderBy(F.col("d").desc(), F.col("nid").asc())
+            .limit(int(beam))
+            .localCheckpoint(eager=False)
+        )
+
+    beam_df = _top_beam(entries)
+    seen = [beam_df]
+    for _ in range(int(hops)):
+        cand = (
+            beam_df.select("nid")
+            .join(und, beam_df["nid"] == und["a"])
+            .select(F.col("b").alias("nid"))
+            .unionByName(beam_df.select("nid"))
+            .distinct()
+        )
+        beam_df = _top_beam(cand)
+        seen.append(beam_df)
+    union = seen[0]
+    for b in seen[1:]:
+        union = union.unionByName(b)
+    admitted = (
+        union.groupBy("nid")
+        .agg(F.max("d").alias("d"))
+        .join(allowed, "nid", "leftsemi")
+    )
+    return (
+        admitted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("nid").alias("vec_id"),
+            "rank",
+            F.col("d").cast("long").alias("iscore"),
+        )
+    )
+
+
+def knn_graph_index_stats(spark, path: str) -> DataFrame:
+    """ANALYZE for a written graph-ANN index: one row of store-health
+    counters an operator reads before trusting a probe — vector /
+    entry-slice / edge counts, stored dials, coarse-layer presence and
+    size, live tombstones, committed ingest batches awaiting merge,
+    and the merge fence.  All exact counts over the stored relations
+    (the `profile_events_table` posture, for the index)."""
+    import os
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    vectors = spark.read.parquet(f"{path}/vectors")
+    n_vectors = vectors.count()
+    n_entry = vectors.filter(F.col("entry") == 1).count()
+    n_edges = spark.read.parquet(f"{path}/edges").count()
+    layer_mod = int(meta["layer_mod"])
+    n_coarse_edges = (
+        spark.read.parquet(f"{path}/coarse_edges").count()
+        if layer_mod >= 1
+        and os.path.exists(os.path.join(path, "coarse_edges", "_SUCCESS"))
+        else 0
+    )
+    tombs = _load_tombstones(spark, path)
+    n_tombstones = 0 if tombs is None else tombs.count()
+    n_batches = 0
+    fence = -1
+    ingest_root = os.path.join(path, "ingest")
+    if os.path.isdir(ingest_root):
+        from vector_db_handler_spark.streaming.stream_ops import (
+            _read_merge_fence,
+            graph_index_stream_state,
+        )
+
+        fence = _read_merge_fence(path)
+        for d in os.listdir(ingest_root):
+            if d.startswith("batch="):
+                try:
+                    v = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if v > fence and os.path.exists(
+                    os.path.join(ingest_root, d, "vectors", "_SUCCESS")
+                ):
+                    n_batches += 1
+    return spark.createDataFrame(
+        [
+            (
+                int(n_vectors),
+                int(n_entry),
+                int(n_edges),
+                int(meta["entry_mod"]),
+                int(meta["graph_k"]),
+                int(meta["dim"]),
+                int(layer_mod),
+                int(n_coarse_edges),
+                int(n_tombstones),
+                int(n_batches),
+                int(fence),
+            )
+        ],
+        "n_vectors long, n_entry long, n_edges long, entry_mod long,"
+        " graph_k long, dim long, layer_mod long, n_coarse_edges long,"
+        " n_tombstones long, n_unmerged_batches long, merged_through long",
+    )
+
+
 def append_knn_graph_index(
     new_rows: DataFrame,
     path: str,
