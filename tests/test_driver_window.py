@@ -6,7 +6,7 @@ effect because a comment mis-counted the window (the refresh names sat
 at rank 51+ and the driver re-hashed the byte-identical round-7 set).
 These tests make that failure mode impossible to ship again:
 
-* the intended window is an explicit constant (``_R14_WINDOW``) of
+* the intended window is an explicit constant (``_R15_WINDOW``) of
   EXACTLY ``DRIVER_WINDOW`` names — no prose arithmetic;
 * ``queries()`` / ``oracle_sql()`` must begin with it verbatim;
 * every fronted name must be registered, exactly once;
@@ -26,8 +26,8 @@ from vector_db_handler_spark import driver_queries as dq
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: The previous round's correctness artifact: the set the driver checked
-#: last round.  Bump alongside _R14_WINDOW when planning the next window.
-_PREV_CORRECTNESS = os.path.join(_REPO, "CORRECTNESS_r13.json")
+#: last round.  Bump alongside _R15_WINDOW when planning the next window.
+_PREV_CORRECTNESS = os.path.join(_REPO, "CORRECTNESS_r14.json")
 
 #: Latest round with driver evidence for each query, derived from every
 #: CORRECTNESS_r*.json in the repo root.
@@ -43,12 +43,12 @@ def _latest_evidence() -> dict[str, int]:
 
 
 def test_window_is_exactly_driver_window_names():
-    assert len(dq._R14_WINDOW) == dq.DRIVER_WINDOW, (
-        f"_R14_WINDOW has {len(dq._R14_WINDOW)} names, the driver checks "
+    assert len(dq._R15_WINDOW) == dq.DRIVER_WINDOW, (
+        f"_R15_WINDOW has {len(dq._R15_WINDOW)} names, the driver checks "
         f"exactly {dq.DRIVER_WINDOW} — a mis-count here silently wastes "
         "the round's evidence window"
     )
-    assert len(set(dq._R14_WINDOW)) == len(dq._R14_WINDOW), "duplicate names"
+    assert len(set(dq._R15_WINDOW)) == len(dq._R15_WINDOW), "duplicate names"
 
 
 def test_every_fronted_name_is_registered():
@@ -63,9 +63,9 @@ def test_every_fronted_name_is_registered():
 
 def test_queries_begin_with_the_intended_window():
     got = list(dq.queries())[: dq.DRIVER_WINDOW]
-    assert got == dq._R14_WINDOW, (
+    assert got == dq._R15_WINDOW, (
         "queries() does not start with the intended window — the "
-        "rotation sort is not applying _R14_WINDOW verbatim"
+        "rotation sort is not applying _R15_WINDOW verbatim"
     )
 
 
@@ -79,7 +79,7 @@ def test_oracles_rotated_consistently():
 def test_window_does_not_overlap_previous_round():
     with open(_PREV_CORRECTNESS) as f:
         prev = set(json.load(f))
-    overlap = sorted(set(dq._R14_WINDOW) & prev)
+    overlap = sorted(set(dq._R15_WINDOW) & prev)
     assert not overlap, (
         f"window re-checks {len(overlap)} queries the driver already "
         f"hashed last round: {overlap[:10]} — rotate stale evidence in "
@@ -102,7 +102,7 @@ def test_no_query_older_than_the_rotation_cycle_after_this_window():
     current_round = max(latest.values()) + 1
     cycle = math.ceil(len(dq._QUERIES) / dq.DRIVER_WINDOW)
     floor = current_round - cycle
-    window = set(dq._R14_WINDOW)
+    window = set(dq._R15_WINDOW)
     stale = sorted(
         n
         for n in dq._QUERIES
@@ -119,7 +119,7 @@ def test_new_registrations_front_in_their_own_round():
     # inside the window, so it gets first-round driver evidence.
     latest = _latest_evidence()
     never_checked = [n for n in dq._QUERIES if n not in latest]
-    missing = [n for n in never_checked if n not in dq._R14_WINDOW]
+    missing = [n for n in never_checked if n not in dq._R15_WINDOW]
     assert not missing, (
         f"registered but not fronted (violates the same-commit rule): "
         f"{missing}"

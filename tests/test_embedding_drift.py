@@ -1,8 +1,8 @@
 """Two-corpus embedding drift report (the embedding-space member of
 the drift battery next to tv_drift_by / kl_token_drift /
 rank_sum_drift): exact nano-int moments per side, Welch z per
-dimension, 3σ drift flags.  Staged in r14 for r15 driver registration
-(oracle moves to driver_queries then)."""
+dimension, 3σ drift flags.  Registered in r15; the oracle
+lives in driver_queries and this file aliases it back."""
 
 from __future__ import annotations
 
@@ -13,62 +13,16 @@ from vector_db_handler_spark.operators.features import (
     embedding_drift_report,
 )
 
-#: The staged driver row: corpus A = labels 0-4, corpus B = labels 5-9
-#: of the embeddings fixture (a deterministic covariate split).
-A_PRED = "label < 5"
-B_PRED = "label >= 5"
-Z_THRESHOLD = 3.0
+# Split + oracle registered in r15 — driver_queries is the one source
+# of truth; this file aliases them back (corpus A = labels 0-4,
+# corpus B = labels 5-9: a deterministic covariate split).
+from vector_db_handler_spark import driver_queries as dq  # noqa: E402
 
+A_PRED = dq._DRIFT_A_PRED
+B_PRED = dq._DRIFT_B_PRED
+Z_THRESHOLD = dq._DRIFT_Z
 
-def _x_cte(pred: str) -> str:
-    return f"""
-  SELECT pos - 1 AS pos,
-         CAST(CAST(v AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS x
-  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
-               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos
-        FROM embeddings WHERE {pred})"""
-
-
-def _drift_oracle_sql() -> str:
-    return f"""
-WITH xa AS ({_x_cte(A_PRED)}),
-xb AS ({_x_cte(B_PRED)}),
-aa AS (
-  SELECT pos, COUNT(*) AS n_a,
-         SUM(CAST(x AS HUGEINT)) AS s_a,
-         SUM(CAST(x AS HUGEINT) * x) AS q_a
-  FROM xa GROUP BY pos
-),
-ab AS (
-  SELECT pos, COUNT(*) AS n_b,
-         SUM(CAST(x AS HUGEINT)) AS s_b,
-         SUM(CAST(x AS HUGEINT) * x) AS q_b
-  FROM xb GROUP BY pos
-),
-j AS (SELECT * FROM aa JOIN ab USING (pos)),
-d AS (
-  SELECT pos,
-         CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-         CAST(s_a AS DOUBLE) / n_a / 1000000000.0 AS mean_a,
-         CAST(s_b AS DOUBLE) / n_b / 1000000000.0 AS mean_b,
-         CAST(s_b AS DOUBLE) / n_b / 1000000000.0
-           - CAST(s_a AS DOUBLE) / n_a / 1000000000.0 AS mean_shift,
-         CAST(n_a * q_a - s_a * s_a AS DOUBLE)
-           / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * 1e18) AS var_a,
-         CAST(n_b * q_b - s_b * s_b AS DOUBLE)
-           / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * 1e18) AS var_b
-  FROM j
-)
-SELECT pos, n_a, n_b, mean_a, mean_b, mean_shift,
-       SQRT(var_a) AS std_a, SQRT(var_b) AS std_b,
-       ROUND(mean_shift / SQRT(var_a / n_a + var_b / n_b), 6) AS z,
-       (ABS(ROUND(mean_shift / SQRT(var_a / n_a + var_b / n_b), 6))
-        >= {Z_THRESHOLD}) AS drifted
-FROM d
-"""
-
-
-DRIFT_ORACLE_SQL = _drift_oracle_sql()
+DRIFT_ORACLE_SQL = dq._DRIFT_ORACLE_SQL
 
 
 def _run(spark, sf_dir):

@@ -5,8 +5,7 @@ app/core/document_ingestor.py:366-441).  Two dispatch regimes:
 selective predicates take the exact-over-passing-set branch (pinned ≡
 post-filtered-exact BY CONSTRUCTION), broad predicates route the beam
 walk over the FULL graph and admit passing nodes from every hop's
-beam.  Staged in r14 for r15 driver registration (oracles move to
-driver_queries then)."""
+beam.  Registered in r15."""
 
 from __future__ import annotations
 
@@ -18,101 +17,18 @@ from vector_db_handler_spark.operators.similarity import (
     knn_graph_beam_search_filtered,
 )
 
-# Staged driver-row dials.  The SELECTIVE row's predicate passes ~10%
-# of the corpus (≤ the default threshold at every driver scale, so the
-# branch is stable); the BROAD row pins exact_threshold=0 so the walk
-# branch runs at every scale.
-FK = 8
-FBEAM = 10
-FHOPS = 2
-FENTRY_MOD = 16
-SELECTIVE_PRED = "label = 3"
-BROAD_PRED = "label >= 2"
+# Dials + oracles registered in r15 — driver_queries is the one
+# source of truth; this file aliases them (the staging direction
+# reversed, the r12–r14 pattern).
+FK = dq._FILT_K
+FBEAM = dq._FILT_BEAM
+FHOPS = dq._FILT_HOPS
+FENTRY_MOD = dq._FILT_ENTRY_MOD
+SELECTIVE_PRED = dq._FILT_SELECTIVE_PRED
+BROAD_PRED = dq._FILT_BROAD_PRED
 
-
-def _selective_oracle_sql() -> str:
-    """Exact integer top-k over the passing rows, quantized with the
-    FULL-corpus scale (the index geometry) — post-filtered-exact."""
-    dot = "CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT)"
-    return f"""
-WITH scale AS (
-  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
-                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
-  FROM embeddings
-),
-qp AS (
-  SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]), x -> {dq._QUANT_CLAMP})
-           AS v
-  FROM embeddings, scale WHERE {SELECTIVE_PRED}
-),
-qq AS (
-  SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
-)
-SELECT nid AS vec_id, CAST(rnk AS BIGINT) AS rank, d AS iscore
-FROM (
-  SELECT q.vec_id AS nid, {dot} AS d,
-         row_number() OVER (ORDER BY {dot} DESC, q.vec_id ASC) AS rnk
-  FROM qp q
-) WHERE rnk <= {FK}
-"""
-
-
-def _broad_oracle_sql() -> str:
-    """The flat beam chain at the staged dials, then: union of every
-    hop's beam → dedup per node → admit predicate-passing nodes →
-    top-k."""
-    union_all = "\n    UNION ALL\n    ".join(
-        f"SELECT nid, d FROM b{i}" for i in range(FHOPS + 1)
-    )
-    return (
-        dq._NN_DESCENT_CTES
-        + f""",
-gmat AS MATERIALIZED (SELECT a, b, d FROM g{dq._NND_ITERS}),
-und AS MATERIALIZED (
-  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
-),
-qq AS (
-  SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
-),
-b0 AS (
-  SELECT nid, d FROM (
-    SELECT q.vec_id AS nid,
-           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
-           row_number() OVER (
-             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
-                           AS BIGINT) DESC, q.vec_id ASC) AS rn
-    FROM qv q
-    WHERE CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15)
-               AS BIGINT) % {FENTRY_MOD} = 0
-  ) WHERE rn <= {FBEAM}
-)"""
-        + "".join(
-            dq._BEAM_HOP_SQL.format(i=i, j=i - 1, beam=FBEAM)
-            for i in range(1, FHOPS + 1)
-        )
-        + f""",
-allb AS (
-  SELECT nid, max(d) AS d FROM (
-    {union_all}
-  ) GROUP BY nid
-),
-adm AS (
-  SELECT a.nid, a.d FROM allb a JOIN embeddings e ON a.nid = e.vec_id
-  WHERE {BROAD_PRED}
-)
-SELECT nid AS vec_id, CAST(rnk AS BIGINT) AS rank, d AS iscore
-FROM (
-  SELECT nid, d,
-         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
-  FROM adm
-) WHERE rnk <= {FK}
-"""
-    )
-
-
-SELECTIVE_ORACLE_SQL = _selective_oracle_sql()
-BROAD_ORACLE_SQL = _broad_oracle_sql()
+SELECTIVE_ORACLE_SQL = dq._FILT_SELECTIVE_SQL
+BROAD_ORACLE_SQL = dq._FILT_BROAD_SQL
 
 
 def _run_selective(spark, sf_dir):

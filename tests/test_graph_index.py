@@ -385,8 +385,92 @@ def test_probe_rejects_wrong_dim(spark, index_path):
         knn_graph_probe_table(spark, index_path, bad)
     with pytest.raises(ValueError, match="dim"):
         knn_graph_probe_table_hier(spark, index_path, bad)
+    # Batch probe (r14 ADVICE): the guard is DECLARATIVE — assert_true
+    # rides the serve plan so EVERY row is validated (a first()-only
+    # check cost an extra job and let mixed-dimension batches null-score
+    # all other rows silently).  The error therefore surfaces at action
+    # time, and a mixed batch fails even when its first row is valid.
     qdf = spark.createDataFrame(
         [(1, bad)], "query_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="dim"):
-        knn_graph_probe_table_batch(spark, index_path, qdf, k=1, beam=2)
+    with pytest.raises(Exception, match="dim"):
+        knn_graph_probe_table_batch(
+            spark, index_path, qdf, k=1, beam=2
+        ).collect()
+    good = dq.QUERY_VEC
+    mixed = spark.createDataFrame(
+        [(1, [float(x) for x in good]), (2, bad)],
+        "query_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dim"):
+        knn_graph_probe_table_batch(
+            spark, index_path, mixed, k=1, beam=2
+        ).collect()
+
+
+def test_probe_serve_path_is_job_free(spark, sf_dir, tmp_path):
+    """r14 verdict #3: the written index's meta/ stores the build-time
+    hash-layer count (n_layer) and entry-slice count (n_entry), so
+    constructing a probe — flat, batch, on_ids(None->plain), or
+    hierarchical with DEFAULT coarse_entry_mod — runs NO driver
+    count/isEmpty job over index relations (only the 1-row meta read).
+    Pinned by making count/isEmpty explode during plan construction;
+    results stay bit-identical to the unpatched run."""
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_probe_table_batch,
+        knn_graph_probe_table_hier,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    write_knn_graph_index(
+        emb,
+        path,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+        entry_mod=ENTRY_MOD,
+        layer_mod=4,
+    )
+    meta = spark.read.parquet(f"{path}/meta").first()
+    assert int(meta["n_layer"]) > 0 and int(meta["n_entry"]) > 0
+
+    queries = emb.filter("vec_id % 7 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base_flat = knn_graph_probe_table(
+        spark, path, dq.QUERY_VEC, k=3, beam=8, hops=2
+    ).collect()
+    base_hier = knn_graph_probe_table_hier(
+        spark, path, dq.QUERY_VEC, k=3, beam=8, hops=2
+    ).collect()
+
+    def _boom(self):
+        raise AssertionError(
+            "driver count/isEmpty job on the probe construction path"
+        )
+
+    orig_count, orig_isempty = _DF.count, _DF.isEmpty
+    _DF.count, _DF.isEmpty = _boom, _boom
+    try:
+        flat_df = knn_graph_probe_table(
+            spark, path, dq.QUERY_VEC, k=3, beam=8, hops=2
+        )
+        hier_df = knn_graph_probe_table_hier(
+            spark, path, dq.QUERY_VEC, k=3, beam=8, hops=2
+        )  # DEFAULT coarse_entry_mod — derived from meta, not a count
+        batch_df = knn_graph_probe_table_batch(
+            spark, path, queries, k=3, beam=8, hops=2
+        )
+    finally:
+        _DF.count, _DF.isEmpty = orig_count, orig_isempty
+    assert [tuple(r) for r in flat_df.collect()] == [
+        tuple(r) for r in base_flat
+    ]
+    assert [tuple(r) for r in hier_df.collect()] == [
+        tuple(r) for r in base_hier
+    ]
+    assert batch_df.count() > 0

@@ -2,8 +2,9 @@
 removal + routing repair at compaction) — the H5–H12 mutation family's
 graph-index analog (the reference deletes points from its Qdrant
 collection, app/core/document_ingestor.py:443-520; HNSW deletes are
-mark + exclude + compact).  Staged in r14 for r15 driver registration
-(the tombstoned-probe twin moves to driver_queries then)."""
+mark + exclude + compact).  Registered in r15; the
+tombstoned-probe twin lives in driver_queries and this file aliases
+it back."""
 
 from __future__ import annotations
 
@@ -24,45 +25,15 @@ from vector_db_handler_spark.operators.similarity import (
     write_knn_graph_index,
 )
 
-K = 8
-BEAM = 10
-HOPS = 2
-ENTRY_MOD = 16
-#: The staged driver row's deterministic delete slice.
-DELETE_PRED_MOD = 173
+# Dials + twin registered in r15 — driver_queries is the one source
+# of truth; this file aliases them back.
+K = dq._GIDX_K
+BEAM = dq._GIDX_BEAM
+HOPS = dq._GIDX_HOPS
+ENTRY_MOD = dq._GIDX_ENTRY_MOD
+DELETE_PRED_MOD = dq._GDEL_MOD
 
-
-def _tombstoned_probe_sql() -> str:
-    """The flat beam chain at the index dials with the tombstone
-    anti-join before the final ranking: tombstoned nodes ROUTE (the
-    walk is unchanged) but are excluded from the answer."""
-    base = dq._beam_search_sql(K, BEAM, HOPS, ENTRY_MOD)
-    final = f"""
-SELECT nid AS vec_id,
-       CAST(rnk AS BIGINT) AS rank,
-       d AS iscore
-FROM (
-  SELECT nid, d,
-         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
-  FROM b{HOPS}
-) WHERE rnk <= {K}
-"""
-    assert base.endswith(final)
-    return base[: -len(final)] + f"""
-SELECT nid AS vec_id,
-       CAST(rnk AS BIGINT) AS rank,
-       d AS iscore
-FROM (
-  SELECT nid, d,
-         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
-  FROM b{HOPS}
-  WHERE nid NOT IN (SELECT vec_id FROM embeddings
-                    WHERE vec_id % {DELETE_PRED_MOD} = 0)
-) WHERE rnk <= {K}
-"""
-
-
-TOMBSTONED_PROBE_SQL = _tombstoned_probe_sql()
+TOMBSTONED_PROBE_SQL = dq._TOMBSTONED_PROBE_SQL
 
 
 def _build(spark, sf_dir, path):
@@ -225,3 +196,105 @@ def test_no_tombstones_probe_unchanged(spark, sf_dir, tmp_path):
     from tests.test_graph_index import GIDX_ORACLE_SQL  # noqa: F401
     rows = got.collect()
     assert len(rows) == K
+
+
+def test_compaction_covers_stream_resident_ids(spark, sf_dir, tmp_path):
+    """r14 ADVICE: a tombstoned id living in an UNMERGED streaming
+    ingest batch dir must be physically removed by compaction too —
+    compaction auto-merges committed batches first, so after it the
+    stream probe can never serve the deleted arrival again."""
+    from vector_db_handler_spark.streaming.stream_ops import (
+        graph_index_stream_probe,
+        streaming_graph_index_ingest,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = _build(spark, sf_dir, path)
+    arr = emb.filter(F.col("vec_id") % dq._GI_ARR_MOD == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    arr.coalesce(1).write.parquet(str(tmp_path / "src"))
+    stream = spark.readStream.schema(arr.schema).parquet(str(tmp_path / "src"))
+    streaming_graph_index_ingest(
+        stream, path, str(tmp_path / "cp"), hops=dq._GI_HOPS
+    )
+    # A stream-batch-resident arrival the probe actually serves (its
+    # base twin ranks first on the nid tie-break; the arrival follows),
+    # then delete it.
+    first_arr = arr.first()
+    qv = [float(x) for x in first_arr["embedding"]]
+    victim = int(first_arr["vec_id"])
+    assert victim >= 1000000  # an arrival, i.e. stream-batch-resident
+    pre = graph_index_stream_probe(spark, path, qv, k=5, beam=8, hops=2)
+    assert victim in {r["vec_id"] for r in pre.collect()}
+    delete_knn_graph_index(spark, path, [victim])
+
+    compact_knn_graph_index(spark, path)
+
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    # physically gone from the (merged) base dirs
+    assert (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("nid") == victim)
+        .count()
+        == 0
+    )
+    # and the stream probe can never return it again
+    got = graph_index_stream_probe(spark, path, qv, k=5, beam=8, hops=2)
+    assert victim not in {r["vec_id"] for r in got.collect()}
+
+
+def test_compaction_rebuilds_coarse_layer(spark, sf_dir, tmp_path):
+    """r14 ADVICE: an index written with a coarse layer must have
+    coarse_edges/ REBUILT at tombstone compaction — otherwise coarse
+    edges through deleted coarse-layer nodes become permanent
+    dead-ends (tombstones are cleared, nothing marks them stale)."""
+    from vector_db_handler_spark.functions.text import portable_hash60
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_index_stats,
+        knn_graph_probe_table_hier,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    write_knn_graph_index(
+        emb,
+        path,
+        graph_k=dq._NND_K,
+        graph_iters=dq._NND_ITERS,
+        rand_buckets=dq._NND_RAND_BUCKETS,
+        entry_mod=ENTRY_MOD,
+        layer_mod=2,  # dense layer so deletes hit coarse members
+    )
+    # Delete a slice guaranteed to include coarse-layer nodes.
+    lay_ids = [
+        r["nid"]
+        for r in spark.read.parquet(f"{path}/vectors")
+        .select("nid")
+        .withColumn("h", portable_hash60(F.col("nid").cast("string")))
+        .filter(F.col("h") % 2 == 0)
+        .orderBy("nid")
+        .limit(3)
+        .collect()
+    ]
+    assert lay_ids
+    delete_knn_graph_index(spark, path, lay_ids)
+    compact_knn_graph_index(spark, path)
+
+    alive = {
+        r["nid"]
+        for r in spark.read.parquet(f"{path}/vectors").select("nid").collect()
+    }
+    ce = spark.read.parquet(f"{path}/coarse_edges").collect()
+    assert ce, "coarse layer vanished at compaction"
+    for r in ce:
+        assert r["a"] in alive and r["b"] in alive, (
+            f"dead coarse edge survived compaction: {(r['a'], r['b'])}"
+        )
+    # the ANALYZE row agrees and the hierarchical probe still serves
+    st = knn_graph_index_stats(spark, path).first()
+    assert st["n_tombstones"] == 0 and st["n_coarse_edges"] == len(ce)
+    got = knn_graph_probe_table_hier(
+        spark, path, dq.QUERY_VEC, k=3, beam=8, hops=2
+    ).collect()
+    assert got and not ({r["vec_id"] for r in got} & set(lay_ids))

@@ -1,7 +1,7 @@
 """Filtered probe over the WRITTEN graph-ANN index (H14's
 search-within-these-docs on the persisted serve path) + the index
-stats ANALYZE row.  Staged in r14 for r15 driver registration (the
-twins move to driver_queries then)."""
+stats ANALYZE row.  Registered in r15; the
+twins live in driver_queries and this file aliases them back."""
 
 from __future__ import annotations
 
@@ -18,78 +18,17 @@ from vector_db_handler_spark.operators.similarity import (
     write_knn_graph_index,
 )
 
-K = 8
-BEAM = 10
-HOPS = 2
-ENTRY_MOD = 16
-#: Staged driver-row predicates, as id slices of the fixture.
-SELECTIVE_MOD = 173   # ~0.6% of ids -> exact branch at every scale
-BROAD_MOD = 3         # ~33% of ids  -> walk branch (with threshold 0)
+# Dials + twins registered in r15 — driver_queries is the one source
+# of truth; this file aliases them back.
+K = dq._GIDX_K
+BEAM = dq._GIDX_BEAM
+HOPS = dq._GIDX_HOPS
+ENTRY_MOD = dq._GIDX_ENTRY_MOD
+SELECTIVE_MOD = dq._FPROBE_SELECTIVE_MOD   # ~0.6% of ids -> exact branch
+BROAD_MOD = dq._FPROBE_BROAD_MOD           # ~33% of ids  -> walk branch
 
-
-def _filtered_probe_sql(allow_pred: str, broad: bool) -> str:
-    """Twin: the flat chain; selective = exact ranking of the
-    admissible stored vectors, broad = union of hop beams semi-joined
-    to the admissible set."""
-    dot = "CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT)"
-    if not broad:
-        return f"""
-WITH scale AS (
-  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
-                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
-  FROM embeddings
-),
-qp AS (
-  SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]), x -> {dq._QUANT_CLAMP})
-           AS v
-  FROM embeddings, scale WHERE {allow_pred}
-),
-qq AS (
-  SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
-)
-SELECT nid AS vec_id, CAST(rnk AS BIGINT) AS rank, d AS iscore
-FROM (
-  SELECT q.vec_id AS nid, {dot} AS d,
-         row_number() OVER (ORDER BY {dot} DESC, q.vec_id ASC) AS rnk
-  FROM qp q
-) WHERE rnk <= {K}
-"""
-    base = dq._beam_search_sql(K, BEAM, HOPS, ENTRY_MOD)
-    final = f"""
-SELECT nid AS vec_id,
-       CAST(rnk AS BIGINT) AS rank,
-       d AS iscore
-FROM (
-  SELECT nid, d,
-         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
-  FROM b{HOPS}
-) WHERE rnk <= {K}
-"""
-    assert base.endswith(final)
-    union_all = "\n    UNION ALL\n    ".join(
-        f"SELECT nid, d FROM b{i}" for i in range(HOPS + 1)
-    )
-    return base[: -len(final)] + f""",
-allb AS (
-  SELECT nid, max(d) AS d FROM (
-    {union_all}
-  ) GROUP BY nid
-)
-SELECT nid AS vec_id, CAST(rnk AS BIGINT) AS rank, d AS iscore
-FROM (
-  SELECT nid, d,
-         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
-  FROM allb
-  WHERE nid IN (SELECT vec_id FROM embeddings WHERE {allow_pred})
-) WHERE rnk <= {K}
-"""
-
-
-SELECTIVE_PROBE_SQL = _filtered_probe_sql(
-    f"vec_id % {SELECTIVE_MOD} = 0", broad=False
-)
-BROAD_PROBE_SQL = _filtered_probe_sql(f"vec_id % {BROAD_MOD} = 0", broad=True)
+SELECTIVE_PROBE_SQL = dq._FPROBE_SELECTIVE_SQL
+BROAD_PROBE_SQL = dq._FPROBE_BROAD_SQL
 
 
 @pytest.fixture(scope="module")

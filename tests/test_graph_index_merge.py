@@ -5,8 +5,8 @@ merge (stream state AND the plain base-dir probes, bit-for-bit), the
 crash-resume protocol (a committed-but-unfinalized merge is readable
 and finalizable), the replay fence (a fresh-checkpoint re-drain of
 merged batch ids is a no-op), and the cross-engine DuckDB replay of a
-probe over the MERGED state (base ∪ both arrival legs).  Staged in
-r14 for r15 driver registration."""
+probe over the MERGED state (base ∪ both arrival legs).  Registered in r15; the merged-probe
+twin lives in driver_queries and this file aliases it back."""
 
 from __future__ import annotations
 
@@ -28,72 +28,13 @@ from vector_db_handler_spark.streaming.stream_ops import (
     streaming_graph_index_ingest,
 )
 
-# Probe dials for the staged merged-probe driver row (the written
-# index's flat-probe geometry over the post-merge state).
-PK = 8
-PBEAM = 10
-PHOPS = 2
+# Dials + twin registered in r15 — driver_queries is the one source
+# of truth; this file aliases them back.
+PK = dq._GIDX_K
+PBEAM = dq._GIDX_BEAM
+PHOPS = dq._GIDX_HOPS
 
-
-def _merged_probe_sql() -> str:
-    """DuckDB twin: the ingest chain through e1, then the single-query
-    beam walk over the MERGED state (vectors = base ∪ both arrival
-    batches, edges = base ∪ both legs' discovered edges) from the
-    post-merge entry slice (base entries ∪ arrivals whose hash ≡ 0)."""
-    h_q = "CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
-    sql = (
-        dq._graph_ingest_ctes()
-        + f""",
-fqv AS MATERIALIZED (
-  SELECT vec_id, v FROM iqv1
-  UNION ALL
-  SELECT qid AS vec_id, qv AS v FROM arr1
-),
-fund AS MATERIALIZED (
-  SELECT a, b FROM iu1
-  UNION SELECT a, b FROM e1
-  UNION SELECT b, a FROM e1
-),
-qq AS (
-  SELECT list_transform({dq._Q_SQL}, x -> {dq._QUANT_CLAMP}) AS v FROM scale
-),
-fb0 AS (
-  SELECT nid, d FROM (
-    SELECT q.vec_id AS nid,
-           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
-           row_number() OVER (
-             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
-                           AS BIGINT) DESC, q.vec_id ASC) AS rn
-    FROM fqv q
-    WHERE {h_q} % {dq._GIDX_ENTRY_MOD} = 0
-  ) WHERE rn <= {PBEAM}
-)"""
-    )
-    for i in range(1, PHOPS + 1):
-        hop = dq._BEAM_HOP_SQL.format(i=i, j=i - 1, beam=PBEAM)
-        hop = (
-            hop.replace(f"x{i} AS (", f"fx{i} AS (")
-            .replace(f"b{i - 1}", f"fb{i - 1}")
-            .replace(f"b{i} AS (", f"fb{i} AS (")
-            .replace(f"FROM x{i} c", f"FROM fx{i} c")
-            .replace("JOIN und u", "JOIN fund u")
-            .replace("JOIN qv q", "JOIN fqv q")
-        )
-        sql += hop
-    sql += f"""
-SELECT nid AS vec_id,
-       CAST(rnk AS BIGINT) AS rank,
-       d AS iscore
-FROM (
-  SELECT nid, d,
-         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
-  FROM fb{PHOPS}
-) WHERE rnk <= {PK}
-"""
-    return sql
-
-
-MERGED_PROBE_SQL = _merged_probe_sql()
+MERGED_PROBE_SQL = dq._MERGED_PROBE_SQL
 
 
 def _build_and_ingest(spark, sf_dir, base) -> str:
@@ -251,3 +192,43 @@ def test_crash_resume_finalizes_committed_merge(spark, sf_dir, tmp_path):
     assert (_rel(v2), _rel(e2)) == want
     assert not os.path.exists(mdir)
     assert _read_merge_fence(path) == 1
+
+
+def test_stats_consults_merge_manifest_mid_merge(spark, sf_dir, tmp_path):
+    """r14 ADVICE: during a COMMITTED-but-unfinalized merge the base
+    dirs may be mid-rewrite — `knn_graph_index_stats` must read the
+    merged side dirs and must NOT report the manifest's already-folded
+    batches as unmerged (same discipline as the state reader)."""
+    import json
+
+    from vector_db_handler_spark.operators.similarity import (
+        knn_graph_index_stats,
+    )
+
+    path = _build_and_ingest(spark, sf_dir, str(tmp_path))
+    v0, e0 = graph_index_stream_state(spark, path)
+    n_v, n_e = v0.count(), e0.count()
+
+    mdir = os.path.join(path, "merged")
+    v0.repartition("entry").write.partitionBy("entry").parquet(
+        os.path.join(mdir, "vectors")
+    )
+    e0.write.parquet(os.path.join(mdir, "edges"))
+    with open(os.path.join(mdir, "_manifest.json"), "w") as fh:
+        json.dump({"batches": [0, 1]}, fh)
+
+    st = knn_graph_index_stats(spark, path).first()
+    assert st["n_vectors"] == n_v
+    assert st["n_edges"] == n_e
+    assert st["n_unmerged_batches"] == 0
+    assert st["merged_through"] == 1
+
+    # Finalizing changes nothing the stats report.
+    assert merge_graph_index_ingest(spark, path) == 2
+    st2 = knn_graph_index_stats(spark, path).first()
+    assert (
+        st2["n_vectors"],
+        st2["n_edges"],
+        st2["n_unmerged_batches"],
+        st2["merged_through"],
+    ) == (n_v, n_e, 0, 1)

@@ -177,76 +177,29 @@ DRIVER_WINDOW: int = 50
 #: registered, no duplicates, queries() starts with this list verbatim,
 #: and zero overlap with CORRECTNESS_r13.json's checked set.
 #:
-#: Round 14 (emitted verbatim by ``tools/plan_next_window.py``):
-#: (a) the 8 round-14 registrations — the six families staged in r13
-#: (hierarchical graph-ANN search; the persisted graph index's
-#: flat/batch/hier probe rows; the streaming graph-index ingest, the
-#: fourth exactly-once serve twin; the graph recall report + beam
-#: curve eval rail; the end-to-end curation manifest); the same
-#: commit RETIRES ``knn_graph_beam_search_batch`` under the cap
-#: policy's parameter-variant rule (the persisted batch probe drives
-#: the same `_beam_hops_batch` core; pytest still replays the retired
-#: row); (b) the 23 r9-vintage rows staged in r13's ``_BELOW_WINDOW``;
-#: (c) the 19 stalest r10-vintage rows in registration order.
-_R14_WINDOW: list[str] = [
-    # (a) round-14 registrations, never driver-checked
-    "knn_graph_hierarchical_search",
-    "knn_graph_probe_table",
-    "knn_graph_probe_table_batch",
-    "knn_graph_probe_table_hier",
-    "streaming_graph_index_ingest",
-    "graph_ann_recall_report",
-    "beam_recall_curve",
-    "curation_manifest",
-    # (b) the 23 r9-vintage rows staged by round 13
-    "media_resize_fingerprint",
-    "streaming_dedup_first",
-    "sketch_accuracy_by_lang",
-    "text_quality",
-    "pipeline_ingest_search",
-    "pipeline_ingest_search_checked",
-    "top_customers_per_nation",
-    "simhash_neardup_pairs",
-    "label_centroids",
-    "scroll_page2",
-    "upsert_scroll_roundtrip",
-    "decontamination_pairs",
-    "bloom_incremental_novel",
-    "salted_join_agg",
-    "bucketed_join_agg",
-    "neardup_components",
-    "neardup_canonical_docs",
-    "sample_stratified_docs",
-    "running_user_value_stream",
-    "scd2_customer_merge",
-    "user_anomaly_stream",
-    "value_decile_bins",
-    "rfm_user_segments",
-    # (c) the 19 stalest r10-vintage rows, registration order
-    "knn_topk",
-    "knn_filtered",
-    "knn_filtered_empty_ids",
-    "knn_score_threshold",
-    "scroll_collection",
-    "scroll_doc",
-    "scroll_docs",
-    "scroll_docs_empty",
-    "delete_doc",
-    "delete_by_id_list",
-    "delete_doc_by_title",
-    "delete_chunk",
-    "delete_by_id",
-    "truncate_collection",
-    "scroll_chunk",
-    "update_vector_first_match",
-    "list_collections",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-]
-
-#: Rank 51+: below the checked window; these 30 remaining r10-vintage
-#: rows lead the r15 window.
-_BELOW_WINDOW: list[str] = [
+#: Round 15 (emitted verbatim by ``tools/plan_next_window.py``):
+#: (a) the 8 round-15 registrations — the six families staged in r14
+#: (filtered graph-ANN search, both dispatch regimes; the filtered
+#: persisted probe, both regimes; the graph-index ANALYZE row; the
+#: tombstoned probe — the graph index's H5–H12 delete parity; the LSM
+#: merge of the streaming ingest store; the two-corpus embedding
+#: drift report); the same commit RETIRES ``knn_graph_beam_search``
+#: under the cap policy's parameter-variant rule (the persisted
+#: `knn_graph_probe_table` drives the same `_beam_hops_single` core;
+#: pytest still replays the retired row);
+#: (b) the 30 r10-vintage rows staged in r14's ``_BELOW_WINDOW``;
+#: (c) the 12 stalest r11-vintage rows in registration order.
+_R15_WINDOW: list[str] = [
+    # (a) round-15 registrations, never driver-checked
+    "knn_graph_beam_search_filtered",
+    "knn_graph_beam_search_filtered_sel",
+    "knn_graph_probe_table_on_ids",
+    "knn_graph_probe_table_on_ids_broad",
+    "knn_graph_index_stats",
+    "knn_graph_probe_tombstoned",
+    "merge_graph_index_ingest",
+    "embedding_drift_report",
+    # (b) the 30 r10-vintage rows staged by round 14
     "minhash_lsh_pairs",
     "lsh_index_probe",
     "simhash64",
@@ -277,9 +230,57 @@ _BELOW_WINDOW: list[str] = [
     "shot_boundaries",
     "rank_sum_drift",
     "audio_neardup_pairs",
+    # (c) the 12 stalest r11-vintage rows, registration order
+    "media_binary_dedup",
+    "media_frame_stats",
+    "tumbling_events_stream",
+    "sliding_events_stream",
+    "sessionize_events_stream",
+    "stream_stream_join_attribution",
+    "jsonl_roundtrip_stats",
+    "csv_roundtrip_stats",
+    "orc_roundtrip_stats",
+    "avro_roundtrip_stats",
+    "gopher_quality_flags",
+    "asof_join_purchase_view",
 ]
 
-_DRIVER_FRONT: list[str] = _R14_WINDOW + _BELOW_WINDOW
+#: Rank 51+: below the checked window; these 30 remaining r11-vintage
+#: rows lead the r16 window.
+_BELOW_WINDOW: list[str] = [
+    "range_join_pairs",
+    "rollup_day_type",
+    "json_props_stats",
+    "bigram_novelty",
+    "span_dedup_corpus",
+    "tfidf_topk_terms",
+    "kmeans_int8_2iter",
+    "ivfsq_int8_train_probe",
+    "pq_train_codebooks",
+    "pq_adc_topk",
+    "ivfpq_probe_topk",
+    "user_retention_weekly",
+    "funnel_view_purchase",
+    "value_outliers",
+    "running_user_value",
+    "srp_neardup_pairs",
+    "semdedup_survivors",
+    "bm25_topk_docs",
+    "zorder_orders_layout",
+    "embedding_dispersion",
+    "value_percentiles_by_type",
+    "trending_types_stream",
+    "dataset_split_counts",
+    "phrase_search_docs",
+    "hybrid_search_rerank",
+    "incremental_rollup_merge",
+    "enriched_stream_by_nation",
+    "training_shard_manifest",
+    "binary_hamming_topk",
+    "srp_multiprobe_pairs",
+]
+
+_DRIVER_FRONT: list[str] = _R15_WINDOW + _BELOW_WINDOW
 
 
 def _rotated(entries: dict) -> dict:
@@ -12356,9 +12357,15 @@ _BEAM_SEARCH_SQL = _beam_search_sql(
 )
 
 
-@register("knn_graph_beam_search", _BEAM_SEARCH_SQL)
+@register_retired("knn_graph_beam_search", _BEAM_SEARCH_SQL)
 def knn_graph_beam_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-ANN QUERY path (`similarity.knn_graph_beam_search`): a
+    """RETIRED r15 (cap policy, parameter-variant rule): the persisted
+    `knn_graph_probe_table` drives the same `_beam_hops_single` core
+    over the same dials-equivalent geometry, and the in-memory batch
+    variant was retired in r14 on the same grounds.  The pytest oracle
+    replay still runs this row every suite run.
+
+    Graph-ANN QUERY path (`similarity.knn_graph_beam_search`): a
     deterministic hash-sampled entry scan seeds the beam, then
     expand-over-graph-edges → exact-int8 re-score → keep-top-beam for
     a fixed number of hops.  Completes the graph-ANN family: the
@@ -13223,7 +13230,7 @@ _TPCH_FOLD_GROUPS: list[list[str]] = [
 #: The round about to consume this window (bumped by each round's
 #: rotation commit, like _R{N}_WINDOW).  Round N fronts group
 #: ``(N - 13) % len(_TPCH_FOLD_GROUPS)`` — r13 starts at q1–q4.
-_TPCH_ROTATION_ROUND: int = 14
+_TPCH_ROTATION_ROUND: int = 15
 
 _TPCH_ROTATION_SUBSET: list[str] = _TPCH_FOLD_GROUPS[
     (_TPCH_ROTATION_ROUND - 13) % len(_TPCH_FOLD_GROUPS)
@@ -13474,6 +13481,7 @@ def knn_graph_hierarchical_search_query(
         coarse_k=_HIER_COARSE_K,
         coarse_hops=_HIER_COARSE_HOPS,
         coarse_entry_mod=_HIER_COARSE_ENTRY_MOD,
+        graph=_shared_graph_edges(spark, sf_dir),
         graph_k=_NND_K,
         graph_iters=_NND_ITERS,
         rand_buckets=_NND_RAND_BUCKETS,
@@ -13524,6 +13532,24 @@ def _graph_index_path(spark: SparkSession, sf_dir: str) -> str:
             coarse_k=_HIER_COARSE_K,
         )
     return path
+
+
+def _shared_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NN-descent graph at the registered dials, LOADED from the
+    shared written index instead of rebuilt inside each driver row
+    (r14 verdict #6): `write_knn_graph_index` stores exactly
+    `knn_graph_nn_descent`'s output for (graph_k, graph_iters,
+    rand_buckets), so the eval rails (`graph_ann_recall_report`,
+    `beam_recall_curve`) and the in-memory hierarchical row share ONE
+    build per fixture vintage — the way the probe rows already share
+    the written index.  Results are hash-identical by the
+    probe-equals-in-memory pin (tests/test_graph_index.py)."""
+    path = _graph_index_path(spark, sf_dir)
+    return spark.read.parquet(f"{path}/edges").select(
+        F.col("a").alias("vec_id"),
+        F.col("b").alias("neighbor_id"),
+        F.col("d").alias("iscore"),
+    )
 
 
 @register(
@@ -13922,6 +13948,7 @@ def graph_ann_recall_report_query(
         beam=_GREC_BEAM,
         hops=_GREC_HOPS,
         entry_mod=_GREC_ENTRY_MOD,
+        graph=_shared_graph_edges(spark, sf_dir),
         graph_k=_NND_K,
         graph_iters=_NND_ITERS,
         rand_buckets=_NND_RAND_BUCKETS,
@@ -14014,6 +14041,7 @@ def beam_recall_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         beams=_CURVE_BEAMS,
         hops=_GREC_HOPS,
         entry_mod=_GREC_ENTRY_MOD,
+        graph=_shared_graph_edges(spark, sf_dir),
         graph_k=_NND_K,
         graph_iters=_NND_ITERS,
         rand_buckets=_NND_RAND_BUCKETS,
@@ -14157,4 +14185,739 @@ def curation_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return curation_manifest(
         docs, _CURATION_TOTAL_N, _CURATION_SHARDS, salt=_CURATION_SALT
+    )
+
+
+# ===========================================================================
+# ROUND 15 registrations — the six families staged in r14 with
+# pre-verified twins (tests/test_filtered_beam_search.py,
+# test_graph_index_filtered_probe.py, test_graph_index_delete.py,
+# test_graph_index_merge.py, test_embedding_drift.py).  The staging
+# direction reverses on registration: dials + oracles live HERE and
+# the test files alias them back (the r12–r14 pattern).
+
+# --- filtered graph-ANN search (in-memory) ----------------------------------
+# H14's "search within these docs" (payload predicate + vector search,
+# ref app/core/document_ingestor.py:366-441) composed with the graph
+# walk — Qdrant's filtered-HNSW analog.  Two registered rows pin both
+# dispatch regimes: the SELECTIVE predicate (label = 3, ~10% of the
+# corpus, under the default exact_threshold at every driver scale)
+# takes the exact-over-passing-set branch; the BROAD one (label >= 2)
+# pins exact_threshold=0 so the beam-walk branch runs at every scale.
+_FILT_K = 8
+_FILT_BEAM = 10
+_FILT_HOPS = 2
+_FILT_ENTRY_MOD = 16
+_FILT_SELECTIVE_PRED = "label = 3"
+_FILT_BROAD_PRED = "label >= 2"
+
+
+def _filtered_selective_sql(pred: str, k: int) -> str:
+    """Twin of the selective branch: exact integer top-k over the
+    passing rows, quantized with the FULL-corpus scale (the index
+    geometry) — post-filtered-exact by construction."""
+    dot = "CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT)"
+    return f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qp AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP})
+           AS v
+  FROM embeddings, scale WHERE {pred}
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+)
+SELECT nid AS vec_id, CAST(rnk AS BIGINT) AS rank, d AS iscore
+FROM (
+  SELECT q.vec_id AS nid, {dot} AS d,
+         row_number() OVER (ORDER BY {dot} DESC, q.vec_id ASC) AS rnk
+  FROM qp q
+) WHERE rnk <= {k}
+"""
+
+
+def _filtered_broad_sql() -> str:
+    """Twin of the walk branch: the flat beam chain at the filtered
+    dials, then union of every hop's beam → per-node max score →
+    admit predicate-passing nodes → top-k."""
+    union_all = "\n    UNION ALL\n    ".join(
+        f"SELECT nid, d FROM b{i}" for i in range(_FILT_HOPS + 1)
+    )
+    return (
+        _NN_DESCENT_CTES
+        + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{_NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+),
+b0 AS (
+  SELECT nid, d FROM (
+    SELECT q.vec_id AS nid,
+           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
+           row_number() OVER (
+             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
+                           AS BIGINT) DESC, q.vec_id ASC) AS rn
+    FROM qv q
+    WHERE CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {_FILT_ENTRY_MOD} = 0
+  ) WHERE rn <= {_FILT_BEAM}
+)"""
+        + "".join(
+            _BEAM_HOP_SQL.format(i=i, j=i - 1, beam=_FILT_BEAM)
+            for i in range(1, _FILT_HOPS + 1)
+        )
+        + f""",
+allb AS (
+  SELECT nid, max(d) AS d FROM (
+    {union_all}
+  ) GROUP BY nid
+),
+adm AS (
+  SELECT a.nid, a.d FROM allb a JOIN embeddings e ON a.nid = e.vec_id
+  WHERE {_FILT_BROAD_PRED}
+)
+SELECT nid AS vec_id, CAST(rnk AS BIGINT) AS rank, d AS iscore
+FROM (
+  SELECT nid, d,
+         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
+  FROM adm
+) WHERE rnk <= {_FILT_K}
+"""
+    )
+
+
+_FILT_SELECTIVE_SQL = _filtered_selective_sql(_FILT_SELECTIVE_PRED, _FILT_K)
+_FILT_BROAD_SQL = _filtered_broad_sql()
+
+
+@register("knn_graph_beam_search_filtered", _FILT_BROAD_SQL)
+def knn_graph_beam_search_filtered_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED graph-ANN search, broad-predicate regime
+    (`similarity.knn_graph_beam_search_filtered`): the beam walk
+    routes over the FULL graph (filtering the route starves
+    navigation — the known filtered-HNSW failure mode) and the answer
+    is the top-k PASSING nodes over the union of every hop's beam.
+    ``exact_threshold=0`` pins this branch at every driver scale.
+    The reference serves this as `search_query_on_doc` via Qdrant's
+    filtered HNSW (app/core/document_ingestor.py:366-441)."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_ops.knn_graph_beam_search_filtered(
+        emb,
+        QUERY_VEC,
+        _FILT_BROAD_PRED,
+        k=_FILT_K,
+        beam=_FILT_BEAM,
+        hops=_FILT_HOPS,
+        exact_threshold=0,
+        entry_mod=_FILT_ENTRY_MOD,
+        graph_k=_NND_K,
+        graph_iters=_NND_ITERS,
+        rand_buckets=_NND_RAND_BUCKETS,
+    )
+
+
+@register("knn_graph_beam_search_filtered_sel", _FILT_SELECTIVE_SQL)
+def knn_graph_beam_search_filtered_sel_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED graph-ANN search, selective-predicate regime: with a
+    small passing set the walk cannot navigate, so the dispatch takes
+    exact integer top-k over just the passing rows — EQUAL to
+    post-filtered-exact by construction (both sides quantize with the
+    full-corpus scale, so scores are bit-identical to the unfiltered
+    exact ranking's; pinned in tests/test_filtered_beam_search.py)."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_ops.knn_graph_beam_search_filtered(
+        emb,
+        QUERY_VEC,
+        _FILT_SELECTIVE_PRED,
+        k=_FILT_K,
+        beam=_FILT_BEAM,
+        hops=_FILT_HOPS,
+    )
+
+
+# --- filtered probe of the WRITTEN graph index ------------------------------
+# The persisted-serve shape of the same H14 composition, over the
+# SHARED written index (read-only: the shared index never receives
+# tombstones or merges — the mutating rows below use their own
+# dedicated stores).  ``allowed_ids`` is an id relation, ``None``
+# means match-all (the reference's empty-filter convention,
+# ref :392-398, pinned by test).
+_FPROBE_SELECTIVE_MOD = 173  # ~0.6% of ids -> exact branch, every scale
+_FPROBE_BROAD_MOD = 3        # ~33% of ids  -> walk branch (threshold 0)
+
+
+def _filtered_probe_sql(allow_pred: str, broad: bool) -> str:
+    """Twin of the stored-index filtered probe: selective = exact
+    ranking of the admissible stored vectors; broad = the flat chain's
+    hop-beam union semi-joined to the admissible set."""
+    dot = "CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT)"
+    if not broad:
+        return f"""
+WITH scale AS (
+  SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                      -list_min(CAST(embedding AS DOUBLE[])))) AS s
+  FROM embeddings
+),
+qp AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_QUANT_CLAMP})
+           AS v
+  FROM embeddings, scale WHERE {allow_pred}
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+)
+SELECT nid AS vec_id, CAST(rnk AS BIGINT) AS rank, d AS iscore
+FROM (
+  SELECT q.vec_id AS nid, {dot} AS d,
+         row_number() OVER (ORDER BY {dot} DESC, q.vec_id ASC) AS rnk
+  FROM qp q
+) WHERE rnk <= {_GIDX_K}
+"""
+    base = _beam_search_sql(_GIDX_K, _GIDX_BEAM, _GIDX_HOPS, _GIDX_ENTRY_MOD)
+    final = f"""
+SELECT nid AS vec_id,
+       CAST(rnk AS BIGINT) AS rank,
+       d AS iscore
+FROM (
+  SELECT nid, d,
+         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
+  FROM b{_GIDX_HOPS}
+) WHERE rnk <= {_GIDX_K}
+"""
+    assert base.endswith(final)
+    union_all = "\n    UNION ALL\n    ".join(
+        f"SELECT nid, d FROM b{i}" for i in range(_GIDX_HOPS + 1)
+    )
+    return base[: -len(final)] + f""",
+allb AS (
+  SELECT nid, max(d) AS d FROM (
+    {union_all}
+  ) GROUP BY nid
+)
+SELECT nid AS vec_id, CAST(rnk AS BIGINT) AS rank, d AS iscore
+FROM (
+  SELECT nid, d,
+         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
+  FROM allb
+  WHERE nid IN (SELECT vec_id FROM embeddings WHERE {allow_pred})
+) WHERE rnk <= {_GIDX_K}
+"""
+
+
+_FPROBE_SELECTIVE_SQL = _filtered_probe_sql(
+    f"vec_id % {_FPROBE_SELECTIVE_MOD} = 0", broad=False
+)
+_FPROBE_BROAD_SQL = _filtered_probe_sql(
+    f"vec_id % {_FPROBE_BROAD_MOD} = 0", broad=True
+)
+
+
+def _allowed_ids(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % mod == 0).select("vec_id")
+
+
+@register("knn_graph_probe_table_on_ids", _FPROBE_SELECTIVE_SQL)
+def knn_graph_probe_table_on_ids_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED probe of the WRITTEN graph-ANN index, selective
+    regime (`similarity.knn_graph_probe_table_on_ids`): a broadcast
+    semi-join prunes the stored-vector scan to the admissible ids and
+    the exact branch ranks just those — the persisted serve path of
+    H14's doc-ids filter (ref :392-398; the stored scale keeps scores
+    bit-identical to post-filtered-exact)."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    path = _graph_index_path(spark, sf_dir)
+    return sim_ops.knn_graph_probe_table_on_ids(
+        spark,
+        path,
+        QUERY_VEC,
+        _allowed_ids(spark, sf_dir, _FPROBE_SELECTIVE_MOD),
+        k=_GIDX_K,
+        beam=_GIDX_BEAM,
+        hops=_GIDX_HOPS,
+    )
+
+
+@register("knn_graph_probe_table_on_ids_broad", _FPROBE_BROAD_SQL)
+def knn_graph_probe_table_on_ids_broad_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED probe of the WRITTEN index, broad regime: the stored-
+    edge walk routes over the FULL graph from the pruned ``entry=1``
+    partition; admissible nodes from every hop's beam form the
+    answer.  ``exact_threshold=0`` pins the walk branch at every
+    driver scale."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    path = _graph_index_path(spark, sf_dir)
+    return sim_ops.knn_graph_probe_table_on_ids(
+        spark,
+        path,
+        QUERY_VEC,
+        _allowed_ids(spark, sf_dir, _FPROBE_BROAD_MOD),
+        k=_GIDX_K,
+        beam=_GIDX_BEAM,
+        hops=_GIDX_HOPS,
+        exact_threshold=0,
+    )
+
+
+# --- graph-index ANALYZE (stats row) ----------------------------------------
+# A DEDICATED pristine index (never ingested into, never deleted
+# from): the shared probe index accumulates the streaming row's
+# ingest/ batches and the delete/merge rows mutate their own stores,
+# so a shared-store stats row would be execution-order-dependent.
+# Against a fresh build every counter is exactly derivable from the
+# corpus + dials, which is what makes the row hash-checkable.
+
+
+def _stats_graph_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    basis = (
+        f"gidxstats|{_NND_K}|{_NND_ITERS}|{_NND_RAND_BUCKETS}|"
+        f"{_GIDX_ENTRY_MOD}|{_HIER_LAYER_MOD}|{_HIER_COARSE_K}|"
+        f"{_fixture_tag(sf_dir, 'embeddings')}"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_gstat_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        sim_ops.write_knn_graph_index(
+            load(spark, sf_dir, "embeddings"),
+            path,
+            graph_k=_NND_K,
+            graph_iters=_NND_ITERS,
+            rand_buckets=_NND_RAND_BUCKETS,
+            entry_mod=_GIDX_ENTRY_MOD,
+            layer_mod=_HIER_LAYER_MOD,
+            coarse_k=_HIER_COARSE_K,
+        )
+    return path
+
+
+def _graph_index_stats_sql() -> str:
+    """Twin of the ANALYZE row over a FRESH index: every counter is
+    re-derived from the corpus + build dials — vector count, md5
+    entry-slice count, the NN-descent edge count (the registered
+    chain), the coarse-layer edge count (the hierarchical chain's
+    lay/cpairs/cedges CTEs, byte-identical to the stored layer by the
+    test_graph_index pin), and the pristine-store constants
+    (0 tombstones, 0 unmerged batches, fence −1)."""
+    h_vec = _MD5_60_EXPR.format(c="vec_id")
+    return (
+        _NN_DESCENT_CTES
+        + f""",
+gmat AS MATERIALIZED (SELECT a, b, d FROM g{_NND_ITERS}),
+und AS MATERIALIZED (
+  SELECT a, b FROM gmat UNION SELECT b, a FROM gmat
+),
+lay AS MATERIALIZED (
+  SELECT vec_id AS nid FROM qv WHERE {h_vec} % {_HIER_LAYER_MOD} = 0
+),
+cpairs AS (
+  SELECT DISTINCT p.a, p.b FROM (
+    SELECT u.a, u.b FROM und u JOIN lay la ON u.a = la.nid
+    UNION
+    SELECT u1.a, u2.b
+    FROM und u1 JOIN lay la ON u1.a = la.nid
+         JOIN und u2 ON u1.b = u2.a
+    WHERE u2.b != u1.a
+  ) p JOIN lay lb ON p.b = lb.nid
+),
+cedges AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT c.a, c.b,
+           row_number() OVER (PARTITION BY c.a
+             ORDER BY {_IDOT_EXPR.format(x='qa.v', y='qb.v')} DESC, c.b ASC) AS rn
+    FROM cpairs c JOIN qv qa ON c.a = qa.vec_id
+                  JOIN qv qb ON c.b = qb.vec_id
+  ) WHERE rn <= {_HIER_COARSE_K}
+)
+SELECT
+  (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+  (SELECT COUNT(*) FROM embeddings
+   WHERE {h_vec} % {_GIDX_ENTRY_MOD} = 0) AS n_entry,
+  (SELECT COUNT(*) FROM gmat) AS n_edges,
+  CAST({_GIDX_ENTRY_MOD} AS BIGINT) AS entry_mod,
+  CAST({_NND_K} AS BIGINT) AS graph_k,
+  (SELECT MAX(len(CAST(embedding AS DOUBLE[]))) FROM embeddings) AS dim,
+  CAST({_HIER_LAYER_MOD} AS BIGINT) AS layer_mod,
+  (SELECT COUNT(*) FROM cedges) AS n_coarse_edges,
+  CAST(0 AS BIGINT) AS n_tombstones,
+  CAST(0 AS BIGINT) AS n_unmerged_batches,
+  CAST(-1 AS BIGINT) AS merged_through
+"""
+    )
+
+
+_GIDX_STATS_SQL = _graph_index_stats_sql()
+
+
+@register("knn_graph_index_stats", _GIDX_STATS_SQL)
+def knn_graph_index_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE for the written graph-ANN index
+    (`similarity.knn_graph_index_stats`): one row of store-health
+    counters an operator reads before trusting a probe — vector /
+    entry-slice / edge counts, stored dials, coarse-layer size, live
+    tombstones, unmerged ingest batches, merge fence.  The oracle
+    re-derives every counter from the corpus + dials, so a hash match
+    proves the STORE content (not just the reporting code)."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    path = _stats_graph_index_path(spark, sf_dir)
+    return sim_ops.knn_graph_index_stats(spark, path)
+
+
+# --- graph-index DELETE (tombstone -> probe exclusion) ----------------------
+# Completes H5–H12 mutation parity ON the persisted ANN index (the
+# reference deletes points from its Qdrant collection, ref :443-520;
+# HNSW deletes are mark + exclude + compact).  The registered row
+# deletes a deterministic id slice from a DEDICATED index copy and
+# probes it: tombstoned nodes still ROUTE the walk but can never be
+# RETURNED — the twin walks the same graph and anti-joins the doomed
+# slice at the final ranking only.
+_GDEL_MOD = 173
+
+
+def _tombstoned_graph_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    basis = (
+        f"gidxdel|{_NND_K}|{_NND_ITERS}|{_NND_RAND_BUCKETS}|"
+        f"{_GIDX_ENTRY_MOD}|{_GDEL_MOD}|"
+        f"{_fixture_tag(sf_dir, 'embeddings')}"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_gdel_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        sim_ops.write_knn_graph_index(
+            emb,
+            path,
+            graph_k=_NND_K,
+            graph_iters=_NND_ITERS,
+            rand_buckets=_NND_RAND_BUCKETS,
+            entry_mod=_GIDX_ENTRY_MOD,
+            layer_mod=None,
+        )
+    if not os.path.exists(os.path.join(path, "tombstones", "_SUCCESS")):
+        doomed = emb.filter(F.col("vec_id") % _GDEL_MOD == 0).select("vec_id")
+        sim_ops.delete_knn_graph_index(spark, path, doomed)
+    return path
+
+
+def _tombstoned_probe_sql() -> str:
+    """Twin: the flat beam chain at the index dials with the tombstone
+    anti-join BEFORE the final ranking — tombstoned nodes route, never
+    return, and survivors fill the top-k."""
+    base = _beam_search_sql(_GIDX_K, _GIDX_BEAM, _GIDX_HOPS, _GIDX_ENTRY_MOD)
+    final = f"""
+SELECT nid AS vec_id,
+       CAST(rnk AS BIGINT) AS rank,
+       d AS iscore
+FROM (
+  SELECT nid, d,
+         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
+  FROM b{_GIDX_HOPS}
+) WHERE rnk <= {_GIDX_K}
+"""
+    assert base.endswith(final)
+    return base[: -len(final)] + f"""
+SELECT nid AS vec_id,
+       CAST(rnk AS BIGINT) AS rank,
+       d AS iscore
+FROM (
+  SELECT nid, d,
+         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
+  FROM b{_GIDX_HOPS}
+  WHERE nid NOT IN (SELECT vec_id FROM embeddings
+                    WHERE vec_id % {_GDEL_MOD} = 0)
+) WHERE rnk <= {_GIDX_K}
+"""
+
+
+_TOMBSTONED_PROBE_SQL = _tombstoned_probe_sql()
+
+
+@register("knn_graph_probe_tombstoned", _TOMBSTONED_PROBE_SQL)
+def knn_graph_probe_tombstoned_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probe a written graph-ANN index AFTER a delete
+    (`similarity.delete_knn_graph_index`): the vec_id % 173 slice is
+    tombstoned in a dedicated index copy, and the flat probe's final
+    ranking anti-joins the tombstone set — deleted vectors keep
+    ROUTING the walk (removing them from routing is what degrades
+    filtered-HNSW recall) but can never be RETURNED.  Idempotent
+    across re-runs (the delete is gated on the tombstone directory;
+    re-deletes are anti-join no-ops by design)."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    path = _tombstoned_graph_index_path(spark, sf_dir)
+    return sim_ops.knn_graph_probe_table(
+        spark, path, QUERY_VEC, k=_GIDX_K, beam=_GIDX_BEAM, hops=_GIDX_HOPS
+    )
+
+
+# --- graph-index MERGE (LSM minor -> major compaction) ----------------------
+# The streaming ingest accumulates one file-set per batch; the merge
+# folds committed batches into the base dirs so plain probes serve the
+# arrivals too.  The registered row drives the FULL lifecycle against
+# a dedicated store (base build -> two deterministic arrival drains ->
+# merge -> flat probe of the post-merge base), and the twin replays
+# the ingest chain + a beam walk over the merged state — a hash match
+# proves the merged relations equal base ∪ both arrival legs exactly.
+
+
+def _merged_graph_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from vector_db_handler_spark.operators import similarity as sim_ops
+    from vector_db_handler_spark.streaming import stream_ops
+
+    basis = (
+        f"gidxmerge|{_NND_K}|{_NND_ITERS}|{_NND_RAND_BUCKETS}|"
+        f"{_GIDX_ENTRY_MOD}|{_GI_ARR_MOD}|{_GI_HOPS}|"
+        f"{_fixture_tag(sf_dir, 'embeddings')}"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_gmerge_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    path = os.path.join(base, "idx")
+    done = os.path.join(base, "_MERGED")
+    if os.path.exists(done):
+        return path
+    # Torn partial state (crash mid-lifecycle): the lifecycle is only
+    # deterministic from a clean slate, so rebuild from scratch.
+    shutil.rmtree(base, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    sim_ops.write_knn_graph_index(
+        emb,
+        path,
+        graph_k=_NND_K,
+        graph_iters=_NND_ITERS,
+        rand_buckets=_NND_RAND_BUCKETS,
+        entry_mod=_GIDX_ENTRY_MOD,
+        layer_mod=None,
+    )
+    # Two deterministic arrival batches (ids shifted out of the base
+    # range), drained SEQUENTIALLY against one retained checkpoint —
+    # exactly the registered streaming-ingest row's arrival shape.
+    src = os.path.join(base, "src")
+    for off, residue in ((1000000, 0), (2000000, 1)):
+        arr = emb.filter(F.col("vec_id") % _GI_ARR_MOD == residue).select(
+            (F.col("vec_id") + off).alias("vec_id"), "embedding", "label"
+        )
+        arr.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(arr.schema).parquet(src)
+        stream_ops.streaming_graph_index_ingest(
+            stream, path, os.path.join(base, "cp"), hops=_GI_HOPS
+        )
+    stream_ops.merge_graph_index_ingest(spark, path)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def _merged_probe_sql() -> str:
+    """Twin: the ingest chain through e1 (both arrival legs'
+    discovered edges), then the single-query beam walk over the MERGED
+    state — vectors = base ∪ both arrival batches, edges = base ∪ both
+    legs, entry slice = base entries ∪ arrivals whose hash ≡ 0."""
+    h_q = (
+        "CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT)"
+    )
+    sql = (
+        _graph_ingest_ctes()
+        + f""",
+fqv AS MATERIALIZED (
+  SELECT vec_id, v FROM iqv1
+  UNION ALL
+  SELECT qid AS vec_id, qv AS v FROM arr1
+),
+fund AS MATERIALIZED (
+  SELECT a, b FROM iu1
+  UNION SELECT a, b FROM e1
+  UNION SELECT b, a FROM e1
+),
+qq AS (
+  SELECT list_transform({_Q_SQL}, x -> {_QUANT_CLAMP}) AS v FROM scale
+),
+fb0 AS (
+  SELECT nid, d FROM (
+    SELECT q.vec_id AS nid,
+           CAST(list_dot_product(q.v, (SELECT v FROM qq)) AS BIGINT) AS d,
+           row_number() OVER (
+             ORDER BY CAST(list_dot_product(q.v, (SELECT v FROM qq))
+                           AS BIGINT) DESC, q.vec_id ASC) AS rn
+    FROM fqv q
+    WHERE {h_q} % {_GIDX_ENTRY_MOD} = 0
+  ) WHERE rn <= {_GIDX_BEAM}
+)"""
+    )
+    for i in range(1, _GIDX_HOPS + 1):
+        hop = _BEAM_HOP_SQL.format(i=i, j=i - 1, beam=_GIDX_BEAM)
+        hop = (
+            hop.replace(f"x{i} AS (", f"fx{i} AS (")
+            .replace(f"b{i - 1}", f"fb{i - 1}")
+            .replace(f"b{i} AS (", f"fb{i} AS (")
+            .replace(f"FROM x{i} c", f"FROM fx{i} c")
+            .replace("JOIN und u", "JOIN fund u")
+            .replace("JOIN qv q", "JOIN fqv q")
+        )
+        sql += hop
+    sql += f"""
+SELECT nid AS vec_id,
+       CAST(rnk AS BIGINT) AS rank,
+       d AS iscore
+FROM (
+  SELECT nid, d,
+         row_number() OVER (ORDER BY d DESC, nid ASC) AS rnk
+  FROM fb{_GIDX_HOPS}
+) WHERE rnk <= {_GIDX_K}
+"""
+    return sql
+
+
+_MERGED_PROBE_SQL = _merged_probe_sql()
+
+
+@register("merge_graph_index_ingest", _MERGED_PROBE_SQL)
+def merge_graph_index_ingest_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE the streaming ingest's committed batches into the base
+    graph index (`stream_ops.merge_graph_index_ingest` — the LSM
+    minor→major compaction), then probe the post-merge BASE dirs with
+    the plain flat probe: a hash match proves the merged ``vectors/``
+    + ``edges/`` equal base ∪ both arrival legs bit-for-bit, entry
+    flags included.  Deterministic across re-runs: the lifecycle is
+    gated on a done-marker, the checkpoint is retained across the
+    merge (the replay-fence contract), and a replayed drain/merge is
+    a no-op (pinned in tests/test_graph_index_merge.py)."""
+    from vector_db_handler_spark.operators import similarity as sim_ops
+
+    path = _merged_graph_index_path(spark, sf_dir)
+    return sim_ops.knn_graph_probe_table(
+        spark, path, QUERY_VEC, k=_GIDX_K, beam=_GIDX_BEAM, hops=_GIDX_HOPS
+    )
+
+
+# --- embedding drift report --------------------------------------------------
+# The embedding-space member of the drift battery (tv_drift_by for
+# values, kl_token_drift / rank_sum_drift for tokens): exact nano-int
+# moments per side, Welch z per dimension, 3σ flags.  The registered
+# split is a deterministic covariate partition of the fixture.
+_DRIFT_A_PRED = "label < 5"
+_DRIFT_B_PRED = "label >= 5"
+_DRIFT_Z = 3.0
+
+
+def _drift_x_cte(pred: str) -> str:
+    return f"""
+  SELECT pos - 1 AS pos,
+         CAST(CAST(v AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS x
+  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos
+        FROM embeddings WHERE {pred})"""
+
+
+def _drift_oracle_sql() -> str:
+    return f"""
+WITH xa AS ({_drift_x_cte(_DRIFT_A_PRED)}),
+xb AS ({_drift_x_cte(_DRIFT_B_PRED)}),
+aa AS (
+  SELECT pos, COUNT(*) AS n_a,
+         SUM(CAST(x AS HUGEINT)) AS s_a,
+         SUM(CAST(x AS HUGEINT) * x) AS q_a
+  FROM xa GROUP BY pos
+),
+ab AS (
+  SELECT pos, COUNT(*) AS n_b,
+         SUM(CAST(x AS HUGEINT)) AS s_b,
+         SUM(CAST(x AS HUGEINT) * x) AS q_b
+  FROM xb GROUP BY pos
+),
+j AS (SELECT * FROM aa JOIN ab USING (pos)),
+d AS (
+  SELECT pos,
+         CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(s_a AS DOUBLE) / n_a / 1000000000.0 AS mean_a,
+         CAST(s_b AS DOUBLE) / n_b / 1000000000.0 AS mean_b,
+         CAST(s_b AS DOUBLE) / n_b / 1000000000.0
+           - CAST(s_a AS DOUBLE) / n_a / 1000000000.0 AS mean_shift,
+         CAST(n_a * q_a - s_a * s_a AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * 1e18) AS var_a,
+         CAST(n_b * q_b - s_b * s_b AS DOUBLE)
+           / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * 1e18) AS var_b
+  FROM j
+)
+SELECT pos, n_a, n_b, mean_a, mean_b, mean_shift,
+       SQRT(var_a) AS std_a, SQRT(var_b) AS std_b,
+       ROUND(mean_shift / SQRT(var_a / n_a + var_b / n_b), 6) AS z,
+       (ABS(ROUND(mean_shift / SQRT(var_a / n_a + var_b / n_b), 6))
+        >= {_DRIFT_Z}) AS drifted
+FROM d
+"""
+
+
+_DRIFT_ORACLE_SQL = _drift_oracle_sql()
+
+
+@register("embedding_drift_report", _DRIFT_ORACLE_SQL)
+def embedding_drift_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-corpus embedding DRIFT report
+    (`features.embedding_drift_report`): did the new crawl / encoder
+    version shift the vector distribution the index geometry was
+    built for?  Exact nano-int moments per side (the
+    `embedding_dim_stats` accumulation), Welch z per dimension by one
+    fixed IEEE cast sequence, ``drifted`` = |z| ≥ 3σ — every column
+    hash-checks cross-engine.  Run before reusing centroids, scales
+    or a graph index across corpus snapshots."""
+    from vector_db_handler_spark.operators.features import (
+        embedding_drift_report,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_drift_report(
+        emb.filter(_DRIFT_A_PRED),
+        emb.filter(_DRIFT_B_PRED),
+        z_threshold=_DRIFT_Z,
     )

@@ -1818,7 +1818,17 @@ def write_knn_graph_index(
             == 0
         ).cast("int"),
     ).write.mode("overwrite").partitionBy("entry").parquet(f"{path}/vectors")
+    # Entry-slice size, read back from the pruned entry=1 partition
+    # (one tiny build-time job).  Stored in meta/ so every probe shape
+    # can skip its per-serve emptiness check (appends only ever ADD
+    # entry nodes, so n_entry > 0 stays true for the store's lifetime).
+    n_entry = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("entry") == 1)
+        .count()
+    )
 
+    n_layer = -1
     graph = knn_graph_nn_descent(
         emb,
         k=graph_k,
@@ -1856,7 +1866,14 @@ def write_knn_graph_index(
             )
             == 0
         )
-        if lay.isEmpty():
+        # The HASH-derived layer's node count is part of the index
+        # GEOMETRY: probes derive their default coarse_entry_mod from
+        # it and skip their own layer-count/emptiness jobs on the
+        # serve path (r14 verdict #3).  0 records that the min-hash
+        # single-node FALLBACK layer was written, so probes re-derive
+        # the same fallback instead of walking an empty hash layer.
+        n_layer = lay.count()
+        if n_layer == 0:
             lay = (
                 qn.select(
                     "nid",
@@ -1882,26 +1899,41 @@ def write_knn_graph_index(
                 int(dim),
                 -1 if layer_mod is None else int(layer_mod),
                 int(coarse_k),
+                int(n_layer),
+                int(n_entry),
             )
         ],
         "entry_mod long, graph_k long, graph_iters long, kmeans_k long,"
-        " rand_buckets long, dim long, layer_mod long, coarse_k long",
+        " rand_buckets long, dim long, layer_mod long, coarse_k long,"
+        " n_layer long, n_entry long",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def _check_index_dim(spark, path: str, query_dim: int, what: str) -> None:
+def _check_index_dim(spark, path: str, query_dim: int, what: str):
     """Validate a probe's query dimensionality against the ``dim``
     recorded in the written index's ``meta/`` (r13 ADVICE: without
     this, ``zip_with`` null-pads a wrong-dimension query, every score
     goes NULL, and the probe silently returns id-ordered rows instead
-    of erroring)."""
-    dim = int(spark.read.parquet(f"{path}/meta").first()["dim"])
+    of erroring).  Returns the meta ROW so callers reuse the read
+    instead of re-opening meta/ for other dials."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    dim = int(meta["dim"])
     if dim != int(query_dim):
         raise ValueError(
             f"{what}: query vector has dim {query_dim} but the index at "
             f"{path} was built with dim {dim} (meta/) — a mismatched "
             "query would null-out every score instead of ranking"
         )
+    return meta
+
+
+def _meta_entry_nonempty(meta) -> bool | None:
+    """True when meta/ records a non-empty build-time entry slice
+    (appends only ever ADD entry nodes, so it stays true); None when
+    the index predates n_entry or the slice was empty at build — the
+    probe then keeps its runtime emptiness check."""
+    n = meta.asDict().get("n_entry", -1)
+    return True if n is not None and n > 0 else None
 
 
 def delete_knn_graph_index(spark, path: str, ids) -> None:
@@ -1961,13 +1993,16 @@ def knn_graph_probe_table(
     returns exactly :func:`knn_graph_beam_search`'s answer — the same
     build-once/probe-many contract as `lsh_probe_table` /
     `ivf_probe_table`."""
-    _check_index_dim(spark, path, len(query_vec), "knn_graph_probe_table")
+    meta = _check_index_dim(
+        spark, path, len(query_vec), "knn_graph_probe_table"
+    )
     scale = spark.read.parquet(f"{path}/scale")
     vectors = spark.read.parquet(f"{path}/vectors")
     edges = spark.read.parquet(f"{path}/edges")
     return probe_graph_relations(
         scale, vectors, edges, query_vec, k, beam, hops,
         tombstones=_load_tombstones(spark, path),
+        entry_nonempty=_meta_entry_nonempty(meta),
     )
 
 
@@ -1980,13 +2015,16 @@ def probe_graph_relations(
     beam: int = 16,
     hops: int = 3,
     tombstones: DataFrame | None = None,
+    entry_nonempty: bool | None = None,
 ) -> DataFrame:
     """The probe body over already-loaded index relations — shared by
     :func:`knn_graph_probe_table` (one parquet index) and the
     streaming ingest store's reader (base index + committed arrival
     batches).  ``vectors`` is (nid, v, entry), ``edges`` (a, b, d);
     ``tombstones`` (a deleted-id relation) nodes stay routable in the
-    walk but are excluded from the final ranking."""
+    walk but are excluded from the final ranking.  ``entry_nonempty``
+    = True lets the caller certify (from the stored meta/) that the
+    entry slice is non-empty, dropping the per-serve emptiness job."""
     if k < 1 or beam < 1 or k > beam:
         raise ValueError(f"need 1 <= k <= beam, got k={k} beam={beam}")
     if hops < 0:
@@ -2008,7 +2046,7 @@ def probe_graph_relations(
     )
     und = _undirect_pairs(edges.select("a", "b"))
     entries = vectors.filter(F.col("entry") == 1).select("nid")
-    if entries.isEmpty():
+    if entry_nonempty is not True and entries.isEmpty():
         # Build-time slice can be empty for a tiny corpus; same
         # deterministic fallback as the in-memory search.
         from vector_db_handler_spark.functions.text import portable_hash60
@@ -2076,7 +2114,7 @@ def knn_graph_probe_table_on_ids(
         )
     if allowed_ids is None:
         return knn_graph_probe_table(spark, path, query_vec, k, beam, hops)
-    _check_index_dim(
+    meta = _check_index_dim(
         spark, path, len(query_vec), "knn_graph_probe_table_on_ids"
     )
     allowed = allowed_ids.select(
@@ -2124,7 +2162,7 @@ def knn_graph_probe_table_on_ids(
         spark.read.parquet(f"{path}/edges").select("a", "b")
     )
     entries = vectors.filter(F.col("entry") == 1).select("nid")
-    if entries.isEmpty():
+    if _meta_entry_nonempty(meta) is not True and entries.isEmpty():
         from vector_db_handler_spark.functions.text import portable_hash60
 
         entries = (
@@ -2189,14 +2227,33 @@ def knn_graph_index_stats(spark, path: str) -> DataFrame:
     entry-slice / edge counts, stored dials, coarse-layer presence and
     size, live tombstones, committed ingest batches awaiting merge,
     and the merge fence.  All exact counts over the stored relations
-    (the `profile_events_table` posture, for the index)."""
+    (the `profile_events_table` posture, for the index).
+
+    Recall guidance (r14 verdict #5): this row reports store HEALTH,
+    not answer QUALITY — run `graph_ann_recall_report` on a query
+    sample before trusting a probe's recall.  When its rows come back
+    ``floor_met=false`` (uniform/no-cluster corpora), rebuild with the
+    measured fallback dials — graph_k=12, beam=64, hops=4, recall@10
+    0.981 on the adversarial sf0.1 uniform fixture (PERF.md "Round
+    15") — or route the workload to the exact-KNN / IVF serves."""
     import os
 
+    from vector_db_handler_spark.streaming.stream_ops import (
+        _read_merge_fence,
+        _read_merge_manifest,
+    )
+
     meta = spark.read.parquet(f"{path}/meta").first()
-    vectors = spark.read.parquet(f"{path}/vectors")
+    # r14 ADVICE: during a COMMITTED-but-unfinalized merge (manifest
+    # present) the base dirs may be mid-rewrite — read the merged side
+    # dirs instead (the same discipline as graph_index_stream_state),
+    # and treat the manifest's batch ids as already folded.
+    merged_ids, merge_committed = _read_merge_manifest(path)
+    base = f"{path}/merged" if merge_committed else path
+    vectors = spark.read.parquet(f"{base}/vectors")
     n_vectors = vectors.count()
     n_entry = vectors.filter(F.col("entry") == 1).count()
-    n_edges = spark.read.parquet(f"{path}/edges").count()
+    n_edges = spark.read.parquet(f"{base}/edges").count()
     layer_mod = int(meta["layer_mod"])
     n_coarse_edges = (
         spark.read.parquet(f"{path}/coarse_edges").count()
@@ -2207,23 +2264,27 @@ def knn_graph_index_stats(spark, path: str) -> DataFrame:
     tombs = _load_tombstones(spark, path)
     n_tombstones = 0 if tombs is None else tombs.count()
     n_batches = 0
-    fence = -1
+    fence = _read_merge_fence(path) if os.path.isdir(
+        os.path.join(path, "ingest")
+    ) else -1
+    if merge_committed and merged_ids:
+        # The fence this merge WILL set on finalization — report it now
+        # so an operator never sees folded batches counted as pending.
+        fence = max(fence, max(merged_ids))
     ingest_root = os.path.join(path, "ingest")
     if os.path.isdir(ingest_root):
-        from vector_db_handler_spark.streaming.stream_ops import (
-            _read_merge_fence,
-            graph_index_stream_state,
-        )
-
-        fence = _read_merge_fence(path)
         for d in os.listdir(ingest_root):
             if d.startswith("batch="):
                 try:
                     v = int(d.split("=", 1)[1])
                 except ValueError:
                     continue
-                if v > fence and os.path.exists(
-                    os.path.join(ingest_root, d, "vectors", "_SUCCESS")
+                if (
+                    v > fence
+                    and v not in merged_ids
+                    and os.path.exists(
+                        os.path.join(ingest_root, d, "vectors", "_SUCCESS")
+                    )
                 ):
                     n_batches += 1
     return spark.createDataFrame(
@@ -2295,7 +2356,7 @@ def append_knn_graph_index(
     ).select(F.col(id_col).alias("qid"), F.col("qvec").alias("qv"))
 
     entry_nodes = vectors.filter(F.col("entry") == 1).select("nid")
-    if entry_nodes.isEmpty():
+    if _meta_entry_nonempty(meta) is not True and entry_nodes.isEmpty():
         entry_nodes = (
             qn.select(
                 "nid",
@@ -2358,11 +2419,24 @@ def knn_graph_probe_table_batch(
     from vector_db_handler_spark.functions.text import portable_hash60
     from vector_db_handler_spark.operators.quantize import quantize_int8
 
-    first_q = queries.select(query_vec_col).first()
-    if first_q is not None:
-        _check_index_dim(
-            spark, path, len(first_q[0]), "knn_graph_probe_table_batch"
-        )
+    # Dim guard, DECLARATIVE (r14 ADVICE): checking only the first row
+    # cost an extra Spark job per probe and still let a mixed-dimension
+    # batch null-score every other row silently.  assert_true rides the
+    # quantization projection, so EVERY query row is validated in the
+    # serve job itself — no extra job, no silent nulls.
+    meta = spark.read.parquet(f"{path}/meta").first()
+    dim = int(meta["dim"])
+    dim_ok = F.assert_true(
+        F.size(F.col(query_vec_col)) == F.lit(dim),
+        F.lit(
+            f"knn_graph_probe_table_batch: query vector dim != index dim "
+            f"{dim} (meta/) — a mismatched query would null-out every "
+            "score instead of ranking"
+        ),
+    )
+    queries = queries.withColumn(
+        query_vec_col, F.when(dim_ok.isNull(), F.col(query_vec_col))
+    )
     scale = spark.read.parquet(f"{path}/scale")
     vectors = spark.read.parquet(f"{path}/vectors")
     qn = vectors.select("nid", "v")
@@ -2375,7 +2449,7 @@ def knn_graph_probe_table_batch(
     ).select(F.col(query_id_col).alias("qid"), F.col("qvec").alias("qv"))
 
     entry_nodes = vectors.filter(F.col("entry") == 1).select("nid")
-    if entry_nodes.isEmpty():
+    if _meta_entry_nonempty(meta) is not True and entry_nodes.isEmpty():
         entry_nodes = (
             qn.select(
                 "nid",
@@ -2432,8 +2506,21 @@ def compact_knn_graph_index(spark, path: str) -> None:
 
     tombs = _load_tombstones(spark, path)
     if tombs is not None:
+        # r14 ADVICE: a tombstoned id living in an UNMERGED streaming
+        # ingest batch dir (ingest/batch=*) would survive a rewrite of
+        # only vectors/ + edges/ — and with the tombstone directory
+        # cleared afterward, the stream probe would serve the deleted
+        # vector again.  Fold committed batches into the base FIRST
+        # (a no-op when there is no ingest state), so the anti-join
+        # rewrite below sees every physical copy of every id.
+        from vector_db_handler_spark.streaming.stream_ops import (
+            merge_graph_index_ingest,
+        )
+
+        merge_graph_index_ingest(spark, path)
         tombs = tombs.localCheckpoint(eager=True)
-        graph_k = int(spark.read.parquet(f"{path}/meta").first()["graph_k"])
+        meta_row = spark.read.parquet(f"{path}/meta").first()
+        graph_k = int(meta_row["graph_k"])
         vectors = spark.read.parquet(f"{path}/vectors")
         alive = vectors.join(F.broadcast(tombs), "nid", "left_anti")
         edges = spark.read.parquet(f"{path}/edges")
@@ -2493,6 +2580,55 @@ def compact_knn_graph_index(spark, path: str) -> None:
         ).parquet(f"{path}/edges")
         import os as _os
 
+        # r14 ADVICE: the coarse layer must be rebuilt too — a written
+        # index carries coarse_edges/ by default (DEFAULT_LAYER_MOD),
+        # and with tombstones cleared below nothing would ever mark
+        # coarse edges through deleted coarse-layer nodes as stale:
+        # hierarchical navigability would silently rot.  Re-derive the
+        # layer over the ALIVE vectors and its edges from the REPAIRED
+        # base graph — the same construction the build uses.
+        layer_mod = int(meta_row["layer_mod"])
+        if layer_mod >= 1 and _os.path.exists(
+            _os.path.join(path, "coarse_edges", "_SUCCESS")
+        ):
+            from vector_db_handler_spark.functions.text import (
+                portable_hash60,
+            )
+
+            coarse_k = int(meta_row["coarse_k"])
+            qn2 = spark.read.parquet(f"{path}/vectors").select("nid", "v")
+            und2 = _undirect_pairs(
+                spark.read.parquet(f"{path}/edges").select("a", "b")
+            )
+            lay = qn2.filter(
+                F.pmod(
+                    portable_hash60(F.col("nid").cast("string")),
+                    F.lit(layer_mod),
+                )
+                == 0
+            )
+            if lay.isEmpty():
+                lay = (
+                    qn2.select(
+                        "nid",
+                        "v",
+                        portable_hash60(F.col("nid").cast("string")).alias(
+                            "eh"
+                        ),
+                    )
+                    .orderBy(F.col("eh").asc(), F.col("nid").asc())
+                    .limit(1)
+                    .select("nid", "v")
+                )
+            _coarse_layer_edges(qn2, und2, lay, coarse_k).sortWithinPartitions(
+                "a"
+            ).write.mode("overwrite").parquet(f"{path}/coarse_compact")
+            spark.read.parquet(f"{path}/coarse_compact").write.mode(
+                "overwrite"
+            ).parquet(f"{path}/coarse_edges")
+            _shutil.rmtree(
+                _os.path.join(path, "coarse_compact"), ignore_errors=True
+            )
         for side in ("vectors_compact", "edges_compact2", "tombstones"):
             _shutil.rmtree(_os.path.join(path, side), ignore_errors=True)
         return
@@ -2722,13 +2858,21 @@ def knn_graph_probe_table_hier(
             ).cast("long"),
         ).alias("qv")
     )
+    # The BUILD-TIME hash-layer count stored in meta/ (r14 verdict #3)
+    # keeps the serve path job-free: it replaces both the per-serve
+    # emptiness probe (0 = the build wrote the min-hash fallback layer;
+    # >0 = the hash layer is non-empty, and appends only ever add) and
+    # the per-serve count behind the default coarse_entry_mod dial
+    # (frozen at build geometry, like the quantization scale).  Indexes
+    # written before n_layer existed (-1) fall back to the old jobs.
+    stored_n_layer = int(meta["n_layer"]) if "n_layer" in meta.asDict() else -1
     lay = qn.filter(
         F.pmod(
             portable_hash60(F.col("nid").cast("string")), F.lit(layer_mod)
         )
         == 0
     )
-    if lay.isEmpty():
+    if stored_n_layer == 0 or (stored_n_layer < 0 and lay.isEmpty()):
         lay = (
             qn.select(
                 "nid",
@@ -2741,7 +2885,8 @@ def knn_graph_probe_table_hier(
         )
         lay = lay.localCheckpoint(eager=False)
     if coarse_entry_mod is None:
-        coarse_entry_mod = max(1, lay.count() // 1024)
+        n_layer = stored_n_layer if stored_n_layer >= 0 else lay.count()
+        coarse_entry_mod = max(1, n_layer // 1024)
     centry = _entry_slice_nodes(lay.select("nid", "v"), coarse_entry_mod)
     coarse_beam_df = _beam_hops_single(
         lay, cund, qq, centry, coarse_beam, coarse_hops

@@ -1453,7 +1453,15 @@ def streaming_graph_index_ingest(
     ≤ graph_k edges and one vector row); the entry slice, hop work and
     search determinism are the batch append's, verbatim — the
     batch-equals-stream test pins stream ingest against sequential
-    `append_knn_graph_index` calls row-for-row."""
+    `append_knn_graph_index` calls row-for-row.
+
+    OPERATIONAL CONTRACT: the ``checkpoint`` directory must be
+    RETAINED across `merge_graph_index_ingest` calls.  The merge fence
+    drops any replayed batch id ≤ the highest merged id; under a fresh
+    checkpoint batch ids restart at 0, so genuinely new arrivals would
+    land on fenced ids and be skipped (logged as a loud warning, but
+    still skipped — the fence cannot distinguish a replay from a
+    recycled id)."""
     import os
 
     from vector_db_handler_spark.functions.text import portable_hash60
@@ -1478,7 +1486,25 @@ def streaming_graph_index_ingest(
             # This batch id was already MERGED into the base index
             # (its directory is gone) — a fresh-checkpoint replay must
             # not re-append it.  The fence preserves the store's
-            # rerun-no-duplicate guarantee across merges.
+            # rerun-no-duplicate guarantee across merges.  CAVEAT
+            # (r14 ADVICE): the fence assumes the CHECKPOINT is
+            # retained across merges.  Under a FRESH checkpoint, batch
+            # ids restart at 0, so genuinely NEW arrivals can land on
+            # fenced ids and be dropped — log loudly instead of
+            # discarding in silence (the batch is non-empty here; the
+            # empty case returned above).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "streaming_graph_index_ingest: non-empty batch id %s is at "
+                "or below the merge fence %s for %s and was SKIPPED. If "
+                "this drain runs under the ORIGINAL checkpoint this is the "
+                "designed replay no-op; under a FRESH checkpoint it is "
+                "DATA LOSS — retain the checkpoint across merges.",
+                int(batch_id),
+                _read_merge_fence(index_path),
+                index_path,
+            )
             return
         spark = batch_df.sparkSession
         meta = spark.read.parquet(f"{index_path}/meta").first()
@@ -1494,8 +1520,12 @@ def streaming_graph_index_ingest(
         qnew = quantize_int8(
             batch_df, embedding_col=embedding_col, id_col=id_col, scale=scale
         ).select(F.col(id_col).alias("qid"), F.col("qvec").alias("qv"))
+        from vector_db_handler_spark.operators.similarity import (
+            _meta_entry_nonempty,
+        )
+
         entry_nodes = vectors.filter(F.col("entry") == 1).select("nid")
-        if entry_nodes.isEmpty():
+        if _meta_entry_nonempty(meta) is not True and entry_nodes.isEmpty():
             entry_nodes = (
                 qn.select(
                     "nid",
@@ -1612,11 +1642,12 @@ def graph_index_stream_probe(
         probe_graph_relations,
     )
 
-    _check_index_dim(
+    meta = _check_index_dim(
         spark, index_path, len(query_vec), "graph_index_stream_probe"
     )
     from vector_db_handler_spark.operators.similarity import (
         _load_tombstones,
+        _meta_entry_nonempty,
     )
 
     scale = spark.read.parquet(f"{index_path}/scale")
@@ -1624,6 +1655,7 @@ def graph_index_stream_probe(
     return probe_graph_relations(
         scale, vectors, edges, query_vec, k, beam, hops,
         tombstones=_load_tombstones(spark, index_path),
+        entry_nonempty=_meta_entry_nonempty(meta),
     )
 
 
