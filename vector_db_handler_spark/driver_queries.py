@@ -14054,13 +14054,18 @@ _CURATION_SHARDS = [f"s{i}" for i in range(6)]
 _CURATION_SALT = "curate"
 
 
-def _curation_sql(total_n: int = _CURATION_TOTAL_N) -> str:
+def _curation_sql(
+    total_n: int = _CURATION_TOTAL_N, source: str = "documents"
+) -> str:
     """DuckDB twin of the WHOLE curation pipeline in one statement:
     exact dedup → Gopher gate (the _G_* constants — one source of
     truth with the registered gopher_quality_flags row) → DoReMi-lite
     mixture (the registered _DM_* dials) → largest-remainder
     apportionment capped at availability → deterministic (hash, id)
-    pick → HRW sharding → the manifest rollup."""
+    pick → HRW sharding → the manifest rollup.  ``source`` is the
+    corpus relation (a table name or a parenthesized subquery with
+    doc_id/lang/text) — the streaming-curation twin passes the
+    base ∪ shifted-arrivals union here."""
     h60 = "CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT)"
     shard_values = ", ".join(f"('{s}')" for s in sorted(_CURATION_SHARDS))
     pick_h = h60.format(e="CAST(doc_id AS VARCHAR) || '|" + _CURATION_SALT + "'")
@@ -14072,7 +14077,7 @@ WITH dd AS (
            row_number() OVER (
              PARTITION BY {h60.format(e='text')}
              ORDER BY doc_id ASC) AS rn
-    FROM documents
+    FROM {source}
   ) WHERE rn = 1
 ),
 gt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM dd),
@@ -14322,6 +14327,7 @@ def knn_graph_beam_search_filtered_query(
         hops=_FILT_HOPS,
         exact_threshold=0,
         entry_mod=_FILT_ENTRY_MOD,
+        graph=_shared_graph_edges(spark, sf_dir),
         graph_k=_NND_K,
         graph_iters=_NND_ITERS,
         rand_buckets=_NND_RAND_BUCKETS,

@@ -66,6 +66,104 @@ def gopher_keep_expr(text_col: str = "text"):
     )
 
 
+def apportion_select_shard(
+    features: DataFrame,
+    weights: DataFrame,
+    total_n: int,
+    shards: list[str],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "curate",
+    ntok_col: str = "_ntok",
+) -> DataFrame:
+    """Stages 4-6 of the curation pipeline over an already-featurized
+    survivor relation — shared VERBATIM by the batch
+    :func:`curation_manifest` and the streaming emit
+    (`streaming.curation_stream.curation_manifest_from_state`), so the
+    two paths cannot drift:
+
+    4. largest-remainder apportionment of ``total_n`` ∝
+       ``weight_numer`` in exact integers, quota capped at each
+       domain's availability;
+    5. deterministic per-domain selection by smallest
+       ``(md5-hash(id|salt), id)`` rank;
+    6. rendezvous sharding + the ``(shard, domain, n_docs, n_tokens,
+       sum_doc_id)`` manifest rollup.
+
+    ``features`` carries ``(id_col, domain_col, ntok_col)`` — the
+    per-doc token count is an input column (the batch path computes it
+    from text in-plan; the streaming path reads it from state), so the
+    rollup never needs the raw text."""
+    avail = features.filter(F.col(domain_col).isNotNull()).groupBy(
+        F.col(domain_col).alias("domain")
+    ).agg(F.count(F.lit(1)).alias("n_avail"))
+    tot = weights.groupBy().agg(F.sum("weight_numer").alias("_w_tot"))
+    quota_base = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_base",
+            F.expr(f"CAST({int(total_n)} * weight_numer AS BIGINT) div _w_tot"),
+        )
+        .withColumn(
+            "_rem",
+            F.expr(f"CAST({int(total_n)} * weight_numer AS BIGINT) % _w_tot"),
+        )
+    )
+    w_lead = Window.orderBy(F.col("_rem").desc(), F.col("domain").asc())
+    leftover = F.lit(int(total_n)) - F.sum("_base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    quotas = (
+        quota_base.withColumn("_lead", F.row_number().over(w_lead))
+        .withColumn("_left", leftover)
+        .select(
+            "domain",
+            (
+                F.col("_base")
+                + F.when(F.col("_lead") <= F.col("_left"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_quota_raw"),
+        )
+        .join(avail, "domain")
+        .select(
+            "domain", F.least(F.col("_quota_raw"), F.col("n_avail")).alias("_quota")
+        )
+    )
+
+    pick_hash = text_fns.portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+    )
+    w_pick = Window.partitionBy(F.col(domain_col)).orderBy(
+        pick_hash.asc(), F.col(id_col).asc()
+    )
+    # quotas' key is aliased so the join stays unambiguous when the
+    # caller's domain_col is itself named "domain" (the streaming path).
+    quotas_q = quotas.select(
+        F.col("domain").alias("_qdomain"), F.col("_quota")
+    )
+    selected = (
+        features.filter(F.col(domain_col).isNotNull())
+        .withColumn("_pick", F.row_number().over(w_pick))
+        .join(
+            F.broadcast(quotas_q),
+            F.col(domain_col) == F.col("_qdomain"),
+        )
+        .filter(F.col("_pick") <= F.col("_quota"))
+        .drop("_qdomain")
+    )
+
+    return (
+        rendezvous_assign(selected, shards, id_col=id_col, out_col="shard")
+        .groupBy("shard", F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(ntok_col)).alias("n_tokens"),
+            F.sum(F.col(id_col)).alias("sum_doc_id"),
+        )
+    )
+
+
 def curation_manifest(
     docs: DataFrame,
     total_n: int,
@@ -178,69 +276,91 @@ def curation_manifest(
         base=mixture_base,
     ).select("domain", "weight_numer")
 
-    # 4. largest-remainder apportionment of total_n ∝ weight_numer,
-    # capped at availability
-    avail = survivors.filter(F.col(domain_col).isNotNull()).groupBy(
-        F.col(domain_col).alias("domain")
-    ).agg(F.count(F.lit(1)).alias("n_avail"))
-    tot = weights.groupBy().agg(F.sum("weight_numer").alias("_w_tot"))
-    quota_base = (
-        weights.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "_base",
-            F.expr(f"CAST({int(total_n)} * weight_numer AS BIGINT) div _w_tot"),
-        )
-        .withColumn(
-            "_rem",
-            F.expr(f"CAST({int(total_n)} * weight_numer AS BIGINT) % _w_tot"),
-        )
+    # 4-6. apportion -> select -> shard, via the helper shared with
+    # the streaming emit (one source of truth for the decision layer).
+    features = survivors.withColumn(
+        "_ntok", text_fns.token_count(F.col(text_col))
     )
-    w_lead = Window.orderBy(F.col("_rem").desc(), F.col("domain").asc())
-    leftover = F.lit(int(total_n)) - F.sum("_base").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    quotas = (
-        quota_base.withColumn("_lead", F.row_number().over(w_lead))
-        .withColumn("_left", leftover)
-        .select(
-            "domain",
-            (
-                F.col("_base")
-                + F.when(F.col("_lead") <= F.col("_left"), F.lit(1)).otherwise(
-                    F.lit(0)
-                )
-            ).alias("_quota_raw"),
-        )
-        .join(avail, "domain")
-        .select(
-            "domain", F.least(F.col("_quota_raw"), F.col("n_avail")).alias("_quota")
-        )
+    return apportion_select_shard(
+        features,
+        weights,
+        total_n,
+        shards,
+        domain_col=domain_col,
+        id_col=id_col,
+        salt=salt,
     )
 
-    # 5. deterministic per-domain selection by (hash, id) rank
-    pick_hash = text_fns.portable_hash60(
-        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
-    )
-    w_pick = Window.partitionBy(F.col(domain_col)).orderBy(
-        pick_hash.asc(), F.col(id_col).asc()
-    )
-    selected = (
-        survivors.filter(F.col(domain_col).isNotNull())
-        .withColumn("_pick", F.row_number().over(w_pick))
-        .join(
-            F.broadcast(quotas),
-            F.col(domain_col) == F.col("domain"),
-        )
-        .filter(F.col("_pick") <= F.col("_quota"))
-    )
 
-    # 6. shard + manifest rollup
-    return (
-        rendezvous_assign(selected, shards, id_col=id_col, out_col="shard")
-        .groupBy("shard", F.col(domain_col).alias("domain"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(text_fns.token_count(F.col(text_col))).alias("n_tokens"),
-            F.sum(F.col(id_col)).alias("sum_doc_id"),
-        )
+def curation_manifest_delta(
+    docs_before: DataFrame,
+    docs_after: DataFrame,
+    total_n: int,
+    shards: list[str],
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mixture_rounds: int = 2,
+    mixture_base: int = 4000,
+    salt: str = "curate",
+) -> DataFrame:
+    """What CHANGES in the shipped manifest when the corpus moves from
+    ``docs_before`` to ``docs_after`` (typically before ∪ a new crawl
+    drop) — the ops rail an operator reads before promoting a new
+    corpus snapshot: which (shard, domain) cells grew, which shrank
+    (arrivals displace selections — mixture weights shift and
+    per-domain quotas re-apportion globally, so a cell CAN lose docs
+    even though the corpus only grew), and whether a cell's exact
+    selected SET changed (``set_changed`` — checksum inequality even
+    when counts match).
+
+    Both manifests run the full `curation_manifest` pipeline with the
+    same dials; the diff is a |shards|·|domains|-row full-outer join,
+    zero-filled.  Returns ``(shard, domain, n_docs_before,
+    n_docs_after, delta_docs, delta_tokens, set_changed)`` — only rows
+    where something changed (the no-change cells are noise at 100 TB:
+    |shards|·|domains| can be thousands of rows, and the reader wants
+    the exceptions)."""
+    kw = dict(
+        domain_col=domain_col,
+        text_col=text_col,
+        id_col=id_col,
+        mixture_rounds=mixture_rounds,
+        mixture_base=mixture_base,
+        salt=salt,
+    )
+    m0 = curation_manifest(docs_before, total_n, shards, **kw).select(
+        "shard",
+        "domain",
+        F.col("n_docs").alias("_docs0"),
+        F.col("n_tokens").alias("_toks0"),
+        F.col("sum_doc_id").alias("_sum0"),
+    )
+    m1 = curation_manifest(docs_after, total_n, shards, **kw).select(
+        "shard",
+        "domain",
+        F.col("n_docs").alias("_docs1"),
+        F.col("n_tokens").alias("_toks1"),
+        F.col("sum_doc_id").alias("_sum1"),
+    )
+    z = F.lit(0).cast("long")
+    joined = m0.join(m1, ["shard", "domain"], "full_outer").select(
+        "shard",
+        "domain",
+        F.coalesce(F.col("_docs0"), z).alias("n_docs_before"),
+        F.coalesce(F.col("_docs1"), z).alias("n_docs_after"),
+        (F.coalesce(F.col("_docs1"), z) - F.coalesce(F.col("_docs0"), z)).alias(
+            "delta_docs"
+        ),
+        (F.coalesce(F.col("_toks1"), z) - F.coalesce(F.col("_toks0"), z)).alias(
+            "delta_tokens"
+        ),
+        (
+            F.coalesce(F.col("_sum0"), z) != F.coalesce(F.col("_sum1"), z)
+        ).alias("set_changed"),
+    )
+    return joined.filter(
+        F.col("set_changed")
+        | (F.col("delta_docs") != 0)
+        | (F.col("delta_tokens") != 0)
     )
