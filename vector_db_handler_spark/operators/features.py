@@ -187,61 +187,47 @@ def embedding_dim_stats(
     )
 
 
-def embedding_drift_report(
-    emb_a: DataFrame,
-    emb_b: DataFrame,
-    vec_col: str = "embedding",
-    z_threshold: float = 3.0,
-) -> DataFrame:
-    """Per-dimension DRIFT between two embedding corpora — the
-    embedding-space member of the drift battery (`tv_drift_by` for
-    values, `kl_token_drift` / `rank_sum_drift` for tokens): did the
-    new crawl / new encoder version / new preprocessing shift the
-    vector distribution the index geometry was built for?  Run before
-    reusing centroids, quantization scales or a graph index across
-    snapshots — the same per-dimension moments `embedding_dim_stats`
-    profiles, compared across corpora.
+def drift_moments(emb: DataFrame, tag: str, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension ADDITIVE drift moments ``(pos, n_<tag>, s_<tag>,
+    q_<tag>)`` — the nano-int accumulation of `embedding_dim_stats`
+    (one double→DECIMAL(18,9) rounding, Σx and Σx² in DECIMAL(38,0)).
 
-    Exactness: both sides accumulate the nano-int moments of
-    `embedding_dim_stats` (one double→DECIMAL(18,9) rounding, Σx and
-    Σx² in DECIMAL(38,0)); means/stds and the Welch z-statistic
-
-        z = (mean_b − mean_a) / sqrt(var_a/n_a + var_b/n_b)
-
-    are derived by ONE fixed sequence of IEEE casts/divisions both
-    engines evaluate identically, so every column hash-checks.
-    ``drifted`` flags |z| ≥ ``z_threshold`` (default 3σ).
-
-    Output: one row per dimension —
-    ``(pos, n_a, n_b, mean_a, mean_b, mean_shift, std_a, std_b, z,
-    drifted)``.  Scale shape: one posexplode + one map-side-combined
-    per-dimension aggregate PER SIDE; the join and the arithmetic run
-    on |dims|-row relations regardless of corpus size."""
-    if z_threshold < 0:
-        raise ValueError(f"z_threshold must be >= 0, got {z_threshold}")
-
+    The relation is MERGEABLE: moments over a union of corpora equal
+    the per-``pos`` sums of per-slice moments, exactly (integer
+    arithmetic, commutative and associative).  That property is what
+    lets `streaming.drift_stream` accumulate arrival batches
+    incrementally and still emit the bit-identical
+    `embedding_drift_report` answer."""
     nano = (
         F.col("v").cast("double").cast("decimal(18,9)") * F.lit(1_000_000_000)
     ).cast("long")
-
-    def _moments(emb: DataFrame, tag: str) -> DataFrame:
-        exploded = emb.select(F.posexplode(vec_col).alias("pos", "v")).select(
-            "pos", nano.alias("x")
-        )
-        c = F.count(F.lit(1))
-        s = F.sum(F.col("x").cast("decimal(38,0)"))
-        q = F.sum(
+    exploded = emb.select(F.posexplode(vec_col).alias("pos", "v")).select(
+        "pos", nano.alias("x")
+    )
+    return exploded.groupBy("pos").agg(
+        F.count(F.lit(1)).alias(f"n_{tag}"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias(f"s_{tag}"),
+        F.sum(
             (F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)")
-        )
-        return exploded.groupBy("pos").agg(
-            c.alias(f"n_{tag}"),
-            s.alias(f"s_{tag}"),
-            q.alias(f"q_{tag}"),
-        )
+        ).alias(f"q_{tag}"),
+    )
 
-    a = _moments(emb_a, "a")
-    b = _moments(emb_b, "b")
-    j = a.join(b, "pos")
+
+def drift_report_from_moments(
+    moments_a: DataFrame,
+    moments_b: DataFrame,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """The DECISION half of `embedding_drift_report`: given the two
+    sides' moment relations (``(pos, n_a, s_a, q_a)`` and
+    ``(pos, n_b, s_b, q_b)``), derive means/stds and the Welch z by
+    ONE fixed sequence of IEEE casts/divisions both engines evaluate
+    identically.  Extracted so the batch report and the streaming
+    emit (`streaming.drift_stream.drift_report_from_state`) run the
+    same code object and cannot drift."""
+    if z_threshold < 0:
+        raise ValueError(f"z_threshold must be >= 0, got {z_threshold}")
+    j = moments_a.join(moments_b, "pos")
 
     def _mean(tag: str):
         return (
@@ -273,6 +259,45 @@ def embedding_drift_report(
         (F.sqrt(_var("b"))).alias("std_b"),
         F.round(z, 6).alias("z"),
         (F.abs(F.round(z, 6)) >= F.lit(float(z_threshold))).alias("drifted"),
+    )
+
+
+def embedding_drift_report(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    vec_col: str = "embedding",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-dimension DRIFT between two embedding corpora — the
+    embedding-space member of the drift battery (`tv_drift_by` for
+    values, `kl_token_drift` / `rank_sum_drift` for tokens): did the
+    new crawl / new encoder version / new preprocessing shift the
+    vector distribution the index geometry was built for?  Run before
+    reusing centroids, quantization scales or a graph index across
+    snapshots — the same per-dimension moments `embedding_dim_stats`
+    profiles, compared across corpora.
+
+    Exactness: both sides accumulate the nano-int moments of
+    `embedding_dim_stats` (one double→DECIMAL(18,9) rounding, Σx and
+    Σx² in DECIMAL(38,0)); means/stds and the Welch z-statistic
+
+        z = (mean_b − mean_a) / sqrt(var_a/n_a + var_b/n_b)
+
+    are derived by ONE fixed sequence of IEEE casts/divisions both
+    engines evaluate identically, so every column hash-checks.
+    ``drifted`` flags |z| ≥ ``z_threshold`` (default 3σ).
+
+    Output: one row per dimension —
+    ``(pos, n_a, n_b, mean_a, mean_b, mean_shift, std_a, std_b, z,
+    drifted)``.  Scale shape: one posexplode + one map-side-combined
+    per-dimension aggregate PER SIDE (`drift_moments`); the join and
+    the arithmetic (`drift_report_from_moments` — shared verbatim
+    with the streaming emit) run on |dims|-row relations regardless
+    of corpus size."""
+    return drift_report_from_moments(
+        drift_moments(emb_a, "a", vec_col=vec_col),
+        drift_moments(emb_b, "b", vec_col=vec_col),
+        z_threshold=z_threshold,
     )
 
 

@@ -282,3 +282,105 @@ def domain_mixture_weights(
             ).alias("weight_share"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` COLLOCATIONS by exact-integer PMI lift — the
+    "strongly-associated adjacent token pairs" rail of tokenizer and
+    phrase-vocabulary construction (merge candidates for a BPE/
+    WordPiece vocabulary, stop-phrase lists for dedup shingling,
+    multi-word entity seeds).
+
+    PMI(x, y) = log p(xy) / (p(x) p(y)) with p(xy) = n_xy / N_big,
+    p(t) = n_t / N_tok.  The log is monotone, so ranking by the
+    RATIO needs no transcendental — and the ratio is computed as ONE
+    exact integer division in DECIMAL(38,0):
+
+        lift_micro = (10^6 · n_xy · N_tok²) div (N_big · n_x · n_y)
+
+    (numerator ≤ 10^6·n_xy·N_tok² — 38 digits hold it for corpora up
+    to ~10^12 tokens; the quotient is ≤ 10^6·N_tok²/N_big ≈ 10^6·N_tok
+    and must fit BIGINT, which the same bound covers).  Hash-exact in
+    both engines: Spark ``div`` on DECIMAL(38,0) and DuckDB HUGEINT
+    ``//`` both truncate toward zero on non-negative operands.
+
+    ``min_count`` drops pairs with n_xy below it — the standard PMI
+    guard (rare pairs have the highest raw PMI by chance alone).
+
+    Output: ``(x, y, n_xy, n_x, n_y, lift_micro)`` — the top ``k`` by
+    (lift_micro DESC, x ASC, y ASC); (x, y) is unique so the order is
+    total and the LIMIT deterministic.
+
+    Scale shape: two map-side-combined wordcount shuffles (unigrams,
+    adjacent pairs — Zipf skew absorbed by partial aggregation), two
+    vocabulary-sized joins back to the pair relation (AQE broadcasts
+    them when the vocabulary fits, shuffles otherwise), one scalar
+    totals broadcast, then TakeOrderedAndProject — no corpus-sized
+    sort anywhere.  No reference analog; extension surface."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = quote_ident(text_col)
+    toks = F.expr(f"split({c}, ' ')")
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"if(size(split({c}, ' ')) >= 2,"
+                    f" transform(sequence(1, size(split({c}, ' ')) - 1),"
+                    f"  i -> struct(element_at(split({c}, ' '), i) AS x,"
+                    f"              element_at(split({c}, ' '), i + 1) AS y)),"
+                    f" array())"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .filter(F.col("n_xy") >= int(min_count))
+    )
+    totals = uni.groupBy().agg(
+        F.sum("n").cast("decimal(38,0)").alias("n_tok")
+    )
+    n_big = (
+        docs.select(
+            F.greatest(
+                F.lit(0).cast("long"), (F.size(toks) - 1).cast("long")
+            ).alias("nb")
+        )
+        .groupBy()
+        .agg(F.sum("nb").cast("decimal(38,0)").alias("n_big"))
+    )
+    j = (
+        pairs.join(uni.select(F.col("tok").alias("x"), F.col("n").alias("n_x")), "x")
+        .join(uni.select(F.col("tok").alias("y"), F.col("n").alias("n_y")), "y")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_big))
+    )
+    lift = F.expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * n_xy * n_tok * n_tok)"
+        " div (n_big * n_x * n_y)"
+    )
+    return (
+        j.select(
+            "x",
+            "y",
+            "n_xy",
+            "n_x",
+            "n_y",
+            lift.cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.col("lift_micro").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(int(k))
+    )

@@ -258,3 +258,147 @@ def rank_eval_metrics(
             ).alias("ndcg"),
         )
     )
+
+
+def mmr_diversified_topk(
+    emb: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    lam_milli: int = 700,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance DIVERSIFIED top-k (Carbonell &
+    Goldstein, SIGIR'98) — the serving-side answer to "the top 10 are
+    10 near-duplicates": greedily select ``k`` results from the
+    ``n_candidates`` best by
+
+        mmr(c) = λ·score(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+
+    trading relevance against redundancy.  A vector store whose
+    corpus has near-dup clusters (the exact situation the dedup rails
+    measure) needs this rail at serve time for any candidate the
+    upstream dedup spared.
+
+    Exactness: scores and pairwise sims are exact int8-grid integer
+    dot products (the `quantized_knn` grid — one corpus-scale
+    broadcast, one Arrow-batched pass), λ rides in milli-units, so
+
+        mmr_milli = lam_milli·score − (1000 − lam_milli)·max_sim
+
+    is BIGINT arithmetic both engines reproduce bit-for-bit; max over
+    the empty selected set is 0, so step 1's mmr is lam_milli·score.
+    Ties break by (mmr DESC, id ASC) — a total order.
+
+    Scale shape: the DISTRIBUTED work is candidate generation —
+    quantize + score + ``TakeOrderedAndProject`` down to
+    ``n_candidates`` rows.  Greedy MMR itself is inherently
+    sequential (each pick conditions the next), O(k·n) on a
+    k×n_candidates grid — a BOUNDED driver-side step (≤ n_candidates
+    rows regardless of corpus size, the `_collect_matrix` small-side
+    discipline), never corpus work.  Output: ``(step, id, qscore,
+    mmr_milli)``, one row per selected result, step = selection
+    order.  No reference analog; extension surface (the reference's
+    search returns the raw top-k, document_ingestor.py:332-364)."""
+    from vector_db_handler_spark.operators.quantize import (
+        Q_MAX,
+        max_abs_scale,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_candidates < k:
+        raise ValueError(
+            f"n_candidates ({n_candidates}) must be >= k ({k})"
+        )
+    if not 0 <= int(lam_milli) <= 1000:
+        raise ValueError(f"lam_milli must be in [0, 1000], got {lam_milli}")
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    scale = max_abs_scale(emb, embedding_col)
+    joined = (
+        emb.select(id_col, embedding_col)
+        .filter(F.col(embedding_col).isNotNull())
+        .crossJoin(F.broadcast(scale))
+    )
+    id_field = joined.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("qscore", LongType(), False),
+            StructField("qvec", ArrayType(LongType()), False),
+        ]
+    )
+    qv = [float(x) for x in query_vector]
+
+    def score(batches):  # self-contained: cloudpickled to executors
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            s = float(pdf["s"].iloc[0])
+            if not s > 0.0:  # all-zero corpus: every score is 0
+                s = 1.0
+            qq = np.clip(
+                np.floor(127.0 * np.asarray(qv, dtype=np.float64) / s + 0.5),
+                -Q_MAX,
+                Q_MAX,
+            ).astype(np.int64)
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[embedding_col]]
+            )
+            q = np.clip(np.floor(127.0 * mat / s + 0.5), -Q_MAX, Q_MAX).astype(
+                np.int64
+            )
+            out = pdf[[id_col]].copy()
+            out["qscore"] = q @ qq
+            out["qvec"] = list(q)
+            yield out
+
+    cand = (
+        joined.mapInPandas(score, out_schema)
+        .orderBy(F.col("qscore").desc(), F.col(id_col).asc())
+        .limit(int(n_candidates))
+        .collect()  # bounded: n_candidates rows, corpus-independent
+    )
+
+    remaining = {
+        r[id_col]: (int(r["qscore"]), [int(x) for x in r["qvec"]])
+        for r in cand
+    }
+    lam = int(lam_milli)
+    selected: list[tuple[int, object, int, int]] = []
+    chosen_vecs: list[list[int]] = []
+    while remaining and len(selected) < int(k):
+        best = None
+        for cid, (sc, vec) in remaining.items():
+            max_sim = max(
+                (sum(a * b for a, b in zip(vec, sv)) for sv in chosen_vecs),
+                default=0,
+            )
+            mmr = lam * sc - (1000 - lam) * max_sim
+            key = (-mmr, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, sc, mmr)
+        _, cid, sc, mmr = best
+        selected.append((len(selected) + 1, cid, sc, mmr))
+        chosen_vecs.append(remaining.pop(cid)[1])
+
+    spark = emb.sparkSession
+    out = StructType(
+        [
+            StructField("step", LongType(), False),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("qscore", LongType(), False),
+            StructField("mmr_milli", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(selected, out)

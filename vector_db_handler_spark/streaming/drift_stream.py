@@ -1,0 +1,174 @@
+"""Streaming / incremental embedding-DRIFT monitoring — the IVM form
+of `operators.features.embedding_drift_report`, and the sixth
+exactly-once serve twin (after the KNN, NB, HLL, graph-index and
+curation stores).
+
+Why it exists: drift against a reference corpus is the gate that
+decides whether index geometry (centroids, quantization scales, a
+graph index) can be reused as new crawl drops land.  Re-running the
+two-corpus report per drop re-pays a full posexplode+aggregate pass
+over EVERY arrival byte seen so far.  The split here is the cleanest
+IVM instance in the repo, because the drift moments are *mergeable by
+construction* (`features.drift_moments`: integer Σ1/Σx/Σx² per
+dimension in DECIMAL(38,0) — commutative, associative, exact):
+
+* **Per-arrival-batch extraction is incremental** — each micro-batch
+  is reduced ONCE to its |dims|-row moment relation
+  ``(pos, n_b, s_b, q_b)`` and appended to the store.  Raw vectors
+  are read exactly once, at arrival.
+* **The decision layer re-derives from state** — the emit sums the
+  committed per-batch moments per dimension (state is
+  |dims| × n_batches rows — ~10⁻⁹ of corpus bytes at 100 TB) and
+  runs `features.drift_report_from_moments`, the SAME code object
+  the batch report runs, against the reference moments written once
+  at store creation.  Because integer moment addition is exact, the
+  emitted report equals ``embedding_drift_report(ref, ∪ arrivals)``
+  bit-for-bit for ANY batching of the arrivals — there is no
+  id-alignment precondition like the curation store's.
+
+Store layout under ``state_path`` (the graph-index / curation ingest
+discipline): ``ref/`` holds the reference moments written ONCE by
+`write_drift_reference`; each micro-batch writes its own
+``moments/batch=<id>/`` directory; a batch is COMMITTED when its
+``_SUCCESS`` marker exists; readers union committed batches only, so
+a crashed (torn) batch is invisible.  A committed batch id
+short-circuits to a no-op on replay, which with Spark's checkpointed
+batch ids gives exactly-once state THROUGH crash/replay.
+
+OPERATIONAL CONTRACT (same as the graph-index and curation stores):
+the streaming ``checkpoint`` must be retained for the store's
+lifetime — a fresh checkpoint restarts batch ids at 0, and the
+committed-directory short-circuit would then silently drop genuinely
+new arrivals landing on recycled ids.
+
+Reference scope: the reference has no drift analog (its ingest
+trusts every upsert, app/core/document_ingestor.py:571-720); this is
+the corpus-health rail a continuously-fed vector store needs before
+reusing index geometry across snapshots.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_handler_spark.operators.features import (
+    drift_moments,
+    drift_report_from_moments,
+)
+
+
+def _committed_batches(state_path: str) -> list[int]:
+    """Batch ids under ``moments/`` with a ``_SUCCESS`` marker,
+    ascending."""
+    root = os.path.join(state_path, "moments")
+    out: list[int] = []
+    if not os.path.isdir(root):
+        return out
+    for d in os.listdir(root):
+        if not d.startswith("batch="):
+            continue
+        try:
+            v = int(d.split("=", 1)[1])
+        except ValueError:
+            continue  # stray non-numeric entry: skip, don't serve it
+        if os.path.exists(os.path.join(root, d, "_SUCCESS")):
+            out.append(v)
+    return sorted(out)
+
+
+def write_drift_reference(
+    emb: DataFrame, state_path: str, vec_col: str = "embedding"
+) -> None:
+    """Reduce the reference corpus to its moment relation and write it
+    ONCE to ``ref/`` — the only pass the reference bytes ever pay."""
+    drift_moments(emb, "a", vec_col=vec_col).write.mode("overwrite").parquet(
+        os.path.join(state_path, "ref")
+    )
+
+
+def streaming_drift_ingest(
+    emb_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    timeout_sec: int = 180,
+) -> None:
+    """Drain an embedding stream into the drift state store: each
+    micro-batch is reduced to its per-dimension moment relation and
+    written as one committed ``moments/batch=<id>/`` file-set.  Raw
+    vectors never enter the store.
+
+    Exactly-once at the batch level: a committed batch id
+    short-circuits (crash landed after the directory commit but
+    before the checkpoint commit — the store state IS the directory),
+    and the ``checkpoint`` must be retained across the store's
+    lifetime (see module docstring)."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        mdir = os.path.join(state_path, "moments", f"batch={int(batch_id)}")
+        if os.path.exists(os.path.join(mdir, "_SUCCESS")):
+            return
+        drift_moments(batch_df, "b", vec_col=vec_col).write.mode(
+            "overwrite"
+        ).parquet(mdir)
+
+    q = (
+        emb_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"drift ingest did not drain within {timeout_sec}s")
+
+
+def drift_state_moments(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged arrival-side moment relation ``(pos, n_b, s_b,
+    q_b)``: union the committed per-batch moments, sum per dimension.
+    Exact — integer sums in DECIMAL(38,0), so ANY batching of the
+    same arrivals merges to the same relation."""
+    batches = _committed_batches(state_path)
+    if not batches:
+        raise ValueError(
+            f"no committed drift state under {state_path} — drain at least "
+            "one batch with streaming_drift_ingest first"
+        )
+    out = None
+    for v in batches:
+        df = spark.read.parquet(
+            os.path.join(state_path, "moments", f"batch={v}")
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.groupBy("pos").agg(
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.sum("s_b").cast("decimal(38,0)").alias("s_b"),
+        F.sum("q_b").cast("decimal(38,0)").alias("q_b"),
+    )
+
+
+def drift_report_from_state(
+    spark: SparkSession, state_path: str, z_threshold: float = 3.0
+) -> DataFrame:
+    """Emit the drift report from the state store — reference moments
+    from ``ref/``, arrival moments merged from the committed batches,
+    decision arithmetic via `features.drift_report_from_moments` (the
+    SAME code object the batch report runs, so the two paths cannot
+    drift).  Equals ``embedding_drift_report(ref, ∪ arrivals)``
+    bit-for-bit, for any batching of the arrivals."""
+    ref_dir = os.path.join(state_path, "ref")
+    if not os.path.exists(os.path.join(ref_dir, "_SUCCESS")):
+        raise ValueError(
+            f"no reference moments under {state_path} — write them once "
+            "with write_drift_reference first"
+        )
+    ref = spark.read.parquet(ref_dir)
+    return drift_report_from_moments(
+        ref, drift_state_moments(spark, state_path), z_threshold=z_threshold
+    )
