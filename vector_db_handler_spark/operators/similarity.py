@@ -2669,6 +2669,44 @@ def compact_knn_graph_index(spark, path: str) -> None:
     p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()).delete(p, True)
 
 
+def _exact_topk_pairs(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """The eval rails' EXACT ground-truth leg: int8-grid top-``k``
+    ``(qid, nid)`` pairs per query — corpus scored against the
+    broadcast eval batch in one pass.  BEAM-INDEPENDENT, so
+    `beam_recall_curve` computes it once behind a lazy checkpoint and
+    every curve point reuses it (it is the report's single most
+    expensive relation; recomputing it per point tripled the curve's
+    wall for identical bits)."""
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_int8,
+    )
+
+    scale = max_abs_scale(emb, embedding_col)
+    qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col).select(
+        F.col(id_col).alias("nid"), F.col("qvec").alias("v")
+    )
+    qq = quantize_int8(
+        queries, embedding_col=query_vec_col, id_col=query_id_col, scale=scale
+    ).select(F.col(query_id_col).alias("qid"), F.col("qvec").alias("qv"))
+    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("nid").asc())
+    return (
+        qn.crossJoin(F.broadcast(qq))
+        .select("qid", "nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid")
+    )
+
+
 def graph_ann_recall_report(
     emb: DataFrame,
     queries: DataFrame,
@@ -2686,6 +2724,7 @@ def graph_ann_recall_report(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     recall_floor: float = 0.9,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the graph-ANN beam search against the exact int8
     top-k, per query — the measurement that tunes beam/hops/entry_mod
@@ -2717,13 +2756,10 @@ def graph_ann_recall_report(
     the approx leg is the batch beam serve (shared entry scan,
     per-query windows); the exact leg scores the corpus against the
     BROADCAST query batch in one pass (the eval-harness N·Q baseline —
-    eval-set-sized Q only, the same contract as `ann_recall_report`).
-    Output: ``(query_id, k, n_hits, recall)``."""
-    from vector_db_handler_spark.operators.quantize import (
-        max_abs_scale,
-        quantize_int8,
-    )
-
+    eval-set-sized Q only, the same contract as `ann_recall_report`),
+    or rides in precomputed via ``exact`` (`_exact_topk_pairs` —
+    beam-independent, so `beam_recall_curve` shares one across its
+    points).  Output: ``(query_id, k, n_hits, recall)``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not 0.0 <= recall_floor <= 1.0:
@@ -2753,28 +2789,26 @@ def graph_ann_recall_report(
         query_vec_col=query_vec_col,
     ).select(F.col(query_id_col).alias("qid"), F.col("neighbor_id").alias("nid"))
 
-    scale = max_abs_scale(emb, embedding_col)
-    qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col).select(
-        F.col(id_col).alias("nid"), F.col("qvec").alias("v")
-    )
-    qq = quantize_int8(
-        queries, embedding_col=query_vec_col, id_col=query_id_col, scale=scale
-    ).select(F.col(query_id_col).alias("qid"), F.col("qvec").alias("qv"))
-    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("nid").asc())
-    exact = (
-        qn.crossJoin(F.broadcast(qq))
-        .select("qid", "nid", _int_dot(F.col("v"), F.col("qv")).alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "nid")
-    )
+    if exact is None:
+        exact = _exact_topk_pairs(
+            emb,
+            queries,
+            k,
+            embedding_col=embedding_col,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
     hits = (
         approx.join(exact, ["qid", "nid"])
         .groupBy("qid")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        qq.select("qid")
+        # null-embedding queries are dropped, matching the quantized
+        # relations' contract (quantize_int8 filters them)
+        queries.filter(F.col(query_vec_col).isNotNull())
+        .select(F.col(query_id_col).alias("qid"))
         .distinct()
         .join(hits, "qid", "left")
         .select(
@@ -2955,6 +2989,17 @@ def beam_recall_curve(
             embedding_col=embedding_col,
             id_col=id_col,
         ).localCheckpoint(eager=False)
+    # The exact ground-truth leg is beam-independent: compute it once
+    # behind a lazy checkpoint and let every curve point reuse it.
+    exact = _exact_topk_pairs(
+        emb,
+        queries,
+        k,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).localCheckpoint(eager=False)
     points = []
     for b in beams:
         rep = graph_ann_recall_report(
@@ -2964,6 +3009,7 @@ def beam_recall_curve(
             beam=b,
             hops=hops,
             graph=graph,
+            exact=exact,
             graph_k=graph_k,
             graph_iters=graph_iters,
             kmeans_k=kmeans_k,
