@@ -149,6 +149,28 @@ def test_crash_uncommitted_batch_invisible(spark, sf_dir, tmp_path):
     shutil.rmtree(torn)
 
 
+def test_mixed_dim_arrival_rejected(spark, sf_dir, tmp_path):
+    """An arrival batch whose embedding dim differs from the reference
+    is refused declaratively (assert_true riding the vec column —
+    every row checked in the moments job itself), instead of folding
+    silently into the reference's positions at emit."""
+    base = str(tmp_path)
+    state = os.path.join(base, "state")
+    src = os.path.join(base, "src")
+    emb = _emb(spark, sf_dir)
+    write_drift_reference(emb.filter(dq._DRIFT_A_PRED), state)
+    bad = emb.filter(dq._DRIFT_B_PRED).select(
+        "vec_id", "label", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    bad.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(bad.schema).parquet(src)
+    with pytest.raises(Exception, match="dim"):
+        streaming_drift_ingest(stream, state, os.path.join(base, "cp"))
+    # the failed batch never committed: no readable state
+    with pytest.raises(ValueError, match="no committed drift state"):
+        drift_state_moments(spark, state)
+
+
 def test_args_validated(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed drift state"):
         drift_state_moments(spark, str(tmp_path))

@@ -83,10 +83,18 @@ def write_drift_reference(
     emb: DataFrame, state_path: str, vec_col: str = "embedding"
 ) -> None:
     """Reduce the reference corpus to its moment relation and write it
-    ONCE to ``ref/`` — the only pass the reference bytes ever pay."""
-    drift_moments(emb, "a", vec_col=vec_col).write.mode("overwrite").parquet(
-        os.path.join(state_path, "ref")
-    )
+    ONCE to ``ref/`` — the only pass the reference bytes ever pay.
+    The reference DIMENSION is recorded alongside (``ref_meta/``) so
+    the ingest can refuse mixed-dimension arrivals declaratively
+    instead of letting the emit's inner join silently truncate them
+    to the reference's positions."""
+    moments = drift_moments(emb, "a", vec_col=vec_col)
+    moments.write.mode("overwrite").parquet(os.path.join(state_path, "ref"))
+    spark = emb.sparkSession
+    dim = spark.read.parquet(os.path.join(state_path, "ref")).count()
+    spark.createDataFrame([(int(dim),)], "dim long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_path, "ref_meta"))
 
 
 def streaming_drift_ingest(
@@ -113,6 +121,28 @@ def streaming_drift_ingest(
         mdir = os.path.join(state_path, "moments", f"batch={int(batch_id)}")
         if os.path.exists(os.path.join(mdir, "_SUCCESS")):
             return
+        # Dimension guard (declarative — assert_true rides the scan, so
+        # EVERY row is checked, no extra job): a mixed-dimension arrival
+        # would otherwise fold silently into the reference's positions
+        # at the emit's inner join.
+        meta_dir = os.path.join(state_path, "ref_meta")
+        if os.path.exists(os.path.join(meta_dir, "_SUCCESS")):
+            spark = batch_df.sparkSession
+            dim = int(spark.read.parquet(meta_dir).first()["dim"])
+            dim_ok = F.assert_true(
+                F.size(F.col(vec_col)) == F.lit(dim),
+                F.lit(
+                    "streaming_drift_ingest: arrival embedding dim != "
+                    f"reference dim {dim} (ref_meta/) — a mixed-dimension "
+                    "batch would fold silently into the reference's "
+                    "positions at emit"
+                ),
+            )
+            # riding the vec column keeps the check inside the moments
+            # projection (every row, no extra job, prune-proof)
+            batch_df = batch_df.withColumn(
+                vec_col, F.when(dim_ok.isNull(), F.col(vec_col))
+            )
         drift_moments(batch_df, "b", vec_col=vec_col).write.mode(
             "overwrite"
         ).parquet(mdir)
