@@ -37,11 +37,10 @@ ROWS_ONLY = {
     # md5-seeded PCG64 embedder is not SQL-expressible; shape/score
     # semantics are pytest-asserted in test_golden_scenario.py.
     "pipeline_ingest_search",
-    # The exact-integer Walsh-Hadamard butterfly behind the audio
-    # constellation landmarks has no relational form; semantics
-    # (determinism, shift invariance, planted-copy recovery, hot-bucket
-    # guard) are pytest-pinned in test_audio_fingerprint.py.
-    "audio_neardup_pairs",
+    # audio_neardup_pairs graduated to hash-checked in r15: the WHT
+    # butterfly has no relational form, but the transform does — the
+    # parity kernel Σ_j (−1)^popcount(j&k)·x_j, O(frame²) per frame,
+    # fine for an oracle (_AUDIO_NEARDUP_SQL).
 }
 
 

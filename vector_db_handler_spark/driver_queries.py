@@ -10719,11 +10719,99 @@ def rank_sum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rsd(load(spark, sf_dir, "events"), "event_type", "value", "ts")
 
 
-@register("audio_neardup_pairs")  # rows-only: the WHT butterfly has no
-# relational form (documented necessity, same class as
-# pipeline_ingest_search); semantics are pytest-pinned in
-# tests/test_audio_fingerprint.py and the landmark kernel is exact
-# integer, so rows are deterministic.
+# Twin of the audio constellation rail.  The WHT *butterfly* has no
+# relational form, but the TRANSFORM does: coefficient k of a frame is
+# the parity kernel  Σ_j (−1)^popcount(j & k) · x_j  — O(frame²) per
+# frame instead of the butterfly's O(frame·log frame), irrelevant for
+# an oracle (registered r15; this upgrades the row from rows-only to
+# hash-checked, leaving pipeline_ingest_search as the single rows-only
+# entry).  Every stage is exact integer: samples are the WAV payload
+# bytes −128 (8-bit PCM pass-through, hex-decoded from the SAME
+# byte-padded encode the fixture adapter performs), peaks tie-break
+# low-bin-first (ROW_NUMBER mag DESC, k ASC ≡ numpy argmax-first),
+# the bit length is length(printf('%b', mag)) ≡ frexp's exponent, and
+# the mixed-radix landmark packing matches media.audio_landmarks
+# digit for digit.  Dials mirror the row: frame 64 / hop 32 / 8 bands
+# / max_dt 3 / bl clamp 15 / max_df 50 / min_shared 5 / containment
+# 0.5; fixture shape body 256 B, shift 64 B, copy modulus 9, id
+# offset 1e6.
+_AUDIO_NEARDUP_SQL = """
+WITH enc AS (
+  SELECT doc_id AS media_id,
+         substr(rpad(hex(encode(text)), 512, '20'), 1, 512) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+clips AS (
+  SELECT media_id, h FROM enc
+  UNION ALL
+  SELECT media_id + 1000000, repeat('20', 64) || h FROM enc
+  WHERE media_id % 9 = 0
+),
+samples AS (
+  SELECT media_id, i,
+         CAST((strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1) * 16
+              + strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1
+              - 128 AS BIGINT) AS x
+  FROM clips, unnest(generate_series(0, CAST(length(h) AS BIGINT)//2 - 1)) AS s(i)
+),
+frames AS (
+  SELECT s.media_id, fs.f, js.j, s.x
+  FROM clips c
+  CROSS JOIN unnest(generate_series(0, (CAST(length(c.h) AS BIGINT)//2 - 64)//32)) AS fs(f)
+  CROSS JOIN unnest(generate_series(0, 63)) AS js(j)
+  JOIN samples s ON s.media_id = c.media_id AND s.i = fs.f*32 + js.j
+),
+wht AS (
+  SELECT media_id, f, ks.k,
+         CAST(ABS(SUM(CASE WHEN bit_count(CAST(j AS BIGINT) & ks.k) % 2 = 0
+                      THEN x ELSE -x END)) AS BIGINT) AS mag
+  FROM frames, unnest(generate_series(1, 63)) AS ks(k)
+  GROUP BY 1, 2, 3
+),
+peaks AS (
+  SELECT media_id, f, band, k AS bin, mag,
+         LEAST(length(printf('%b', mag)), 15) AS bl
+  FROM (
+    SELECT media_id, f, k//8 AS band, k, mag,
+           ROW_NUMBER() OVER (PARTITION BY media_id, f, k//8
+                              ORDER BY mag DESC, k ASC) AS rn
+    FROM wht
+  ) WHERE rn = 1 AND mag > 0
+),
+lms AS (
+  SELECT DISTINCT p1.media_id,
+    CAST(((((((p1.band*64 + p1.bin)*64 + p2.bin)*64 + p3.bin)*4 + ds.dt)*16
+          + p1.bl)*16 + p3.bl) AS BIGINT) AS landmark
+  FROM unnest(generate_series(1, 3)) AS ds(dt)
+  CROSS JOIN peaks p1
+  JOIN peaks p2 ON p2.media_id = p1.media_id AND p2.band = p1.band
+               AND p2.f = p1.f + ds.dt
+  JOIN peaks p3 ON p3.media_id = p1.media_id AND p3.band = p1.band
+               AND p3.f = p1.f + 2*ds.dt
+),
+guarded AS (
+  SELECT * FROM lms WHERE landmark NOT IN (
+    SELECT landmark FROM lms GROUP BY landmark HAVING COUNT(*) > 50
+  )
+),
+sizes AS (SELECT media_id, COUNT(*) AS n_lm FROM guarded GROUP BY 1),
+shared AS (
+  SELECT x.media_id AS a, y.media_id AS b, COUNT(*) AS n_shared
+  FROM guarded x JOIN guarded y
+    ON x.landmark = y.landmark AND x.media_id < y.media_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.n_lm, sb.n_lm), 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.media_id = a
+JOIN sizes sb ON sb.media_id = b
+WHERE n_shared >= 5
+  AND CAST(n_shared AS DOUBLE) / LEAST(sa.n_lm, sb.n_lm) >= 0.5
+"""
+
+
+@register("audio_neardup_pairs", _AUDIO_NEARDUP_SQL)
 def audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs by shared Shazam-style constellation
     landmarks (exact-integer WHT spectral peaks chained into
