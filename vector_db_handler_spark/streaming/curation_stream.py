@@ -147,6 +147,23 @@ def streaming_curation_ingest(
         ):
             # Crash landed after this batch's commit but before the
             # checkpoint commit: the store state IS these directories.
+            # Logged loudly (r14 ADVICE discipline, as in the graph
+            # store): under a FRESH checkpoint, batch ids restart at 0
+            # and a genuinely NEW arrival landing on a committed id is
+            # dropped here — the short-circuit cannot tell a crash
+            # replay from a recycled id.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "streaming_curation_ingest: batch id %s is already "
+                "committed under %s and was SKIPPED. Expected for a "
+                "crash replay under the retained checkpoint; if this is "
+                "a FRESH checkpoint, these arrivals were NOT ingested — "
+                "retain the original checkpoint across the store's "
+                "lifetime.",
+                int(batch_id),
+                state_path,
+            )
             return
         spark = batch_df.sparkSession
         th = text_fns.portable_hash60(F.col(text_col))

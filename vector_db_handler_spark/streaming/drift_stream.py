@@ -120,6 +120,23 @@ def streaming_drift_ingest(
             return
         mdir = os.path.join(state_path, "moments", f"batch={int(batch_id)}")
         if os.path.exists(os.path.join(mdir, "_SUCCESS")):
+            # Crash landed after the directory commit but before the
+            # checkpoint commit: the store state IS the directory.
+            # Logged loudly (r14 ADVICE discipline): under a FRESH
+            # checkpoint, ids restart at 0 and a genuinely NEW arrival
+            # landing on a committed id is dropped here.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "streaming_drift_ingest: batch id %s is already "
+                "committed under %s and was SKIPPED. Expected for a "
+                "crash replay under the retained checkpoint; if this is "
+                "a FRESH checkpoint, these arrivals were NOT ingested — "
+                "retain the original checkpoint across the store's "
+                "lifetime.",
+                int(batch_id),
+                state_path,
+            )
             return
         # Dimension guard (declarative — assert_true rides the scan, so
         # EVERY row is checked, no extra job): a mixed-dimension arrival
