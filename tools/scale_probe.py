@@ -1919,6 +1919,140 @@ def r14(mult: int = 4) -> None:
 
 
 
+def r15b(mult: int = 16) -> None:
+    """Round-15 build-session probes.
+
+    1. ``curation_manifest`` at a 4·mult DISTINCT-TEXT corpus — the
+       r13 probe replicated texts verbatim, so the dedup stage
+       collapsed every replica and later stages ran at 1× survivor
+       volume; suffixing the replica id keeps all copies alive and
+       measures the FULL pipeline at true scale.
+    2. The IVM advantage the staged `curation_stream` exists for: a
+       1× crawl drop lands on a mult× base — wall of
+       (incremental ingest of the drop + emit from state) vs
+       re-running ``curation_manifest`` over base ∪ drop.
+    3. Third scale points for the other staged families:
+       ``pmi_collocations`` and the drift store at mult×.
+    """
+    from pyspark.sql import functions as F2
+
+    from vector_db_handler_spark.operators.curation import curation_manifest
+    from vector_db_handler_spark.operators.lm_score import pmi_collocations
+    from vector_db_handler_spark.streaming.curation_stream import (
+        curation_manifest_from_state,
+        streaming_curation_ingest,
+    )
+    from vector_db_handler_spark.streaming.drift_stream import (
+        drift_report_from_state,
+        streaming_drift_ingest,
+        write_drift_reference,
+    )
+
+    spark = get_spark("r15b-probe")
+    sf = "/root/testdata/sf0.1"
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet")
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def rep_docs_distinct(m):
+        if m == 1:
+            return docs0.select("doc_id", "lang", "text")
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return docs0.crossJoin(reps).select(
+            (F2.col("doc_id") * m + F2.col("rep")).alias("doc_id"),
+            "lang",
+            F2.concat(
+                F2.col("text"), F2.lit(" r"), F2.col("rep").cast("string")
+            ).alias("text"),
+        )
+
+    shards = [f"s{i}" for i in range(8)]
+
+    # 1. distinct-text curation at 1x, mult x, 4*mult x
+    for m in (1, mult, 4 * mult):
+        docs = rep_docs_distinct(m)
+        n = docs.count()
+        t0 = time.perf_counter()
+        cells = curation_manifest(docs, total_n=1000 * m, shards=shards).count()
+        print(
+            f"curation_manifest DISTINCT @ {n} docs: {cells} cells, "
+            f"wall {time.perf_counter()-t0:.1f}s (budget {1000*m})"
+        )
+
+    # 2. IVM advantage: 1x drop on a mult x base
+    base = rep_docs_distinct(mult)
+    drop = docs0.select(
+        (F2.col("doc_id") + 100_000_000).alias("doc_id"),
+        "lang",
+        F2.concat(F2.col("text"), F2.lit(" drop")).alias("text"),
+    )
+    root = tempfile.mkdtemp(prefix="vdh_r15b_cur_")
+    state, src, cp = (os.path.join(root, d) for d in ("state", "src", "cp"))
+    t0 = time.perf_counter()
+    base.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    streaming_curation_ingest(stream, state, cp)
+    t_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    drop.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    streaming_curation_ingest(stream, state, cp)
+    t_drop = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cells = curation_manifest_from_state(
+        spark, state, total_n=1000 * mult, shards=shards
+    ).count()
+    t_emit = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cells_b = curation_manifest(
+        base.unionByName(drop), total_n=1000 * mult, shards=shards
+    ).count()
+    t_batch = time.perf_counter() - t0
+    print(
+        f"curation IVM @ base {mult}x + drop 1x: base-ingest {t_base:.1f}s "
+        f"(once), drop-ingest {t_drop:.1f}s + emit {t_emit:.1f}s "
+        f"({cells} cells) vs full batch re-run {t_batch:.1f}s "
+        f"({cells_b} cells)"
+    )
+
+    # 3a. pmi_collocations third point
+    for m in (1, mult):
+        docs = rep_docs_distinct(m)
+        n = docs.count()
+        t0 = time.perf_counter()
+        rows = pmi_collocations(docs).count()
+        print(
+            f"pmi_collocations @ {n} docs: {rows} rows, "
+            f"wall {time.perf_counter()-t0:.1f}s"
+        )
+
+    # 3b. drift store at mult x embeddings
+    reps = spark.range(mult).withColumnRenamed("id", "rep")
+    embm = emb0.crossJoin(reps).select(
+        (F2.col("vec_id") * mult + F2.col("rep")).alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    droot = tempfile.mkdtemp(prefix="vdh_r15b_drift_")
+    dstate, dsrc, dcp = (os.path.join(droot, d) for d in ("state", "src", "cp"))
+    t0 = time.perf_counter()
+    write_drift_reference(embm.filter("label < 5"), dstate)
+    t_ref = time.perf_counter() - t0
+    arr = embm.filter("label >= 5")
+    t0 = time.perf_counter()
+    arr.write.mode("append").parquet(dsrc)
+    stream = spark.readStream.schema(arr.schema).parquet(dsrc)
+    streaming_drift_ingest(stream, dstate, dcp)
+    t_ing = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dims = drift_report_from_state(spark, dstate).count()
+    t_emit = time.perf_counter() - t0
+    n = embm.count()
+    print(
+        f"drift store @ {n} vecs: ref {t_ref:.1f}s, ingest {t_ing:.1f}s, "
+        f"emit {t_emit:.1f}s ({dims} dims)"
+    )
+
+
 def r14b(mult: int = 4) -> None:
     """Probes for the three r14-staged families (register in r15):
     filtered graph-ANN search (both dispatch branches), the
@@ -2617,6 +2751,8 @@ if __name__ == "__main__":
         r13b(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r13":
         r13(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r15b":
+        r15b(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "r14b":
         r14b(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "r14":
