@@ -298,3 +298,48 @@ def test_compaction_rebuilds_coarse_layer(spark, sf_dir, tmp_path):
         spark, path, dq.QUERY_VEC, k=3, beam=8, hops=2
     ).collect()
     assert got and not ({r["vec_id"] for r in got} & set(lay_ids))
+
+
+def test_append_refuses_existing_id(spark, sf_dir, tmp_path):
+    """ID EPOCH CONTRACT, half 1: re-appending an id that already
+    lives in the index is refused — it would store a second vector
+    row under the same nid and the probe could serve that nid twice
+    in one top-k."""
+    path = str(tmp_path / "idx")
+    emb = _build(spark, sf_dir, path)
+    dup = emb.filter("vec_id = 3")
+    with pytest.raises(ValueError, match="already live in the index"):
+        append_knn_graph_index(dup, path)
+
+
+def test_append_refuses_tombstoned_id(spark, sf_dir, tmp_path):
+    """ID EPOCH CONTRACT, half 2: an id reserved by a pending delete
+    is refused — the tombstone anti-join would suppress the new
+    version silently and the next compaction would destroy it."""
+    path = str(tmp_path / "idx")
+    emb = _build(spark, sf_dir, path)
+    victim = emb.filter("vec_id = 3")
+    delete_knn_graph_index(spark, path, [3])
+    with pytest.raises(ValueError, match="already live in the index"):
+        append_knn_graph_index(victim, path)
+
+
+def test_compaction_releases_deleted_id(spark, sf_dir, tmp_path):
+    """delete → compact → append(same id) is the legal resurrection
+    path: compaction clears the tombstone and removes the old rows,
+    so the re-appended version is served."""
+    from vector_db_handler_spark.operators.similarity import (
+        compact_knn_graph_index,
+        knn_graph_probe_table,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = _build(spark, sf_dir, path)
+    victim = emb.filter("vec_id = 1")
+    delete_knn_graph_index(spark, path, [1])
+    compact_knn_graph_index(spark, path)
+    append_knn_graph_index(victim, path)
+    qv = [float(x) for x in victim.first()["embedding"]]
+    got = knn_graph_probe_table(spark, path, qv, k=12, beam=12, hops=3).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids.count(1) == 1  # served again, exactly once

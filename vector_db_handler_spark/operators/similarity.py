@@ -1949,7 +1949,13 @@ def delete_knn_graph_index(spark, path: str, ids) -> None:
     (flat/batch/hier/stream) anti-joins the tombstone set at its final
     ranking.  `compact_knn_graph_index` physically removes them and
     repairs the routing graph.  Idempotent: re-deleting an id appends
-    a duplicate tombstone row, which the anti-join ignores."""
+    a duplicate tombstone row, which the anti-join ignores.
+
+    A tombstoned id is RESERVED until compaction:
+    `append_knn_graph_index` refuses it (the new version would be
+    suppressed by the same anti-join, then destroyed by the
+    compaction rewrite), and compaction releases it — see the
+    append's ID EPOCH CONTRACT."""
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(i),) for i in ids], "nid long")
     else:
@@ -2335,7 +2341,20 @@ def append_knn_graph_index(
     batch do not link to each other (insert-vs-batch-build
     difference, documented by the HNSW paper too); periodic rebuild
     (`write_knn_graph_index`) is the compaction story, same as the
-    LSH/IVF stores."""
+    LSH/IVF stores.
+
+    ID EPOCH CONTRACT: an arrival id that already lives in the index
+    is REFUSED — re-appending it would store a second vector row
+    under the same nid and the probe could return that nid twice in
+    one top-k.  An id reserved by a pending delete (tombstoned, not
+    yet compacted) is refused for the dual reason: the tombstone
+    anti-join would suppress the new version silently, and the next
+    compaction would physically destroy it as "a copy of a deleted
+    id".  `compact_knn_graph_index` clears the tombstones and removes
+    the old rows, RELEASING the id — delete → compact → append(same
+    id) is the legal resurrection path; delete → append(new id) is
+    the cheap update-by-replace path (both pinned in
+    tests/test_graph_index_delete.py)."""
     spark = new_rows.sparkSession
     from vector_db_handler_spark.functions.text import portable_hash60
     from vector_db_handler_spark.operators.quantize import quantize_int8
@@ -2348,6 +2367,26 @@ def append_knn_graph_index(
 
     scale = spark.read.parquet(f"{path}/scale")
     vectors = spark.read.parquet(f"{path}/vectors")
+    reserved = vectors.select("nid")
+    tombs = _load_tombstones(spark, path)
+    if tombs is not None:
+        reserved = reserved.unionByName(tombs)
+    clash = (
+        new_rows.select(F.col(id_col).cast("long").alias("nid"))
+        .join(reserved, "nid", "leftsemi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        ids = sorted(r["nid"] for r in clash)
+        raise ValueError(
+            f"append_knn_graph_index: arrival ids {ids} already live in "
+            f"the index at {path} (or are reserved by a pending delete). "
+            "Re-appending would duplicate the nid in the served relation "
+            "(or be silently suppressed, then destroyed at compaction). "
+            "Update-by-replace: delete the id and append under a NEW id; "
+            "or compact first — compaction releases deleted ids."
+        )
     qn = vectors.select("nid", "v")
     und = _undirect_pairs(spark.read.parquet(f"{path}/edges").select("a", "b"))
 

@@ -1455,6 +1455,17 @@ def streaming_graph_index_ingest(
     batch-equals-stream test pins stream ingest against sequential
     `append_knn_graph_index` calls row-for-row.
 
+    PRECONDITION (the batch append's ID EPOCH CONTRACT, streaming
+    edition): arrival ids must be FRESH — not already in the base
+    index, a committed batch, or the tombstone set.  The batch append
+    refuses such ids with a per-call check; the streaming path does
+    NOT pay that per-micro-batch job and trusts its upstream dedup
+    rail instead (the registered exact-dedup / streaming_dedup_first
+    families exist precisely to guarantee fresh ids upstream of an
+    index write).  A violating arrival would duplicate its nid in the
+    served relation, or — if tombstoned — be suppressed and then
+    physically removed at the next compaction.
+
     OPERATIONAL CONTRACT: the ``checkpoint`` directory must be
     RETAINED across `merge_graph_index_ingest` calls.  The merge fence
     drops any replayed batch id ≤ the highest merged id; under a fresh
