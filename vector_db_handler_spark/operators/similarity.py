@@ -1438,7 +1438,13 @@ def knn_graph_beam_search_filtered(
     )
     w = Window.orderBy(F.col("d").desc(), F.col("nid").asc())
 
-    n_pass = passing.select(id_col).count()
+    # Bounded dispatch probe (the on_ids probe's idiom): the switch
+    # only needs to know WHETHER the passing set exceeds the
+    # threshold, so cap the count job at threshold+1 rows instead of
+    # scanning the full passing set — with a dense predicate at 100 TB
+    # the full count would cost a complete filtered scan before the
+    # real query even starts.
+    n_pass = passing.select(id_col).limit(exact_threshold + 1).count()
     if n_pass <= exact_threshold:
         # Selective branch: exact integer ranking of the passing set,
         # quantized with the full-corpus scale (== post-filtered-exact).
