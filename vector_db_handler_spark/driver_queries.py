@@ -5736,11 +5736,21 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ("dup", "vector", "window")
 _BM25_K = 10
-_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-#: CTE chain shared by the pure-BM25 oracle and the hybrid-rerank
-#: oracle: everything up to the ranked per-doc lexical score.
-_BM25_CTES = f"""
+
+def _bm25_ctes(terms: tuple[str, ...]) -> str:
+    """The exact-integer BM25 CTE chain for an arbitrary query-term
+    set — everything up to the ranked per-doc lexical score.  Shared
+    by the pure-BM25 / hybrid-rerank / RRF oracles (at the registered
+    ``_BM25_TERMS``) and by the staged persisted-index twins
+    (tests/test_bm25_index.py), which probe with their OWN term sets:
+    the index probe equals scan-time BM25 over the union corpus, so
+    one parameterized oracle covers both rails."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return _BM25_CTES_TEMPLATE.format(terms_sql=terms_sql)
+
+
+_BM25_CTES_TEMPLATE = """
 WITH dl AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
   FROM documents
@@ -5753,7 +5763,7 @@ stats AS (
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-  WHERE term IN ({_BM25_TERMS_SQL})
+  WHERE term IN ({terms_sql})
   GROUP BY doc_id, term
 ),
 dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
@@ -5769,6 +5779,9 @@ per_doc AS (
            AS score
   FROM scored GROUP BY doc_id
 )"""
+
+#: the registered rows' instance (hybrid/RRF oracles splice onto it)
+_BM25_CTES = _bm25_ctes(_BM25_TERMS)
 
 _BM25_SQL = f"""{_BM25_CTES}
 SELECT doc_id, score,

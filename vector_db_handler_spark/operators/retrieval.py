@@ -44,6 +44,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bm25_rank_topk(
+    tf: DataFrame, stats: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """The BM25 DECISION CORE, shared verbatim by the scan-time
+    `bm25_topk` and the persisted-index `bm25_index_topk` so the two
+    paths cannot drift (the curation-stream extraction discipline).
+
+    ``tf``: ``(id_col, term, tf, dl)`` postings already pruned to the
+    query's terms — one row per (doc, query-term) the doc contains.
+    ``stats``: 1 row ``(n_docs, avg_dl)``.  df is derived HERE from
+    the pruned postings (one row per (doc, term) ⇒ ``count(*)`` per
+    term IS the document frequency), so both callers inherit it."""
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "num", F.expr("22 * tf * avg_dl * (2*n_docs - 2*df + 1)")
+        )
+        .withColumn(
+            "den", F.expr("(10*avg_dl*tf + 3*avg_dl + 9*dl) * (2*df + 1)")
+        )
+        .withColumn("u", F.expr("(2*num*1000000 + den) div (2*den)"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        (F.sum("u").cast("double") / F.lit(1000000.0)).alias("score")
+    )
+    # Global top-k FIRST (lowers to TakeOrderedAndProject — per-partition
+    # heaps, no full sort/single-partition shuffle), THEN rank the k
+    # survivors with a window that only ever sees k rows.
+    topk = per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(int(k))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: Sequence[str],
@@ -75,29 +112,7 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
-    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_counts), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "num", F.expr("22 * tf * avg_dl * (2*n_docs - 2*df + 1)")
-        )
-        .withColumn(
-            "den", F.expr("(10*avg_dl*tf + 3*avg_dl + 9*dl) * (2*df + 1)")
-        )
-        .withColumn("u", F.expr("(2*num*1000000 + den) div (2*den)"))
-    )
-    per_doc = scored.groupBy(id_col).agg(
-        (F.sum("u").cast("double") / F.lit(1000000.0)).alias("score")
-    )
-    # Global top-k FIRST (lowers to TakeOrderedAndProject — per-partition
-    # heaps, no full sort/single-partition shuffle), THEN rank the k
-    # survivors with a window that only ever sees k rows.
-    topk = per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(int(k))
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        id_col, "score", "rank"
-    )
+    return _bm25_rank_topk(tf, stats, int(k), id_col)
 
 
 def rrf_fuse(
@@ -402,3 +417,291 @@ def mmr_diversified_topk(
         ]
     )
     return spark.createDataFrame(selected, out)
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 inverted index: write / append / probe / compact.
+#
+# The vector rails already have the build-once/probe-many lifecycle
+# (LSH, IVF, IVF-PQ, graph-ANN written indexes); this gives the
+# LEXICAL rail the same shape.  At 100 TB the tokenize+tf scan is the
+# expensive leg of `bm25_topk` — the index pays it ONCE per segment,
+# and every probe afterwards reads only the query's term buckets.
+#
+# Store layout under ``index_path`` (the graph-index / drift-store
+# segment discipline):
+#
+#   meta/                 1 row (n_buckets) — written once at build
+#   postings/<segment>/   (term, doc_id, tf, dl) partitioned by
+#                         bucket = crc32(term) % n_buckets, so a probe
+#                         prunes to the query's buckets at PLANNING
+#                         time (PartitionFilters, never a full scan)
+#   stats/<segment>/      1 row (n_docs_b, total_len_b) — the corpus
+#                         constants' ADDITIVE summary; written AFTER
+#                         the postings dir, so its _SUCCESS is the
+#                         segment's commit marker
+#
+# BM25 state is mergeable by construction: postings rows are disjoint
+# across segments (one (doc, term) row lives in exactly one segment —
+# the id-epoch contract below), df(term) = count of postings rows per
+# term over committed segments, and the corpus constants (N, Σdl) are
+# integer sums of the per-segment stats.  The probe therefore equals
+# the scan-time `bm25_topk` over the UNION of the segment corpora
+# bit-for-bit — same integers, same `_bm25_rank_topk` code object.
+#
+# ID-EPOCH CONTRACT (same as the graph index's append): doc ids must
+# be unique ACROSS segments — a re-ingested id would double its tf
+# rows and corrupt df.  Feed arrivals through the dedup rail first.
+#
+# Bucket hash: crc32(utf8(term)) — Spark `F.crc32` and Python
+# `zlib.crc32` compute the same standard CRC-32, so the probe derives
+# the query's buckets DRIVER-SIDE with zero Spark jobs.
+# ---------------------------------------------------------------------------
+
+BM25_DEFAULT_BUCKETS = 16
+
+
+def _bm25_postings(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """One segment's postings: ``(bucket, term, doc_id, tf, dl)`` —
+    the same tokenize→one-groupBy shape as `bm25_topk` (dl rides with
+    each token, so tf and dl come out of one map-side-combined
+    shuffle), WITHOUT the query-term pruning: the index serves any
+    future query."""
+    dl_col = F.size(F.split(F.col(text_col), " ", -1)).cast("long")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        dl_col.alias("dl"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
+    )
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.crc32(F.col("term").cast("binary")), F.lit(int(n_buckets))
+            ).cast("int"),
+        )
+    )
+
+
+def _bm25_segment_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One segment's additive corpus constants: ``(n_docs_b,
+    total_len_b)`` over ALL the segment's docs (docs with no query
+    term still count toward N and avgdl, exactly as in `bm25_topk`)."""
+    dl_col = F.size(F.split(F.col(text_col), " ", -1)).cast("long")
+    return docs.select(dl_col.alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs_b"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_len_b"),
+    )
+
+
+def _write_bm25_segment(
+    docs: DataFrame,
+    index_path: str,
+    segment: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> None:
+    import os
+
+    _bm25_postings(docs, text_col, id_col, n_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(index_path, "postings", segment))
+    # stats is written LAST: its _SUCCESS is the segment commit marker,
+    # so a torn segment (crash between the two writes) is invisible.
+    _bm25_segment_stats(docs, text_col, id_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_path, "stats", segment))
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = BM25_DEFAULT_BUCKETS,
+) -> None:
+    """Build the persisted BM25 inverted index from the base corpus:
+    ``meta/`` (bucket count, written once — every later append and
+    probe reads it back so the bucket hash can never diverge) plus the
+    ``base`` segment."""
+    import os
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "meta"))
+    _write_bm25_segment(docs, index_path, "base", text_col, id_col, n_buckets)
+
+
+def _committed_bm25_segments(index_path: str) -> list[str]:
+    """Segment names with a committed ``stats/<segment>/_SUCCESS``
+    marker AND a postings dir, excluding segments folded by a
+    FINALIZED compaction (manifest present + its target committed —
+    the graph-index merge-manifest discipline, so a reader mid-crash
+    never double-counts or loses a segment)."""
+    import os
+
+    stats_root = os.path.join(index_path, "stats")
+    if not os.path.isdir(stats_root):
+        return []
+    segs = [
+        d
+        for d in os.listdir(stats_root)
+        if os.path.exists(os.path.join(stats_root, d, "_SUCCESS"))
+        and os.path.isdir(os.path.join(index_path, "postings", d))
+    ]
+    mdir = os.path.join(index_path, "compact_manifest")
+    if os.path.exists(os.path.join(mdir, "_SUCCESS")):
+        import json
+
+        with open(os.path.join(mdir, "manifest.json")) as fh:
+            m = json.load(fh)
+        # the manifest only takes effect once its target is committed;
+        # before that, readers keep serving the folded segments.
+        if m["target"] in segs:
+            folded = set(m["folded"])
+            segs = [s for s in segs if s not in folded]
+    return sorted(segs)
+
+
+def bm25_index_topk(
+    spark,
+    index_path: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """Probe the persisted index: top-``k`` docs by the SAME
+    exact-integer BM25 as `bm25_topk` over the union of the committed
+    segments' corpora — bit-for-bit, by shared `_bm25_rank_topk` core
+    and exact integer stats merging.
+
+    Serve shape: the query's buckets are derived driver-side
+    (zlib.crc32 ≡ `F.crc32`, zero jobs), each segment scan carries a
+    partition filter on those buckets (planning-time pruning — at
+    100 TB a 3-term probe reads ≤ 3/n_buckets of each segment) plus
+    the term row-filter; stats dirs are 1 row each.  Only the single
+    tiny ``meta/`` read leaves the driver before the probe plan runs."""
+    import os
+    import zlib
+
+    terms = sorted({str(t) for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    segs = _committed_bm25_segments(index_path)
+    if not segs:
+        raise ValueError(
+            f"no committed segments under {index_path} — build with "
+            "write_bm25_index first"
+        )
+    n_buckets = int(
+        spark.read.parquet(os.path.join(index_path, "meta")).first()["n_buckets"]
+    )
+    buckets = sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms})
+    tf = None
+    stats = None
+    for seg in segs:
+        p = (
+            spark.read.parquet(os.path.join(index_path, "postings", seg))
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select("doc_id", "term", "tf", "dl")
+        )
+        s = spark.read.parquet(os.path.join(index_path, "stats", seg))
+        tf = p if tf is None else tf.unionByName(p)
+        stats = s if stats is None else stats.unionByName(s)
+    merged = stats.agg(
+        F.sum("n_docs_b").cast("long").alias("n_docs"),
+        F.sum("total_len_b").cast("long").alias("total_len"),
+    ).select(
+        "n_docs",
+        F.expr("(2*total_len + n_docs) div (2*n_docs)").alias("avg_dl"),
+    )
+    return _bm25_rank_topk(tf, merged, int(k), "doc_id")
+
+
+def append_bm25_index(
+    docs: DataFrame,
+    index_path: str,
+    segment: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a new corpus drop into the index as its own segment —
+    O(drop) work (tokenize + one partitioned write), nothing rescans
+    existing segments.  REFUSES a committed segment name (a blind
+    re-append would double tf rows and corrupt df — the id-epoch
+    contract's physical guard); the bucket count comes from ``meta/``
+    so the hash can never diverge from the base build."""
+    import os
+
+    if segment in ("base",) or segment in _committed_bm25_segments(index_path):
+        raise ValueError(
+            f"segment {segment!r} is already committed under {index_path} — "
+            "append each corpus drop under a fresh segment name"
+        )
+    spark = docs.sparkSession
+    n_buckets = int(
+        spark.read.parquet(os.path.join(index_path, "meta")).first()["n_buckets"]
+    )
+    _write_bm25_segment(docs, index_path, segment, text_col, id_col, n_buckets)
+
+
+def compact_bm25_index(spark, index_path: str) -> int:
+    """LSM minor→major compaction: fold ALL committed segments into
+    one ``merged-<gen>`` segment (probe cost returns to one scan per
+    bucket instead of one per segment).  Returns the number of
+    segments folded (0 = nothing to do).
+
+    Crash discipline (the graph-index merge-manifest pattern): the
+    manifest (folded names + target) is written FIRST, then the target
+    segment; readers ignore the manifest until its target is committed,
+    so every crash point serves exactly one complete copy of the data.
+    Physical cleanup of folded dirs happens last and is pure space
+    reclamation."""
+    import json
+    import os
+    import shutil
+
+    segs = _committed_bm25_segments(index_path)
+    if len(segs) <= 1:
+        return 0
+    gens = [int(s.split("-", 1)[1]) for s in segs if s.startswith("merged-")]
+    target = f"merged-{max(gens) + 1 if gens else 0}"
+    mdir = os.path.join(index_path, "compact_manifest")
+    shutil.rmtree(mdir, ignore_errors=True)
+    os.makedirs(mdir)
+    with open(os.path.join(mdir, "manifest.json"), "w") as fh:
+        json.dump({"folded": segs, "target": target}, fh)
+    with open(os.path.join(mdir, "_SUCCESS"), "w"):
+        pass
+    n_buckets = int(
+        spark.read.parquet(os.path.join(index_path, "meta")).first()["n_buckets"]
+    )
+    postings = None
+    stats = None
+    for seg in segs:
+        p = spark.read.parquet(os.path.join(index_path, "postings", seg))
+        s = spark.read.parquet(os.path.join(index_path, "stats", seg))
+        postings = p if postings is None else postings.unionByName(p)
+        stats = s if stats is None else stats.unionByName(s)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_path, "postings", target)
+    )
+    stats.agg(
+        F.sum("n_docs_b").cast("long").alias("n_docs_b"),
+        F.sum("total_len_b").cast("long").alias("total_len_b"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, "stats", target)
+    )
+    # target committed: the manifest is now in effect — reclaim space.
+    for seg in segs:
+        shutil.rmtree(os.path.join(index_path, "postings", seg), ignore_errors=True)
+        shutil.rmtree(os.path.join(index_path, "stats", seg), ignore_errors=True)
+    return len(segs)
