@@ -178,6 +178,8 @@ def test_append_refuses_committed_segment(spark, sf_dir, tmp_path):
         append_bm25_index(docs.limit(5), path, "delta0")
     with pytest.raises(ValueError, match="already committed"):
         append_bm25_index(docs.limit(5), path, "base")
+    with pytest.raises(ValueError, match="reserved"):
+        append_bm25_index(docs.limit(5), path, "merged-7")
 
 
 def test_compaction_preserves_probe(spark, sf_dir, tmp_path):

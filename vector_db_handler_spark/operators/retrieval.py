@@ -641,6 +641,13 @@ def append_bm25_index(
     so the hash can never diverge from the base build."""
     import os
 
+    if segment.startswith("merged-"):
+        # reserved for compaction targets: a user segment named
+        # merged-<n> could collide with a future compaction's target
+        # and be silently folded out by the manifest.
+        raise ValueError(
+            f"segment name {segment!r} is reserved for compaction targets"
+        )
     if segment in ("base",) or segment in _committed_bm25_segments(index_path):
         raise ValueError(
             f"segment {segment!r} is already committed under {index_path} — "

@@ -551,3 +551,135 @@ def kmv_overlap_pairs(
             "intersection_est"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sample quantile sketch: the QUANTILE summary the sketch pillar
+# was missing (HLL/KMV cover distinct counts, CMS covers frequencies).
+#
+# Design: a KEY-COORDINATED uniform sample — keep a row iff
+# portable_hash60(id) % sample_mod == 0 — then estimate each quantile
+# with the SAME ceil-rank order statistic the exact rail uses
+# (`value_percentiles_by_type`: value at rank ceil(q·n/100), ties by
+# id).  Three properties make this the right 100 TB shape:
+#
+# * MERGEABLE BY CONSTRUCTION: the sample is a deterministic row
+#   filter, so sample(A ∪ B) = sample(A) ∪ sample(B) exactly — per-
+#   partition, per-batch, or per-store summaries union with no merge
+#   logic at all (stronger than KLL's compactor merge, at the cost of
+#   a larger summary: expected n/sample_mod rows).
+# * DETERMINISTIC CROSS-ENGINE: md5-based hash + integer rank
+#   arithmetic — no RNG, no interpolation; both engines pick the
+#   identical sample and the identical order statistic, so the sketch
+#   is hash-checkable (a property no floating t-digest has).
+# * DKW-BOUNDED: with m kept rows, every quantile's RANK error is
+#   ≤ ε·n with prob ≥ 1−2e^(−2mε²) — sample_mod dials the classic
+#   accuracy/state trade.
+#
+# At scale the estimate leg sorts only the sample (n/sample_mod rows
+# per key); the exact leg is the per-key full sort the sketch exists
+# to avoid — the report below computes BOTH because it is the
+# ACCURACY HARNESS (the sketch_accuracy_by_lang / lsh_recall_report
+# discipline: ship the sketch with its measured error, not a promise).
+# ---------------------------------------------------------------------------
+
+
+def _ceil_rank_quantiles(
+    src: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    pcts: tuple[int, ...],
+    prefix: str,
+) -> DataFrame:
+    """Per-key ceil-rank lower quantiles: value at rank
+    ``ceil(p·n/100)`` ordering by (value ASC, id ASC) — the exact
+    integer-rank convention `value_percentiles_by_type` pinned (no
+    interpolation, total order, engine-independent)."""
+    wk = Window.partitionBy(key_col)
+    w = wk.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    ranked = src.select(
+        key_col,
+        value_col,
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({p} * n + 99) div 100"),
+                F.col(value_col),
+            )
+        ).alias(f"{prefix}p{p}")
+        for p in pcts
+    ]
+    return ranked.groupBy(key_col).agg(
+        F.max("n").cast("long").alias(f"{prefix}n"), *aggs
+    )
+
+
+def hash_value_sample(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    key_col: str | None = None,
+    sample_mod: int = 8,
+) -> DataFrame:
+    """The sketch STATE: the deterministic hash-sample of (key, value,
+    id).  A per-batch / per-partition / per-store extraction of this
+    relation is the whole summary — states merge by plain UNION
+    (pinned: tests/test_quantile_sketch.py::test_state_merges_by_union)."""
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    cols = ([key_col] if key_col else []) + [value_col, id_col]
+    return df.select(*cols).filter(
+        portable_hash60(F.col(id_col).cast("string")) % int(sample_mod) == 0
+    )
+
+
+def quantiles_from_sample(
+    sample: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """The sketch ESTIMATE: ceil-rank quantiles over the (merged)
+    sample state — the only sort at serve time touches ~n/sample_mod
+    rows per key."""
+    return _ceil_rank_quantiles(sample, key_col, value_col, id_col, pcts, "est_")
+
+
+def hash_sample_quantile_report(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    pcts: tuple[int, ...] = (50, 90, 99),
+    sample_mod: int = 8,
+) -> DataFrame:
+    """Accuracy report: per key, the EXACT ceil-rank quantiles next to
+    the hash-sample sketch's estimates — ``(key, n, p..., sample_n,
+    est_p...)``.  ``sample_mod = 1`` keeps every row, so the estimate
+    equals the exact rail bit-for-bit (the sketch's correctness
+    anchor); larger mods shrink state n/mod-fold at DKW-bounded rank
+    error.  A key whose sample is empty reports ``sample_n = 0`` with
+    null estimates — loud, never interpolated."""
+    exact = _ceil_rank_quantiles(df, key_col, value_col, id_col, pcts, "")
+    est = quantiles_from_sample(
+        hash_value_sample(df, value_col, id_col, key_col, sample_mod),
+        key_col,
+        value_col,
+        id_col,
+        pcts,
+    )
+    out = exact.join(est, key_col, "left").withColumn(
+        "sample_n", F.coalesce(F.col("est_n"), F.lit(0)).cast("long")
+    )
+    keep = (
+        [key_col, "n"]
+        + [f"p{p}" for p in pcts]
+        + ["sample_n"]
+        + [f"est_p{p}" for p in pcts]
+    )
+    return out.select(*keep)
