@@ -180,6 +180,9 @@ def test_append_refuses_committed_segment(spark, sf_dir, tmp_path):
         append_bm25_index(docs.limit(5), path, "base")
     with pytest.raises(ValueError, match="reserved"):
         append_bm25_index(docs.limit(5), path, "merged-7")
+    # a rebuild over a live index would orphan-serve the old deltas
+    with pytest.raises(ValueError, match="already holds committed"):
+        write_bm25_index(docs.limit(5), path)
 
 
 def test_compaction_preserves_probe(spark, sf_dir, tmp_path):
@@ -229,3 +232,45 @@ def test_single_term_and_absent_term(spark, sf_dir, tmp_path):
     assert bm25_index_topk(spark, path, ("zzz_absent",), k=5).count() == 0
     with pytest.raises(ValueError, match="non-empty"):
         bm25_index_topk(spark, path, (), k=5)
+
+
+BM25_STATS_SQL = """
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+post AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT CAST(2 AS BIGINT) AS n_segments,
+       CAST(16 AS BIGINT) AS n_buckets,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dl) AS n_docs,
+       (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_len,
+       (SELECT CAST((2 * SUM(dl) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+        FROM dl) AS avg_dl,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM post) AS n_postings,
+       (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM post) AS n_terms,
+       (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM post) AS n_docs_posted
+"""
+
+
+def test_index_stats_cross_engine(spark, sf_dir, tmp_path, duck):
+    """ANALYZE: exact store-health counters over the two-segment index
+    equal the scan-side derivation over the union corpus (and the
+    id-epoch integrity signal holds: n_docs_posted == n_docs)."""
+    from vector_db_handler_spark.operators.retrieval import bm25_index_stats
+
+    path = _build_appended(spark, sf_dir, str(tmp_path))
+    stats = bm25_index_stats(spark, path)
+    compare(stats, duck, BM25_STATS_SQL)
+    row = stats.first()
+    assert row["n_docs_posted"] == row["n_docs"]
+
+
+def test_index_stats_requires_segments(spark, tmp_path):
+    from vector_db_handler_spark.operators.retrieval import bm25_index_stats
+
+    with pytest.raises(ValueError, match="no committed segments"):
+        bm25_index_stats(spark, str(tmp_path / "nope"))

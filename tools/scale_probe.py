@@ -2053,6 +2053,150 @@ def r15b(mult: int = 16) -> None:
     )
 
 
+def r15c(mult: int = 4) -> None:
+    """Round-15 continuation probes: the persisted BM25 index and the
+    hash-sample quantile sketch at scale.
+
+    1. Probe wall vs corpus size (1x / mult / 4*mult DISTINCT-text
+       corpora — replica-suffixed docs so dedup-free growth is real):
+       the probe reads only the query's term buckets (3 of 16 here),
+       so bytes touched scale with postings/n_buckets, not corpus.
+    2. The incremental-index advantage the streaming ingest exists
+       for: a 1x crawl drop lands on a 4*mult base — wall of
+       (append of the drop + index probe) vs scan-time bm25_topk over
+       base ∪ drop, which re-tokenizes every base byte.
+    3. Segment-count sensitivity + compaction: probe at 1 base + 4
+       appended segments vs after compact_bm25_index.
+    4. Quantile sketch at 4*mult events: report wall, and the
+       estimate-only leg (the production path) vs the exact rail.
+    """
+    from pyspark.sql import functions as F2
+
+    from vector_db_handler_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_index_topk,
+        bm25_topk,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+    from vector_db_handler_spark.operators.sketches import (
+        _ceil_rank_quantiles,
+        hash_sample_quantile_report,
+        hash_value_sample,
+        quantiles_from_sample,
+    )
+
+    spark = get_spark("r15c-probe")
+    sf = "/root/testdata/sf0.1"
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    terms = ("scan", "merge", "hash")
+
+    def rep_docs(m):
+        if m == 1:
+            return docs0
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return docs0.crossJoin(reps).select(
+            (F2.col("doc_id") * m + F2.col("rep")).alias("doc_id"),
+            F2.concat(
+                F2.col("text"), F2.lit(" r"), F2.col("rep").cast("string")
+            ).alias("text"),
+        )
+
+    # 1. probe wall vs corpus size
+    for m in (1, mult, 4 * mult):
+        docs = rep_docs(m)
+        n = docs.count()
+        path = os.path.join(tempfile.gettempdir(), f"vdh_r15c_bm25_{m}x")
+        if not os.path.exists(os.path.join(path, "stats", "base", "_SUCCESS")):
+            t0 = time.perf_counter()
+            write_bm25_index(docs, path)
+            print(f"bm25 index build @ {n} docs: {time.perf_counter()-t0:.1f}s")
+        bm25_index_topk(spark, path, terms).collect()  # warm
+        t0 = time.perf_counter()
+        rows = len(bm25_index_topk(spark, path, terms).collect())
+        print(
+            f"bm25 index probe @ {n} docs: top-{rows}, "
+            f"wall {time.perf_counter()-t0:.2f}s"
+        )
+
+    # 2. incremental-index advantage: 1x drop on the 4*mult base
+    base = rep_docs(4 * mult)
+    drop = docs0.select(
+        (F2.col("doc_id") + 100_000_000).alias("doc_id"),
+        F2.concat(F2.col("text"), F2.lit(" drop")).alias("text"),
+    )
+    path = os.path.join(tempfile.gettempdir(), f"vdh_r15c_bm25_{4*mult}x")
+    t0 = time.perf_counter()
+    try:
+        append_bm25_index(drop, path, "drop")
+        t_append = time.perf_counter() - t0
+    except ValueError:  # re-run: the drop segment is already committed
+        t_append = float("nan")
+    t0 = time.perf_counter()
+    bm25_index_topk(spark, path, terms).collect()
+    t_probe = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bm25_topk(base.unionByName(drop), list(terms)).collect()
+    t_scan = time.perf_counter() - t0
+    print(
+        f"bm25 IVM @ base {4*mult}x + drop 1x: append {t_append:.1f}s + "
+        f"probe {t_probe:.2f}s vs scan-time over union {t_scan:.1f}s"
+    )
+
+    # 3. segment-count sensitivity + compaction
+    mpath = os.path.join(tempfile.gettempdir(), "vdh_r15c_bm25_seg")
+    if not os.path.exists(os.path.join(mpath, "stats", "base", "_SUCCESS")):
+        write_bm25_index(rep_docs(mult), mpath)
+        for i in range(4):
+            arr = docs0.select(
+                (F2.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"),
+                F2.concat(F2.col("text"), F2.lit(f" a{i}")).alias("text"),
+            )
+            append_bm25_index(arr, mpath, f"delta{i}")
+    bm25_index_topk(spark, mpath, terms).collect()  # warm
+    t0 = time.perf_counter()
+    bm25_index_topk(spark, mpath, terms).collect()
+    t_five = time.perf_counter() - t0
+    folded = compact_bm25_index(spark, mpath)
+    t0 = time.perf_counter()
+    bm25_index_topk(spark, mpath, terms).collect()
+    t_one = time.perf_counter() - t0
+    print(
+        f"bm25 probe: 5 segments {t_five:.2f}s -> compacted "
+        f"({folded} folded) {t_one:.2f}s"
+    )
+
+    # 4. quantile sketch at 4*mult events
+    ev0 = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    reps = spark.range(4 * mult).withColumnRenamed("id", "rep")
+    ev = ev0.crossJoin(reps).select(
+        (F2.col("event_id") * 4 * mult + F2.col("rep")).alias("event_id"),
+        "event_type",
+        (F2.col("value") + F2.col("rep") * 1e-6).alias("value"),
+    )
+    n = ev.count()
+    t0 = time.perf_counter()
+    hash_sample_quantile_report(ev).collect()
+    t_rep = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    samp = hash_value_sample(ev, "value", "event_id", "event_type")
+    quantiles_from_sample(samp, "event_type", "value", "event_id").collect()
+    t_est = time.perf_counter() - t0
+    m = samp.count()
+    t0 = time.perf_counter()
+    _ceil_rank_quantiles(
+        ev, "event_type", "value", "event_id", (50, 90, 99), ""
+    ).collect()
+    t_exact = time.perf_counter() - t0
+    print(
+        f"quantile sketch @ {n} events: report {t_rep:.1f}s; "
+        f"estimate-only {t_est:.2f}s over {m} sampled rows vs "
+        f"exact rail {t_exact:.2f}s"
+    )
+
+
 def r14b(mult: int = 4) -> None:
     """Probes for the three r14-staged families (register in r15):
     filtered graph-ANN search (both dispatch branches), the
@@ -2714,7 +2858,9 @@ def r11(mult: int = 4) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "lsh":
+    if len(sys.argv) > 1 and sys.argv[1] == "r15c":
+        r15c(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
     elif len(sys.argv) > 1 and sys.argv[1] == "neardup":
         neardup(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)

@@ -533,6 +533,16 @@ def write_bm25_index(
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    existing = _committed_bm25_segments(index_path)
+    if existing:
+        # A rebuild would overwrite meta/ and base/ but leave earlier
+        # delta segments committed — the fresh index would silently
+        # serve the old arrivals.  Refuse; rebuilds go to a fresh path.
+        raise ValueError(
+            f"{index_path} already holds committed segments {existing} — "
+            "write_bm25_index builds a NEW index; append/compact the "
+            "existing one or point at a fresh path"
+        )
     spark = docs.sparkSession
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets long"
@@ -712,3 +722,61 @@ def compact_bm25_index(spark, index_path: str) -> int:
         shutil.rmtree(os.path.join(index_path, "postings", seg), ignore_errors=True)
         shutil.rmtree(os.path.join(index_path, "stats", seg), ignore_errors=True)
     return len(segs)
+
+
+def bm25_index_stats(spark, index_path: str) -> DataFrame:
+    """ANALYZE for the persisted BM25 index: one row of store-health
+    counters an operator reads before trusting a probe — committed
+    segment / bucket counts, the merged corpus constants (docs, total
+    length, the probe's round-half-up avg_dl), postings volume, vocab
+    size, and distinct posted doc ids (under the id-epoch contract
+    ``n_docs_posted == n_docs``; a gap means a duplicate or dropped
+    doc id and the probe's df is suspect).  The `knn_graph_index_stats`
+    posture, for the lexical rail: exact counts over the stored
+    relations, never estimates."""
+    import os
+
+    segs = _committed_bm25_segments(index_path)
+    if not segs:
+        raise ValueError(
+            f"no committed segments under {index_path} — build with "
+            "write_bm25_index first"
+        )
+    n_buckets = int(
+        spark.read.parquet(os.path.join(index_path, "meta")).first()["n_buckets"]
+    )
+    postings = None
+    stats = None
+    for seg in segs:
+        p = spark.read.parquet(os.path.join(index_path, "postings", seg))
+        s = spark.read.parquet(os.path.join(index_path, "stats", seg))
+        postings = p if postings is None else postings.unionByName(p)
+        stats = s if stats is None else stats.unionByName(s)
+    cons = stats.agg(
+        F.sum("n_docs_b").cast("long").alias("n_docs"),
+        F.sum("total_len_b").cast("long").alias("total_len"),
+    ).select(
+        "n_docs",
+        "total_len",
+        F.expr("(2*total_len + n_docs) div (2*n_docs)").alias("avg_dl"),
+    )
+    vol = postings.agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs_posted"),
+    )
+    return (
+        cons.crossJoin(vol)
+        .withColumn("n_segments", F.lit(len(segs)).cast("long"))
+        .withColumn("n_buckets", F.lit(n_buckets).cast("long"))
+        .select(
+            "n_segments",
+            "n_buckets",
+            "n_docs",
+            "total_len",
+            "avg_dl",
+            "n_postings",
+            "n_terms",
+            "n_docs_posted",
+        )
+    )
