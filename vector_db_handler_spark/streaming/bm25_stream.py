@@ -70,6 +70,16 @@ def streaming_bm25_ingest(
         _write_bm25_segment,
     )
 
+    # the bucket count is pinned at build time — read meta/ ONCE at
+    # drain start instead of paying a job per micro-batch (and fail
+    # fast if the base index was never built).
+    spark = docs_stream.sparkSession
+    n_buckets = int(
+        spark.read.parquet(os.path.join(index_path, "meta")).first()[
+            "n_buckets"
+        ]
+    )
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -94,12 +104,6 @@ def streaming_bm25_ingest(
                 index_path,
             )
             return
-        spark = batch_df.sparkSession
-        n_buckets = int(
-            spark.read.parquet(os.path.join(index_path, "meta")).first()[
-                "n_buckets"
-            ]
-        )
         _write_bm25_segment(
             batch_df, index_path, seg, text_col, id_col, n_buckets
         )
