@@ -79,9 +79,29 @@ def test_overlap_pairs_plan_no_cartesian(spark, sf_dir):
 
 
 def test_fingerprints_single_exchange(spark, sf_dir):
-    """The winnowing profile plan has exactly ONE shuffle: the doc_id
-    exchange feeding the window; distinct and the per-doc aggregate
-    reuse that partitioning (doc_id prefixes every downstream key)."""
+    """The winnowing BUILD plan has exactly ONE shuffle: the doc_id
+    exchange feeding the window; distinct reuses that partitioning
+    (doc_id prefixes the downstream key).  The driver row now reads
+    the SHARED per-fixture build (`_shared_winnow_fps`), so the
+    build's single-exchange property is pinned on the operator
+    directly, and the row's serve plan is pinned separately below."""
+    from vector_db_handler_spark import driver_queries as dq
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        winnow_fingerprints(docs, k=dq.WINNOW_K, w=dq.WINNOW_W)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fingerprint_row_serves_from_pruned_cache(spark, sf_dir):
+    """The profile row over the shared build: the parquet scan is
+    column-pruned to the two aggregated columns (fp_pos never read),
+    and the plan pays only the aggregate's own exchanges (≤ 2: the
+    countDistinct expand), never a re-run of the winnowing window."""
     from vector_db_handler_spark import driver_queries as dq
 
     plan = (
@@ -90,7 +110,12 @@ def test_fingerprints_single_exchange(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "vdh_winfps_" in plan  # served from the shared build
+    scan = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in scan and "fp_hash" in scan and "fp_pos" not in scan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    # the winnowing window (explode + running min) must NOT reappear
+    assert "explode" not in plan and "min(packed" not in plan
 
 
 def test_planted_substring_property(spark):

@@ -1088,6 +1088,34 @@ FROM sel GROUP BY doc_id
 """
 
 
+def _shared_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowed fingerprint relation ``(doc_id, fp_hash, fp_pos)``
+    at the registered dials, computed ONCE per fixture vintage and
+    read back by all three winnowing rows (the `_shared_graph_edges`
+    discipline, r14 verdict #6 generalized): the explode-per-char
+    winnowing scan is each row's dominant cost, and the three rows
+    differ only in the decision layer over the same relation.
+    Bit-identical rows: parquet round-trips the BIGINT columns
+    exactly, and the pair rows delegate to the same
+    `*_from_index` code the docs-taking operators run."""
+    import hashlib
+    import os
+    import tempfile
+
+    basis = (
+        f"winfps|{WINNOW_K}|{WINNOW_W}|{_fixture_tag(sf_dir, 'documents')}"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_winfps_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dedup_ops.winnow_fingerprints(
+            load(spark, sf_dir, "documents"), k=WINNOW_K, w=WINNOW_W
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @register("winnowing_fingerprints", _WINNOW_FP_SQL)
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing (MOSS) fingerprint profile: count,
@@ -1100,9 +1128,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     min, map-side-combined final aggregate.  No reference analog
     (reference has no dedup at all — ``document_ingestor.py:105``
     mints a fresh uuid per upsert)."""
-    fps = dedup_ops.winnow_fingerprints(
-        load(spark, sf_dir, "documents"), k=WINNOW_K, w=WINNOW_W
-    )
+    fps = _shared_winnow_fps(spark, sf_dir)
     return fps.groupBy("doc_id").agg(
         F.count("*").alias("n_fps"),
         F.countDistinct("fp_hash").alias("n_distinct_hashes"),
@@ -1132,11 +1158,11 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate) are dropped BEFORE the self-join, so the pair
     blow-up is bounded per fingerprint bucket, never corpus-quadratic
     — the same stop-key posture as ``ngram_jaccard_pairs``."""
-    return dedup_ops.winnow_overlap_pairs(
-        load(spark, sf_dir, "documents"),
+    return dedup_ops.winnow_overlap_pairs_from_index(
+        _shared_winnow_fps(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct(),
         min_shared=8,
-        k=WINNOW_K,
-        w=WINNOW_W,
         max_postings=20,
     )
 
@@ -1170,11 +1196,11 @@ def winnowing_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     what Jaccard under-scores when sizes differ).  Fixture
     distribution is bimodal: the planted twins sit at 0.5-0.8, noise
     at <= 0.3, so 0.5 is a real separator, not an arbitrary knob."""
-    return dedup_ops.winnow_containment_pairs(
-        load(spark, sf_dir, "documents"),
+    return dedup_ops.winnow_containment_pairs_from_index(
+        _shared_winnow_fps(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct(),
         min_containment=0.5,
-        k=WINNOW_K,
-        w=WINNOW_W,
         max_postings=20,
     )
 
@@ -5657,6 +5683,34 @@ WHERE dot > 0 AND 400 * dot * dot >= 81 * n1 * n2
 """
 
 
+def _shared_srp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRP signature relation ``(vec_id, qvec, norm2, sig)`` at
+    the registered geometry (dim 64, 32 bits, seed `_SRP_SEED`),
+    computed ONCE per fixture vintage and read back by both SRP rows
+    (the `_shared_winnow_fps` / `_shared_graph_edges` discipline):
+    the quantize + matmul signature pass is identical in both rows —
+    only the probe strategy over the bands differs.  Bit-identical:
+    parquet round-trips the BIGINT columns exactly."""
+    import hashlib
+    import os
+    import tempfile
+
+    basis = (
+        f"srpsigs|{srp_ops.N_BITS}|{_SRP_SEED}|64|"
+        f"{_fixture_tag(sf_dir, 'embeddings')}"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_srpsigs_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        srp_ops.srp_signatures(
+            load(spark, sf_dir, "embeddings"),
+            srp_ops.srp_planes(64, srp_ops.N_BITS, _SRP_SEED),
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @register("srp_neardup_pairs", _SRP_SQL)
 def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (SRP) LSH near-dup over embeddings — the
@@ -5675,6 +5729,7 @@ def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_den=20,
         seed=_SRP_SEED,
         max_bucket=200,
+        sigs=_shared_srp_sigs(spark, sf_dir),
     )
 
 
@@ -6596,7 +6651,14 @@ def srp_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.operators.srp import srp_multiprobe_pairs as mp
 
     emb = load(spark, sf_dir, "embeddings")
-    return mp(emb, threshold_num=9, threshold_den=20, seed=_SRP_SEED, max_bucket=200)
+    return mp(
+        emb,
+        threshold_num=9,
+        threshold_den=20,
+        seed=_SRP_SEED,
+        max_bucket=200,
+        sigs=_shared_srp_sigs(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1126,6 +1126,18 @@ def winnow_overlap_pairs(
         .select("doc_id", "fp_hash")
         .distinct()
     )
+    return winnow_overlap_pairs_from_index(fps, min_shared, max_postings)
+
+
+def winnow_overlap_pairs_from_index(
+    fps: DataFrame, min_shared: int = 3, max_postings: int = 50
+) -> DataFrame:
+    """:func:`winnow_overlap_pairs`' pair-mining half over a
+    PRECOMPUTED distinct ``(doc_id, fp_hash)`` index — the winnowing
+    scan is the expensive leg, so callers holding a materialized
+    fingerprint relation (the driver's shared per-fixture build, or a
+    future persisted winnow index) skip re-paying it.  Identical
+    output by construction: the docs-taking wrapper delegates here."""
     rare = (
         fps.groupBy("fp_hash")
         .agg(F.count("*").alias("_n"))
@@ -1168,6 +1180,17 @@ def winnow_containment_pairs(
         .select("doc_id", "fp_hash")
         .distinct()
     )
+    return winnow_containment_pairs_from_index(
+        fps, min_containment, max_postings
+    )
+
+
+def winnow_containment_pairs_from_index(
+    fps: DataFrame, min_containment: float = 0.5, max_postings: int = 20
+) -> DataFrame:
+    """:func:`winnow_containment_pairs`' decision half over a
+    PRECOMPUTED distinct ``(doc_id, fp_hash)`` index (see
+    :func:`winnow_overlap_pairs_from_index`)."""
     fps.cache()  # feeds sizes, the postings guard, and the self-join
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     rare = (

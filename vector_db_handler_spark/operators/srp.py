@@ -149,6 +149,7 @@ def srp_neardup_pairs(
     dim: int = 64,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """All candidate pairs (i < j) sharing ≥ 1 SRP band whose exact
     int8 cosine ≥ threshold_num/threshold_den.  Output
@@ -160,14 +161,21 @@ def srp_neardup_pairs(
     rows/vector → bucket-census join (guard) → band equi-join →
     dropDuplicates on the pair key → native integer verify.  Nothing
     is collected; after the signature pass everything is JVM-side.
+
+    ``sigs``: optionally a PRECOMPUTED `srp_signatures` relation at
+    the same (dim, n_bits, seed) — callers holding a materialized
+    signature build (the driver's shared per-fixture cache) skip
+    re-paying the quantize + matmul pass; the geometry dials must
+    match the build's or the bands are meaningless.
     """
     if n_bits % n_bands:
         raise ValueError("n_bands must divide n_bits")
     bpb = n_bits // n_bands
     mask = (1 << bpb) - 1
-    planes = srp_planes(dim, n_bits, seed)
 
-    sigs = srp_signatures(emb, planes, embedding_col, id_col)
+    if sigs is None:
+        planes = srp_planes(dim, n_bits, seed)
+        sigs = srp_signatures(emb, planes, embedding_col, id_col)
     bands_arr = F.array(
         *[
             F.struct(
@@ -254,6 +262,7 @@ def srp_multiprobe_pairs(
     dim: int = 64,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe SRP (Lv et al., VLDB 2007 applied to sign codes):
     candidates additionally include pairs whose band values differ in
@@ -276,8 +285,9 @@ def srp_multiprobe_pairs(
         raise ValueError("n_bands must divide n_bits")
     bpb = n_bits // n_bands
     mask = (1 << bpb) - 1
-    planes = srp_planes(dim, n_bits, seed)
-    sigs = srp_signatures(emb, planes, embedding_col, id_col)
+    if sigs is None:
+        planes = srp_planes(dim, n_bits, seed)
+        sigs = srp_signatures(emb, planes, embedding_col, id_col)
 
     base_bands = F.array(
         *[
