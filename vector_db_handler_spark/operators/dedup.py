@@ -108,8 +108,15 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     max_doc_frac: float | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact k-word-shingle Jaccard ≥ threshold.
+
+    ``sh``: optionally a PRECOMPUTED raw shingle index ``(doc_id,
+    shingle)`` at the same ``k`` (the driver's shared per-fixture
+    build) — the mapInPandas shingling pass is every shingle
+    operator's floor cost, and injecting it here skips the re-pay;
+    the hashed keys are derived from it by cheap codegen md5.
 
     Shuffle profile: one explode + self-equi-join on the 60-bit
     shingle HASH (the inverted index prunes the O(n²) pair space to
@@ -128,7 +135,12 @@ def ngram_jaccard_pairs(
     # equivalent is writing the inverted index as a table (the same
     # build-once/probe-many split as build_ivf_index); in-memory cache
     # is the fixture-scale stand-in.
-    sh_cached = hashed_shingle_index(docs, text_col, id_col, k).cache()
+    if sh is not None:
+        sh_cached = sh.select(
+            "doc_id", portable_hash60(F.col("shingle")).alias("h")
+        ).cache()
+    else:
+        sh_cached = hashed_shingle_index(docs, text_col, id_col, k).cache()
     sh = sh_cached
     if max_doc_frac is not None:
         n_docs = docs.select(id_col).distinct().count()
@@ -436,8 +448,12 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    ``sh``: optionally a precomputed raw shingle index (see
+    :func:`ngram_jaccard_pairs`).
 
     Pipeline: signatures → band keys (2 rows/band, 4 bands) → equi-join
     on (band, key) → DISTINCT candidate pairs → exact-Jaccard
@@ -450,7 +466,7 @@ def minhash_lsh_pairs(
     aggregate and the verification joins all read it (at scale: a
     materialized index table, as in ngram_jaccard_pairs).
     """
-    sh_str = shingle_index(docs, text_col, id_col, k).cache()
+    sh_str = (sh if sh is not None else shingle_index(docs, text_col, id_col, k)).cache()
     sig = minhash_signatures_from_index(sh_str)
     bands = band_keys(sig)
     b1, b2 = bands.alias("x"), bands.alias("y")
@@ -1537,6 +1553,7 @@ def lsh_recall_report(
     id_col: str = "doc_id",
     k: int = 3,
     max_doc_frac: float = 0.01,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band-configuration evaluation — the dedup twin of
     ``similarity.ann_recall_report``: for every (bands, rows_per_band)
@@ -1568,13 +1585,18 @@ def lsh_recall_report(
     # sig is one row per doc.
     truth = (
         ngram_jaccard_pairs(
-            docs, threshold, text_col, id_col, k, max_doc_frac=max_doc_frac
+            docs, threshold, text_col, id_col, k, max_doc_frac=max_doc_frac,
+            sh=sh,
         )
         .select("d1", "d2")
         .localCheckpoint(eager=True)
     )
     n_true = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
-    sig = minhash_signatures(docs, text_col, id_col, k).localCheckpoint(
+    sig = (
+        minhash_signatures_from_index(sh)
+        if sh is not None
+        else minhash_signatures(docs, text_col, id_col, k)
+    ).localCheckpoint(
         eager=True
     )
     reports = []
