@@ -1734,13 +1734,36 @@ FROM votes
 
 
 @register("media_phash", _MEDIA_PHASH_SQL)
+def _shared_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media pHash relation, computed ONCE per fixture vintage and
+    read back by the profile row AND the near-dup row (the
+    `_shared_winnow_fps` discipline): the decode + gram-vote
+    mapInPandas pass is both rows' dominant cost, and only the
+    decision layer differs.  Bit-identical: BIGINT halves round-trip
+    parquet exactly."""
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_handler_spark.operators import media as media_ops
+
+    basis = f"mphash|{_fixture_tag(sf_dir, 'documents')}"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_mphash_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        media_ops.media_phash(_media_df(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash-ish 64-bit media fingerprint: SimHash over char
     4-grams of the decoded+normalized signal (deterministic fake
     decode; with a real codec only the decode stage changes)."""
-    from vector_db_handler_spark.operators import media as media_ops
-
-    return media_ops.media_phash(_media_df(spark, sf_dir))
+    return _shared_media_phash(spark, sf_dir)
 
 
 _FRAME_BYTES, _FRAME_EVERY_K = 256, 4
@@ -5235,12 +5258,9 @@ def media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is EXACT all-pairs), and candidates are verified by
     popcount only.  One banded equi-join at any corpus size — never
     an all-pairs scan."""
-    from vector_db_handler_spark.operators import media as media_ops
-
-    docs = load(spark, sf_dir, "documents")
-    ph = media_ops.media_phash(media_ops.synthesize_media(docs))
+    ph = _shared_media_phash(spark, sf_dir)
     # cache: the signature feeds candidate generation AND both verify
-    # sides — without it the decode+phash pass runs three times
+    # sides — without it the (shared-build) scan runs three times
     # (same pattern as dedup.simhash_neardup_pairs)
     sig = ph.select(
         F.col("media_id").alias("doc_id"),
