@@ -812,7 +812,8 @@ def _shared_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         dedup_ops.shingle_index(
             load(spark, sf_dir, "documents")
-        ).write.mode("overwrite").parquet(path)
+            # 8 files: keep downstream scans parallel (see _shared_srp_sigs)
+        ).repartition(8).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -996,7 +997,8 @@ def _shared_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         dedup_ops.simhash64(
             load(spark, sf_dir, "documents")
-        ).write.mode("overwrite").parquet(path)
+            # 8 files: keep downstream scans parallel (see _shared_srp_sigs)
+        ).repartition(8).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -1774,7 +1776,8 @@ def _shared_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"vdh_mphash_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        media_ops.media_phash(_media_df(spark, sf_dir)).write.mode(
+        # 8 files: keep downstream scans parallel (see _shared_srp_sigs)
+        media_ops.media_phash(_media_df(spark, sf_dir)).repartition(8).write.mode(
             "overwrite"
         ).parquet(path)
     return spark.read.parquet(path)
@@ -5787,7 +5790,10 @@ def _shared_srp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         srp_ops.srp_signatures(
             load(spark, sf_dir, "embeddings"),
             srp_ops.srp_planes(64, srp_ops.N_BITS, _SRP_SEED),
-        ).write.mode("overwrite").parquet(path)
+            # 8 output files: a 1-file cache would serialize every
+            # downstream scan (the banded explode ran as ONE task and
+            # cost more than the build it saved — measured at sf0.1)
+        ).repartition(8).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
