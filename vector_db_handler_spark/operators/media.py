@@ -704,6 +704,7 @@ def audio_neardup_pairs(
     min_shared: int = 5,
     min_containment: float = 0.5,
     max_df: int | None = 50,
+    lms: DataFrame | None = None,
     **landmark_kwargs,
 ) -> DataFrame:
     """Audio near-dup pairs by shared constellation landmarks — the
@@ -729,8 +730,14 @@ def audio_neardup_pairs(
     stays consistent with the joined space).  The guard defaults ON
     (50, matching the driver registration) like every other banded
     join here — pass ``max_df=None`` explicitly for the unguarded
-    exact-recall join (ADVICE r10)."""
-    lms = audio_landmarks(media, media_col, id_col, **landmark_kwargs)
+    exact-recall join (ADVICE r10).
+
+    ``lms``: optionally a precomputed :func:`audio_landmarks` relation
+    (the driver's shared per-fixture build) — the per-clip WHT
+    decode + peak chain is the dominant scan; only the join layer
+    runs here when it is injected."""
+    if lms is None:
+        lms = audio_landmarks(media, media_col, id_col, **landmark_kwargs)
     if max_df is not None:
         hot = (
             lms.groupBy("landmark")
