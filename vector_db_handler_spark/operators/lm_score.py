@@ -58,12 +58,21 @@ def _bigrams(text_col: str) -> Column:
     doubling per Spark's identifier-quoting convention (ADVICE r9:
     rejecting such names outright was an unnecessary usability gap)."""
     c = quote_ident(text_col)
+    # The split is bound ONCE via a single-element transform lambda
+    # (r15 optimization): the previous form re-evaluated
+    # ``split({c}, ' ')`` inside the per-element lambda —
+    # higher-order-function bodies are interpreted and not subject to
+    # subexpression elimination, so every element paid an O(words)
+    # re-split and the whole expression was O(words²) per document.
+    # ``zip_with`` over two slices of the bound array is O(words);
+    # short/empty/NULL docs still yield array() exactly as before
+    # (size(NULL) is not >= 2, so the if falls through).
     return F.expr(
-        f"if(size(split({c}, ' ')) >= 2,"
-        f" transform(sequence(1, size(split({c}, ' ')) - 1),"
-        f"  i -> concat(element_at(split({c}, ' '), i), ' ',"
-        f"              element_at(split({c}, ' '), i + 1))),"
-        f" array())"
+        f"element_at(transform(array(split({c}, ' ')), ws ->"
+        " if(size(ws) >= 2,"
+        "  zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        "   (w1, w2) -> concat(w1, ' ', w2)),"
+        "  array())), 1)"
     )
 
 
@@ -336,12 +345,15 @@ def pmi_collocations(
     pairs = (
         docs.select(
             F.explode(
+                # Same one-bound-split rewrite as _bigrams (r15): the
+                # per-element re-split made this O(words²) per doc.
                 F.expr(
-                    f"if(size(split({c}, ' ')) >= 2,"
-                    f" transform(sequence(1, size(split({c}, ' ')) - 1),"
-                    f"  i -> struct(element_at(split({c}, ' '), i) AS x,"
-                    f"              element_at(split({c}, ' '), i + 1) AS y)),"
-                    f" array())"
+                    f"element_at(transform(array(split({c}, ' ')), ws ->"
+                    " if(size(ws) >= 2,"
+                    "  zip_with(slice(ws, 1, size(ws) - 1),"
+                    "           slice(ws, 2, size(ws) - 1),"
+                    "   (w1, w2) -> struct(w1 AS x, w2 AS y)),"
+                    "  array())), 1)"
                 )
             ).alias("p")
         )
