@@ -281,7 +281,19 @@ def dbscan_labels(
     from vector_db_handler_spark.operators.graph import connected_components_star
 
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # Pin the symmetrized ε-pair relation ONCE (r15 optimization):
+    # ``sym`` feeds four subtrees (degree census, both core-edge join
+    # legs, border attach), and ``pairs`` is typically an expensive
+    # kernel (the blocked all-pairs cosine, or the ANN candidate +
+    # verify chain) that Spark would re-execute per subtree — the
+    # lazy checkpoint materializes it at the first action and every
+    # later consumer reads the pinned blocks (guide §5: reuse beats
+    # recompute exactly when the input is expensive).
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     core = deg.filter(F.col("deg") >= min_pts - 1).select("u").localCheckpoint(
         eager=True

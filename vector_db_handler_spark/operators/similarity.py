@@ -357,24 +357,32 @@ def cosine_neardup_ann(
     thr = float(threshold)
     id_type = corpus.schema[id_col].dataType.simpleString()
 
+    # Candidate generation and dedup run on (cell_id, id) rows ONLY
+    # (r15 optimization, guide §8/§2.3): the previous form carried
+    # both embedding arrays through the cell join AND the
+    # dropDuplicates exchange — at |candidates| ≫ N that shuffles the
+    # heavy payload twice to make a decision that needs nothing but
+    # ids.  Vectors are re-attached to the deduped id pairs by two
+    # equi-joins against the corpus (N vector rows each, once), so
+    # vector bytes now cross an exchange O(N) times instead of
+    # O(|candidates|).
     assigned = multi_assign_cells(corpus, centroids, nprobe, id_col, vec_col)
-    a = assigned.select(
-        F.col("cell_id"),
-        F.col(id_col).alias("id1"),
-        F.col(vec_col).alias("v1"),
-    )
-    b = assigned.select(
-        F.col("cell_id"),
-        F.col(id_col).alias("id2"),
-        F.col(vec_col).alias("v2"),
-    )
+    aid = assigned.select(F.col("cell_id"), F.col(id_col).alias("id1"))
+    bid = assigned.select(F.col("cell_id"), F.col(id_col).alias("id2"))
     # Distinct BEFORE the (cheap) verify: a pair sharing both probed
     # cells must be scored once, not twice.
-    cands = (
-        a.join(b, ["cell_id"])
+    cand_ids = (
+        aid.join(bid, ["cell_id"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "v1", "id2", "v2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
+    )
+    cands = cand_ids.join(
+        corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")),
+        "id1",
+    ).join(
+        corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")),
+        "id2",
     )
 
     from pyspark.sql.functions import pandas_udf
