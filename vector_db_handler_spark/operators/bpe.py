@@ -102,12 +102,15 @@ def bpe_train_merges(
         # string: l/r come from corpus data, and a token containing a
         # quote or backslash must be data, never SQL syntax (same
         # ADVICE-r9 class as the quote_ident sweep).
+        # Lazy: the next step's top-1 collect materializes this
+        # boundary in the same action (r15 — the eager form paid one
+        # extra scheduling round-trip per merge step).
         words = words.withColumn(
             "sym",
             F.replace(
                 F.col("sym"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     return spark.createDataFrame(
         out, "step int, left string, right string, merged string, pair_freq bigint"

@@ -195,11 +195,18 @@ def connected_components_star(
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
+    # Lazy checkpoint + count: the count action materializes the
+    # checkpoint blocks AND yields the row count the convergence test
+    # needs, in ONE job (r15 optimization — the eager-checkpoint +
+    # separate count() pattern paid two scheduling round-trips per
+    # materialization; at ~3 driver round-trips per contraction round
+    # the loop was job-submission-bound, guide §1.2/§7.3).
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()
 
     def _sym(df: DataFrame) -> DataFrame:
         return (
@@ -220,10 +227,22 @@ def connected_components_star(
         mins = edges.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
-        large = _sym(
+        # Symmetrized WITHOUT the intermediate distinct (r15, guide
+        # §2.4): every small-star consumer below is duplicate-proof —
+        # ``smins`` is a MIN aggregate and the round's result passes
+        # through the final ``_sym`` distinct — so deduping here only
+        # added a full shuffle of the large-star relation per round.
+        # Duplicate multiplicity is bounded by the (already pinned)
+        # edge relation feeding this round, not by anything larger.
+        lg = (
             edges.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        large = (
+            lg.filter(F.col("u") != F.col("v"))
+            .union(lg.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
         )
 
         # SMALL-STAR over the ≤-neighborhood: u and its small
@@ -234,18 +253,20 @@ def connected_components_star(
             small_nbr.join(smins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        n_small = small.count()  # one job: materializes + counts
 
         # Converged when the star ops are a no-op (edge sets equal;
         # the anti-join only runs once counts stop moving — both
-        # frames are pinned, so it is cheap).
+        # frames are pinned, so it is cheap).  ``edges``'s count is
+        # carried from the previous round instead of re-counted.
         if (
-            small.count() == edges.count()
+            n_small == n_edges
             and small.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
         ):
             edges = small
             break
-        edges = small
+        edges, n_edges = small, n_small
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_rounds} "
@@ -297,14 +318,20 @@ def kcore_nodes(
     und = e.select(
         F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
     ).distinct()
-    cur = und.localCheckpoint(eager=True)
+    # Lazy checkpoints + one materializing count per round (r15,
+    # guide §7.3): the round's single count() action computes and
+    # pins BOTH checkpoint boundaries — ``keep`` is an RDD node
+    # referenced by the two semi-joins, so it still materializes
+    # exactly once — where the eager form paid three scheduling
+    # round-trips per peel round.
+    cur = und.localCheckpoint(eager=False)
     n_edges = cur.count()
     for _ in range(max_rounds):
         if n_edges == 0:
             break
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
+        keep = deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=False)
         nxt = (
             cur.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
@@ -313,7 +340,7 @@ def kcore_nodes(
             # positional and scrambled columns silently corrupt the
             # next round's degrees.
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_next = nxt.count()
         if n_next == n_edges:
@@ -372,19 +399,24 @@ def bfs_hops(
         .localCheckpoint(eager=True)
     )
     frontier = labeled.select("node")
+    # One materializing count per hop (r15, guide §7.3): the frontier
+    # count doubles as the emptiness test and the checkpoint
+    # materialization; ``labeled`` pins lazily at its first consumer
+    # (next hop's anti-join, or the caller's action).  The eager form
+    # paid three scheduling round-trips per hop.
     for h in range(1, max_hops + 1):
         nbrs = (
             sym.join(frontier.withColumnRenamed("node", "u"), "u")
             .select(F.col("v").alias("node"))
             .distinct()
             .join(labeled.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nbrs.limit(1).count() == 0:
+        if nbrs.count() == 0:
             break
         labeled = labeled.unionByName(
             nbrs.withColumn("hops", F.lit(h).cast("long"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         frontier = nbrs
     return labeled
 
@@ -452,12 +484,11 @@ def label_propagation_communities(
 
     Scale shape per round: one edges⨝labels equi-join on the
     neighbour end, one map-side-combined (node, label) vote count,
-    one per-node argmax window over the VOTE census (≤ deg distinct
-    labels per node, never edge rows); lineage truncated per round
-    with ``localCheckpoint`` so plan depth stays O(1) in rounds —
-    identical posture to ``pagerank_integer``."""
-    from pyspark.sql import Window
-
+    one per-node argmax AGGREGATE over the vote census (max of the
+    (n, -label) struct — partial-combined map-side, no window sort;
+    ≤ deg distinct labels per node, never edge rows); lineage
+    truncated per round with ``localCheckpoint`` so plan depth stays
+    O(1) in rounds — identical posture to ``pagerank_integer``."""
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     und = edges.select(
@@ -470,9 +501,6 @@ def label_propagation_communities(
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("label").asc()
-    )
     for _ in range(int(n_iters)):
         votes = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -480,10 +508,21 @@ def label_propagation_communities(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+        # Per-node argmax via ONE hash aggregate (r15, guide §2.3):
+        # max over the struct (n, -label) is exactly the pinned
+        # (count DESC, label ASC) winner the row_number window picked,
+        # but it partial-aggregates map-side and needs no per-node
+        # sort — the second exchange of each round now carries one
+        # pre-combined row per (partition, node) instead of the full
+        # vote census into a window sort.
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("n"), (-F.col("label")).alias("_negl"))
+                ).alias("_w")
+            )
+            .select("node", (-F.col("_w._negl")).alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
