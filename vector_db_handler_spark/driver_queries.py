@@ -726,15 +726,30 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators so the two engines stay textually in lockstep.
 # ---------------------------------------------------------------------------
 
+#: Per-process nonce folded into every scratch-cache key (r15): shared
+#: builds and scratch stores exist to amortize ONE build across the
+#: many rows of a single run — they must never carry results ACROSS
+#: bench/verify invocations (a later run reusing an earlier run's
+#: derived artifacts would not be computing from the parquet inputs).
+#: Scoping the key to the process keeps the within-run sharing and
+#: guarantees a fresh invocation rebuilds everything it times.
+_PROCESS_SCOPE = __import__("uuid").uuid4().hex[:16]
+
+
 def _fixture_tag(sf_dir: str, table: str) -> str:
-    """Scratch-cache key component tied to the fixture FILE, not just
-    its path: regenerated testdata (new size/mtime) must invalidate
-    derived scratch artifacts (indexes, bucketed tables), or cached
-    results silently diverge from the oracle's fresh read."""
+    """Scratch-cache key component tied to the fixture FILE — and to
+    THIS process: regenerated testdata (new size/mtime) must
+    invalidate derived scratch artifacts (indexes, bucketed tables),
+    and a new process must rebuild them rather than inherit a prior
+    run's (cached results would silently stop being computed from the
+    parquet inputs the run is being timed against)."""
     import os
 
     st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-    return f"{os.path.basename(sf_dir.rstrip('/'))}|{st.st_size}|{st.st_mtime_ns}"
+    return (
+        f"{os.path.basename(sf_dir.rstrip('/'))}|{st.st_size}"
+        f"|{st.st_mtime_ns}|{_PROCESS_SCOPE}"
+    )
 
 
 #: DuckDB twin of functions.text.portable_hash60 / portable_hash28.
@@ -2410,7 +2425,9 @@ def _scratch_tag(dim: int) -> str:
     from vector_db_handler_spark.store import POINTS_SCHEMA
 
     probe = ",".join(f"{v:.6f}" for v in _emb.embed_text("probe", 8))
-    basis = f"{dim}|{POINTS_SCHEMA.simpleString()}|{probe}"
+    # _PROCESS_SCOPE: scratch stores are per-run, never inherited from
+    # an earlier invocation (same contract as _fixture_tag, r15).
+    basis = f"{dim}|{POINTS_SCHEMA.simpleString()}|{probe}|{_PROCESS_SCOPE}"
     return hashlib.md5(basis.encode()).hexdigest()[:10]
 
 
