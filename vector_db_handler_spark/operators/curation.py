@@ -234,13 +234,28 @@ def curation_manifest(
             "int64; reduce mixture_rounds, mixture_base or total_n"
         )
 
-    # 1. exact dedup: min-id winner per text-hash group
-    w_dedup = Window.partitionBy("_th").orderBy(F.col(id_col).asc())
-    survivors = (
-        docs.withColumn("_th", text_fns.portable_hash60(F.col(text_col)))
-        .withColumn("_rn", F.row_number().over(w_dedup))
-        .filter(F.col("_rn") == 1)
-        .drop("_th", "_rn")
+    # 1. exact dedup: min-id winner per text-hash group.  Decided on
+    # a SKINNY (hash, id) projection (r15, guide §8/§2.3): the
+    # previous row_number window shuffled every surviving column —
+    # including the raw text — by the hash key, and re-ran that
+    # text-carrying shuffle once per downstream consumer (the mixture
+    # model, the mixture rollup, the feature pass).  The min-id
+    # aggregate partial-combines map-side, only (hash, id) crosses
+    # the exchange, and the winner set re-attaches by a semi-join —
+    # document text now never crosses an exchange in this stage at
+    # any corpus size.
+    keep_ids = (
+        docs.select(
+            F.col(id_col).alias("_kid"),
+            text_fns.portable_hash60(F.col(text_col)).alias("_th"),
+        )
+        .groupBy("_th")
+        .agg(F.min("_kid").alias("_kid"))
+        .select("_kid")
+        .localCheckpoint(eager=False)
+    )
+    survivors = docs.join(
+        keep_ids, F.col(id_col) == F.col("_kid"), "left_semi"
     )
     # 2. quality gate
     survivors = survivors.filter(gopher_keep_expr(text_col))

@@ -58,17 +58,19 @@ def pagerank_integer(
     Every node must appear as a source at least once (true for
     symmetrized undirected graphs); dangling-node redistribution is
     deliberately out of scope — symmetrize or self-loop first."""
-    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Pin the caller's edge expression FIRST (r15): it is often a
+    # non-trivial plan (scan + distinct + symmetrizing union) and was
+    # previously re-executed once for ``ed`` and once more for
+    # ``nodes`` (two eager checkpoints, each with the full upstream
+    # lineage).  One lazy checkpoint on the input means the upstream
+    # plan runs exactly once; ``ed`` and ``nodes`` then derive from
+    # the pinned rows, and the loop consumes only pinned relations.
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # Materialize the degree-annotated edge list ONCE: the caller's
-    # edge expression is often a non-trivial plan (scan + distinct +
-    # symmetrizing union), and the loop consumes it every iteration —
-    # uncached, Spark would re-execute that upstream plan iters+1
-    # times (once more for deg).  Eager localCheckpoint pins the rows
-    # in the block manager and truncates lineage; iteration cost
-    # becomes one join + one combined SUM shuffle, nothing upstream.
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=False)
     teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
 
     ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
