@@ -158,9 +158,10 @@ def srp_neardup_pairs(
 
     Shuffle ledger: quantize scan → signature pass (narrow Arrow hop,
     chained with the quantize hop in one stage) → explode n_bands
-    rows/vector → bucket-census join (guard) → band equi-join →
-    dropDuplicates on the pair key → native integer verify.  Nothing
-    is collected; after the signature pass everything is JVM-side.
+    rows/vector → bucket-census join (guard) → band equi-join and
+    pair dedup on IDS ONLY → vectors re-attached to the unique pairs
+    → native integer verify.  Nothing is collected; after the
+    signature pass everything is JVM-side.
 
     ``sigs``: optionally a PRECOMPUTED `srp_signatures` relation at
     the same (dim, n_bits, seed) — callers holding a materialized
@@ -208,25 +209,40 @@ def srp_neardup_pairs(
     )
     kept = banded.join(census, ["band_idx", "band_val"])
 
-    a = kept.select(
-        "band_idx",
-        "band_val",
-        F.col(id_col).alias("id1"),
-        F.col("qvec").alias("q1"),
-        F.col("norm2").alias("n1"),
-    )
-    b = kept.select(
-        "band_idx",
-        "band_val",
-        F.col(id_col).alias("id2"),
-        F.col("qvec").alias("q2"),
-        F.col("norm2").alias("n2"),
-    )
-    cands = (
+    # Pair join on IDS ONLY, vectors re-attached after the dedup (r15,
+    # guide §8/§2.3 — the same rewrite the multiprobe variant below
+    # already carries): the collision set is far larger than the
+    # unique-pair set, and shipping two 64-int vectors per collision
+    # through the band join and the dedup exchange was this bench's
+    # largest single shuffle (197.9 MB at sf0.1 vs ~10 MB of id
+    # pairs).  The re-attach join is NOT force-broadcast: AQE
+    # broadcasts it at fixture scale, while at 100 TB it stays a
+    # shuffle join keyed on the id — both correct, chosen by stats.
+    a = kept.select("band_idx", "band_val", F.col(id_col).alias("id1"))
+    b = kept.select("band_idx", "band_val", F.col(id_col).alias("id2"))
+    pair_ids = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "q1", "n1", "id2", "q2", "n2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
+    )
+    vecs = banded.select(
+        F.col(id_col), F.col("qvec"), F.col("norm2")
+    ).dropDuplicates([id_col])
+    cands = pair_ids.join(
+        vecs.select(
+            F.col(id_col).alias("id1"),
+            F.col("qvec").alias("q1"),
+            F.col("norm2").alias("n1"),
+        ),
+        "id1",
+    ).join(
+        vecs.select(
+            F.col(id_col).alias("id2"),
+            F.col("qvec").alias("q2"),
+            F.col("norm2").alias("n2"),
+        ),
+        "id2",
     )
     dot = F.aggregate(
         F.zip_with(F.col("q1"), F.col("q2"), lambda x, y: x * y),
