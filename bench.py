@@ -166,6 +166,19 @@ def main() -> None:
             timings[name] = min(walls)
 
     total = round(sum(timings.values()), 2)
+    # Build-inclusive cost (r15 verdict #1): with shared one-time
+    # builds (graph index, shingle index, SRP sigs, ...) executing in
+    # rep 1 of their first consumer, min-agg excludes that real
+    # per-run work from the headline.  Report BOTH: `value` stays the
+    # min-agg headline (the contract since r5), `rep1_total` is the
+    # cold first-pass sum, and `build_wall` = rep1_total - value is
+    # the per-run shared-build cost the headline hides.  Per-query
+    # rep1 walls are in the sidecar (`rep1` and `per_rep`).
+    rep1 = {
+        n: d["reps"][0] for n, d in rep_detail.items() if d.get("reps")
+    }
+    rep1_total = round(sum(rep1.values()), 2)
+    build_wall = round(rep1_total - total, 2)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     repo = os.path.dirname(os.path.abspath(__file__))
     detail = {
@@ -176,6 +189,11 @@ def main() -> None:
         "errors": errors,
         "reps": reps,
         "agg": "min",
+        "rep1": rep1,
+        "rep1_total": rep1_total,
+        "build_wall": build_wall,
+        "master": spark.sparkContext.master,
+        "parallelism": spark.sparkContext.defaultParallelism,
         "per_rep": rep_detail,
         "shuffle_bytes": shuffle_bytes,
         "sentinel_op": "spark.range(1e6).sum() collect, timed before each rep",
@@ -236,6 +254,13 @@ def main() -> None:
             "n_queries": len(timings),
             "n_errors": len(errors),
             "reps": reps,
+            # r15 verdict #1/#2: cold first-pass total + the shared-
+            # build cost min-agg hides, and the effective master /
+            # parallelism so core-count sensitivity is observable.
+            "rep1_total": rep1_total,
+            "build_wall": build_wall,
+            "master": spark.sparkContext.master,
+            "parallelism": spark.sparkContext.defaultParallelism,
             "sentinel": sentinel_summary,
             "detail": "BENCH_DETAIL.json",
         },

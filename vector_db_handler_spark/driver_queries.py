@@ -735,6 +735,56 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: guarantees a fresh invocation rebuilds everything it times.
 _PROCESS_SCOPE = __import__("uuid").uuid4().hex[:16]
 
+#: Lazily-created per-process scratch root (see _scratch_root).
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_root() -> str:
+    """One uuid-named directory holding EVERY scratch artifact this
+    process writes (shared builds, format twins, bucketed stores,
+    written indexes), removed at interpreter exit — the r15 ADVICE
+    fix: per-process cache keys made each run write a fresh artifact
+    set under /tmp and nothing ever cleaned up, so repeated bench /
+    verify runs accumulated unbounded disk.  Also sweeps roots left
+    by crashed prior processes (best-effort, older than 2 h)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        tmp = tempfile.gettempdir()
+        root = os.path.join(tmp, f"vdh_run_{_PROCESS_SCOPE}")
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        # Stale-root sweep: a killed process never runs its atexit;
+        # anything idle for 2 h cannot belong to a live run.
+        cutoff = time.time() - 7200
+        try:
+            for d in os.listdir(tmp):
+                if d.startswith("vdh_run_") and d != f"vdh_run_{_PROCESS_SCOPE}":
+                    p = os.path.join(tmp, d)
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+        _SCRATCH_ROOT = root
+    return _SCRATCH_ROOT
+
+
+def _shared_cache_files(spark: SparkSession) -> int:
+    """File count for shared-build parquet caches: at least 8 (a
+    1-file cache serializes every downstream scan) and at least the
+    session's core count, so a low-core probe run is not artificially
+    equalized with the full-width run (r15 verdict #2) and downstream
+    scans stay parallel at any ``$SPARK_GRAFT_CPUS``."""
+    return max(8, spark.sparkContext.defaultParallelism)
+
 
 def _fixture_tag(sf_dir: str, table: str) -> str:
     """Scratch-cache key component tied to the fixture FILE — and to
@@ -821,14 +871,17 @@ def _shared_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     basis = f"shidx|3|{_fixture_tag(sf_dir, 'documents')}"
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_shidx_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         dedup_ops.shingle_index(
             load(spark, sf_dir, "documents")
-            # 8 files: keep downstream scans parallel (see _shared_srp_sigs)
-        ).repartition(8).write.mode("overwrite").parquet(path)
+            # >=max(8, cores) files, clustered by doc so any file count
+            # keeps downstream per-doc partial aggregation compact
+        ).repartition(_shared_cache_files(spark), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(path)
     return spark.read.parquet(path)
 
 
@@ -954,7 +1007,7 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_fixture_tag(sf_dir, 'documents')}"
     )
     path = os.path.join(
-        tempfile.gettempdir(), f"vdh_lsh_{hashlib.md5(basis.encode()).hexdigest()[:10]}"
+        _scratch_root(), f"vdh_lsh_{hashlib.md5(basis.encode()).hexdigest()[:10]}"
     )
     if not (
         os.path.exists(os.path.join(path, "bands", "_SUCCESS"))
@@ -1006,14 +1059,14 @@ def _shared_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     basis = f"simh64|{_fixture_tag(sf_dir, 'documents')}"
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_simh64_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         dedup_ops.simhash64(
             load(spark, sf_dir, "documents")
-            # 8 files: keep downstream scans parallel (see _shared_srp_sigs)
-        ).repartition(8).write.mode("overwrite").parquet(path)
+            # >=max(8, cores) files: parallel downstream scans at any core count
+        ).repartition(_shared_cache_files(spark), "doc_id").write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -1174,7 +1227,7 @@ def _shared_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"winfps|{WINNOW_K}|{WINNOW_W}|{_fixture_tag(sf_dir, 'documents')}"
     )
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_winfps_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -1787,12 +1840,12 @@ def _shared_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     basis = f"mphash|{_fixture_tag(sf_dir, 'documents')}"
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_mphash_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # 8 files: keep downstream scans parallel (see _shared_srp_sigs)
-        media_ops.media_phash(_media_df(spark, sf_dir)).repartition(8).write.mode(
+        # >=max(8, cores) files: parallel downstream scans at any core count
+        media_ops.media_phash(_media_df(spark, sf_dir)).repartition(_shared_cache_files(spark), "media_id").write.mode(
             "overwrite"
         ).parquet(path)
     return spark.read.parquet(path)
@@ -2067,7 +2120,7 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _hl.md5(
         f"jsonl|{_fixture_tag(sf_dir, 'documents')}".encode()
     ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"vdh_jsonl_{tag}")
+    root = os.path.join(_scratch_root(), f"vdh_jsonl_{tag}")
     extra = os.path.join(root, "extra-manual.jsonl")
     if not os.path.exists(extra):
         jsonl_src.write_documents_jsonl(load(spark, sf_dir, "documents"), root)
@@ -2135,7 +2188,7 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _hl.md5(
         f"csv|{_fixture_tag(sf_dir, 'documents')}".encode()
     ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"vdh_csv_{tag}")
+    root = os.path.join(_scratch_root(), f"vdh_csv_{tag}")
     extra = os.path.join(root, "extra-manual.csv")
     if not os.path.exists(extra):
         csv_src.write_documents_csv(load(spark, sf_dir, "documents"), root)
@@ -2187,7 +2240,7 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _hl.md5(
         f"orc|{_fixture_tag(sf_dir, 'documents')}".encode()
     ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"vdh_orc_{tag}")
+    root = os.path.join(_scratch_root(), f"vdh_orc_{tag}")
     marker = os.path.join(root, "_vdh_done")
     if not os.path.exists(marker):
         orc_src.write_documents_orc(load(spark, sf_dir, "documents"), root)
@@ -2234,7 +2287,7 @@ def avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _hl.md5(
         f"avro|{_fixture_tag(sf_dir, 'documents')}".encode()
     ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"vdh_avro_{tag}")
+    root = os.path.join(_scratch_root(), f"vdh_avro_{tag}")
     marker = os.path.join(root, "_vdh_done")
     if not os.path.exists(marker):
         avro_src.write_documents_avro(load(spark, sf_dir, "documents"), root)
@@ -2452,7 +2505,7 @@ def pipeline_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = 32
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_pipeline_{os.path.basename(sf_dir.rstrip('/'))}_{_scratch_tag(dim)}",
     )
     store = PointsStore(spark, root, vector_size=dim)
@@ -2552,7 +2605,7 @@ def pipeline_ingest_search_checked(spark: SparkSession, sf_dir: str) -> DataFram
         f"checked-bulk|{dim}|{POINTS_SCHEMA.simpleString()}|{probe}".encode()
     ).hexdigest()[:10]
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_pipeck_{os.path.basename(sf_dir.rstrip('/'))}_{tag}",
     )
     store = PointsStore(spark, root, vector_size=dim)
@@ -3089,7 +3142,7 @@ def upsert_scroll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.store import PointsStore
 
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_upsert_{os.path.basename(sf_dir.rstrip('/'))}_{_scratch_tag(2)}",
     )
     store = PointsStore(spark, root, vector_size=2)
@@ -3254,7 +3307,7 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_fixture_tag(sf_dir, "lineitem") + _fixture_tag(sf_dir, "orders")).encode()
     ).hexdigest()[:10]
     li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
-    base = os.path.join(tempfile.gettempdir(), f"vdh_bucketed_{tag}")
+    base = os.path.join(_scratch_root(), f"vdh_bucketed_{tag}")
     listed = {t.name for t in spark.catalog.listTables()}
     # Both catalog entries AND both backing paths must be intact; a
     # half-present pair (e.g. /tmp swept under a persistent metastore,
@@ -4557,7 +4610,7 @@ def ivfsq_int8_train_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"|{_fixture_tag(sf_dir, 'embeddings')}"
     )
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_ivfsq8l_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -4800,7 +4853,7 @@ def ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"|{_fixture_tag(sf_dir, 'embeddings')}"
     )
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_ivfpq_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -5073,7 +5126,7 @@ def ivfsq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.expr(_IVF_CENTROID_PRED))
     basis = f"ivfsq|{_IVF_CENTROID_PRED}|{_fixture_tag(sf_dir, 'embeddings')}"
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_ivfsq_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -5507,7 +5560,7 @@ def ivfsq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.expr(_IVF_CENTROID_PRED))
     basis = f"ivfsq|{_IVF_CENTROID_PRED}|{_fixture_tag(sf_dir, 'embeddings')}"
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_ivfsq_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -5800,17 +5853,20 @@ def _shared_srp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_fixture_tag(sf_dir, 'embeddings')}"
     )
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_srpsigs_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         srp_ops.srp_signatures(
             load(spark, sf_dir, "embeddings"),
             srp_ops.srp_planes(64, srp_ops.N_BITS, _SRP_SEED),
-            # 8 output files: a 1-file cache would serialize every
-            # downstream scan (the banded explode ran as ONE task and
-            # cost more than the build it saved — measured at sf0.1)
-        ).repartition(8).write.mode("overwrite").parquet(path)
+            # >=max(8, cores) output files: a 1-file cache would
+            # serialize every downstream scan (the banded explode ran
+            # as ONE task and cost more than the build it saved —
+            # measured at sf0.1); scaled with defaultParallelism so a
+            # low-core probe run is not artificially equalized (r15
+            # verdict #2)
+        ).repartition(_shared_cache_files(spark), "vec_id").write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -6573,7 +6629,7 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     out = os.path.join(
-        tempfile.gettempdir(), f"vdh_shards_{os.path.basename(os.path.normpath(sf_dir))}"
+        _scratch_root(), f"vdh_shards_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     return write_training_shards(docs, out)
 
@@ -7755,7 +7811,7 @@ def mor_delete_doc_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_handler_spark.store_mor import MorPointsStore
 
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_mor_{os.path.basename(sf_dir.rstrip('/'))}_{_scratch_tag(2)}",
     )
     store = MorPointsStore(spark, root, vector_size=2)
@@ -8185,7 +8241,7 @@ def streaming_knn_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # earlier rounds out of partition discovery.
     basis = f"knnserve2|{_fixture_tag(sf_dir, 'embeddings')}"
     base = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_knnserve_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     out_path, cp = os.path.join(base, "out"), os.path.join(base, "cp")
@@ -8231,7 +8287,7 @@ def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _hl.md5(
         f"xml|{_fixture_tag(sf_dir, 'documents')}".encode()
     ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"vdh_xml_{tag}")
+    root = os.path.join(_scratch_root(), f"vdh_xml_{tag}")
     marker = os.path.join(root, "_vdh_done")
     if not os.path.exists(marker):
         xml_src.write_documents_xml(load(spark, sf_dir, "documents"), root)
@@ -11038,7 +11094,7 @@ def _shared_audio_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     basis = f"audiolm|{_fixture_tag(sf_dir, 'documents')}"
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_audiolm_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -11047,8 +11103,8 @@ def _shared_audio_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         media_ops.audio_landmarks(
             media_ops.synthesize_audio_with_copies(docs)
-            # 8 files: keep downstream scans parallel (see _shared_srp_sigs)
-        ).repartition(8).write.mode("overwrite").parquet(path)
+            # >=max(8, cores) files: parallel downstream scans at any core count
+        ).repartition(_shared_cache_files(spark), "media_id").write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -11283,7 +11339,7 @@ def streaming_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     basis = f"nbserve|{_fixture_tag(sf_dir, 'documents')}"
     base = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_nbserve_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     out_path, cp = os.path.join(base, "out"), os.path.join(base, "cp")
@@ -11923,7 +11979,7 @@ def streaming_hll_registers_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
     basis = f"hllserve|{_fixture_tag(sf_dir, 'events')}"
     base = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_hllserve_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     out_path, cp = os.path.join(base, "out"), os.path.join(base, "cp")
@@ -12557,7 +12613,7 @@ def arrow_ipc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _hl.md5(
         f"arrow|{_fixture_tag(sf_dir, 'documents')}".encode()
     ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"vdh_arrow_{tag}")
+    root = os.path.join(_scratch_root(), f"vdh_arrow_{tag}")
     marker = os.path.join(root, "_vdh_done")
     if not os.path.exists(marker):
         arrow_src.write_documents_arrow(load(spark, sf_dir, "documents"), root)
@@ -13454,7 +13510,7 @@ def sqlite_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _hl.md5(
         f"sqlite|{_fixture_tag(sf_dir, 'documents')}".encode()
     ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"vdh_sqlite_{tag}")
+    root = os.path.join(_scratch_root(), f"vdh_sqlite_{tag}")
     marker = os.path.join(root, "_vdh_done")
     if not os.path.exists(marker):
         sqlite_src.write_documents_sqlite(load(spark, sf_dir, "documents"), root)
@@ -13834,7 +13890,7 @@ def _graph_index_path(spark: SparkSession, sf_dir: str) -> str:
         f"{_fixture_tag(sf_dir, 'embeddings')}"
     )
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_gidx_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     # meta/ is the LAST artifact write_knn_graph_index commits, so its
@@ -14119,7 +14175,7 @@ def streaming_graph_index_ingest_query(
         f"{_fixture_tag(sf_dir, 'embeddings')}"
     )
     base = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_gingest_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     path = os.path.join(base, "idx")
@@ -14829,7 +14885,7 @@ def _stats_graph_index_path(spark: SparkSession, sf_dir: str) -> str:
         f"{_fixture_tag(sf_dir, 'embeddings')}"
     )
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_gstat_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
@@ -14943,7 +14999,7 @@ def _tombstoned_graph_index_path(spark: SparkSession, sf_dir: str) -> str:
         f"{_fixture_tag(sf_dir, 'embeddings')}"
     )
     path = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_gdel_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     emb = load(spark, sf_dir, "embeddings")
@@ -15041,7 +15097,7 @@ def _merged_graph_index_path(spark: SparkSession, sf_dir: str) -> str:
         f"{_fixture_tag(sf_dir, 'embeddings')}"
     )
     base = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"vdh_gmerge_{hashlib.md5(basis.encode()).hexdigest()[:10]}",
     )
     path = os.path.join(base, "idx")

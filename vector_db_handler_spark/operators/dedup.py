@@ -866,6 +866,16 @@ def connected_components(
         ).distinct()
     labels = labels.withColumn("lbl", F.col("node")).localCheckpoint(eager=False)
 
+    # Convergence via label-sum stability (r16, guide §7.3 — one
+    # materializing job per round instead of a labels⨝labels join +
+    # count): per-node labels are monotonically NON-INCREASING (each
+    # round takes a min over a superset that includes the old label)
+    # and the node set is fixed, so the label sum strictly decreases
+    # until fixpoint — sum unchanged ⟺ no label changed.  Summed as
+    # decimal(38,0) so the test is exact at any id magnitude.
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)"))
+    ).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.b == labels.node)
@@ -878,15 +888,15 @@ def connected_components(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        # One job: materializes the round's checkpoint AND reads the
+        # convergence signal off it.
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

@@ -486,11 +486,18 @@ def label_propagation_communities(
 
     Scale shape per round: one edges⨝labels equi-join on the
     neighbour end, one map-side-combined (node, label) vote count,
-    one per-node argmax AGGREGATE over the vote census (max of the
-    (n, -label) struct — partial-combined map-side, no window sort;
-    ≤ deg distinct labels per node, never edge rows); lineage
-    truncated per round with ``localCheckpoint`` so plan depth stays
-    O(1) in rounds — identical posture to ``pagerank_integer``."""
+    one per-node argmax AGGREGATE (max of the (n, -label) struct —
+    the pinned (count DESC, label ASC) winner, partial-combined
+    map-side, no window sort; requires numeric node ids — the r15
+    ADVICE note).  r16 (guide §2.4): the fixed, small round count
+    means the unrolled plan is bounded, so rounds are NO longer
+    checkpointed individually — the identical per-round edge
+    exchange collapses into ONE reused exchange across all rounds
+    (ReusedExchange/AQE stage reuse), where the checkpointed form
+    re-shuffled the edge relation every round (``localCheckpoint``
+    erases output partitioning — measured, not assumed).  Lineage is
+    still truncated every 4th round so a large ``n_iters`` dial
+    cannot grow the optimizer's input unboundedly."""
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     und = edges.select(
@@ -503,20 +510,13 @@ def label_propagation_communities(
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(int(n_iters)):
+    for i in range(int(n_iters)):
         votes = (
             sym.join(labels, sym["b"] == labels["node"])
             .select(F.col("a").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        # Per-node argmax via ONE hash aggregate (r15, guide §2.3):
-        # max over the struct (n, -label) is exactly the pinned
-        # (count DESC, label ASC) winner the row_number window picked,
-        # but it partial-aggregates map-side and needs no per-node
-        # sort — the second exchange of each round now carries one
-        # pre-combined row per (partition, node) instead of the full
-        # vote census into a window sort.
         labels = (
             votes.groupBy("node")
             .agg(
@@ -525,8 +525,9 @@ def label_propagation_communities(
                 ).alias("_w")
             )
             .select("node", (-F.col("_w._negl")).alias("label"))
-            .localCheckpoint(eager=False)
         )
+        if (i + 1) % 4 == 0 and (i + 1) < int(n_iters):
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -561,61 +562,194 @@ def hyperball_neighborhood(
     rollups (effective diameter, median ball growth) read off this
     relation.
 
-    Scale shape per round: one edges⨝registers equi-join on the
-    neighbour end plus one map-side-combined (node, bucket) MAX — the
-    register relation is ≤ |V|·K rows regardless of edge count or
-    round; lineage truncated per round with ``localCheckpoint``
-    (the PageRank/LPA posture).  The estimate grid explode is
-    |V|·(n_hops+1)·K rows, data-scale invariant."""
+    Scale shape per round (r16, guide §2.3 — shuffle fewer bytes):
+    registers ride DENSE, one row per node carrying the fixed
+    K-element register array, so each round is one edges⨝registers
+    equi-join on the neighbour end plus ONE map-side-combined
+    per-node aggregate of K element-wise MAXes — the only exchange
+    payload is one pre-combined register row per node per map task
+    (the sparse (node, bucket, m) form shipped up to K rows per node
+    AND re-shuffled a |V|·K grid join per hop for the estimates).
+    Self-loop edges feed each node's own registers through the same
+    join, and the per-hop estimate readout is a pure projection over
+    the dense array — zero additional shuffles.  Lineage is truncated
+    per round with ``localCheckpoint`` (the PageRank/LPA posture).
+    Register VALUES are bit-identical to the sparse formulation (the
+    same max-merge algebra; the estimate arithmetic is the shared
+    ``hll_estimate_exprs``)."""
     from vector_db_handler_spark.operators.hll import (
-        hll_estimate_from_registers,
+        hll_estimate_exprs,
         hll_registers,
     )
 
     if n_hops < 0:
         raise ValueError(f"n_hops must be >= 0, got {n_hops}")
+    k = 1 << p
+    s = 61 - p
     und = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).filter(F.col("a") != F.col("b"))
-    sym = (
-        und.unionByName(
-            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    # hop-0 registers: each node's ball is {itself}
-    regs = (
-        hll_registers(
-            nodes.select("node", F.col("node").alias("val")), "node", "val", p
-        )
-        .withColumnRenamed("key", "node")
-        .localCheckpoint(eager=False)
+    # Self-loops: the merge join below then delivers every node its
+    # own previous-round registers along with its neighbours' — no
+    # separate union leg (ball(h) ⊇ ball(h-1) is exactly reflexivity).
+    npart = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    per_hop = [
-        hll_estimate_from_registers(regs, p, ("node",)).select(
-            "node", F.lit(0).cast("long").alias("hop"),
-            "n_zero_buckets", "sum_scaled", "est_raw", "est_lc", "est_used",
+    prop = sym.unionByName(
+        nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    ).localCheckpoint(eager=False)
+    # hop-0 registers: each node's ball is {itself} — exactly ONE
+    # non-empty register per node, densified in-row.  The node set
+    # reads back off the pinned prop relation (its self-loop rows ARE
+    # the node set) so the upstream symmetrize+distinct runs once.
+    pinned_nodes = prop.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node")
+    )
+    sparse0 = hll_registers(
+        pinned_nodes.select("node", F.col("node").alias("val")),
+        "node",
+        "val",
+        p,
+    ).withColumnRenamed("key", "node")
+    idx = F.sequence(F.lit(0), F.lit(k - 1))
+    # array<tinyint>: a register is a rho value in [1, s] (s <= 57 for
+    # any valid p), so ONE BYTE per register — the narrow type keeps
+    # every exchange row at node + K bytes instead of node + K longs
+    # (§2.3: narrower types, halve-the-column), and the per-register
+    # MAX buffers below stay tinyint too.
+    regs = sparse0.select(
+        "node",
+        F.transform(
+            idx,
+            lambda i: F.when(i == F.col("bucket"), F.col("m")).otherwise(
+                F.lit(0).cast("long")
+            ),
         )
-    ]
+        .cast("array<tinyint>")
+        .alias("r"),
+    ).localCheckpoint(eager=False)
+
+    def _dense_estimates(regs_df: DataFrame, hop: int) -> DataFrame:
+        # n_zero_buckets / sum_scaled straight off the dense array
+        # (empty register: m = 0 contributes 2^s), then the shared
+        # estimate expressions — a projection, no shuffle.
+        nnz = F.size(F.filter(F.col("r"), lambda m: m > F.lit(0)))
+        nz = (F.lit(k) - nnz).cast("long")
+        ss = (
+            F.aggregate(
+                F.col("r"),
+                F.lit(0).cast("long"),
+                lambda acc, m: acc
+                + F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.lit(s) - m.cast("int")).cast("int"),
+                ),
+            )
+        ).cast("long")
+        est_raw, est_lc, est_used = hll_estimate_exprs(p)
+        return regs_df.select(
+            "node",
+            F.lit(hop).cast("long").alias("hop"),
+            nz.alias("n_zero_buckets"),
+            ss.alias("sum_scaled"),
+        ).select(
+            "node",
+            "hop",
+            "n_zero_buckets",
+            "sum_scaled",
+            est_raw.alias("est_raw"),
+            est_lc.alias("est_lc"),
+            est_used.alias("est_used"),
+        )
+
+    # Merge-exchange shape (guide §4.2/§8 — pre-combine with
+    # vectorized native code, then move narrow rows once): a
+    # mapInArrow pass element-wise-MAXes each task's register rows
+    # per node (numpy sort + maximum.reduceat — whole-batch, no
+    # Python row loop), so the explicit hash(node) repartition ships
+    # ONE combined (node, K-byte array) row per node per map task;
+    # the K-way MAX aggregate that finishes the merge runs on top of
+    # that exchange WITHOUT its own (grouping key ⊇ partitioning
+    # key), so its 8-byte-padded partial buffers are never
+    # serialized.
+    #
+    # Defined as a CLOSURE (not module-level) deliberately: cloudpickle
+    # then ships it by value, so executor Python workers never need
+    # the repo package importable — the driver harness runs from an
+    # arbitrary cwd (a module-level function failed exactly there).
+    def _premerge_registers(batches):
+        """Task-local element-wise register max: combine this task's
+        (node, r) rows to one row per node before the merge exchange.
+        Pure numpy over whole Arrow batches (sort once,
+        ``maximum.reduceat`` per node group) — no per-row Python.  A
+        task-local combiner only: the downstream per-node aggregate
+        produces the global max, so batch order/placement cannot
+        change results (max is associative/commutative/idempotent)."""
+        import numpy as np
+        import pyarrow as pa
+
+        nodes_all = []
+        mats = []
+        width = None
+        for b in batches:
+            n = b.column(0).to_numpy(zero_copy_only=False)
+            if len(n) == 0:
+                continue
+            lst = b.column(1)
+            vals = lst.flatten().to_numpy(zero_copy_only=False)
+            width = len(vals) // len(n)
+            nodes_all.append(n)
+            mats.append(vals.reshape(len(n), width))
+        if not nodes_all:
+            return
+        nodes = np.concatenate(nodes_all)
+        mat = np.vstack(mats)
+        order = np.argsort(nodes, kind="stable")
+        nodes = nodes[order]
+        mat = mat[order]
+        starts = np.flatnonzero(np.r_[True, nodes[1:] != nodes[:-1]])
+        out = np.maximum.reduceat(mat, starts, axis=0).astype(
+            np.int8, copy=False
+        )
+        uniq = nodes[starts]
+        offsets = pa.array(
+            np.arange(0, (len(uniq) + 1) * width, width, dtype=np.int32)
+        )
+        rarr = pa.ListArray.from_arrays(
+            offsets, pa.array(out.reshape(-1), type=pa.int8())
+        )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(uniq, type=pa.int64()), rarr], ["node", "r"]
+        )
+
+    reg_schema = "node bigint, r array<tinyint>"
+    per_hop = [_dense_estimates(regs, 0)]
     for h in range(1, int(n_hops) + 1):
-        nbr = sym.join(regs, sym["b"] == regs["node"]).select(
-            F.col("a").alias("node"), "bucket", "m"
-        )
-        regs = (
-            regs.unionByName(nbr)
-            .groupBy("node", "bucket")
-            .agg(F.max("m").alias("m"))
+        merged = (
+            prop.join(regs, prop["b"] == regs["node"])
+            .select(F.col("a").alias("node"), "r")
+            .mapInArrow(_premerge_registers, reg_schema)
+            .repartition(npart, "node")
+            .groupBy("node")
+            .agg(
+                *[
+                    F.max(F.col("r")[i]).alias(f"_m{i}")
+                    for i in range(k)
+                ]
+            )
+            .select(
+                "node",
+                F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("r"),
+            )
             .localCheckpoint(eager=False)
         )
-        per_hop.append(
-            hll_estimate_from_registers(regs, p, ("node",)).select(
-                "node", F.lit(h).cast("long").alias("hop"),
-                "n_zero_buckets", "sum_scaled", "est_raw", "est_lc",
-                "est_used",
-            )
-        )
+        regs = merged
+        per_hop.append(_dense_estimates(regs, h))
     out = per_hop[0]
     for df in per_hop[1:]:
         out = out.unionByName(df)

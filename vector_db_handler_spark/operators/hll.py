@@ -124,35 +124,70 @@ def hll_estimate_from_registers(
     (``graph.hyperball_neighborhood``), factored so the repo has ONE
     implementation of the exact harmonic sum / linear-counting
     switch.  ``key_cols`` generalizes the key to composites like
-    (node, hop)."""
+    (node, hop).
+
+    Precondition: ``regs`` is sparse — one row per NON-EMPTY register
+    with ``m >= 1`` and no (key, bucket) duplicates (what
+    :func:`hll_registers` and any max-merge of its outputs produce);
+    empty buckets are inferred as ``K - count``, never stored."""
     k = 1 << p
     s = 61 - p
     numer = hll_alpha(k) * (k * k) * float(1 << s)  # one shared literal
     kc = list(key_cols)
 
-    keys = regs.select(*kc).distinct()
-    grid = keys.select(
-        *kc, F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("bucket")
-    )
-    full = grid.join(regs, [*kc, "bucket"], "left").select(
-        *kc, "bucket", F.coalesce(F.col("m"), F.lit(0)).alias("m")
-    )
-    agg = full.groupBy(*kc).agg(
-        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_zero_buckets"),
-        # call_function: the typed shiftleft wrapper rejects a COLUMN
-        # shift amount (same pitfall ilog2_kilo documents).
-        F.sum(
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                (F.lit(s) - F.col("m")).cast("int"),
+    # Sparse aggregation (r16, guide §2.4 — remove shuffles outright):
+    # every sparse register row carries m >= 1 (rho >= 1 by
+    # construction in hll_registers; max-merges preserve it), so the
+    # K-bucket grid this previously materialized per key — a distinct
+    # pass, a sequence() explode to |keys|·K rows, and a left join
+    # back onto the sparse rows: THREE exchanges per estimate call —
+    # collapses algebraically into ONE map-side-combined aggregate
+    # over the sparse rows themselves:
+    #   n_zero_buckets = K - count(rows)           (empty buckets)
+    #   sum_scaled     = n_zero_buckets·2^s + Σ 2^(s-m)
+    # (an empty bucket contributes 2^(s-0) = 2^s).  Keys cannot be
+    # lost: the old grid derived its key set FROM regs, so a key with
+    # zero rows never appeared either.  Bit-identical outputs — the
+    # terms are the same exact BIGINTs, summed per key.
+    nnz = F.count(F.lit(1))
+    agg = regs.groupBy(*kc).agg(
+        (F.lit(k) - nnz).cast("long").alias("n_zero_buckets"),
+        (
+            (F.lit(k) - nnz) * F.lit(1 << s)
+            # call_function: the typed shiftleft wrapper rejects a
+            # COLUMN shift amount (same pitfall ilog2_kilo documents).
+            + F.sum(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.lit(s) - F.col("m")).cast("int"),
+                )
             )
         )
         .cast("long")
         .alias("sum_scaled"),
     )
+    est_raw, est_lc, est_used = hll_estimate_exprs(p)
+    return agg.select(
+        *kc,
+        "n_zero_buckets",
+        "sum_scaled",
+        est_raw.alias("est_raw"),
+        est_lc.alias("est_lc"),
+        est_used.alias("est_used"),
+    )
+
+
+def hll_estimate_exprs(p: int):
+    """The ``(est_raw, est_lc, est_used)`` column trio over exact
+    ``n_zero_buckets`` / ``sum_scaled`` columns — factored so the
+    sparse path above and the dense HyperBall register rail
+    (``graph.hyperball_neighborhood``) share ONE implementation of
+    the estimate arithmetic (bit-identical cross-engine by
+    construction: fixed-order double math over exact integers)."""
+    k = 1 << p
+    s = 61 - p
+    numer = hll_alpha(k) * (k * k) * float(1 << s)  # one shared literal
     est_raw = F.round(F.lit(numer) / F.col("sum_scaled"), 6)
     v = F.col("n_zero_buckets")
     # ln(K/V) via the fixed-point log2 surrogate: exact integer
@@ -166,16 +201,10 @@ def hll_estimate_from_registers(
         6,
     )
     est_lc = F.when(v > 0, est_lc)
-    return agg.select(
-        *kc,
-        "n_zero_buckets",
-        "sum_scaled",
-        est_raw.alias("est_raw"),
-        est_lc.alias("est_lc"),
-        F.when((est_raw <= F.lit(2.5 * k)) & (v > 0), est_lc)
-        .otherwise(est_raw)
-        .alias("est_used"),
+    est_used = (
+        F.when((est_raw <= F.lit(2.5 * k)) & (v > 0), est_lc).otherwise(est_raw)
     )
+    return est_raw, est_lc, est_used
 
 
 def hll_distinct_by_key(

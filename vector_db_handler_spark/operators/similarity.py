@@ -1142,6 +1142,55 @@ def _beam_hops_batch(
     return beam_df
 
 
+def _beam_hops_batch_multi(
+    qn: DataFrame,
+    und: DataFrame,
+    qq: DataFrame,
+    entries: DataFrame,
+    hops: int,
+) -> DataFrame:
+    """The multi-WIDTH batch beam walk (r16, `beam_recall_curve`'s
+    fused serve): `_beam_hops_batch` with the beam width riding as a
+    COLUMN (``bw``), so ONE walk advances every (query, width) chain
+    per hop instead of one whole walk per width.  Row-identical to
+    running `_beam_hops_batch` once per width: every stage — the
+    expand join, the candidate distinct, the scored window, the
+    ``rn <= bw`` cut — is keyed by (qid, bw), so each (qid, bw) slice
+    evolves exactly as that width's standalone chain (widths never
+    interact).  ``entries`` is (qid, bw, nid) seed triples.  Returns
+    (qid, bw, nid, d)."""
+    w = Window.partitionBy("qid", "bw").orderBy(
+        F.col("d").desc(), F.col("nid").asc()
+    )
+
+    def _top_beam(triples: DataFrame) -> DataFrame:
+        scored = (
+            triples.join(qn, "nid")
+            .join(F.broadcast(qq), "qid")
+            .select(
+                "qid", "bw", "nid", _int_dot(F.col("v"), F.col("qv")).alias("d")
+            )
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.col("bw"))
+            .select("qid", "bw", "nid", "d")
+            .localCheckpoint(eager=False)
+        )
+
+    beam_df = _top_beam(entries)
+    for _ in range(int(hops)):
+        cand = (
+            beam_df.select("qid", "bw", "nid")
+            .join(und, beam_df["nid"] == und["a"])
+            .select("qid", "bw", F.col("b").alias("nid"))
+            .unionByName(beam_df.select("qid", "bw", "nid"))
+            .distinct()
+        )
+        beam_df = _top_beam(cand)
+    return beam_df
+
+
 def knn_graph_beam_search(
     emb: DataFrame,
     query_vec: list[float],
@@ -3026,12 +3075,31 @@ def beam_recall_curve(
     ``recall = n_hits / (n_queries·k)`` — exact integers up to the
     one final division, so the curve is hash-checkable.  Monotone
     non-decreasing in beam by construction ONLY when hops are
-    saturating; the curve measures, it does not assume."""
+    saturating; the curve measures, it does not assume.
+
+    The serve is the FUSED multi-width walk (r16, guide §1.2 step 1 —
+    fewer passes): one `_beam_hops_batch_multi` advances every
+    (query, width) chain per hop instead of one whole per-width walk
+    per curve point, cutting the hop-sequential stage chains (the
+    curve's dominant cost) by the number of widths.  Row-identical to
+    the per-width serves: each (qid, bw) slice of the fused walk IS
+    that width's standalone chain (see `_beam_hops_batch_multi`), and
+    the per-width aggregate over it matches the per-point aggregate
+    the unfused form computed."""
+    from vector_db_handler_spark.operators.quantize import (
+        max_abs_scale,
+        quantize_int8,
+    )
+
     beams = [int(b) for b in beams]
     if not beams or any(b < 1 for b in beams) or len(set(beams)) != len(beams):
         raise ValueError(f"beams must be distinct and >= 1, got {beams}")
     if any(k > b for b in beams):
         raise ValueError(f"k={k} exceeds a beam width in {beams}")
+    if entry_mod is not None and entry_mod < 1:
+        raise ValueError(f"entry_mod must be >= 1, got {entry_mod}")
+    if entry_mod is None:
+        entry_mod = max(1, emb.count() // 1024)
     if graph is None:
         graph = knn_graph_nn_descent(
             emb,
@@ -3053,43 +3121,71 @@ def beam_recall_curve(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     ).localCheckpoint(eager=False)
-    points = []
-    for b in beams:
-        rep = graph_ann_recall_report(
-            emb,
-            queries,
-            k=k,
-            beam=b,
-            hops=hops,
-            graph=graph,
-            exact=exact,
-            graph_k=graph_k,
-            graph_iters=graph_iters,
-            kmeans_k=kmeans_k,
-            rand_buckets=rand_buckets,
-            entry_mod=entry_mod,
-            embedding_col=embedding_col,
-            id_col=id_col,
-            query_id_col=query_id_col,
-            query_vec_col=query_vec_col,
+    # Quantized relations — identical construction to
+    # `knn_graph_beam_search_batch` (the per-point serve this fuses).
+    scale = max_abs_scale(emb, embedding_col)
+    qn = quantize_int8(emb, embedding_col=embedding_col, id_col=id_col).select(
+        F.col(id_col).alias("nid"), F.col("qvec").alias("v")
+    )
+    clamp = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127.0),
+        F.least(
+            F.lit(127.0), F.floor(F.lit(127.0) * x / F.col("s") + F.lit(0.5))
+        ),
+    ).cast("long")
+    qq = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(query_vec_col).alias("qv_raw"),
         )
-        points.append(
-            rep.agg(
-                F.lit(b).cast("long").alias("beam"),
-                F.count(F.lit(1)).alias("n_queries"),
-                F.sum("n_hits").cast("long").alias("n_hits"),
-            )
+        .crossJoin(F.broadcast(scale))
+        .select("qid", F.transform(F.col("qv_raw"), clamp).alias("qv"))
+    )
+    und = _undirect_pairs(
+        graph.select(F.col(id_col).alias("a"), F.col("neighbor_id").alias("b"))
+    )
+    widths = emb.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(b)) for b in beams])).alias("bw")
+    )
+    entries = (
+        _entry_slice_nodes(qn, entry_mod)
+        .crossJoin(qq.select("qid"))
+        .crossJoin(widths)
+    )
+    beam_df = _beam_hops_batch_multi(qn, und, qq, entries, hops)
+    wk = Window.partitionBy("qid", "bw").orderBy(
+        F.col("d").desc(), F.col("nid").asc()
+    )
+    approx = (
+        beam_df.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("qid", "bw", "nid")
+    )
+    hits_by_bw = (
+        approx.join(exact, ["qid", "nid"])
+        .groupBy("bw")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # n_queries per width = the report's row count: every distinct
+    # non-null-embedding query, hit or not (the left-join zero-fill
+    # the per-point report applied).
+    nq = (
+        queries.filter(F.col(query_vec_col).isNotNull())
+        .select(F.col(query_id_col).alias("qid"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )
+    return (
+        widths.join(hits_by_bw, "bw", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("bw").cast("long").alias("beam"),
+            F.col("n_queries"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / (F.col("n_queries") * F.lit(float(k))),
+                6,
+            ).alias("recall"),
         )
-    curve = points[0]
-    for p in points[1:]:
-        curve = curve.unionByName(p)
-    return curve.select(
-        "beam",
-        "n_queries",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        F.round(
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-            / (F.col("n_queries") * F.lit(float(k))),
-            6,
-        ).alias("recall"),
     )
