@@ -7103,7 +7103,9 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches candidates only.  The oracle is the brute full-index SQL —
     the match proves the prefix candidates lost nothing."""
     return dedup_ops.prefix_filter_jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=_NGRAM_THRESHOLD
+        load(spark, sf_dir, "documents"),
+        threshold=_NGRAM_THRESHOLD,
+        sh=_shared_shingle_index(spark, sf_dir),
     )
 
 

@@ -233,6 +233,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact full-space Jaccard-≥-threshold pairs via PPJoin prefix
     filtering: candidates from ``ppjoin_candidates`` (complete by
@@ -248,8 +249,19 @@ def prefix_filter_jaccard_pairs(
     complementary (guard for adversarial hot keys, prefix for
     candidate volume).  Shuffle profile: doc-frequency agg, one
     window on doc_id, prefix self-join, two candidate-sided joins +
-    pair agg — every exchange keyed on int64."""
-    sh_cached = hashed_shingle_index(docs, text_col, id_col, k).cache()
+    pair agg — every exchange keyed on int64.
+
+    ``sh``: optionally a PRECOMPUTED raw shingle index ``(doc_id,
+    shingle)`` at the same ``k`` (the driver's shared per-fixture
+    build — the ngram_jaccard_pairs convention): the mapInPandas
+    shingling pass is every shingle operator's floor cost and
+    injecting it skips the re-pay; hashed keys derive by codegen md5."""
+    if sh is not None:
+        sh_cached = sh.select(
+            "doc_id", portable_hash60(F.col("shingle")).alias("h")
+        ).cache()
+    else:
+        sh_cached = hashed_shingle_index(docs, text_col, id_col, k).cache()
     prefix = ppjoin_prefix_index(sh_cached, threshold, id_col)
     cand = ppjoin_candidates(prefix, threshold)
     sizes = sh_cached.groupBy(id_col).agg(F.count("*").alias("n"))
@@ -1594,26 +1606,37 @@ def lsh_recall_report(
     per-config aggregates are 1-row relations crossed onto the 1-row
     truth count (bounded broadcast, the repo's standard scalar
     pattern)."""
-    # Both relations feed multiple downstream jobs (4 configs × joins);
-    # eager localCheckpoint materializes them once WITHOUT an open-ended
-    # cache (the cache-hygiene gate's contract): truth is pair-sized,
-    # sig is one row per doc.
-    truth = (
-        ngram_jaccard_pairs(
+    # Both relations feed multiple downstream jobs (4 configs × joins)
+    # and are materialized once WITHOUT an open-ended cache (the
+    # cache-hygiene gate's contract): truth is pair-sized, sig one row
+    # per doc.  r16 (§2.6 — overlap independent jobs): the two eager
+    # builds are INDEPENDENT, so they are submitted from two driver
+    # threads and the sig job back-fills executors left idle by the
+    # truth job's tail instead of waiting for it.  truth rides the
+    # eager checkpoint ngram_jaccard_pairs already returns — the
+    # former second checkpoint of its (d1, d2) projection only paid an
+    # extra materialization job for rows that were already pinned.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_truth() -> DataFrame:
+        return ngram_jaccard_pairs(
             docs, threshold, text_col, id_col, k, max_doc_frac=max_doc_frac,
             sh=sh,
-        )
-        .select("d1", "d2")
-        .localCheckpoint(eager=True)
-    )
+        ).select("d1", "d2")
+
+    def _build_sig() -> DataFrame:
+        return (
+            minhash_signatures_from_index(sh)
+            if sh is not None
+            else minhash_signatures(docs, text_col, id_col, k)
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth_f = pool.submit(_build_truth)
+        sig_f = pool.submit(_build_sig)
+        truth = truth_f.result()
+        sig = sig_f.result()
     n_true = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
-    sig = (
-        minhash_signatures_from_index(sh)
-        if sh is not None
-        else minhash_signatures(docs, text_col, id_col, k)
-    ).localCheckpoint(
-        eager=True
-    )
     reports = []
     for b, r in LSH_CONFIGS:
         bands = _band_keys_folded(sig, b, r)

@@ -323,7 +323,13 @@ def cooccurrence_lift(
     or salting, same posture as the stop-shingle guard).  Three
     map-side-combined aggregates; the per-item supports join back by
     broadcast when the item vocabulary is small."""
-    items = df.select(basket_col, item_col).distinct()
+    # Pin the distinct basket relation once (r16, guide §5): it feeds
+    # FOUR consumers (the basket count, per-item supports, both pair
+    # legs) and the count action plus the final collect otherwise each
+    # re-run the raw scan + distinct.
+    items = df.select(basket_col, item_col).distinct().localCheckpoint(
+        eager=True
+    )
     n_baskets = items.select(basket_col).distinct().count()
     supp = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_item"))
     a = items.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i1"))
@@ -678,9 +684,13 @@ def frequent_triples(
     semi-joins on integer pair keys) → final census.  Every exchange
     carries (basket, item) or (item, item) integer keys.  Output:
     ``(p1, p2, p3, support)`` with p1 < p2 < p3."""
+    # Pinned once (r16, guide §5): li feeds both pair legs TWICE (the
+    # pair census before the fp checkpoint and the edge re-derivation
+    # after it) plus the extension leg — unpinned, the raw scan +
+    # distinct re-executed in every subtree.
     li = baskets.select(
         F.col(basket_col).alias("o"), F.col(item_col).alias("p")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     a = li.select("o", F.col("p").alias("p1"))
     b = li.select("o", F.col("p").alias("p2"))
     pairs = (
