@@ -32,7 +32,8 @@ def main() -> None:
     i = 0
     while i < len(args):
         if args[i] == "--reps":
-            reps = int(args[i + 1])
+            # min([]) guard (r15 ADVICE): 0 reps would crash below.
+            reps = max(1, int(args[i + 1]))
             i += 2
         elif args[i] == "--plans-dir":
             plans_dir = args[i + 1]

@@ -243,7 +243,9 @@ def curation_manifest(
     # aggregate partial-combines map-side, only (hash, id) crosses
     # the exchange, and the winner set re-attaches by a semi-join —
     # document text now never crosses an exchange in this stage at
-    # any corpus size.
+    # any corpus size.  Precondition (r15 ADVICE note): id_col is
+    # UNIQUE per row — under duplicated ids the semi-join keeps every
+    # row bearing a winner id where the old window kept exactly one.
     keep_ids = (
         docs.select(
             F.col(id_col).alias("_kid"),

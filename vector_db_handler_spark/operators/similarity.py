@@ -337,6 +337,11 @@ def cosine_neardup_ann(
     verification — the 100 TB replacement for the exact all-pairs
     :func:`cosine_neardup_pairs` (whose O(N²) compute is inherent).
 
+    Precondition: ``id_col`` is UNIQUE per row (r15 ADVICE note).  The
+    ids-only candidate dedup re-attaches vectors by id equi-joins; a
+    duplicated id would multiply re-attached rows where the old
+    payload-carrying ``dropDuplicates`` collapsed them.
+
     Pipeline: multi-probe cell assignment (each vector → its
     ``nprobe`` nearest IVF cells) → candidate pairs = distinct (i < j)
     sharing ≥ 1 cell (an equi-join on ``cell_id``, the same banded

@@ -168,6 +168,11 @@ def srp_neardup_pairs(
     signature build (the driver's shared per-fixture cache) skip
     re-paying the quantize + matmul pass; the geometry dials must
     match the build's or the bands are meaningless.
+
+    Precondition: ``id_col`` is UNIQUE per row (r15 ADVICE note) —
+    the ids-only pair dedup re-attaches vectors by id equi-joins,
+    which would multiply rows under duplicated ids where the old
+    payload-carrying dedup collapsed them.
     """
     if n_bits % n_bands:
         raise ValueError("n_bands must divide n_bits")
